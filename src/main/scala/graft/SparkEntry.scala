@@ -1,13 +1,727 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.Tables
+import graft.functions.{PiiFunctions, TextFunctions}
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — the declared operator surface (SURVEY.md §2) with a
+  * DuckDB oracle per SQL-expressible query.
+  *
+  * Conventions that keep the oracle hash-compare honest:
+  *  - every query ends in a deterministic total ORDER BY;
+  *  - aggregates over non-integer doubles are `round`ed (2dp money, 4dp
+  *    averages, 6dp ratios) so partial-aggregation order can't leak into
+  *    the hash;
+  *  - column names are identical on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def supp(s: SparkSession, d: String) = Tables.supplier(s, d)
+  private def part(s: SparkSession, d: String) = Tables.part(s, d)
+  private def nat(s: SparkSession, d: String) = Tables.nation(s, d)
+  private def reg(s: SparkSession, d: String) = Tables.region(s, d)
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  // Judge thresholds tuned so every reason except punct/dup actually
+  // fires on the synthetic docs table (48..553 chars, no newlines).
+  private val judgeT = TextFunctions.CleanThresholds(
+    minChars = 100, maxChars = 450, minNonWs = 0.82, minAlphaCjk = 0.8,
+    maxPunct = 0.05, maxDupLine = 0.3)
+
+  /** Synthetic PII text, reproducible in SQL, so redaction is executed
+    * for real on a corpus that ships none. */
+  private def piiSynth(d: Column, src: Column, text: Column): Column =
+    concat(lit("reach me at "), src, lit("@example.com ip 10.0.0."),
+      (d % 250).cast("string"), lit(" ssn 123-45-6789 call +1 555 123 4567 "),
+      substring(text, 1, 40))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- relational: scans, aggs, joins, windows ----------------
+    "q01_pricing_summary" -> ((s, d) =>
+      li(s, d).groupBy("l_returnflag", "l_linestatus").agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q02_filter_project" -> ((s, d) =>
+      li(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz")
+          && col("l_discount") > 0.05 && col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q03_segment_revenue" -> ((s, d) => {
+      val c = cust(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = ord(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      val l = li(s, d).filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(desc("revenue"), asc("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q04_order_priority" -> ((s, d) => {
+      val returned = li(s, d).filter(col("l_returnflag") === "R").select("l_orderkey")
+      val o = ord(s, d)
+      o.join(returned, o("o_orderkey") === returned("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q05_region_revenue" -> ((s, d) => {
+      val l = li(s, d); val o = ord(s, d); val c = cust(s, d)
+      val sp = supp(s, d); val n = nat(s, d); val r = reg(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sp), l("l_suppkey") === sp("s_suppkey") && c("c_nationkey") === sp("s_nationkey"))
+        .join(broadcast(n), sp("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    }),
+
+    "q06_forecast_revenue" -> ((s, d) =>
+      li(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz")
+          && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))),
+
+    "q07_nation_volume" -> ((s, d) => {
+      val l = li(s, d); val sp = supp(s, d); val n = nat(s, d)
+      l.join(broadcast(sp), l("l_suppkey") === sp("s_suppkey"))
+        .join(broadcast(n), sp("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"), year(col("l_shipdate")).as("l_year"))
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_lines"))
+        .orderBy("n_name", "l_year")
+    }),
+
+    "q10_returned_revenue" -> ((s, d) => {
+      val l = li(s, d).filter(col("l_returnflag") === "R")
+      val o = ord(s, d); val c = cust(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    }),
+
+    "q13_order_count_distribution" -> ((s, d) => {
+      val c = cust(s, d); val o = ord(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count("o_orderkey").as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
+    "q14_promo_share" -> ((s, d) => {
+      val l = li(s, d).filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz")
+        && col("l_shipdate") < lit("1997-07-01").cast("timestamp_ntz"))
+      val p = part(s, d)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .agg(round(
+          sum(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .otherwise(lit(0.0))) * 100.0
+            / sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("promo_share"))
+    }),
+
+    "q18_large_orders" -> ((s, d) => {
+      val bigOrders = li(s, d).groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      val o = ord(s, d); val c = cust(s, d)
+      o.join(bigOrders, o("o_orderkey") === bigOrders("l_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"), col("sum_qty"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q19_bracket_revenue" -> ((s, d) => {
+      val l = li(s, d); val p = part(s, d)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11) && col("p_size").between(1, 5))
+            || (col("p_brand") === "Brand#13" && col("l_quantity").between(10, 20) && col("p_size").between(1, 10))
+            || (col("p_brand") === "Brand#25" && col("l_quantity").between(20, 30) && col("p_size").between(1, 15)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    "q20_topk_orders" -> ((s, d) =>
+      ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(15)),
+
+    "q21_price_buckets" -> ((s, d) =>
+      ord(s, d)
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000, "lt_50k")
+            .when(col("o_totalprice") < 150000, "50k_150k")
+            .otherwise("ge_150k"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"))
+        .orderBy("bucket")),
+
+    "q22_customers_without_orders" -> ((s, d) => {
+      val c = cust(s, d); val o = ord(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    "q23_supplier_semijoin" -> ((s, d) => {
+      val heavy = li(s, d).filter(col("l_quantity") >= 49).select("l_suppkey")
+      val sp = supp(s, d)
+      sp.join(heavy, sp("s_suppkey") === heavy("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name").orderBy("s_suppkey")
+    }),
+
+    "q24_union_distinct" -> ((s, d) => {
+      val o = ord(s, d)
+      val a = o.filter(col("o_totalprice") > 300000).select("o_orderkey")
+      val b = o.filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      a.union(b).distinct().orderBy("o_orderkey")
+    }),
+
+    "q25_rollup_region" -> ((s, d) => {
+      cust(s, d).createOrReplaceTempView("customer")
+      nat(s, d).createOrReplaceTempView("nation")
+      reg(s, d).createOrReplaceTempView("region")
+      s.sql("""SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+               FROM customer JOIN nation ON c_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+               GROUP BY ROLLUP (r_name, n_name)
+               ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")
+    }),
+
+    "q26_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      ord(s, d).withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("rnk").cast("int").as("rnk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rnk")
+    }),
+
+    // ---------------- events: time-series / sessionization / json ----------------
+    "ev01_hourly_rollup" -> ((s, d) =>
+      ev(s, d)
+        .withColumn("hr", date_trunc("hour", timestamp_micros(expr("ts div 1000"))).cast("timestamp_ntz"))
+        .groupBy("hr", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("hr", "event_type")),
+
+    "ev02_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      ev(s, d)
+        .withColumn("us", expr("ts div 1000"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_us").isNull
+            || col("us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+        .groupBy("user_id").agg(sum("new_session").cast("long").as("n_sessions"))
+        .orderBy("user_id")
+    }),
+
+    "ev03_json_extract" -> ((s, d) =>
+      ev(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").cast("long").as("sum_k"))
+        .orderBy("event_type")),
+
+    "ev04_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, d).select(col("user_id"), col("event_id"),
+          round(sum("value").over(w), 4).as("running_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "ev05_gaps" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      ev(s, d)
+        .withColumn("us", expr("ts div 1000"))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .select("user_id", "event_id", "gap_us")
+        .orderBy("user_id", "event_id")
+    }),
+
+    "ev06_distinct_users" -> ((s, d) =>
+      ev(s, d).groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
+    // ---------------- documents: text analysis ----------------
+    "d01_token_stats" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.tokenCountBpeIsh(col("text")).as("n_bpeish"),
+          round(TextFunctions.meanTokenLen(col("text")), 6).as("mean_tok_len"))
+        .orderBy("doc_id")),
+
+    "d02_char_ratios" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          round(TextFunctions.nonWsRatio(col("text")), 6).as("non_ws"),
+          round(TextFunctions.alphaCjkRatio(col("text")), 6).as("alpha_cjk"),
+          round(TextFunctions.punctRatio(col("text")), 6).as("punct"),
+          round(TextFunctions.digitRatio(col("text")), 6).as("digit"))
+        .orderBy("doc_id")),
+
+    "d03_clean_judge" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          TextFunctions.judgeReason(col("text"), judgeT).as("drop_reason"))
+        .withColumn("kept", col("drop_reason") === "ok")
+        .orderBy("doc_id")),
+
+    "d04_lang_id" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TextAnalysis.langIdLabel(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "d05_lang_confusion" -> ((s, d) =>
+      docs(s, d).select(col("lang"), TextAnalysis.langIdLabel(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")),
+
+    "d06_quality_scores" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality_score"))
+        .orderBy("doc_id")),
+
+    "d07_exact_dedup" -> ((s, d) =>
+      Dedup.exact(docs(s, d), "doc_id", "text").select("doc_id").orderBy("doc_id")),
+
+    "d08_word_freq" -> ((s, d) =>
+      docs(s, d)
+        .select(explode(split(TextFunctions.normalizeForDedup(col("text")), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("word")).limit(40)),
+
+    "d09_source_stats" -> ((s, d) =>
+      docs(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          round(avg(TextFunctions.tokenCount(col("text"))), 4).as("avg_tokens"))
+        .orderBy("source")),
+
+    "d10_fingerprints" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TextFunctions.fingerprintMd5(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "d13_jaccard_neighbors" -> ((s, d) => {
+      val t = docs(s, d).select(col("doc_id"),
+        array_distinct(split(TextFunctions.normalizeForDedup(col("text")), " ")).as("ws"))
+      val a = t.select(col("doc_id").as("src"), col("ws").as("w1"))
+      val b = t.select((col("doc_id") - 1).as("src"), col("doc_id").as("dst"), col("ws").as("w2"))
+      a.join(b, "src")
+        .select(col("src"), col("dst"),
+          round(size(array_intersect(col("w1"), col("w2"))).cast("double")
+            / size(array_union(col("w1"), col("w2"))), 6).as("jaccard"))
+        .orderBy("src")
+    }),
+
+    // ---------------- dedup operators (LSH paths; rows-only where no SQL) ----------------
+    "x01_minhash_dedup" -> ((s, d) =>
+      Dedup.minhashLsh(docs(s, d), "doc_id", "text")
+        .groupBy("source").agg(count(lit(1)).as("n_kept")).orderBy("source")),
+
+    "x02_simhash_dedup" -> ((s, d) =>
+      Dedup.simhash(docs(s, d), "doc_id", "text")
+        .agg(count(lit(1)).as("n_kept"))),
+
+    "x03_ngram_jaccard_dedup" -> ((s, d) =>
+      Dedup.ngramJaccard(docs(s, d), "doc_id", "text", n = 3, threshold = 0.8)
+        .agg(count(lit(1)).as("n_kept"))),
+
+    "x04_embedding_neardup" -> ((s, d) =>
+      Dedup.embeddingCosine(emb(s, d), "vec_id", "embedding", threshold = 0.97)
+        .groupBy("label").agg(count(lit(1)).as("n_kept")).orderBy("label")),
+
+    // ---------------- similarity search ----------------
+    "e01_cosine_knn" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "e02_embedding_norms" -> ((s, d) =>
+      emb(s, d).groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg(Similarity.norm(col("embedding"))), 4).as("avg_norm"))
+        .orderBy("label")),
+
+    "e03_lsh_knn" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.lshTopK(e.filter(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding",
+          5, planes = 10, multiProbeBits = 3)
+        .agg(count(lit(1)).as("n_results"))
+    }),
+
+    "e04_ivf_knn" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding",
+          5, nCentroids = 16, nProbe = 4)
+        .agg(count(lit(1)).as("n_results"))
+    }),
+
+    // ---------------- PII redaction ----------------
+    "p01_pii_redact" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("synth", piiSynth(col("doc_id"), col("source"), col("text")))
+        .select(col("doc_id"), PiiFunctions.redact(col("synth")).as("redacted"))
+        .orderBy("doc_id")),
+
+    "p02_pii_flags" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("synth", piiSynth(col("doc_id"), col("source"), col("text")))
+        .select(col("doc_id"),
+          PiiFunctions.hasEmail(col("synth")).as("has_email"),
+          PiiFunctions.hasIpv4(col("synth")).as("has_ip4"),
+          PiiFunctions.hasSsn(col("synth")).as("has_ssn"),
+          PiiFunctions.hasPhone(col("synth")).as("has_phone"))
+        .orderBy("doc_id")),
+
+    // ---------------- packing (reference K3 semantics, 1-partition parity) ----------------
+    "k01_pack_conservation" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        expr("transform(sequence(1, size(split(trim(text), '\\\\s+'))), i -> i)").as("ids"))
+      val packed = Packer.pack(toks, "doc_id", "ids", seqLen = 512, eosId = 0, numPartitions = 1)
+      packed.agg(count(lit(1)).cast("long").as("n_chunks"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty, count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount > 0.05 AND l_quantity < 10
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q03_segment_revenue" ->
+      """SELECT o_orderkey, o_orderdate,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate >= TIMESTAMP '1997-01-01'
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q05_region_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "q06_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    "q07_nation_volume" ->
+      """SELECT n_name, CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         sum(l_quantity) AS sum_qty, count(*) AS n_lines
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name, l_year ORDER BY n_name, l_year""",
+
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE l_returnflag = 'R'
+         GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
+    "q13_order_count_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+
+    "q14_promo_share" ->
+      """SELECT round(sum(CASE WHEN p_type = 'PROMO'
+             THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) * 100.0
+           / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_share
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'""",
+
+    "q18_large_orders" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice, sum_qty
+         FROM orders
+         JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+               GROUP BY l_orderkey HAVING sum(l_quantity) > 150) t ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+
+    "q19_bracket_revenue" ->
+      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, count(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+            OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+            OR (p_brand = 'Brand#25' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""",
+
+    "q20_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""",
+
+    "q21_price_buckets" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'lt_50k'
+                     WHEN o_totalprice < 150000 THEN '50k_150k'
+                     ELSE 'ge_150k' END AS bucket,
+         count(*) AS n, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+         FROM orders GROUP BY bucket ORDER BY bucket""",
+
+    "q22_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+
+    "q23_supplier_semijoin" ->
+      """SELECT s_suppkey, s_name FROM supplier
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+         ORDER BY s_suppkey""",
+
+    "q24_union_distinct" ->
+      """SELECT DISTINCT o_orderkey FROM (
+           SELECT o_orderkey FROM orders WHERE o_totalprice > 300000
+           UNION ALL
+           SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         ORDER BY o_orderkey""",
+
+    "q25_rollup_region" ->
+      """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+
+    "q26_window_rank" ->
+      """SELECT o_custkey, CAST(rnk AS INTEGER) AS rnk, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+           FROM orders)
+         WHERE rnk <= 3 ORDER BY o_custkey, rnk""",
+
+    "ev01_hourly_rollup" ->
+      """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
+         round(sum(value), 4) AS sum_value
+         FROM events GROUP BY hr, event_type ORDER BY hr, event_type""",
+
+    "ev02_sessionize" ->
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions FROM (
+           SELECT user_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         GROUP BY user_id ORDER BY user_id""",
+
+    "ev03_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "ev04_running_sum" ->
+      """SELECT user_id, event_id, round(sum(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+         FROM events ORDER BY user_id, event_id""",
+
+    "ev05_gaps" ->
+      """SELECT user_id, event_id, gap_us FROM (
+           SELECT user_id, event_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+           FROM events)
+         WHERE gap_us IS NOT NULL ORDER BY user_id, event_id""",
+
+    "ev06_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "d01_token_stats" ->
+      """SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpeish,
+         round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+           / len(string_split_regex(trim(text), '\s+')), 6) AS mean_tok_len
+         FROM documents ORDER BY doc_id""",
+
+    "d02_char_ratios" ->
+      """SELECT doc_id,
+         round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / length(text), 6) AS non_ws,
+         round(CAST(length(text) - length(regexp_replace(text, '[A-Za-z一-鿿]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_cjk,
+         round(CAST(length(text) - length(regexp_replace(text, '[^\w\s一-鿿]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct,
+         round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text), 6) AS digit
+         FROM documents ORDER BY doc_id""",
+
+    "d03_clean_judge" ->
+      """SELECT doc_id, drop_reason, drop_reason = 'ok' AS kept FROM (
+           SELECT doc_id,
+             CASE WHEN length(text) < 100 THEN 'too_short'
+                  WHEN length(text) > 450 THEN 'too_long'
+                  WHEN CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / length(text) < 0.82 THEN 'too_sparse'
+                  WHEN CAST(length(text) - length(regexp_replace(text, '[A-Za-z一-鿿]', '', 'g')) AS DOUBLE) / length(text) < 0.8 THEN 'low_language_signal'
+                  WHEN CAST(length(text) - length(regexp_replace(text, '[^\w\s一-鿿]', '', 'g')) AS DOUBLE) / length(text) > 0.05 THEN 'too_much_punct'
+                  ELSE 'ok' END AS drop_reason
+           FROM documents)
+         ORDER BY doc_id""",
+
+    "d04_lang_id" -> langIdOracle("SELECT doc_id, lang_pred FROM scored ORDER BY doc_id"),
+
+    "d05_lang_confusion" -> langIdOracle(
+      "SELECT lang, lang_pred, count(*) AS n FROM scored GROUP BY lang, lang_pred ORDER BY lang, lang_pred"),
+
+    "d06_quality_scores" ->
+      """SELECT doc_id, round(greatest(0.0,
+           least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+           + (CAST(length(text) - length(regexp_replace(text, '[A-Za-z一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 0.35
+           + (CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / length(text)) * 0.25
+           + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w\s一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 2.0, 1.0)) * 0.15), 6) AS quality_score
+         FROM documents ORDER BY doc_id""",
+
+    "d07_exact_dedup" ->
+      """SELECT doc_id FROM (
+           SELECT doc_id, row_number() OVER (
+             PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+             ORDER BY doc_id) AS rn
+           FROM documents)
+         WHERE rn = 1 ORDER BY doc_id""",
+
+    "d08_word_freq" ->
+      """SELECT word, count(*) AS n FROM (
+           SELECT unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word
+           FROM documents)
+         GROUP BY word ORDER BY n DESC, word LIMIT 40""",
+
+    "d09_source_stats" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         round(avg(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)), 4) AS avg_tokens
+         FROM documents GROUP BY source ORDER BY source""",
+
+    "d10_fingerprints" ->
+      """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "d13_jaccard_neighbors" ->
+      """WITH t AS (SELECT doc_id,
+             list_distinct(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS ws
+           FROM documents)
+         SELECT a.doc_id AS src, b.doc_id AS dst,
+           round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
+         FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+         ORDER BY src""",
+
+    "e01_cosine_knn" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+           s AS (SELECT query_id, vec_id AS neighbor_id,
+                   list_cosine_similarity(qe, embedding) AS sc
+                 FROM q, embeddings WHERE vec_id != query_id)
+         SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, neighbor_id) AS rn
+           FROM s)
+         WHERE rn <= 5 ORDER BY query_id, rank""",
+
+    "e02_embedding_norms" ->
+      """SELECT label, count(*) AS n,
+         round(avg(sqrt(list_sum(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
+         FROM embeddings GROUP BY label ORDER BY label""",
+
+    "p01_pii_redact" ->
+      s"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           'reach me at ' || source || '@example.com ip 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+             || ' ssn 123-45-6789 call +1 555 123 4567 ' || substr(text, 1, 40),
+           '$EmailSql', '<EMAIL>', 'g'), '$SsnSql', '<SSN>', 'g'),
+           '$Ipv4Sql', '<IP>', 'g'), '$Ipv6Sql', '<IP>', 'g'),
+           '$PhoneSql', '<PHONE>', 'g') AS redacted
+         FROM documents ORDER BY doc_id""",
+
+    "p02_pii_flags" ->
+      s"""SELECT doc_id,
+           regexp_matches(synth, '$EmailSql') AS has_email,
+           regexp_matches(synth, '$Ipv4Sql') AS has_ip4,
+           regexp_matches(synth, '$SsnSql') AS has_ssn,
+           regexp_matches(synth, '$PhoneSql') AS has_phone
+         FROM (SELECT doc_id,
+             'reach me at ' || source || '@example.com ip 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+               || ' ssn 123-45-6789 call +1 555 123 4567 ' || substr(text, 1, 40) AS synth
+           FROM documents)
+         ORDER BY doc_id""",
+
+    "k01_pack_conservation" ->
+      """SELECT CAST(sum(cnt + 1) // 512 AS BIGINT) AS n_chunks
+         FROM (SELECT len(string_split_regex(trim(text), '\s+')) AS cnt FROM documents)"""
+  )
+
+  // Escaped-for-SQL-single-quoted-literal pattern strings (no quotes in
+  // the patterns themselves, so escaping is a no-op; kept as vals for a
+  // single source of truth with PiiFunctions).
+  private def EmailSql = PiiFunctions.EmailPattern
+  private def SsnSql = PiiFunctions.SsnPattern
+  private def Ipv4Sql = PiiFunctions.Ipv4Pattern
+  private def Ipv6Sql = PiiFunctions.Ipv6Pattern
+  private def PhoneSql = PiiFunctions.PhonePattern
+
+  /** Shared scored-CTE prefix for the language-ID oracles — must mirror
+    * [[TextAnalysis.langIdLabel]] exactly. */
+  private def langIdOracle(tail: String): String = {
+    val hits = TextAnalysis.LangStopwords.map { case (lang, sw) =>
+      val pat = sw.mkString("\\b(", "|", ")\\b")
+      s"len(regexp_extract_all(lower(text), '$pat')) AS ${lang}_h"
+    }.mkString(", ")
+    val langs = TextAnalysis.LangStopwords.map(_._1)
+    val best = "greatest(" + langs.map(_ + "_h").mkString(", ") + ")"
+    val pick = langs.map(l => s"WHEN ${l}_h = best AND best > 0 THEN '$l'").mkString(" ")
+    s"""WITH h AS (SELECT doc_id, lang, text, $hits FROM documents),
+        b AS (SELECT *, $best AS best FROM h),
+        scored AS (SELECT doc_id, lang,
+          CASE WHEN CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS DOUBLE)
+                 >= length(text) * 0.05 THEN 'zh'
+               $pick
+               ELSE 'und' END AS lang_pred
+          FROM b)
+        $tail"""
+  }
 }

@@ -1,0 +1,186 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hash / sketch expressions the built-in function set lacks.
+  *
+  * All are deterministic custom Catalyst `Expression`s (preference order
+  * per the engine design: built-ins > custom Expression > mapPartitions).
+  * They evaluate on `UTF8String` bytes directly — no JVM String
+  * allocation on the hot path — which is what keeps a 128-perm MinHash
+  * affordable over billions of documents.
+  *
+  * Unsigned-64 semantics note: the reference MinHash
+  * (reference: src/llm_data_pipeline/dedup/minhash.py:71-125) works in
+  * numpy uint64 with mod-2^64 wraparound. JVM `Long` `*`/`+` wrap
+  * identically; only comparisons differ, so minima are taken with
+  * `java.lang.Long.compareUnsigned`.
+  */
+object HashFunctions {
+
+  /** xxhash64 with caller-chosen seed (Spark's builtin `xxhash64` pins
+    * seed=42; the reference uses seed-0 `xxh64_intdigest`,
+    * reference: src/llm_data_pipeline/dedup/minhash.py:96). */
+  def xxhash64Seed(c: Column, seed: Long): Column =
+    ExpressionUtils.column(XxHash64String(ExpressionUtils.expression(c), seed))
+
+  def xxhash64Seed0(c: Column): Column = xxhash64Seed(c, 0L)
+
+  /** Base-31 Horner rolling hash over UTF-8 bytes → Long. */
+  def rollingHash64(c: Column): Column =
+    ExpressionUtils.column(RollingHash64(ExpressionUtils.expression(c)))
+
+  /** MinHash signature: k unsigned-min values over hashed character
+    * n-gram shingles of the (pre-normalized) input string. */
+  def minhash(c: Column, k: Int = 128, ngram: Int = 5, seed: Long = 42L): Column =
+    ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(c), k, ngram, seed))
+
+  /** 64-bit SimHash over whitespace-token shingles of the input string. */
+  def simhash64(c: Column, ngram: Int = 2): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c), ngram))
+
+  /** SplitMix64 — public-domain mixing function (Steele et al., used as
+    * the default stream seeder in java.util.SplittableRandom). */
+  private[graft] def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic (a_j odd, b_j) permutation parameters for MinHash,
+    * derived from `seed` via a SplitMix64 stream. The reference draws
+    * them from numpy RandomState (reference: src/llm_data_pipeline/
+    * dedup/minhash.py:71-83); only internal consistency matters for
+    * dedup, so we document the deviation rather than replicate numpy. */
+  private[graft] def permParams(k: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val a = new Array[Long](k)
+    val b = new Array[Long](k)
+    var s = seed
+    var i = 0
+    while (i < k) {
+      s = splitmix64(s); a(i) = s | 1L
+      s = splitmix64(s); b(i) = s
+      i += 1
+    }
+    (a, b)
+  }
+}
+
+/** xxh64(utf8-bytes, seed) for string input. Delegates to Spark's
+  * XXH64 kernel (same algorithm as the reference's xxh64_intdigest). */
+case class XxHash64String(child: Expression, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    XXH64.hashUTF8String(v.asInstanceOf[UTF8String], seed)
+  override protected def withNewChildInternal(c: Expression): XxHash64String = copy(child = c)
+  override def prettyName: String = "xxhash64_seed"
+}
+
+/** Base-31 Horner rolling hash over UTF-8 bytes (wrapping Long). */
+case class RollingHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = h * 31L + (s(i) & 0xffL); i += 1 }
+    h
+  }
+  override protected def withNewChildInternal(c: Expression): RollingHash64 = copy(child = c)
+  override def prettyName: String = "rolling_hash64"
+}
+
+/** MinHash signature over character n-gram shingles.
+  *
+  * Semantics mirror the reference (reference: src/llm_data_pipeline/dedup/
+  * minhash.py:28-125): distinct byte n-grams of the normalized text
+  * (input shorter than n → one whole-string shingle); each shingle
+  * hashed with xxh64 seed 0; sig[j] = unsigned-min over shingles of
+  * (h*a_j + b_j) mod 2^64; empty input → all-zero signature.
+  *
+  * Normalization (lowercase + whitespace-flatten) is the caller's job via
+  * [[TextFunctions.normalizeForDedup]] so Catalyst can share that
+  * subexpression with other consumers.
+  */
+case class MinHashSignature(child: Expression, k: Int, ngram: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && ngram > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val (pa, pb) = HashFunctions.permParams(k, seed)
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val sig = new Array[Long](k)
+    if (bytes.length == 0) return new GenericArrayData(sig)
+    java.util.Arrays.fill(sig, -1L) // unsigned max
+    // distinct shingle hashes
+    val seen = new java.util.HashSet[Long]()
+    val n = ngram
+    val last = math.max(0, bytes.length - n)
+    var i = 0
+    while (i <= last) {
+      val len = math.min(n, bytes.length) // whole string when shorter than n
+      val h = XXH64.hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + i,
+        if (bytes.length < n) bytes.length else len, 0L)
+      if (seen.add(h)) {
+        var j = 0
+        while (j < k) {
+          val cand = h * pa(j) + pb(j)
+          if (java.lang.Long.compareUnsigned(cand, sig(j)) < 0) sig(j) = cand
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** 64-bit SimHash over whitespace-token n-gram shingles: per-shingle
+  * xxh64(seed 0); each hash votes ±1 per bit; result bit = 1 iff the
+  * vote sum is positive. Near-duplicate docs land within small Hamming
+  * distance. Empty input → 0. */
+case class SimHash64(child: Expression, ngram: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(ngram > 0)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val toks = s.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) return 0L
+    val votes = new Array[Int](64)
+    val upper = math.max(1, toks.length - ngram + 1)
+    var i = 0
+    while (i < upper) {
+      val shingle = toks.slice(i, math.min(i + ngram, toks.length)).mkString(" ")
+      val b = shingle.getBytes("UTF-8")
+      val h = XXH64.hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 0L)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) { if (votes(bit) > 0) out |= (1L << bit); bit += 1 }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Structured PII detection / redaction as pure Column expressions.
+  *
+  * Pattern catalog mirrors the reference's RE2 patterns
+  * (reference: src/llm_data_pipeline/pii/run.py:37-67) — all are
+  * lookaround-free by design there, so Java regex evaluates them
+  * identically. Everything here is codegen-friendly `regexp_replace` /
+  * `rlike`; no UDFs, so the whole redaction stage stays inside
+  * whole-stage codegen and scales linearly with input bytes.
+  */
+object PiiFunctions {
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern  = "\\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\b"
+  val Ipv6Pattern  = "\\b(?:[0-9A-Fa-f]{1,4}:){2,7}[0-9A-Fa-f]{1,4}\\b"
+  val PhonePattern = "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]"
+  val SsnPattern   = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  def hasEmail(c: Column): Column = c.rlike(EmailPattern)
+  def hasIpv4(c: Column): Column  = c.rlike(Ipv4Pattern)
+  def hasIpv6(c: Column): Column  = c.rlike(Ipv6Pattern)
+  def hasPhone(c: Column): Column = c.rlike(PhonePattern)
+  def hasSsn(c: Column): Column   = c.rlike(SsnPattern)
+
+  /** Full structured redaction chain — order matters (SSN before phone so
+    * the phone pattern cannot eat an SSN; email before IP so hostnames in
+    * addresses survive), matching the reference's apply order
+    * (reference: src/llm_data_pipeline/pii/run.py:105-125). */
+  def redact(c: Column): Column = {
+    val s1 = regexp_replace(c, EmailPattern, "<EMAIL>")
+    val s2 = regexp_replace(s1, SsnPattern, "<SSN>")
+    val s3 = regexp_replace(s2, Ipv4Pattern, "<IP>")
+    val s4 = regexp_replace(s3, Ipv6Pattern, "<IP>")
+    regexp_replace(s4, PhonePattern, "<PHONE>")
+  }
+
+  /** Lang-column normalize: first two chars lowercased when present,
+    * else CJK-presence heuristic zh/en
+    * (reference: src/llm_data_pipeline/pii/run.py:148-167). */
+  def normalizeLang(lang: Column, text: Column): Column =
+    when(lang.isNotNull && length(lang) >= 2, lower(substring(lang, 1, 2)))
+      .otherwise(when(TextFunctions.hasCjk(text), "zh").otherwise("en"))
+
+  /** Contact-page gating signal used before expensive NER in the
+    * reference (reference: src/llm_data_pipeline/pii/run.py:113-118):
+    * any of @, contact keywords, or a `Xx Xx` name shape. */
+  def needsNer(c: Column): Column =
+    c.contains("@") ||
+      c.rlike("(?i)contact|about us|email us|联系|关于") ||
+      c.rlike("\\b[A-Z][a-z]+ [A-Z][a-z]+\\b")
+}

@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-cleaning and text-analysis functions, all as native Spark Column
+  * expressions (whole-stage-codegen'd — no UDFs in the hot path).
+  *
+  * Semantics mirror the reference's clean rules
+  * (reference: src/llm_data_pipeline/clean/rules.py:12-113) and ingest
+  * normalization (reference: src/llm_data_pipeline/ingest/step.py:25-32),
+  * re-expressed as Catalyst expressions so that Spark can push them into
+  * whole-stage codegen and evaluate them per-row without serialization
+  * overhead — the scaling path for a 100 TB text corpus.
+  */
+object TextFunctions {
+
+  /** F1 — newline normalize: \r\n|\r -> \n, trim, collapse 3+ \n to 2.
+    * (reference: src/llm_data_pipeline/ingest/step.py:25-32) */
+  def normalizeNewlines(c: Column): Column =
+    regexp_replace(regexp_replace(trim(c), "\r\n?", "\n"), "\n{3,}", "\n\n")
+
+  /** F2 — whitespace flatten: `" ".join(text.split())`.
+    * (reference: src/llm_data_pipeline/quality/model.py:130-132) */
+  def flattenWhitespace(c: Column): Column =
+    regexp_replace(trim(c), "\\s+", " ")
+
+  /** Normalized form used for fingerprinting / shingling: lowercase +
+    * whitespace-flattened. (reference: src/llm_data_pipeline/dedup/minhash.py:16-25) */
+  def normalizeForDedup(c: Column): Column =
+    lower(flattenWhitespace(c))
+
+  /** F3 — non-whitespace ratio: count(\S)/len; empty -> 0.0.
+    * (reference: src/llm_data_pipeline/clean/rules.py:12,66) */
+  def nonWsRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "\\s", "")).cast("double") / length(c))
+
+  /** F4 — alpha+CJK ratio. (reference: src/llm_data_pipeline/clean/rules.py:13-14,67) */
+  def alphaCjkRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(
+        (length(c) - length(regexp_replace(c, "[A-Za-z\\x{4e00}-\\x{9fff}]", "")))
+          .cast("double") / length(c))
+
+  /** F5 — punctuation ratio: count([^\w\s CJK])/len.
+    * (reference: src/llm_data_pipeline/clean/rules.py:15,68) */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(
+        (length(c) - length(regexp_replace(c, "[^\\w\\s\\x{4e00}-\\x{9fff}]", "")))
+          .cast("double") / length(c))
+
+  /** Digit ratio — extra quality signal beyond the reference's rule set. */
+  def digitRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(
+        (length(c) - length(regexp_replace(c, "[0-9]", ""))).cast("double") / length(c))
+
+  /** F6 — duplicate-line ratio: split lines, trim, drop blanks; <5 lines
+    * -> 0.0; else (# lines whose trimmed form occurs >1 times)/lines.
+    * Pure higher-order-function implementation (no UDF): count, for each
+    * line, whether its frequency in the full array is > 1.
+    * (reference: src/llm_data_pipeline/clean/rules.py:72-81) */
+  def dupLineRatio(c: Column): Column = {
+    val lines = filter(transform(split(c, "\n"), l => trim(l)), l => length(l) > 0)
+    when(size(lines) < 5, lit(0.0))
+      .otherwise(
+        aggregate(lines,
+          lit(0),
+          (acc, x) => acc + when(size(filter(lines, y => y === x)) > 1, 1).otherwise(0)
+        ).cast("double") / size(lines))
+  }
+
+  /** Rule thresholds (reference: src/llm_data_pipeline/clean/rules.py:84-113
+    * defaults). */
+  case class CleanThresholds(
+      minChars: Int = 200,
+      maxChars: Int = 200000,
+      minNonWs: Double = 0.6,
+      minAlphaCjk: Double = 0.4,
+      maxPunct: Double = 0.3,
+      maxDupLine: Double = 0.3)
+
+  /** F7 — ordered short-circuit judge: returns the drop reason column
+    * ("ok" if kept). Evaluation order matches the reference exactly:
+    * too_short -> too_long -> too_sparse -> low_language_signal ->
+    * too_much_punct -> dup_lines -> ok.
+    * (reference: src/llm_data_pipeline/clean/rules.py:84-113) */
+  def judgeReason(text: Column, t: CleanThresholds = CleanThresholds()): Column =
+    when(length(text) < t.minChars, "too_short")
+      .when(length(text) > t.maxChars, "too_long")
+      .when(nonWsRatio(text) < t.minNonWs, "too_sparse")
+      .when(alphaCjkRatio(text) < t.minAlphaCjk, "low_language_signal")
+      .when(punctRatio(text) > t.maxPunct, "too_much_punct")
+      .when(dupLineRatio(text) > t.maxDupLine, "dup_lines")
+      .otherwise("ok")
+
+  /** Whitespace token count: number of \s+-separated tokens; empty/blank -> 0. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  /** BPE-ish subword-unit estimate: word-pieces + digits + punctuation
+    * runs, a cheap proxy for tokenizer token counts (public rule of
+    * thumb: tokens ~ words + punct). */
+  def tokenCountBpeIsh(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))))
+
+  /** Average token length over whitespace tokens; 0 tokens -> 0.0. */
+  def meanTokenLen(c: Column): Column = {
+    val toks = tokenCount(c)
+    when(toks === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "\\s", "")).cast("double") / toks)
+  }
+
+  /** CJK character presence (reference: src/llm_data_pipeline/pii/run.py:170-179). */
+  def hasCjk(c: Column): Column = c.rlike("[\\x{4e00}-\\x{9fff}]")
+
+  /** Stopword-hit count for a given stopword list (word-boundary matches,
+    * case-insensitive). Used by the language-ID heuristic and quality
+    * score. */
+  def stopwordHits(c: Column, stopwords: Seq[String]): Column = {
+    val pat = stopwords.mkString("\\b(", "|", ")\\b")
+    size(regexp_extract_all(lower(c), lit(pat), lit(0)))
+  }
+
+  /** English stopwords for the heuristic scorer. */
+  val EnStopwords: Seq[String] =
+    Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "with")
+
+  /** Heuristic quality score in [0,1]: blend of language signal,
+    * whitespace sanity, punctuation sanity and length, in the spirit of
+    * the reference's rule metrics (clean/rules.py) but as one scalar.
+    * Deterministic and SQL-expressible (oracle-checkable). */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / 500.0, lit(1.0))
+    val langScore = alphaCjkRatio(c)
+    val wsScore = nonWsRatio(c)
+    val punctPenalty = least(punctRatio(c) * 2.0, lit(1.0))
+    round(greatest(lit(0.0),
+      lenScore * 0.25 + langScore * 0.35 + wsScore * 0.25 + (lit(1.0) - punctPenalty) * 0.15), 6)
+  }
+
+  /** Document fingerprint: md5 of the dedup-normalized text. Exact-dup
+    * detection key; stable across engines (md5 is bit-defined). */
+  def fingerprintMd5(c: Column): Column = md5(normalizeForDedup(c))
+
+  /** 64-bit rolling-polynomial document fingerprint (base-31 Horner over
+    * UTF-8 bytes of the normalized text, wrapping Long arithmetic).
+    * Cheaper than md5 at scale; not oracle-checkable (engine-specific). */
+  def fingerprintRolling(c: Column): Column =
+    HashFunctions.rollingHash64(normalizeForDedup(c))
+
+  /** Word shingles (n-grams of whitespace tokens) as an array column. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = split(normalizeForDedup(c), " ")
+    when(size(toks) < n, array(normalizeForDedup(c)))
+      .otherwise(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components over an edge list.
+  *
+  * Replaces the reference's driver-side union-find
+  * (reference: src/llm_data_pipeline/dedup/dedup.py:103-121), which
+  * materializes every edge on one machine — a non-starter at 100 TB.
+  * Here labels converge by alternating large-star / small-star rounds
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14): O(log n) rounds, each a pair of ordinary shuffles, with
+  * `localCheckpoint` to truncate lineage between rounds.
+  *
+  * Input : edges DataFrame with two Long columns `src`, `dst`.
+  * Output: DataFrame(`id` Long, `component` Long) — component is the
+  *         minimum vertex id in the component, for every vertex that
+  *         appears in at least one edge.
+  */
+object ConnectedComponents {
+
+  /** One large-star round: every node points its larger neighbors at the
+    * minimum of its neighborhood (including itself). */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    sym.groupBy("src")
+      .agg(min(least(col("dst"), col("src"))).as("m"), collect_set("dst").as("nbrs"))
+      .select(col("src"), col("m"), explode(col("nbrs")).as("v"))
+      .where(col("v") > col("src"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** One small-star round: every node connects its not-larger neighbors
+    * (and itself) to the minimum among them. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    // orient so src >= dst
+    val oriented = edges.select(
+      greatest(col("src"), col("dst")).as("src"),
+      least(col("src"), col("dst")).as("dst"))
+    oriented.groupBy("src")
+      .agg(min(col("dst")).as("m"), collect_set("dst").as("nbrs"))
+      .select(col("src"), col("m"), explode(array_union(col("nbrs"), array(col("src")))).as("v"))
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** Deterministic convergence fingerprint of an edge set. */
+  private def signature(edges: DataFrame): (Long, Long) = {
+    val row = edges.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(hash(col("src"), col("dst")).cast("long")), lit(0L)).as("h")
+    ).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  def run(edges: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    var cur = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var sig = signature(cur)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIterations) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nextSig = signature(next)
+      cur.unpersist()
+      cur = next
+      converged = nextSig == sig
+      sig = nextSig
+      it += 1
+    }
+    // After convergence every edge is (node -> component-min). Nodes that
+    // ARE the minimum appear only on the dst side; add their self-mapping.
+    val assign = cur.select(col("src").as("id"), col("dst").as("component"))
+    val roots = cur.select(col("dst").as("id")).distinct()
+      .join(assign.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    assign.union(roots)
+  }
+}

@@ -1,0 +1,209 @@
+package graft.operators
+
+import graft.functions.{HashFunctions, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Deduplication operators for document corpora.
+  *
+  * All variants share the same contract: `DataFrame in → DataFrame out`
+  * with the duplicate rows removed and one deterministic canonical
+  * representative kept per duplicate group — the reference's clustering
+  * step contract (reference: src/llm_data_pipeline/dedup/dedup.py:133-232,
+  * dedup/run_clustering.py:26-77), but fully distributed: candidate
+  * generation is a shuffle on band/bucket keys, clustering is
+  * [[ConnectedComponents]], and the final keep-filter is a broadcastable
+  * semi-join — the driver never materializes documents or edges.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical row per md5(normalized text). One shuffle on
+    * the fingerprint; `row_number` picks the min-id representative
+    * deterministically (the reference picks max (ts, length, doc_id),
+    * reference: src/llm_data_pipeline/dedup/dedup.py:123-130 — the
+    * ordering is a parameter here). */
+  def exact(df: DataFrame, idCol: String, textCol: String,
+            orderBy: Seq[Column] = Nil): DataFrame = {
+    val ord = if (orderBy.nonEmpty) orderBy else Seq(col(idCol).asc)
+    val w = Window.partitionBy(col("__fp")).orderBy(ord: _*)
+    df.withColumn("__fp", TextFunctions.fingerprintMd5(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  /** Configuration for MinHash-LSH near-dedup. Defaults mirror the
+    * reference (k=128, char 5-grams, 4 rows/band → 32 bands;
+    * reference: src/llm_data_pipeline/dedup/run_minhash.py:30,
+    * dedup/minhash.py:52, dedup/run_clustering.py:23). `maxBucket` is
+    * the skew guard the reference left commented out
+    * (reference: src/llm_data_pipeline/dedup/dedup.py:92-93) — buckets
+    * larger than this are almost-certainly boilerplate collisions and
+    * would otherwise generate C(n,2) pairs on one key. */
+  case class MinHashConfig(
+      k: Int = 128,
+      ngram: Int = 5,
+      rowsPerBand: Int = 4,
+      seed: Long = 42L,
+      maxBucket: Int = 1000,
+      jaccardThreshold: Double = 0.0)
+
+  def bands(cfg: MinHashConfig): Int = cfg.k / cfg.rowsPerBand
+
+  /** doc → (id, signature) with the signature computed by the custom
+    * Catalyst [[graft.functions.MinHashSignature]] expression. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      HashFunctions.minhash(TextFunctions.normalizeForDedup(col(textCol)),
+        cfg.k, cfg.ngram, cfg.seed).as("signature"))
+
+  /** Explode each signature into (id, band_id, band_hash) rows — the LSH
+    * banding step (reference: src/llm_data_pipeline/dedup/dedup.py:27-70).
+    * Band hash = builtin xxhash64 over (band_id, the band's slice), so
+    * the whole step stays in codegen. */
+  def bandRows(sigs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val b = bands(cfg)
+    val r = cfg.rowsPerBand
+    val bandStructs = array((0 until b).map { i =>
+      struct(lit(i).as("band_id"),
+        xxhash64(lit(i), slice(col("signature"), i * r + 1, r)).as("band_hash"))
+    }: _*)
+    sigs.select(col("id"), explode(bandStructs).as("band"))
+      .select(col("id"), col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
+  }
+
+  /** Candidate duplicate pairs (u < v) from LSH buckets: one shuffle on
+    * (band_id, band_hash), pairs generated bucket-locally, oversized
+    * buckets capped (skew guard), then `distinct` to collapse pairs hit
+    * in multiple bands (reference: src/llm_data_pipeline/dedup/
+    * dedup.py:74-99,184-187 — there: driver-side dict + C(n,2) loop). */
+  def candidatePairs(bandDf: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val buckets = bandDf.groupBy("band_id", "band_hash")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= cfg.maxBucket)
+    // bucket-local pair expansion: flatten(transform i -> transform j>i -> (ids[i], ids[j]))
+    // (SQL string because `ids[i]` with an expression ordinal has no
+    // direct Column-API spelling; brackets are 0-based, slice is 1-based)
+    buckets.select(explode(expr(
+        "flatten(transform(sequence(0, size(ids)-2), i -> " +
+          "transform(slice(ids, i+2, size(ids)), v -> named_struct('src', ids[i], 'dst', v))))"
+      )).as("pair"))
+      .select(col("pair.src").as("src"), col("pair.dst").as("dst"))
+      .distinct()
+  }
+
+  /** Optional pair verification: estimated Jaccard = fraction of equal
+    * signature positions; keeps pairs >= threshold.
+    * (reference: src/llm_data_pipeline/dedup/minhash.py — the k-perm
+    * estimator; the reference itself never re-verifies pairs.) */
+  def verifyPairs(pairs: DataFrame, sigs: DataFrame, threshold: Double): DataFrame = {
+    if (threshold <= 0.0) return pairs
+    val s1 = sigs.select(col("id").as("src"), col("signature").as("sig1"))
+    val s2 = sigs.select(col("id").as("dst"), col("signature").as("sig2"))
+    pairs.join(s1, "src").join(s2, "dst")
+      .withColumn("jac",
+        aggregate(zip_with(col("sig1"), col("sig2"), (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / size(col("sig1")))
+      .where(col("jac") >= threshold)
+      .select("src", "dst")
+  }
+
+  /** Full MinHash-LSH near-dedup: returns the input rows minus non-canonical
+    * near-duplicates. Canonical = min id per connected component of the
+    * candidate-pair graph. */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, cfg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = verifyPairs(candidatePairs(bandRows(sigs, cfg), cfg), sigs, cfg.jaccardThreshold)
+    val result = removeNonCanonical(df, idCol, pairs)
+    sigs.unpersist()
+    result
+  }
+
+  /** SimHash near-dedup: 64-bit simhash, 4×16-bit band blocking, Hamming
+    * distance <= maxHamming verification (classic Charikar'02 /
+    * Manku et al. WWW'07 construction — public algorithms). */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              ngram: Int = 2, maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+        HashFunctions.simhash64(TextFunctions.normalizeForDedup(col(textCol)), ngram).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // 4 bands of 16 bits: near-dups (hamming<=3) must agree on >=1 band
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band_id"),
+          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("band_val"))
+      }: _*)).as("band"))
+      .select(col("id"), col("sig"), col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
+    val b1 = banded.select(col("band_id"), col("band_val"), col("id").as("src"), col("sig").as("sig1"))
+    val b2 = banded.select(col("band_id"), col("band_val"), col("id").as("dst"), col("sig").as("sig2"))
+    val pairs = b1.join(b2, Seq("band_id", "band_val"))
+      .where(col("src") < col("dst"))
+      .where(bit_count(col("sig1").bitwiseXOR(col("sig2"))) <= maxHamming)
+      .select("src", "dst")
+      .distinct()
+    val result = removeNonCanonical(df, idCol, pairs)
+    sigs.unpersist()
+    result
+  }
+
+  /** N-gram Jaccard near-dedup: exact Jaccard over word n-gram sets,
+    * computed only within LSH-style blocking buckets (same band of the
+    * minhash signature) so it never goes quadratic. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.8,
+                   cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignatures(df, idCol, textCol, cfg)
+    val cand = candidatePairs(bandRows(sigs, cfg), cfg)
+    val s1 = sh.select(col("id").as("src"), col("sh").as("sh1"))
+    val s2 = sh.select(col("id").as("dst"), col("sh").as("sh2"))
+    val pairs = cand.join(s1, "src").join(s2, "dst")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .where(col("uni") > 0 && col("inter") / col("uni") >= threshold)
+      .select("src", "dst")
+    val result = removeNonCanonical(df, idCol, pairs)
+    sh.unpersist()
+    result
+  }
+
+  /** Embedding near-dedup: cosine similarity >= threshold within
+    * sign-LSH buckets (random hyperplanes) — see [[Similarity]] for the
+    * primitives. */
+  def embeddingCosine(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double = 0.95, planes: Int = 16,
+                      seed: Long = 7L): DataFrame = {
+    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", Similarity.signBucket(col("vec"), planes, seed))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = withBucket.select(col("bucket"), col("id").as("src"), col("vec").as("v1"))
+    val b = withBucket.select(col("bucket"), col("id").as("dst"), col("vec").as("v2"))
+    val pairs = a.join(b, "bucket")
+      .where(col("src") < col("dst"))
+      .where(Similarity.cosine(col("v1"), col("v2")) >= threshold)
+      .select("src", "dst")
+      .distinct()
+    val result = removeNonCanonical(df, idCol, pairs)
+    withBucket.unpersist()
+    result
+  }
+
+  /** Shared tail: pairs → connected components → drop every row whose id
+    * maps to a component it is not the minimum of. The keep-filter is a
+    * `left_anti` join against only the *losing* ids (small), so Catalyst
+    * can broadcast it (reference contrast: driver keep_set closure,
+    * src/llm_data_pipeline/dedup/run_clustering.py:66-69). */
+  def removeNonCanonical(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = ConnectedComponents.run(pairs)
+    val losers = comp.where(col("id") =!= col("component")).select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+}

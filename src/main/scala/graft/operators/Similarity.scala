@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float|double>`).
+  *
+  * Brute-force cosine top-k is the exact baseline (a broadcast
+  * nested-loop join — fine when the query set is small and the corpus is
+  * scanned once); sign-LSH bucketing is the approximate scale path (the
+  * corpus shuffle key becomes the bucket, so candidate generation is one
+  * shuffle instead of |Q|×|C| work). All arithmetic is native
+  * `zip_with`/`aggregate` higher-order functions — codegen'd, no UDFs.
+  */
+object Similarity {
+
+  /** dot(a, b) as a Column (double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity with zero-norm guard (0.0 when either is zero). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0.0, lit(0.0)).otherwise(d / n)
+  }
+
+  /** Sign-LSH bucket id: `planes` pseudo-random hyperplanes whose
+    * components are derived per (plane, dimension) from the builtin
+    * xxhash64 — deterministic, dimension-agnostic, computed fully inside
+    * codegen. Bucket = integer of sign bits (Charikar'02 random
+    * hyperplane LSH; the hash-derived planes replace an RNG so executors
+    * need no shared state). */
+  def signBucket(vec: Column, planes: Int, seed: Long): Column = {
+    val bits = (0 until planes).map { p =>
+      val dotP = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") *
+            (pmod(xxhash64(lit(seed), lit(p), i), lit(2001)).cast("double") / 1000.0 - 1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dotP > 0.0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a + b)
+  }
+
+  /** Exact brute-force cosine top-k: for each row of `queries`, the k
+    * nearest `corpus` rows by cosine. `queries` is broadcast (small dim
+    * table), the corpus is scanned once — no shuffle of the corpus
+    * itself; the only shuffle is the per-query top-k window, whose input
+    * is already cut down to candidate rows. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     queryId: String, corpusId: String, vecCol: String,
+                     k: Int): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** Approximate top-k via sign-LSH: queries and corpus are bucketed by
+    * [[signBucket]]; candidates are corpus rows sharing the bucket, with
+    * optional multi-probe (xor of 1 bit) to improve recall. Scale path:
+    * one equi-join shuffle on the bucket key instead of |Q|×|C|. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              queryId: String, corpusId: String, vecCol: String,
+              k: Int, planes: Int = 12, seed: Long = 7L,
+              multiProbeBits: Int = 2): DataFrame = {
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", signBucket(col("cv"), planes, seed))
+    val q0 = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket0", signBucket(col("qv"), planes, seed))
+    // multi-probe: original bucket plus buckets at Hamming distance 1
+    // for the first `multiProbeBits` planes
+    val probes = array((lit(0L) +: (0 until multiProbeBits).map(b => lit(1L << b))): _*)
+    val q = q0.select(col("query_id"), col("qv"), col("bucket0"),
+      explode(probes).as("flip"))
+      .select(col("query_id"), col("qv"),
+        col("bucket0").bitwiseXOR(col("flip")).as("bucket"))
+    val scored = c.join(q, "bucket")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.select(col("query_id"), col("neighbor_id"), col("score")).distinct()
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** IVF-style approximate top-k: corpus is assigned to the nearest of
+    * `nCentroids` centroids (deterministically sampled from the corpus
+    * itself — ids with the smallest hash), queries probe the `nProbe`
+    * nearest centroid cells. The cell assignment is the partition key at
+    * scale: each query only scans nProbe/nCentroids of the corpus. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              queryId: String, corpusId: String, vecCol: String,
+              k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"))
+    // deterministic "training-free" centroids: the nCentroids corpus rows
+    // with the smallest xxhash64(id) — effectively a uniform sample
+    val centroids = c.withColumn("h", xxhash64(col("neighbor_id")))
+      .orderBy(col("h")).limit(nCentroids)
+      .select(col("neighbor_id").as("centroid_id"), col("cv").as("centv"))
+    val assignW = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("csim").desc, col("centroid_id").asc)
+    val assigned = c.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("cv"), col("centv")))
+      .withColumn("crank", row_number().over(assignW))
+      .where(col("crank") === 1)
+      .select(col("neighbor_id"), col("cv"), col("centroid_id"))
+    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("centroid_id").asc)
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("qv"), col("centv")))
+      .withColumn("crank", row_number().over(probeW))
+      .where(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    assigned.join(probed, "centroid_id")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 4).as("score"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators: language identification, quality scoring,
+  * token statistics, fingerprinting. All pure Column expressions —
+  * deterministic, codegen'd, and SQL-expressible (oracle-checkable).
+  *
+  * The language-ID heuristic stands in for the reference's fastText
+  * lid.176.bin scorer (reference: src/llm_data_pipeline/quality/
+  * model.py:267-340) — a model file this zero-egress build cannot ship.
+  * Interface parity is kept: a `(label, score)` pair per document with a
+  * keep-threshold filter (reference: src/llm_data_pipeline/quality/
+  * run.py:25-44), so a real model can be swapped in via mapPartitions
+  * without touching callers.
+  */
+object TextAnalysis {
+
+  /** Per-language stopword evidence for the heuristic LID. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "that", "with", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "es", "una", "que", "para"))
+
+  /** Heuristic language-ID label: CJK-ratio gate for zh, else the
+    * stopword-evidence argmax with deterministic tie-break (declaration
+    * order above), "und" when no evidence. */
+  def langIdLabel(text: Column): Column = {
+    val hits = LangStopwords.map { case (lang, sw) =>
+      lang -> TextFunctions.stopwordHits(text, sw)
+    }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = hits.foldRight(lit("und"): Column) { case ((lang, h), els) =>
+      when(h === best && best > 0, lang).otherwise(els)
+    }
+    when(length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")).cast("double")
+        >= length(text) * 0.05, "zh")
+      .otherwise(pick)
+  }
+
+  /** LID score in [0,1]: normalized stopword-evidence margin. */
+  def langIdScore(text: Column): Column = {
+    val hits = LangStopwords.map { case (_, sw) => TextFunctions.stopwordHits(text, sw) }
+    val best = hits.reduce((a, b) => greatest(a, b)).cast("double")
+    val total = hits.reduce((a, b) => a + b).cast("double")
+    round(when(total === 0, 0.0).otherwise(best / total), 6)
+  }
+
+  /** documents → + (lang_pred, lang_score, quality_score, n_tokens,
+    * mean_token_len, fingerprint) — the combined analysis projection. */
+  def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("lang_pred", langIdLabel(t))
+      .withColumn("lang_score", langIdScore(t))
+      .withColumn("quality_score", TextFunctions.qualityScore(t))
+      .withColumn("n_tokens", TextFunctions.tokenCount(t))
+      .withColumn("n_tokens_bpeish", TextFunctions.tokenCountBpeIsh(t))
+      .withColumn("fingerprint", TextFunctions.fingerprintMd5(t))
+  }
+}
