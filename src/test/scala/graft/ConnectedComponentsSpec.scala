@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.ConnectedComponents
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Property test: alternating-star connected components must agree with a
+  * driver-side union-find (the reference's algorithm,
+  * reference: src/llm_data_pipeline/dedup/dedup.py:103-121) on random
+  * graphs of varying density, including chains (worst-case diameter). */
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min member per component
+    val members = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val byRoot = members.groupBy(find)
+    byRoot.flatMap { case (_, ms) => val m = ms.min; ms.map(_ -> m) }.toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)]): Unit = {
+    import spark.implicits._
+    val df = edges.toDF("src", "dst")
+    val got = ConnectedComponents.run(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = unionFind(0, edges)
+    assert(got == want, s"edges=$edges")
+  }
+
+  test("two disjoint pairs") { check(Seq((1L, 2L), (3L, 4L))) }
+
+  test("chain merges to single component") {
+    check((1L to 20L).sliding(2).map(s => (s(0), s(1))).toSeq)
+  }
+
+  test("reverse-ordered chain") {
+    check((1L to 15L).sliding(2).map(s => (s(1), s(0))).toSeq)
+  }
+
+  test("star and self-loops and duplicates") {
+    check(Seq((5L, 1L), (5L, 2L), (5L, 3L), (1L, 1L), (2L, 5L), (5L, 2L)))
+  }
+
+  test("random graphs match union-find") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 10
+      val m = n / 2 + rnd.nextInt(n)
+      val edges = (1 to m).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      check(edges)
+    }
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** End-to-end dedup behavior on corpora with planted duplicates. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+
+  private def corpus = Seq(
+    (1L, base, "a"),
+    (2L, base + " tiny suffix", "a"),                       // near-dup of 1
+    (3L, base.toUpperCase, "a"),                            // exact after normalize
+    (4L, (1 to 80).map(i => s"other$i").mkString(" "), "b"), // distinct
+    (5L, (1 to 80).map(i => s"third$i").mkString(" "), "b")  // distinct
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup keeps min-id per normalized fingerprint") {
+    val kept = Dedup.exact(corpus, "doc_id", "text").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 2L, 4L, 5L)) // 3 is case-dup of 1
+  }
+
+  test("minhash LSH removes near-dups and keeps distinct docs") {
+    val kept = Dedup.minhashLsh(corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L)) // 2 and 3 cluster with 1
+  }
+
+  test("minhash LSH with verification threshold still finds the cluster") {
+    val cfg = Dedup.MinHashConfig(jaccardThreshold = 0.5)
+    val kept = Dedup.minhashLsh(corpus, "doc_id", "text", cfg)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L))
+  }
+
+  test("simhash dedup removes near-dups") {
+    val kept = Dedup.simhash(corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.contains(1L) && kept.contains(4L) && kept.contains(5L))
+    assert(!kept.contains(3L)) // exact dup must go
+  }
+
+  test("ngram jaccard dedup verifies with exact jaccard") {
+    val kept = Dedup.ngramJaccard(corpus, "doc_id", "text", n = 3, threshold = 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L))
+  }
+
+  test("skew cap drops oversized buckets instead of exploding") {
+    // 50 identical docs: one bucket of 50 > maxBucket=10 -> no pairs -> all kept
+    val many = (1L to 50L).map(i => (i, base)).toDF("doc_id", "text")
+    val cfg = Dedup.MinHashConfig(maxBucket = 10)
+    val kept = Dedup.minhashLsh(many, "doc_id", "text", cfg).count()
+    assert(kept == 50L)
+    // with a sane cap they all collapse to one
+    val keptSane = Dedup.minhashLsh(many, "doc_id", "text").count()
+    assert(keptSane == 1L)
+  }
+
+  test("embedding cosine dedup collapses duplicate vectors") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.999f, 0.01f, 0.0f, 0.0f), 0), // near-dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val kept = Dedup.embeddingCosine(vecs, "vec_id", "embedding", threshold = 0.95, planes = 4)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("brute-force knn returns exact neighbors in cosine order") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 1), vecs,
+      "vec_id", "vec_id", "embedding", 2).collect()
+    assert(res.map(_.getLong(2)).toSeq == Seq(2L, 4L)) // by cosine to (1,0)
+  }
+
+  test("lsh knn recall against brute force on clustered vectors") {
+    val rnd = new scala.util.Random(7)
+    // 3 tight clusters in 16-d
+    val centers = Seq.fill(3)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 120).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 6)
+    val exact = Similarity.bruteForceTopK(queries, vecs, "vec_id", "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(queries, vecs, "vec_id", "vec_id", "embedding", 5,
+        planes = 8, multiProbeBits = 3)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.Packer
+
+/** Packer semantics vs the reference ConstantLengthDataset
+  * (reference: src/llm_data_pipeline/tokenizer/run.py:109-214):
+  * conservation, carry-over, EOS dedupe, run-length metadata. */
+class PackerSpec extends SparkSpec {
+
+  private def packAll(docs: Seq[Array[Int]], seqLen: Int, eos: Int = 0,
+                      pad: Boolean = false) =
+    Packer.packStream(docs.iterator, seqLen, eos, pad).toSeq
+
+  test("conservation: chunks * seqLen == total tokens incl EOS (tail dropped)") {
+    val docs = Seq(Array(1, 2, 3), Array(4, 5), Array(6, 7, 8, 9))
+    // totals: 3+1 + 2+1 + 4+1 = 12 -> seqLen 4 -> 3 chunks, 0 remainder
+    val chunks = packAll(docs, 4)
+    assert(chunks.size == 3)
+    assert(chunks.flatMap(_._1) == Seq(1, 2, 3, 0, 4, 5, 0, 6, 7, 8, 9, 0))
+  }
+
+  test("carry-over across chunk boundary preserves order") {
+    val docs = Seq(Array(1, 2, 3, 4, 5, 6, 7)) // +EOS = 8 tokens
+    val chunks = packAll(docs, 3)
+    assert(chunks.map(_._1.toSeq) == Seq(Seq(1, 2, 3), Seq(4, 5, 6)))
+    // tail (7, EOS) dropped without padding
+  }
+
+  test("padTail pads the final partial chunk with EOS") {
+    val chunks = packAll(Seq(Array(1, 2, 3, 4, 5, 6, 7)), 3, pad = true)
+    assert(chunks.map(_._1.toSeq) == Seq(Seq(1, 2, 3), Seq(4, 5, 6), Seq(7, 0, 0)))
+  }
+
+  test("no double EOS when doc already ends with eos") {
+    val chunks = packAll(Seq(Array(1, 2, 0), Array(3, 0)), 6, pad = true)
+    assert(chunks.head._1.toSeq == Seq(1, 2, 0, 3, 0, 0))
+  }
+
+  test("seq_id / seq_lens / offsets describe doc runs inside a chunk") {
+    val docs = Seq(Array(1, 2), Array(3), Array(4, 5, 6))
+    // stream: 1 2 E | 3 E | 4 5 6 E  -> chunk of 9 tokens (seqLen 9, pad)
+    val chunks = packAll(docs, 9, pad = true)
+    val (ids, sid, lens, offs) = chunks.head
+    assert(ids.toSeq == Seq(1, 2, 0, 3, 0, 4, 5, 6, 0))
+    assert(sid.toSeq == Seq(0, 0, 0, 1, 1, 2, 2, 2, 2))
+    assert(lens.toSeq == Seq(3, 2, 4))
+    assert(offs.toSeq == Seq(0, 3, 5))
+  }
+
+  test("runs split at chunk boundary get separate local seq ids") {
+    val docs = Seq(Array(1, 2, 3, 4)) // + EOS -> 5 tokens
+    val chunks = packAll(docs, 2) // chunks: [1,2], [3,4]; tail [E] dropped
+    assert(chunks.map(_._2.toSeq) == Seq(Seq(0, 0), Seq(0, 0)))
+    assert(chunks.map(_._3.toSeq) == Seq(Seq(2), Seq(2)))
+    assert(chunks.map(_._4.toSeq) == Seq(Seq(0), Seq(0)))
+  }
+
+  test("distributed pack on one partition equals pure stream pack") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 50L).map(i => (i, (1 to (i % 7 + 1).toInt).toArray))
+    val df = docs.toDF("id", "ids")
+    val packed = Packer.pack(df, "id", "ids", seqLen = 16, eosId = 0, numPartitions = 1)
+      .orderBy("part_id", "chunk_in_part").collect()
+    val expected = Packer.packStream(docs.sortBy(_._1).map(_._2).iterator, 16, 0, padTail = false).toSeq
+    assert(packed.length == expected.length)
+    packed.zip(expected).foreach { case (row, (ids, sid, lens, offs)) =>
+      assert(row.getSeq[Int](2) == ids.toSeq)
+      assert(row.getSeq[Int](3) == sid.toSeq)
+      assert(row.getSeq[Int](4) == lens.toSeq)
+      assert(row.getSeq[Int](5) == offs.toSeq)
+    }
+  }
+
+  test("multi-partition pack conserves all but per-partition tails") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, Array.fill((i % 5 + 1).toInt)(i.toInt)))
+    val df = docs.toDF("id", "ids")
+    val seqLen = 32
+    val totalTokens = docs.map(_._2.length + 1).sum
+    val packed = Packer.pack(df, "id", "ids", seqLen, eosId = 0, numPartitions = 4).collect()
+    val nParts = packed.map(_.getInt(0)).distinct.length
+    // each partition drops < seqLen tokens
+    assert(packed.length * seqLen > totalTokens - nParts * seqLen)
+    assert(packed.length * seqLen <= totalTokens)
+  }
+}

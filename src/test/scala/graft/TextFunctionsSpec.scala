@@ -1,0 +1,95 @@
+package graft
+
+import graft.functions.{PiiFunctions, TextFunctions}
+import org.apache.spark.sql.functions._
+
+/** Clean-rule truth table (reference: src/llm_data_pipeline/clean/
+  * rules.py:84-113) and PII regex cases (reference: src/llm_data_pipeline/
+  * pii/run.py:37-67). */
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def reason(text: String, t: TextFunctions.CleanThresholds): String =
+    Seq(text).toDF("t").select(TextFunctions.judgeReason(col("t"), t)).head().getString(0)
+
+  private val t = TextFunctions.CleanThresholds(
+    minChars = 10, maxChars = 100, minNonWs = 0.6, minAlphaCjk = 0.4,
+    maxPunct = 0.3, maxDupLine = 0.3)
+
+  test("judge order: too_short fires first") {
+    assert(reason("short", t) == "too_short")
+  }
+  test("too_long") {
+    assert(reason("a" * 101, t) == "too_long")
+  }
+  test("too_sparse: mostly whitespace") {
+    assert(reason("a b c d e f g h i j " + " " * 40, t) == "too_sparse")
+  }
+  test("low_language_signal: digits") {
+    assert(reason("1234567890 1234567890 123", t) == "low_language_signal")
+  }
+  test("too_much_punct") {
+    assert(reason("abcdefghij!!!!!!!!!", t) == "too_much_punct")
+  }
+  test("dup_lines") {
+    val txt = Seq("same line", "same line", "same line", "other one", "same line").mkString("\n")
+    assert(reason(txt, t) == "dup_lines")
+  }
+  test("ok text passes") {
+    assert(reason("this is a perfectly reasonable sentence", t) == "ok")
+  }
+  test("dup-line ratio needs >=5 lines") {
+    val txt = Seq("x y", "x y", "x y").mkString("\n") // 3 lines, all dup
+    val r = Seq(txt).toDF("t").select(TextFunctions.dupLineRatio(col("t"))).head().getDouble(0)
+    assert(r == 0.0)
+  }
+
+  test("newline normalize collapses CRLF and 3+ blank lines") {
+    val got = Seq("a\r\nb\r c\n\n\n\nd").toDF("t")
+      .select(TextFunctions.normalizeNewlines(col("t"))).head().getString(0)
+    assert(got == "a\nb\n c\n\nd")
+  }
+
+  test("token count") {
+    val got = Seq("  the quick   brown\tfox ").toDF("t")
+      .select(TextFunctions.tokenCount(col("t"))).head().getInt(0)
+    assert(got == 4)
+  }
+
+  test("pii redaction replaces all five classes") {
+    val txt = "mail a.b+c@mail.example.org host 192.168.1.254 v6 2001:db8:0:1:1:1:1:1 " +
+      "ssn 123-45-6789 tel +1 (415) 555-0134 end"
+    val got = Seq(txt).toDF("t").select(PiiFunctions.redact(col("t"))).head().getString(0)
+    assert(got.contains("<EMAIL>"), got)
+    assert(got.contains("<IP>"), got)
+    assert(got.contains("<SSN>"), got)
+    assert(got.contains("<PHONE>"), got)
+    assert(!got.contains("@"), got)
+    assert(!got.contains("123-45"), got)
+  }
+
+  test("pii flags are independent signals") {
+    val row = Seq("only an email: x@y.co").toDF("t")
+      .select(PiiFunctions.hasEmail(col("t")), PiiFunctions.hasIpv4(col("t")),
+        PiiFunctions.hasSsn(col("t")), PiiFunctions.hasPhone(col("t"))).head()
+    assert(row.getBoolean(0) && !row.getBoolean(1) && !row.getBoolean(2) && !row.getBoolean(3))
+  }
+
+  test("ipv4 octet bounds: 256 not matched, 255 matched") {
+    val r = Seq("a 1.2.3.256 b", "c 255.255.255.255 d").toDF("t")
+      .select(PiiFunctions.hasIpv4(col("t"))).collect().map(_.getBoolean(0))
+    assert(r.toSeq == Seq(false, true))
+  }
+
+  test("lang normalize falls back to cjk heuristic") {
+    val df = Seq(("EN-us", "hello"), (null, "hello"), (null, "你好世界")).toDF("lang", "text")
+    val got = df.select(PiiFunctions.normalizeLang(col("lang"), col("text"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "en", "zh"))
+  }
+
+  test("word shingles") {
+    val got = Seq("a b c d").toDF("t")
+      .select(TextFunctions.wordShingles(col("t"), 2)).head().getSeq[String](0)
+    assert(got == Seq("a b", "b c", "c d"))
+  }
+}
