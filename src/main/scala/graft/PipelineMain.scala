@@ -1,0 +1,46 @@
+package graft
+
+import graft.core.Pipeline
+import graft.operators.PipelineSteps
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry for the nine-step pipeline — the reference's
+  * `pipeline.py main()` surface (reference: src/llm_data_pipeline/
+  * pipeline.py:32-196): step selection, resume-from, record limit,
+  * output base; stats land in `<output-base>/pipeline_stats.json`.
+  *
+  * Usage:
+  *   runMain graft.PipelineMain --data-dir DIR --output-base DIR
+  *     [--steps ingest,clean,...] [--resume-from STEP] [--limit N]
+  *     [--langs en,zh] [--seq-len 4096] [--vocab-size 32000]
+  */
+object PipelineMain {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val cfg = Pipeline.PipelineConfig(
+      dataDir = opts.getOrElse("--data-dir", "."),
+      outputBase = opts.getOrElse("--output-base", "outputs/run"),
+      limit = opts.get("--limit").map(_.toInt),
+      langs = opts.get("--langs").map(_.split(",").toSeq).getOrElse(Seq("en", "zh")),
+      seqLen = opts.get("--seq-len").map(_.toInt).getOrElse(4096),
+      vocabSize = opts.get("--vocab-size").map(_.toInt).getOrElse(32000))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val all = PipelineSteps.all(cfg.dataDir)
+    val selected = opts.get("--steps") match {
+      case Some(names) => val set = names.split(",").toSet; all.filter(s => set(s.name))
+      case None        => all
+    }
+    val stats = Pipeline.run(spark, cfg, selected, opts.get("--resume-from"))
+    stats.foreach(s => println(
+      s"[pipeline] ${s.step}: in=${s.inputRows} out=${s.outputRows} ${f"${s.elapsedSec}%.2f"}s ${s.extra}"))
+    spark.stop()
+  }
+}

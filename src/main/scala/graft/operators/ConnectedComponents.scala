@@ -59,6 +59,30 @@ object ConnectedComponents {
     (row.getLong(0), row.getLong(1))
   }
 
+  /** String-keyed variant (e.g. sha1 doc_ids): maps ids to dense longs
+    * via a persisted mapping table, runs the long algorithm, maps back.
+    * Two broadcast-friendly joins — no driver materialization, and no
+    * hash-collision risk at 10^9+ vertices (unlike hashing ids to 64
+    * bits directly). */
+  def runOnStrings(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.monotonically_increasing_id
+    val ids = pairs.select(col("src").as("sid"))
+      .union(pairs.select(col("dst").as("sid"))).distinct()
+      .withColumn("nid", monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ids.count() // pin the id assignment before reuse in two joins
+    val p2 = pairs
+      .join(ids.select(col("sid").as("src"), col("nid").as("nsrc")), "src")
+      .join(ids.select(col("sid").as("dst"), col("nid").as("ndst")), "dst")
+      .select(col("nsrc").as("src"), col("ndst").as("dst"))
+    val comp = run(p2)
+    val out = comp
+      .join(ids.select(col("nid").as("id"), col("sid").as("id_str")), "id")
+      .join(ids.select(col("nid").as("component"), col("sid").as("component_str")), "component")
+      .select(col("id_str").as("id"), col("component_str").as("component"))
+    out
+  }
+
   def run(edges: DataFrame, maxIterations: Int = 20): DataFrame = {
     val spark = edges.sparkSession
     var cur = edges.select(col("src").cast("long"), col("dst").cast("long"))

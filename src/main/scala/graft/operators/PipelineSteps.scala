@@ -1,0 +1,240 @@
+package graft.operators
+
+import graft.core.Pipeline._
+import graft.functions.{HashFunctions, PiiFunctions, TextFunctions}
+import graft.sources.WetSource
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** The nine reference pipeline steps (reference: src/llm_data_pipeline/
+  * pipeline.py:85-95 — ingest → clean → quality → pii → minhash →
+  * clustering → train_tokenizer → tokenize → export) as Spark steps over
+  * the directory-handoff contract. Every step is restartable in
+  * isolation because its input is the previous step's parquet dir. */
+object PipelineSteps {
+
+  private def readStep(spark: SparkSession, cfg: PipelineConfig, step: String): DataFrame = {
+    val df = spark.read.parquet(stepDir(cfg.outputBase, stepInput(step)))
+    cfg.limit.map(df.limit).getOrElse(df)
+  }
+
+  private def writeStep(df: DataFrame, cfg: PipelineConfig, step: String): Long = {
+    val dir = stepDir(cfg.outputBase, step)
+    df.write.mode("overwrite").parquet(dir)
+    // count from the written files — no second execution of the lineage
+    df.sparkSession.read.parquet(dir).count()
+  }
+
+  /** ingest: WET files → documents parquet (S1-S3). */
+  case class IngestStep(maxFiles: Int = Int.MaxValue,
+                        wetCfg: WetSource.WetConfig = WetSource.WetConfig()) extends Step {
+    val name = "ingest"
+    def run(spark: SparkSession, cfg: PipelineConfig): StepStats = {
+      val files = WetSource.discover(cfg.dataDir, maxFiles = maxFiles)
+      val docs0 = WetSource.read(spark, files, wetCfg)
+      val docs = cfg.limit.map(docs0.limit).getOrElse(docs0)
+      val out = writeStep(docs, cfg, name)
+      StepStats(name, files.size, out, 0, Map("files" -> files.size.toString))
+    }
+  }
+
+  /** clean: normalize + metrics + judge; kept/dropped dual outputs
+    * (reference: src/llm_data_pipeline/clean/run.py:105-117). The lineage
+    * is persisted before the kept/dropped fork so the scan+judge runs
+    * once, not three times like the reference. */
+  case class CleanStep(thresholds: TextFunctions.CleanThresholds = TextFunctions.CleanThresholds())
+      extends Step {
+    val name = "clean"
+    def run(spark: SparkSession, cfg: PipelineConfig): StepStats = {
+      val in = readStep(spark, cfg, name)
+      val t = TextFunctions.normalizeNewlines(col("text"))
+      val judged = in
+        .withColumn("text", t)
+        .withColumn("m_non_ws", TextFunctions.nonWsRatio(col("text")))
+        .withColumn("m_alpha_cjk", TextFunctions.alphaCjkRatio(col("text")))
+        .withColumn("m_punct", TextFunctions.punctRatio(col("text")))
+        .withColumn("m_dup_line", TextFunctions.dupLineRatio(col("text")))
+        .withColumn("drop_reason", TextFunctions.judgeReason(col("text"), thresholds))
+        .withColumn("kept", col("drop_reason") === "ok")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val inRows = judged.count()
+      val kept = writeStep(judged.filter(col("kept")), cfg, name)
+      judged.filter(!col("kept")).write.mode("overwrite")
+        .parquet(s"${cfg.outputBase}/dropped_parquet")
+      judged.unpersist()
+      StepStats(name, inRows, kept, 0, Map("dropped" -> (inRows - kept).toString))
+    }
+  }
+
+  /** quality: heuristic language-ID (the pluggable stand-in for the
+    * fastText scorer, see [[TextAnalysis]]) + keep filter. */
+  case class QualityStep() extends Step {
+    val name = "quality"
+    def run(spark: SparkSession, cfg: PipelineConfig): StepStats = {
+      val in = readStep(spark, cfg, name)
+      val scored = in
+        .withColumn("lang", concat(lit("__label__"), TextAnalysis.langIdLabel(col("text"))))
+        .withColumn("lang_score", TextAnalysis.langIdScore(col("text")))
+        .withColumn("quality_keep",
+          substring(col("lang"), 10, 10).isin(cfg.langs: _*)
+            && col("lang_score") >= cfg.langThreshold)
+      val out = writeStep(scored.filter(col("quality_keep")), cfg, name)
+      StepStats(name, -1, out)
+    }
+  }
+
+  /** pii: structured regex redaction, pure expressions (P9/F13). */
+  case class PiiStep() extends Step {
+    val name = "pii"
+    def run(spark: SparkSession, cfg: PipelineConfig): StepStats = {
+      val in = readStep(spark, cfg, name)
+      val flagged = in
+        .withColumn("pii_has_email", PiiFunctions.hasEmail(col("text")))
+        .withColumn("pii_has_ip4", PiiFunctions.hasIpv4(col("text")))
+        .withColumn("pii_has_ssn", PiiFunctions.hasSsn(col("text")))
+        .withColumn("pii_has_phone", PiiFunctions.hasPhone(col("text")))
+        .withColumn("text", PiiFunctions.redact(col("text")))
+      val result =
+        if (cfg.keepPiiStats) flagged
+        else flagged.drop("pii_has_email", "pii_has_ip4", "pii_has_ssn", "pii_has_phone")
+      val out = writeStep(result, cfg, name)
+      StepStats(name, -1, out)
+    }
+  }
+
+  /** minhash: signature + length columns (reference: src/llm_data_pipeline/
+    * dedup/run_minhash.py:48-49). */
+  case class MinhashStep(mh: Dedup.MinHashConfig = Dedup.MinHashConfig()) extends Step {
+    val name = "minhash"
+    def run(spark: SparkSession, cfg: PipelineConfig): StepStats = {
+      val in = readStep(spark, cfg, name)
+      val out = writeStep(in
+        .withColumn("signature",
+          HashFunctions.minhash(TextFunctions.normalizeForDedup(col("text")),
+            mh.k, mh.ngram, mh.seed))
+        .withColumn("length", length(col("text")).cast("long")), cfg, name)
+      StepStats(name, -1, out)
+    }
+  }
+
+  /** clustering: LSH buckets → pairs → connected components → canonical
+    * per component by max (length, doc_id) — the reference's pick order
+    * minus the absent ts (reference: dedup/dedup.py:123-130) — then
+    * anti-join the losers out. Fully distributed (contrast
+    * reference: dedup/dedup.py:157-197 driver take_all + union-find). */
+  case class ClusteringStep(mh: Dedup.MinHashConfig = Dedup.MinHashConfig()) extends Step {
+    val name = "clustering"
+    def run(spark: SparkSession, cfg: PipelineConfig): StepStats = {
+      val in = readStep(spark, cfg, name).persist(StorageLevel.MEMORY_AND_DISK)
+      val inRows = in.count()
+      val sigs = in.select(col("doc_id").as("id"), col("signature"))
+      val pairs = Dedup.candidatePairs(Dedup.bandRows(sigs, mh), mh)
+      // canonical pick: per component keep max (length, doc_id)
+      val comp = ConnectedComponents.runOnStrings(pairs)
+      val withComp = in.join(comp, in("doc_id") === comp("id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("component").orderBy(desc("length"), desc("doc_id"))
+      val kept = withComp
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn", "id", "component")
+      val out = writeStep(kept, cfg, name)
+      in.unpersist()
+      StepStats(name, inRows, out, 0, Map("removed" -> (inRows - out).toString))
+    }
+  }
+
+  /** train_tokenizer: frequency-ranked word vocab with the reference's
+    * special-id convention (unk=0, bos=1, eos=2, pad=3,
+    * reference: tokenizer/train.py:111-134). A model-free stand-in for
+    * SentencePiece training: the data-side contract (corpus in, vocab
+    * artifact out) is identical, and the vocab build is one
+    * shuffle-and-top-k over the corpus. */
+  case class TrainTokenizerStep() extends Step {
+    val name = "train_tokenizer"
+    def run(spark: SparkSession, cfg: PipelineConfig): StepStats = {
+      val in = readStep(spark, cfg, name)
+      val words = in.select(explode(split(TextFunctions.normalizeForDedup(col("text")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("word"))
+        .limit(cfg.vocabSize - 4)
+        .withColumn("id", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(desc("freq"), asc("word"))) + 3)
+      val specials = spark.createDataFrame(Seq(
+        ("<unk>", 0L, 0), ("<bos>", 0L, 1), ("<eos>", 0L, 2), ("<pad>", 0L, 3)))
+        .toDF("word", "freq", "id")
+      val vocab = specials.unionByName(words.select(col("word"), col("freq"), col("id")))
+      vocab.write.mode("overwrite").parquet(s"${cfg.outputBase}/vocab_parquet")
+      val n = spark.read.parquet(s"${cfg.outputBase}/vocab_parquet").count()
+      StepStats(name, -1, n)
+    }
+  }
+
+  /** tokenize + pack: broadcast-vocab word lookup (OOV → unk) then the
+    * constant-length [[Packer]]. The vocab broadcast is the executor-
+    * singleton model pattern (ActorPool equivalent, SURVEY §2.11). */
+  case class TokenizeStep(numPartitions: Int = 0) extends Step {
+    val name = "tokenize"
+    def run(spark: SparkSession, cfg: PipelineConfig): StepStats = {
+      import spark.implicits._
+      val in = readStep(spark, cfg, name)
+      val vocab = spark.read.parquet(s"${cfg.outputBase}/vocab_parquet")
+        .select("word", "id").as[(String, Int)].collect().toMap
+      val bc = spark.sparkContext.broadcast(vocab)
+      val eos = 2
+      val toks = in.select(col("doc_id"), TextFunctions.normalizeForDedup(col("text")).as("norm"))
+        .select(col("doc_id"), split(col("norm"), " ").as("words"))
+        .as[(String, Seq[String])]
+        .map { case (id, ws) =>
+          val v = bc.value
+          (id, ws.iterator.filter(_.nonEmpty).map(w => v.getOrElse(w, 0)).toArray :+ eos)
+        }
+        .toDF("doc_id", "ids")
+        .withColumn("ord", xxhash64(col("doc_id"))) // stable pseudo-order
+      val packed = Packer.pack(toks, "ord", "ids", cfg.seqLen, eosId = eos,
+        numPartitions = numPartitions)
+      val out = writeStep(packed, cfg, name)
+      StepStats(name, -1, out, 0, Map("seq_len" -> cfg.seqLen.toString))
+    }
+  }
+
+  /** export: packed parquet → one flat little-endian binary of token ids
+    * (reference: src/llm_data_pipeline/export/run.py:36-163), with the
+    * uint16 bounds check as a single max aggregate
+    * (reference: export/run.py:125-127) instead of per-chunk checks. */
+  case class ExportStep() extends Step {
+    val name = "export"
+    def run(spark: SparkSession, cfg: PipelineConfig): StepStats = {
+      val in = readStep(spark, cfg, name)
+      val flat = in.orderBy("part_id", "chunk_in_part").select(col("input_ids"))
+      if (cfg.exportDtype == "uint16") {
+        val mx = in.agg(max(array_max(col("input_ids")))).head().getInt(0)
+        require(mx < 65535, s"token id $mx exceeds uint16 range")
+      }
+      val outPath = s"${cfg.outputBase}/export_tokens.bin"
+      val os = new BufferedOutputStream(new FileOutputStream(outPath), 1 << 20)
+      var n = 0L
+      val it = flat.toLocalIterator()
+      while (it.hasNext) {
+        val ids = it.next().getSeq[Int](0)
+        val bb = ByteBuffer.allocate(ids.length * (if (cfg.exportDtype == "uint16") 2 else 4))
+          .order(ByteOrder.LITTLE_ENDIAN)
+        ids.foreach { i => if (cfg.exportDtype == "uint16") bb.putShort(i.toShort) else bb.putInt(i) }
+        os.write(bb.array())
+        n += ids.length
+      }
+      os.close()
+      StepStats(name, -1, n, 0, Map("dtype" -> cfg.exportDtype, "path" -> outPath))
+    }
+  }
+
+  def all(dataDir: String): Seq[Step] = Seq(
+    IngestStep(), CleanStep(), QualityStep(), PiiStep(), MinhashStep(),
+    ClusteringStep(), TrainTokenizerStep(), TokenizeStep(), ExportStep())
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.core.Pipeline
+import graft.operators.PipelineSteps
+import graft.sources.WetSource
+
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.util.zip.GZIPOutputStream
+
+/** Golden end-to-end: synthetic WET fixture → all nine steps → packed
+  * binary, asserting schema/row contracts per stage (SURVEY §5 plan). */
+class PipelineSpec extends SparkSpec {
+
+  private def wetRecord(url: String, date: String, rid: String, text: String): String = {
+    val payload = text.getBytes(StandardCharsets.UTF_8)
+    s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $url\r\n" +
+      s"WARC-Date: $date\r\nWARC-Record-ID: <urn:uuid:$rid>\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n" + text + "\r\n\r\n"
+  }
+
+  private def writeWetGz(path: Path, records: Seq[String]): Unit = {
+    val os = new GZIPOutputStream(new FileOutputStream(path.toFile))
+    records.foreach(r => os.write(r.getBytes(StandardCharsets.UTF_8)))
+    os.close()
+  }
+
+  private def mkText(seedWord: String): String =
+    (1 to 60).map(i => s"$seedWord$i the and of with").mkString(" ")
+
+  test("wet parser roundtrip honors type filter, min chars, truncation, doc ids") {
+    val dir = Files.createTempDirectory("wet")
+    val recs = Seq(
+      wetRecord("http://a.example/1", "2025-01-01T00:00:00Z", "r1", mkText("alpha")),
+      wetRecord("http://a.example/2", "2025-01-01T00:00:01Z", "r2", "too short"),
+      // non-conversion record must be skipped
+      wetRecord("http://a.example/3", "2025-01-01T00:00:02Z", "r3", mkText("beta"))
+        .replace("WARC-Type: conversion", "WARC-Type: request"),
+      wetRecord("http://a.example/4", "2025-01-01T00:00:03Z", "r4", "x" * 1000))
+    writeWetGz(dir.resolve("f1.wet.gz"), recs)
+    val cfg = WetSource.WetConfig(minChars = 100, maxChars = 500)
+    val docs = WetSource.readDir(spark, dir.toString, cfg).collect()
+    assert(docs.length == 2)
+    val byUrl = docs.map(r => r.getString(1) -> r).toMap
+    assert(byUrl.contains("http://a.example/1"))
+    assert(byUrl("http://a.example/4").getString(4).length == 500) // truncated
+    assert(docs.map(_.getString(0)).distinct.length == 2)          // unique sha1 ids
+    assert(docs.forall(_.getString(0).length == 40))
+  }
+
+  test("full nine-step pipeline on fixture produces packed binary") {
+    val dataDir = Files.createTempDirectory("wetdata")
+    val outBase = Files.createTempDirectory("pipeout").toString
+    // 2 files; include an exact duplicate pair and a near-duplicate pair
+    val t1 = mkText("alpha"); val t2 = mkText("omega")
+    writeWetGz(dataDir.resolve("a.wet.gz"), Seq(
+      wetRecord("http://x/1", "2025-01-01T00:00:00Z", "r1", t1),
+      wetRecord("http://x/2", "2025-01-01T00:00:01Z", "r2", t2),
+      wetRecord("http://x/3", "2025-01-01T00:00:02Z", "r3", t1)))          // exact dup
+    writeWetGz(dataDir.resolve("b.wet.gz"), Seq(
+      wetRecord("http://x/4", "2025-01-01T00:00:03Z", "r4", t2 + " extra tail words"), // near dup
+      wetRecord("http://x/5", "2025-01-01T00:00:04Z", "r5", mkText("gamma")),
+      wetRecord("http://x/6", "2025-01-01T00:00:05Z", "r6", "1 2 3 4 5 6 7 8 9 0 " * 20))) // low lang signal
+
+    val cfg = Pipeline.PipelineConfig(
+      dataDir = dataDir.toString, outputBase = outBase,
+      langs = Seq("en", "und"), langThreshold = 0.0,
+      seqLen = 64, vocabSize = 500, exportDtype = "uint16")
+    val stats = Pipeline.run(spark, cfg, PipelineSteps.all(dataDir.toString))
+    val byStep = stats.map(s => s.step -> s).toMap
+
+    assert(byStep("ingest").outputRows == 6)
+    assert(byStep("clean").outputRows == 5)       // digit doc dropped (low_language_signal)
+    assert(byStep("clustering").outputRows == 3)  // dup + near-dup removed
+    assert(byStep("export").outputRows > 0)
+
+    // schema contracts per stage
+    val cleaned = spark.read.parquet(s"$outBase/cleaned_parquet")
+    assert(Seq("doc_id", "url", "warc_date", "source_path", "text", "kept", "drop_reason",
+      "m_non_ws", "m_alpha_cjk", "m_punct", "m_dup_line").forall(cleaned.columns.contains))
+    val dropped = spark.read.parquet(s"$outBase/dropped_parquet")
+    assert(dropped.count() == 1)
+    val minhash = spark.read.parquet(s"$outBase/minhash_parquet")
+    assert(minhash.columns.contains("signature") && minhash.columns.contains("length"))
+    assert(minhash.selectExpr("size(signature)").head().getInt(0) == 128)
+    val packed = spark.read.parquet(s"$outBase/token_packing_parquet")
+    assert(packed.selectExpr("size(input_ids)").collect().forall(_.getInt(0) == 64))
+
+    // binary length == chunks * seqLen * 2 bytes
+    val nChunks = packed.count()
+    val bin = Files.size(Path.of(s"$outBase/export_tokens.bin"))
+    assert(bin == nChunks * 64 * 2, s"bin=$bin chunks=$nChunks")
+
+    // stats json checkpoint exists and is valid-ish
+    val js = Files.readString(Path.of(s"$outBase/pipeline_stats.json"))
+    assert(js.contains("\"step\": \"export\""))
+
+    // resume-from: re-run just export reusing prior outputs
+    val stats2 = Pipeline.run(spark, cfg, PipelineSteps.all(dataDir.toString), Some("export"))
+    assert(stats2.map(_.step) == Seq("export"))
+  }
+}
