@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming extensions (SURVEY §2.12 — absent in the
+  * reference, which is batch-only; added here because every operator in
+  * this engine takes `DataFrame -> DataFrame`, so the same transforms
+  * run on a stream unchanged).
+  *
+  * Batch/stream symmetry is the design contract: `ingestStream` +
+  * `Trigger.AvailableNow` is the incremental version of the batch ingest
+  * step — new files landing in a directory are processed exactly once,
+  * which at 100 TB turns the re-scan-everything batch pattern into an
+  * incremental tail read with checkpointed progress.
+  */
+object Streaming {
+
+  /** Incremental parquet-directory ingest: the streaming twin of the
+    * batch per-step read. `maxFilesPerTrigger` bounds micro-batch size. */
+  def parquetStream(spark: SparkSession, dir: String, schema: StructType,
+                    maxFilesPerTrigger: Int = 64): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Watermarked tumbling-window event counts: the streaming version of
+    * the ev01 hourly rollup. Late events beyond the watermark are
+    * dropped; state is bounded. */
+  def windowedEventCounts(events: DataFrame, tsCol: String = "ts",
+                          window_ : String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  case class SessionEvent(user_id: Long, ts_us: Long)
+  case class SessionState(count: Long, lastTsUs: Long)
+  case class SessionCount(user_id: Long, n_sessions: Long)
+
+  /** Stateful sessionization with `mapGroupsWithState` — the custom-state
+    * path (KeyValueGroupedDataset) for semantics windows can't express:
+    * a session break is a >gap pause per user, state is one (count,
+    * lastTs) pair per key, timeout-free for AvailableNow batch parity. */
+  def sessionize(events: Dataset[SessionEvent], gapUs: Long = 1800L * 1000000): Dataset[SessionCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionCount](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts_us)
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          sorted.foreach { e =>
+            if (st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > gapUs)
+              st = SessionState(st.count + 1, e.ts_us)
+            else st = st.copy(lastTsUs = e.ts_us)
+          }
+          state.update(st)
+          SessionCount(user, st.count)
+      }
+  }
+
+  /** Drain a stream to an in-memory table with AvailableNow (process
+    * everything currently present, then stop). Returns the table name. */
+  def runToMemory(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Update()): String = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    name
+  }
+
+  /** Stream → parquet sink with checkpointing (exactly-once file sink). */
+  def runToParquet(df: DataFrame, dir: String, checkpoint: String): Unit = {
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", dir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

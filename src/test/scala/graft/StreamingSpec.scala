@@ -1,0 +1,73 @@
+package graft
+
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed event counts with watermark match batch aggregation") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val base = Timestamp.valueOf("2024-01-01 00:10:00")
+    val rows = (0 until 200).map { i =>
+      (new Timestamp(base.getTime + i * 60000L), if (i % 2 == 0) "click" else "view", i.toDouble)
+    }
+    mem.addData(rows: _*)
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = Streaming.windowedEventCounts(events, window_ = "1 hour", watermark = "2 hours")
+    Streaming.runToMemory(agg, "win_counts")
+    val got = spark.table("win_counts")
+      .groupBy("window_start", "event_type").agg(max("n").as("n"))
+      .orderBy("window_start", "event_type").collect()
+    val want = rows.toDF("ts", "event_type", "value")
+      .groupBy(window($"ts", "1 hour"), $"event_type").count()
+      .select($"window.start".as("ws"), $"event_type", $"count")
+      .orderBy("ws", "event_type").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getTimestamp(0) == w.getTimestamp(0))
+      assert(g.getString(1) == w.getString(1))
+      assert(g.getLong(2) == w.getLong(2))
+    }
+  }
+
+  test("stateful sessionize counts gap-separated sessions per user") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Streaming.SessionEvent]
+    val h = 3600L * 1000000
+    mem.addData(
+      Streaming.SessionEvent(1, 0), Streaming.SessionEvent(1, 1000),      // session 1
+      Streaming.SessionEvent(1, h), Streaming.SessionEvent(1, h + 5),     // session 2 (1h gap)
+      Streaming.SessionEvent(2, 0))                                       // user 2: 1 session
+    val out = Streaming.sessionize(mem.toDS(), gapUs = 1800L * 1000000)
+    Streaming.runToMemory(out.toDF(), "sessions")
+    val got = spark.table("sessions").groupBy("user_id").agg(max("n_sessions").as("n"))
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("incremental parquet stream processes a directory exactly once") {
+    val dir = Files.createTempDirectory("stream_in").toString
+    val out = Files.createTempDirectory("stream_out").toString
+    val ckpt = Files.createTempDirectory("stream_ckpt").toString
+    val df1 = Seq((1L, "alpha doc text"), (2L, "beta doc text")).toDF("doc_id", "text")
+    df1.write.mode("append").parquet(dir)
+    val stream = Streaming.parquetStream(spark, dir, df1.schema)
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+    Streaming.runToParquet(stream, out, ckpt)
+    assert(spark.read.parquet(out).count() == 2)
+    // second batch of files: only the new ones are processed
+    Seq((3L, "gamma doc text three")).toDF("doc_id", "text").write.mode("append").parquet(dir)
+    Streaming.runToParquet(
+      Streaming.parquetStream(spark, dir, df1.schema)
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+"))), out, ckpt)
+    val all = spark.read.parquet(out)
+    assert(all.count() == 3)
+    assert(all.filter(col("doc_id") === 3).head().getInt(2) == 4)
+  }
+}
