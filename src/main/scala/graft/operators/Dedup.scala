@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Partitioning
 import graft.functions.{HashFunctions, TextFunctions}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -56,7 +57,7 @@ object Dedup {
     * Catalyst [[graft.functions.MinHashSignature]] expression. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         cfg: MinHashConfig = MinHashConfig()): DataFrame =
-    df.select(
+    Partitioning.ensureParallelism(df).select(
       col(idCol).as("id"),
       HashFunctions.minhash(TextFunctions.normalizeForDedup(col(textCol)),
         cfg.k, cfg.ngram, cfg.seed).as("signature"))
@@ -81,19 +82,36 @@ object Dedup {
     * buckets capped (skew guard), then `distinct` to collapse pairs hit
     * in multiple bands (reference: src/llm_data_pipeline/dedup/
     * dedup.py:74-99,184-187 — there: driver-side dict + C(n,2) loop). */
-  def candidatePairs(bandDf: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val buckets = bandDf.groupBy("band_id", "band_hash")
+  def candidatePairs(bandDf: DataFrame, cfg: MinHashConfig = MinHashConfig(),
+                     chainOnly: Boolean = false): DataFrame = {
+    val allBuckets = bandDf.groupBy("band_id", "band_hash")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")) > 1 && size(col("ids")) <= cfg.maxBucket)
-    // bucket-local pair expansion: flatten(transform i -> transform j>i -> (ids[i], ids[j]))
-    // (SQL string because `ids[i]` with an expression ordinal has no
-    // direct Column-API spelling; brackets are 0-based, slice is 1-based)
-    buckets.select(explode(expr(
-        "flatten(transform(sequence(0, size(ids)-2), i -> " +
-          "transform(slice(ids, i+2, size(ids)), v -> named_struct('src', ids[i], 'dst', v))))"
-      )).as("pair"))
-      .select(col("pair.src").as("src"), col("pair.dst").as("dst"))
-      .distinct()
+      .where(size(col("ids")) > 1)
+    if (chainOnly) {
+      // Connectivity-only mode: a star from the bucket minimum to every
+      // other member yields the same connected components as the full
+      // clique with n-1 edges instead of C(n,2) and diameter 2 (so the
+      // CC iteration converges in a couple of rounds, unlike a chain).
+      // No quadratic blowup -> no bucket cap needed: even boilerplate
+      // mega-buckets get deduped rather than skipped.
+      allBuckets.select(explode(expr(
+          "transform(slice(ids, 2, size(ids)), v -> named_struct('src', ids[0], 'dst', v))"
+        )).as("pair"))
+        .select(col("pair.src").as("src"), col("pair.dst").as("dst"))
+        .distinct()
+    } else {
+      // Full pair mode (needed when pairs are re-verified): bucket-local
+      // C(n,2) expansion with the skew cap.
+      // (SQL string because `ids[i]` with an expression ordinal has no
+      // direct Column-API spelling; brackets are 0-based, slice is 1-based)
+      allBuckets.where(size(col("ids")) <= cfg.maxBucket)
+        .select(explode(expr(
+          "flatten(transform(sequence(0, size(ids)-2), i -> " +
+            "transform(slice(ids, i+2, size(ids)), v -> named_struct('src', ids[i], 'dst', v))))"
+        )).as("pair"))
+        .select(col("pair.src").as("src"), col("pair.dst").as("dst"))
+        .distinct()
+    }
   }
 
   /** Optional pair verification: estimated Jaccard = fraction of equal
@@ -119,7 +137,9 @@ object Dedup {
                  cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, cfg)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pairs = verifyPairs(candidatePairs(bandRows(sigs, cfg), cfg), sigs, cfg.jaccardThreshold)
+    val pairs = verifyPairs(
+      candidatePairs(bandRows(sigs, cfg), cfg, chainOnly = cfg.jaccardThreshold <= 0.0),
+      sigs, cfg.jaccardThreshold)
     val result = removeNonCanonical(df, idCol, pairs)
     sigs.unpersist()
     result
@@ -130,7 +150,7 @@ object Dedup {
     * Manku et al. WWW'07 construction — public algorithms). */
   def simhash(df: DataFrame, idCol: String, textCol: String,
               ngram: Int = 2, maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
+    val sigs = Partitioning.ensureParallelism(df).select(col(idCol).as("id"),
         HashFunctions.simhash64(TextFunctions.normalizeForDedup(col(textCol)), ngram).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // 4 bands of 16 bits: near-dups (hamming<=3) must agree on >=1 band
@@ -158,11 +178,18 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8,
                    cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
+    val sh = Partitioning.ensureParallelism(df).select(col(idCol).as("id"),
         array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = minhashSignatures(df, idCol, textCol, cfg)
-    val cand = candidatePairs(bandRows(sigs, cfg), cfg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // two-stage verification: the cheap signature-equality estimate (128
+    // int compares) prunes the candidate flood before the exact
+    // word-shingle intersection (hundreds of string hashes per pair).
+    // The estimate lives in char-ngram space while the exact test is in
+    // word-ngram space, so the pre-filter threshold is deliberately loose.
+    val cand = verifyPairs(candidatePairs(bandRows(sigs, cfg), cfg), sigs,
+      math.max(0.0, threshold * 0.5))
     val s1 = sh.select(col("id").as("src"), col("sh").as("sh1"))
     val s2 = sh.select(col("id").as("dst"), col("sh").as("sh2"))
     val pairs = cand.join(s1, "src").join(s2, "dst")
@@ -172,6 +199,7 @@ object Dedup {
       .select("src", "dst")
     val result = removeNonCanonical(df, idCol, pairs)
     sh.unpersist()
+    sigs.unpersist()
     result
   }
 
@@ -202,8 +230,11 @@ object Dedup {
     * can broadcast it (reference contrast: driver keep_set closure,
     * src/llm_data_pipeline/dedup/run_clustering.py:66-69). */
   def removeNonCanonical(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val comp = ConnectedComponents.run(pairs)
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    if (p.isEmpty) { p.unpersist(); return df } // no dups: skip the CC rounds entirely
+    val comp = ConnectedComponents.run(p)
     val losers = comp.where(col("id") =!= col("component")).select(col("id").as(idCol))
-    df.join(losers, Seq(idCol), "left_anti")
+    val out = df.join(losers, Seq(idCol), "left_anti")
+    out
   }
 }

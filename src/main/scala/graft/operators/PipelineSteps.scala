@@ -132,7 +132,7 @@ object PipelineSteps {
       val in = readStep(spark, cfg, name).persist(StorageLevel.MEMORY_AND_DISK)
       val inRows = in.count()
       val sigs = in.select(col("doc_id").as("id"), col("signature"))
-      val pairs = Dedup.candidatePairs(Dedup.bandRows(sigs, mh), mh)
+      val pairs = Dedup.candidatePairs(Dedup.bandRows(sigs, mh), mh, chainOnly = true)
       // canonical pick: per component keep max (length, doc_id)
       val comp = ConnectedComponents.runOnStrings(pairs)
       val withComp = in.join(comp, in("doc_id") === comp("id"), "left")

@@ -49,15 +49,18 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 4L, 5L))
   }
 
-  test("skew cap drops oversized buckets instead of exploding") {
-    // 50 identical docs: one bucket of 50 > maxBucket=10 -> no pairs -> all kept
+  test("mega-buckets: connectivity mode dedups them, clique mode caps them") {
     val many = (1L to 50L).map(i => (i, base)).toDF("doc_id", "text")
-    val cfg = Dedup.MinHashConfig(maxBucket = 10)
-    val kept = Dedup.minhashLsh(many, "doc_id", "text", cfg).count()
+    // connectivity-only LSH uses bucket stars: no quadratic risk, so the
+    // cap does not apply and identical docs collapse regardless
+    assert(Dedup.minhashLsh(many, "doc_id", "text").count() == 1L)
+    assert(Dedup.minhashLsh(many, "doc_id", "text",
+      Dedup.MinHashConfig(maxBucket = 10)).count() == 1L)
+    // the verification path needs real pairs (clique mode) and keeps the
+    // skew cap: a bucket of 50 > 10 generates no pairs -> all kept
+    val kept = Dedup.ngramJaccard(many, "doc_id", "text", n = 3, threshold = 0.6,
+      Dedup.MinHashConfig(maxBucket = 10)).count()
     assert(kept == 50L)
-    // with a sane cap they all collapse to one
-    val keptSane = Dedup.minhashLsh(many, "doc_id", "text").count()
-    assert(keptSane == 1L)
   }
 
   test("embedding cosine dedup collapses duplicate vectors") {
