@@ -1,5 +1,15 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main: times every declared query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line for the driver. Additionally measures
+  * tokenize-stage throughput (tokens/sec) against the reference's
+  * recorded 1.67M tok/s (BASELINE.md; reference: src/llm_data_pipeline/
+  * tokenizer/compare.py:196-203) by running the broadcast-vocab
+  * tokenizer over a replicated corpus large enough to be
+  * throughput-bound rather than latency-bound. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,15 +22,50 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // --- tokenize-equivalent throughput (M5) ---
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).cache()
+    val nDocs = docs.count()
+    val vocab = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("w")).limit(32000)
+      .collect().zipWithIndex.map { case (r, i) => r.getString(0) -> (i + 4) }.toMap
+    val bc = spark.sparkContext.broadcast(vocab)
+    // replicate to ~40M tokens so the measurement is throughput-bound
+    val repl = math.max(1, (40000000L / math.max(1L, nDocs * 60)).toInt)
+    val corpus = docs.crossJoin(spark.range(repl)).select(col("text")).as[String].cache()
+    corpus.count() // materialize before timing
+    val t0 = System.nanoTime()
+    val totalTokens = corpus.mapPartitions { it =>
+      val v = bc.value
+      it.map { t =>
+        val ws = t.split("\\s+")
+        val ids = new Array[Int](ws.length)
+        var i = 0; var n = 0
+        while (i < ws.length) {
+          if (ws(i).nonEmpty) { ids(n) = v.getOrElse(ws(i), 0); n += 1 }
+          i += 1
+        }
+        n.toLong
+      }
+    }.reduce(_ + _)
+    val tokSec = (System.nanoTime() - t0) / 1e9
+    val tokensPerSec = (totalTokens / tokSec).toLong
+    corpus.unpersist(); docs.unpersist()
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","tokenize_tokens":$totalTokens,"tokenize_sec":$tokSec,"tokens_per_sec":$tokensPerSec}""")
     spark.stop()
   }
 }

@@ -45,6 +45,14 @@ object PiiFunctions {
     when(lang.isNotNull && length(lang) >= 2, lower(substring(lang, 1, 2)))
       .otherwise(when(TextFunctions.hasCjk(text), "zh").otherwise("en"))
 
+  /** Heuristic PERSON redaction - the zero-dependency stand-in for the
+    * reference's Presidio/spaCy NER (reference: src/llm_data_pipeline/
+    * pii/run.py:182-300): `Xx Xx` capitalized bigrams become <NAME>.
+    * Deliberately conservative; a real NER model slots in via
+    * mapPartitions behind the same column contract. */
+  def redactNames(c: Column): Column =
+    regexp_replace(c, "\\b[A-Z][a-z]+ [A-Z][a-z]+\\b", "<NAME>")
+
   /** Contact-page gating signal used before expensive NER in the
     * reference (reference: src/llm_data_pipeline/pii/run.py:113-118):
     * any of @, contact keywords, or a `Xx Xx` name shape. */

@@ -87,17 +87,26 @@ object PipelineSteps {
     }
   }
 
-  /** pii: structured regex redaction, pure expressions (P9/F13). */
-  case class PiiStep() extends Step {
+  /** pii: structured regex redaction, pure expressions (P9/F13); the
+    * optional NER pass (reference M3, default off like the reference's
+    * --enable-ner, reference: pipeline.py:61) is a heuristic
+    * capitalized-name redactor applied single-pass behind the same
+    * `needsNer` gating - no split/union double-scan (J3). */
+  case class PiiStep(enableNer: Boolean = false) extends Step {
     val name = "pii"
     def run(spark: SparkSession, cfg: PipelineConfig): StepStats = {
       val in = readStep(spark, cfg, name)
-      val flagged = in
+      val flagged0 = in
         .withColumn("pii_has_email", PiiFunctions.hasEmail(col("text")))
         .withColumn("pii_has_ip4", PiiFunctions.hasIpv4(col("text")))
         .withColumn("pii_has_ssn", PiiFunctions.hasSsn(col("text")))
         .withColumn("pii_has_phone", PiiFunctions.hasPhone(col("text")))
         .withColumn("text", PiiFunctions.redact(col("text")))
+      val flagged =
+        if (!enableNer) flagged0
+        else flagged0.withColumn("text",
+          when(PiiFunctions.needsNer(col("text")), PiiFunctions.redactNames(col("text")))
+            .otherwise(col("text")))
       val result =
         if (cfg.keepPiiStats) flagged
         else flagged.drop("pii_has_email", "pii_has_ip4", "pii_has_ssn", "pii_has_phone")
@@ -155,10 +164,18 @@ object PipelineSteps {
     * SentencePiece training: the data-side contract (corpus in, vocab
     * artifact out) is identical, and the vocab build is one
     * shuffle-and-top-k over the corpus. */
-  case class TrainTokenizerStep() extends Step {
+  case class TrainTokenizerStep(corpusShards: Int = 8, maxCorpusChars: Int = 100000) extends Step {
     val name = "train_tokenizer"
     def run(spark: SparkSession, cfg: PipelineConfig): StepStats = {
       val in = readStep(spark, cfg, name)
+      // S7 sharded text sink: one doc per line, newlines flattened,
+      // repartitioned for parallel shard writes (reference:
+      // src/llm_data_pipeline/tokenizer/train.py:25-87) - the corpus a
+      // native SentencePiece trainer would consume.
+      in.select(substring(regexp_replace(col("text"), "\\n", " "), 1, maxCorpusChars).as("value"))
+        .na.drop()
+        .repartition(corpusShards)
+        .write.mode("overwrite").text(s"${cfg.outputBase}/train_corpus_txt")
       val words = in.select(explode(split(TextFunctions.normalizeForDedup(col("text")), " ")).as("word"))
         .filter(length(col("word")) > 0)
         .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -199,7 +216,14 @@ object PipelineSteps {
         .withColumn("ord", xxhash64(col("doc_id"))) // stable pseudo-order
       val packed = Packer.pack(toks, "ord", "ids", cfg.seqLen, eosId = eos,
         numPartitions = numPartitions)
-      val out = writeStep(packed, cfg, name)
+      // S9 sink parity: zstd-compressed shards of bounded record count
+      // (reference: src/llm_data_pipeline/tokenizer/run.py:220-261,540)
+      val dir = stepDir(cfg.outputBase, name)
+      packed.write.mode("overwrite")
+        .option("compression", "zstd")
+        .option("maxRecordsPerFile", 2048)
+        .parquet(dir)
+      val out = spark.read.parquet(dir).count()
       StepStats(name, -1, out, 0, Map("seq_len" -> cfg.seqLen.toString))
     }
   }
