@@ -1,0 +1,77 @@
+package graft
+
+import graft.functions.{MinHashSignature, RollingHash64, SimHash64, XxHash64String}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL-surface registration for the engine's custom expressions, so the
+  * same operators are reachable from `spark.sql(...)` as from the Column
+  * API:
+  *
+  *   SELECT graft_minhash(text, 128, 5, 42), graft_simhash(text, 2),
+  *          graft_xxhash64(text, 0), graft_rolling_hash(text) FROM docs
+  *
+  * Install either at session build time
+  * (`.withExtensions(new GraftExtensions)`) or post-hoc on a live
+  * session (`GraftExtensions.register(spark)`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(e: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[MinHashSignature].getName, name), builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _)  => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be a long literal, got $other")
+  }
+
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_minhash" -> { args =>
+      args match {
+        case Seq(c)          => MinHashSignature(c, 128, 5, 42L)
+        case Seq(c, k)       => MinHashSignature(c, intArg(k, "k"), 5, 42L)
+        case Seq(c, k, n)    => MinHashSignature(c, intArg(k, "k"), intArg(n, "ngram"), 42L)
+        case Seq(c, k, n, s) => MinHashSignature(c, intArg(k, "k"), intArg(n, "ngram"), longArg(s, "seed"))
+        case _ => throw new IllegalArgumentException("graft_minhash(text[, k[, ngram[, seed]]])")
+      }
+    },
+    "graft_simhash" -> { args =>
+      args match {
+        case Seq(c)    => SimHash64(c, 2)
+        case Seq(c, n) => SimHash64(c, intArg(n, "ngram"))
+        case _ => throw new IllegalArgumentException("graft_simhash(text[, ngram])")
+      }
+    },
+    "graft_xxhash64" -> { args =>
+      args match {
+        case Seq(c)    => XxHash64String(c, 0L)
+        case Seq(c, s) => XxHash64String(c, longArg(s, "seed"))
+        case _ => throw new IllegalArgumentException("graft_xxhash64(text[, seed])")
+      }
+    },
+    "graft_rolling_hash" -> { args =>
+      args match {
+        case Seq(c) => RollingHash64(c)
+        case _ => throw new IllegalArgumentException("graft_rolling_hash(text)")
+      }
+    })
+
+  /** Register on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

@@ -403,6 +403,79 @@ object SparkEntry {
           PiiFunctions.hasPhone(col("synth")).as("has_phone"))
         .orderBy("doc_id")),
 
+    // ---------------- scalar / correlated subquery shapes ----------------
+    "q11_high_value_parts" -> ((s, d) => {
+      val l = li(s, d)
+      val parts = l.groupBy("l_partkey")
+        .agg(round(sum(col("l_extendedprice") * col("l_quantity")), 2).as("sum_value"))
+      val thr = l.agg(round(sum(col("l_extendedprice") * col("l_quantity")) * 0.01, -3).as("t"))
+      parts.crossJoin(broadcast(thr)).filter(col("sum_value") > col("t"))
+        .select("l_partkey", "sum_value")
+        .orderBy(desc("sum_value"), asc("l_partkey"))
+    }),
+
+    "q17_small_quantity_revenue" -> ((s, d) => {
+      val l = li(s, d); val p = part(s, d)
+      val avgq = l.groupBy(col("l_partkey").as("pk")).agg((avg("l_quantity") * 0.2).as("thr"))
+      l.join(broadcast(p.filter(col("p_brand") === "Brand#1")), l("l_partkey") === p("p_partkey"))
+        .join(avgq, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < col("thr"))
+        .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+    }),
+
+    // ---------------- NER-style name redaction ----------------
+    "p03_ner_redact" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("synth", concat(lit("Alice "),
+          upper(substring(col("lang"), 1, 1)), expr("substr(lang, 2)"),
+          lit(" wrote "), substring(col("text"), 1, 30)))
+        .select(col("doc_id"), PiiFunctions.redactNames(col("synth")).as("redacted"))
+        .orderBy("doc_id")),
+
+    // ---------------- streaming (AvailableNow) checked against batch oracle ----------------
+    "st01_stream_hourly" -> ((s, d) => {
+      val batchSchema = ev(s, d).schema
+      s.catalog.dropTempView("st01_tbl")
+      // file-stream sources need a directory: stage the single-file table
+      val stage = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_stream_${math.abs(d.hashCode)}")
+      java.nio.file.Files.createDirectories(stage)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(d, "events.parquet"),
+        stage.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val stream = graft.streaming.Streaming.parquetStream(s, stage.toString, batchSchema)
+        .withColumn("hr", date_trunc("hour", timestamp_micros(expr("ts div 1000"))).cast("timestamp_ntz"))
+        .groupBy("hr", "event_type").agg(count(lit(1)).as("n"))
+      graft.streaming.Streaming.runToMemory(stream, "st01_tbl",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      s.table("st01_tbl").orderBy("hr", "event_type")
+    }),
+
+    // ---------------- WET source roundtrip ----------------
+    "w01_wet_roundtrip" -> ((s, d) => {
+      import java.nio.charset.StandardCharsets
+      import java.util.zip.GZIPOutputStream
+      val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_wet_${math.abs(d.hashCode)}")
+      java.nio.file.Files.createDirectories(tmp)
+      val wetPath = tmp.resolve("docs.wet.gz")
+      val rows = docs(s, d).select("doc_id", "text").orderBy("doc_id").collect()
+      val os = new GZIPOutputStream(new java.io.FileOutputStream(wetPath.toFile))
+      rows.foreach { r =>
+        val text = r.getString(1)
+        val payload = text.getBytes(StandardCharsets.UTF_8)
+        val rec = s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://d/${r.getLong(0)}\r\n" +
+          s"WARC-Date: 2025-01-01T00:00:00Z\r\nWARC-Record-ID: <urn:uuid:${r.getLong(0)}>\r\n" +
+          s"Content-Length: ${payload.length}\r\n\r\n$text\r\n\r\n"
+        os.write(rec.getBytes(StandardCharsets.UTF_8))
+      }
+      os.close()
+      graft.sources.WetSource.read(s, Seq(wetPath.toString),
+          graft.sources.WetSource.WetConfig(minChars = 100))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(length(col("text"))).cast("long").as("sum_chars"))
+    }),
+
     // ---------------- packing (reference K3 semantics, 1-partition parity) ----------------
     "k01_pack_conservation" -> ((s, d) => {
       val toks = docs(s, d).select(col("doc_id"),
@@ -689,6 +762,62 @@ object SparkEntry {
                || ' ssn 123-45-6789 call +1 555 123 4567 ' || substr(text, 1, 40) AS synth
            FROM documents)
          ORDER BY doc_id""",
+
+    "q11_high_value_parts" ->
+      """SELECT l_partkey, sum_value FROM (
+           SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS sum_value
+           FROM lineitem GROUP BY l_partkey)
+         WHERE sum_value > (SELECT round(sum(l_extendedprice * l_quantity) * 0.01, -3) FROM lineitem)
+         ORDER BY sum_value DESC, l_partkey""",
+
+    "q17_small_quantity_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand = 'Brand#1'
+           AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                             WHERE l2.l_partkey = lineitem.l_partkey)""",
+
+    "p03_ner_redact" ->
+      """SELECT doc_id, regexp_replace(
+           'Alice ' || upper(substr(lang, 1, 1)) || substr(lang, 2) || ' wrote ' || substr(text, 1, 30),
+           '\b[A-Z][a-z]+ [A-Z][a-z]+\b', '<NAME>', 'g') AS redacted
+         FROM documents ORDER BY doc_id""",
+
+    "st01_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n
+         FROM events GROUP BY hr, event_type ORDER BY hr, event_type""",
+
+    "w01_wet_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS sum_chars
+         FROM documents WHERE length(text) >= 100""",
+
+    "q11_high_value_parts" ->
+      """SELECT l_partkey, sum_value FROM (
+           SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS sum_value
+           FROM lineitem GROUP BY l_partkey)
+         WHERE sum_value > (SELECT round(sum(l_extendedprice * l_quantity) * 0.01, -3) FROM lineitem)
+         ORDER BY sum_value DESC, l_partkey""",
+
+    "q17_small_quantity_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand = 'Brand#1'
+           AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                             WHERE l2.l_partkey = lineitem.l_partkey)""",
+
+    "p03_ner_redact" ->
+      """SELECT doc_id, regexp_replace(
+           'Alice ' || upper(substr(lang, 1, 1)) || substr(lang, 2) || ' wrote ' || substr(text, 1, 30),
+           '\b[A-Z][a-z]+ [A-Z][a-z]+\b', '<NAME>', 'g') AS redacted
+         FROM documents ORDER BY doc_id""",
+
+    "st01_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n
+         FROM events GROUP BY hr, event_type ORDER BY hr, event_type""",
+
+    "w01_wet_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS sum_chars
+         FROM documents WHERE length(text) >= 100""",
 
     "k01_pack_conservation" ->
       """SELECT CAST(sum(cnt + 1) // 512 AS BIGINT) AS n_chunks

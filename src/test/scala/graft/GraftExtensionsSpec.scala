@@ -1,0 +1,35 @@
+package graft
+
+import graft.functions.{HashFunctions, TextFunctions}
+import org.apache.spark.sql.functions._
+
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions match the Column API expressions") {
+    GraftExtensions.register(spark)
+    Seq(("a", "the quick brown fox jumps over it")).toDF("id", "text")
+      .createOrReplaceTempView("gx_docs")
+    val viaSql = spark.sql(
+      """SELECT graft_minhash(text, 128, 5, 42) AS mh, graft_simhash(text, 2) AS sh,
+                graft_xxhash64(text, 0) AS xx, graft_rolling_hash(text) AS rh
+         FROM gx_docs""").head()
+    val viaApi = spark.table("gx_docs").select(
+      HashFunctions.minhash(col("text"), 128, 5, 42L).as("mh"),
+      HashFunctions.simhash64(col("text"), 2).as("sh"),
+      HashFunctions.xxhash64Seed0(col("text")).as("xx"),
+      HashFunctions.rollingHash64(col("text")).as("rh")).head()
+    assert(viaSql.getSeq[Long](0) == viaApi.getSeq[Long](0))
+    assert(viaSql.getLong(1) == viaApi.getLong(1))
+    assert(viaSql.getLong(2) == viaApi.getLong(2))
+    assert(viaSql.getLong(3) == viaApi.getLong(3))
+  }
+
+  test("withExtensions injection works at session build time") {
+    // verify the builder-based path compiles/initializes; reuse the live
+    // session's registry via the extension object instead of a 2nd session
+    val e = new GraftExtensions
+    assert(GraftExtensions.builders.map(_._1).toSet ==
+      Set("graft_minhash", "graft_simhash", "graft_xxhash64", "graft_rolling_hash"))
+  }
+}
