@@ -91,6 +91,12 @@ class PipelineSpec extends SparkSpec {
     val nChunks = packed.count()
     val bin = Files.size(Path.of(s"$outBase/export_tokens.bin"))
     assert(bin == nChunks * 64 * 2, s"bin=$bin chunks=$nChunks")
+    // and the bytes decode back to exactly the packed ids (little-endian u16)
+    val allIds = packed.orderBy("part_id", "chunk_in_part")
+      .collect().flatMap(_.getSeq[Int](2))
+    val bytes = Files.readAllBytes(Path.of(s"$outBase/export_tokens.bin"))
+    val decoded = bytes.grouped(2).map(b => ((b(0) & 0xff) | ((b(1) & 0xff) << 8))).toArray
+    assert(decoded.toSeq == allIds.toSeq)
 
     // stats json checkpoint exists and is valid-ish
     val js = Files.readString(Path.of(s"$outBase/pipeline_stats.json"))
