@@ -159,22 +159,37 @@ case class SimHash64(child: Expression, ngram: Int)
   override def dataType: DataType = LongType
 
   override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
-    val toks = s.split("\\s+").filter(_.nonEmpty)
-    if (toks.isEmpty) return 0L
-    val votes = new Array[Int](64)
-    val upper = math.max(1, toks.length - ngram + 1)
+    // Tokenize the UTF-8 bytes in place (whitespace split) and hash each
+    // token once; a shingle's hash combines consecutive token hashes via
+    // rotate-xor-mix instead of building the shingle string — no
+    // per-shingle allocations on the hot path.
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val offset = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+    val tokHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
     var i = 0
-    while (i < upper) {
-      val shingle = toks.slice(i, math.min(i + ngram, toks.length)).mkString(" ")
-      val b = shingle.getBytes("UTF-8")
-      val h = XXH64.hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 0L)
+    while (i < bytes.length) {
+      while (i < bytes.length && Character.isWhitespace(bytes(i) & 0xff)) i += 1
+      val start = i
+      while (i < bytes.length && !Character.isWhitespace(bytes(i) & 0xff)) i += 1
+      if (i > start) tokHashes += XXH64.hashUnsafeBytes(bytes, offset + start, i - start, 0L)
+    }
+    val nTok = tokHashes.length
+    if (nTok == 0) return 0L
+    val votes = new Array[Int](64)
+    val upper = math.max(1, nTok - ngram + 1)
+    var s = 0
+    while (s < upper) {
+      var h = 0L
+      var j = s
+      val end = math.min(s + ngram, nTok)
+      while (j < end) { h = java.lang.Long.rotateLeft(h, 17) ^ tokHashes(j); j += 1 }
+      h = HashFunctions.splitmix64(h)
       var bit = 0
       while (bit < 64) {
         if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
         bit += 1
       }
-      i += 1
+      s += 1
     }
     var out = 0L
     var bit = 0
