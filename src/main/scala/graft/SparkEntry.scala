@@ -403,6 +403,30 @@ object SparkEntry {
           PiiFunctions.hasPhone(col("synth")).as("has_phone"))
         .orderBy("doc_id")),
 
+    // ---------------- set operations / grouping sets ----------------
+    "q27_intersect_custkeys" -> ((s, d) => {
+      val o = ord(s, d)
+      o.filter(col("o_totalprice") > 200000).select("o_custkey")
+        .intersect(o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    "q28_except_custkeys" -> ((s, d) => {
+      val o = ord(s, d)
+      o.filter(col("o_totalprice") > 200000).select("o_custkey")
+        .except(o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    "q29_grouping_sets" -> ((s, d) => {
+      ord(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                      sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+               FROM orders
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+               ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+    }),
+
     // ---------------- scalar / correlated subquery shapes ----------------
     "q11_high_value_parts" -> ((s, d) => {
       val l = li(s, d)
@@ -763,6 +787,44 @@ object SparkEntry {
            FROM documents)
          ORDER BY doc_id""",
 
+    "q27_intersect_custkeys" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         ORDER BY o_custkey""",
+
+    "q28_except_custkeys" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         ORDER BY o_custkey""",
+
+    "q29_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q27_intersect_custkeys" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         ORDER BY o_custkey""",
+
+    "q28_except_custkeys" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         ORDER BY o_custkey""",
+
+    "q29_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
     "q11_high_value_parts" ->
       """SELECT l_partkey, sum_value FROM (
            SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS sum_value
@@ -790,6 +852,44 @@ object SparkEntry {
     "w01_wet_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS sum_chars
          FROM documents WHERE length(text) >= 100""",
+
+    "q27_intersect_custkeys" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         ORDER BY o_custkey""",
+
+    "q28_except_custkeys" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         ORDER BY o_custkey""",
+
+    "q29_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q27_intersect_custkeys" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         ORDER BY o_custkey""",
+
+    "q28_except_custkeys" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         ORDER BY o_custkey""",
+
+    "q29_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
 
     "q11_high_value_parts" ->
       """SELECT l_partkey, sum_value FROM (
