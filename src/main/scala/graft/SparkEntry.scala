@@ -806,91 +806,6 @@ object SparkEntry {
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
 
-    "q27_intersect_custkeys" ->
-      """SELECT o_custkey FROM orders WHERE o_totalprice > 200000
-         INTERSECT
-         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-         ORDER BY o_custkey""",
-
-    "q28_except_custkeys" ->
-      """SELECT o_custkey FROM orders WHERE o_totalprice > 200000
-         EXCEPT
-         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-         ORDER BY o_custkey""",
-
-    "q29_grouping_sets" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
-         FROM orders
-         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
-
-    "q11_high_value_parts" ->
-      """SELECT l_partkey, sum_value FROM (
-           SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS sum_value
-           FROM lineitem GROUP BY l_partkey)
-         WHERE sum_value > (SELECT round(sum(l_extendedprice * l_quantity) * 0.01, -3) FROM lineitem)
-         ORDER BY sum_value DESC, l_partkey""",
-
-    "q17_small_quantity_revenue" ->
-      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
-         FROM lineitem JOIN part ON p_partkey = l_partkey
-         WHERE p_brand = 'Brand#1'
-           AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
-                             WHERE l2.l_partkey = lineitem.l_partkey)""",
-
-    "p03_ner_redact" ->
-      """SELECT doc_id, regexp_replace(
-           'Alice ' || upper(substr(lang, 1, 1)) || substr(lang, 2) || ' wrote ' || substr(text, 1, 30),
-           '\b[A-Z][a-z]+ [A-Z][a-z]+\b', '<NAME>', 'g') AS redacted
-         FROM documents ORDER BY doc_id""",
-
-    "st01_stream_hourly" ->
-      """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n
-         FROM events GROUP BY hr, event_type ORDER BY hr, event_type""",
-
-    "w01_wet_roundtrip" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS sum_chars
-         FROM documents WHERE length(text) >= 100""",
-
-    "q27_intersect_custkeys" ->
-      """SELECT o_custkey FROM orders WHERE o_totalprice > 200000
-         INTERSECT
-         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-         ORDER BY o_custkey""",
-
-    "q28_except_custkeys" ->
-      """SELECT o_custkey FROM orders WHERE o_totalprice > 200000
-         EXCEPT
-         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-         ORDER BY o_custkey""",
-
-    "q29_grouping_sets" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
-         FROM orders
-         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
-
-    "q27_intersect_custkeys" ->
-      """SELECT o_custkey FROM orders WHERE o_totalprice > 200000
-         INTERSECT
-         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-         ORDER BY o_custkey""",
-
-    "q28_except_custkeys" ->
-      """SELECT o_custkey FROM orders WHERE o_totalprice > 200000
-         EXCEPT
-         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-         ORDER BY o_custkey""",
-
-    "q29_grouping_sets" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
-         FROM orders
-         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
-
     "q11_high_value_parts" ->
       """SELECT l_partkey, sum_value FROM (
            SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS sum_value

@@ -64,12 +64,18 @@ object TextFunctions {
     * (reference: src/llm_data_pipeline/clean/rules.py:72-81) */
   def dupLineRatio(c: Column): Column = {
     val lines = filter(transform(split(c, "\n"), l => trim(l)), l => length(l) > 0)
-    when(size(lines) < 5, lit(0.0))
-      .otherwise(
-        aggregate(lines,
-          lit(0),
-          (acc, x) => acc + when(size(filter(lines, y => y === x)) > 1, 1).otherwise(0)
-        ).cast("double") / size(lines))
+    // count lines whose value occurs more than once: sort, then a line is
+    // duplicated iff it equals its sorted predecessor or successor -
+    // O(n log n) instead of the naive O(n^2) per-row scan
+    val sorted = sort_array(lines)
+    val n = size(sorted)
+    val prev = concat(array(lit(null).cast("string")), slice(sorted, lit(1), n - 1))
+    val next = concat(slice(sorted, lit(2), n), array(lit(null).cast("string")))
+    val eqPrev = zip_with(sorted, prev, (a, b) => a <=> b)
+    val eqNext = zip_with(sorted, next, (a, b) => a <=> b)
+    val dupCount = aggregate(zip_with(eqPrev, eqNext, (a, b) => a || b),
+      lit(0), (acc, x) => acc + when(x, 1).otherwise(0))
+    when(n < 5, lit(0.0)).otherwise(dupCount.cast("double") / n)
   }
 
   /** Rule thresholds (reference: src/llm_data_pipeline/clean/rules.py:84-113

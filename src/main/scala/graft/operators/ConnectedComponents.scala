@@ -101,9 +101,16 @@ object ConnectedComponents {
       sig = nextSig
       it += 1
     }
+    if (!converged)
+      System.err.println(
+        s"[graft] WARN ConnectedComponents: not converged after $maxIterations rounds; " +
+          "taking min label per node (components may be under-merged)")
     // After convergence every edge is (node -> component-min). Nodes that
     // ARE the minimum appear only on the dst side; add their self-mapping.
-    val assign = cur.select(col("src").as("id"), col("dst").as("component"))
+    // min() guard guarantees exactly one row per id even if the loop was
+    // cut off before convergence (a node pointing at two minima would
+    // otherwise duplicate rows through downstream joins).
+    val assign = cur.groupBy(col("src").as("id")).agg(min(col("dst")).as("component"))
     val roots = cur.select(col("dst").as("id")).distinct()
       .join(assign.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))

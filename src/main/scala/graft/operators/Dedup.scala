@@ -149,24 +149,31 @@ object Dedup {
     * distance <= maxHamming verification (classic Charikar'02 /
     * Manku et al. WWW'07 construction — public algorithms). */
   def simhash(df: DataFrame, idCol: String, textCol: String,
-              ngram: Int = 2, maxHamming: Int = 3): DataFrame = {
+              ngram: Int = 2, maxHamming: Int = 3,
+              maxBucket: Int = 1000): DataFrame = {
     val sigs = Partitioning.ensureParallelism(df).select(col(idCol).as("id"),
         HashFunctions.simhash64(TextFunctions.normalizeForDedup(col(textCol)), ngram).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // 4 bands of 16 bits: near-dups (hamming<=3) must agree on >=1 band
-    val banded = sigs.select(col("id"), col("sig"),
-      explode(array((0 until 4).map { b =>
+    // pigeonhole banding: maxHamming+1 bands over the 64 bits guarantee a
+    // pair within maxHamming agrees on at least one band (Manku WWW'07);
+    // bucket grouping reuses the capped clique expansion so hot 16-bit
+    // band values cannot go quadratic
+    val bands = maxHamming + 1
+    val width = 64 / bands
+    val banded = sigs.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        val hi = if (b == bands - 1) 64 - b * width else width
         struct(lit(b).as("band_id"),
-          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("band_val"))
+          shiftrightunsigned(col("sig"), b * width)
+            .bitwiseAND(lit((1L << hi) - 1)).as("band_hash"))
       }: _*)).as("band"))
-      .select(col("id"), col("sig"), col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
-    val b1 = banded.select(col("band_id"), col("band_val"), col("id").as("src"), col("sig").as("sig1"))
-    val b2 = banded.select(col("band_id"), col("band_val"), col("id").as("dst"), col("sig").as("sig2"))
-    val pairs = b1.join(b2, Seq("band_id", "band_val"))
-      .where(col("src") < col("dst"))
+      .select(col("id"), col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
+    val cand = candidatePairs(banded, MinHashConfig(maxBucket = maxBucket))
+    val s1 = sigs.select(col("id").as("src"), col("sig").as("sig1"))
+    val s2 = sigs.select(col("id").as("dst"), col("sig").as("sig2"))
+    val pairs = cand.join(s1, "src").join(s2, "dst")
       .where(bit_count(col("sig1").bitwiseXOR(col("sig2"))) <= maxHamming)
       .select("src", "dst")
-      .distinct()
     val result = removeNonCanonical(df, idCol, pairs)
     sigs.unpersist()
     result

@@ -238,8 +238,11 @@ object PipelineSteps {
       val in = readStep(spark, cfg, name)
       val flat = in.orderBy("part_id", "chunk_in_part").select(col("input_ids"))
       if (cfg.exportDtype == "uint16") {
-        val mx = in.agg(max(array_max(col("input_ids")))).head().getInt(0)
-        require(mx < 65535, s"token id $mx exceeds uint16 range")
+        // reference semantics: ids must be < 65535 for uint16 export
+        // (reference: src/llm_data_pipeline/export/run.py:125-127)
+        val row = in.agg(max(array_max(col("input_ids")))).head()
+        if (!row.isNullAt(0))
+          require(row.getInt(0) < 65535, s"token id ${row.getInt(0)} exceeds uint16 range")
       }
       val outPath = s"${cfg.outputBase}/export_tokens.bin"
       val os = new BufferedOutputStream(new FileOutputStream(outPath), 1 << 20)

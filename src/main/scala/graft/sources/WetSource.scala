@@ -84,11 +84,13 @@ object WetSource {
           val len = headers.get("content-length").flatMap(_.toIntOption).getOrElse(0)
           val payload = new Array[Byte](len)
           var off = 0
+          var truncated = false
           while (off < len) {
             val r = bis.read(payload, off, len - off)
-            if (r == -1) { done = true; off = len } else off += r
+            if (r == -1) { done = true; truncated = true; off = len } else off += r
           }
-          if (headers.get("warc-type").contains(cfg.warcType)) {
+          // a payload cut off mid-record must not enter the corpus
+          if (!truncated && headers.get("warc-type").contains(cfg.warcType)) {
             val text = normalizeText(new String(payload, StandardCharsets.UTF_8))
             if (text.length >= cfg.minChars) {
               val t = if (text.length > cfg.maxChars) text.substring(0, cfg.maxChars) else text
@@ -113,7 +115,19 @@ object WetSource {
   def parseFile(path: String, cfg: WetConfig): Iterator[WetDoc] = {
     val raw = new FileInputStream(path)
     val in = if (path.endsWith(".gz")) new GZIPInputStream(raw) else raw
-    parseStream(in, path, cfg)
+    // close on task end (covers early abandonment by limit()/failures)
+    // and eagerly once the iterator is exhausted
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => try in.close() catch { case _: Throwable => () }))
+    val it = parseStream(in, path, cfg)
+    new Iterator[WetDoc] {
+      override def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h) try in.close() catch { case _: Throwable => () }
+        h
+      }
+      override def next(): WetDoc = it.next()
+    }
   }
 
   /** File list → distributed document table. */
