@@ -475,6 +475,18 @@ object SparkEntry {
       s.table("st01_tbl").orderBy("hr", "event_type")
     }),
 
+    // ---------------- as-of (point-in-time) join ----------------
+    "a01_asof_click" -> ((s, d) => {
+      val e = ev(s, d).withColumn("us", expr("ts div 1000"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "us", "event_id")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us").as("cus"), col("event_id").as("click_id"))
+      AsOfJoin.backward(purchases, clicks, "user_id", "us", "cus", Seq("click_id"))
+        .select(col("user_id"), col("event_id"), col("asof_click_id"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // ---------------- WET source roundtrip ----------------
     "w01_wet_roundtrip" -> ((s, d) => {
       import java.nio.charset.StandardCharsets
@@ -829,6 +841,22 @@ object SparkEntry {
     "st01_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n
          FROM events GROUP BY hr, event_type ORDER BY hr, event_type""",
+
+    "a01_asof_click" ->
+      """WITH u AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id, 1 AS side, NULL AS click_id
+           FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT user_id, epoch_us(ts) AS us, event_id, 0 AS side, event_id AS click_id
+           FROM events WHERE event_type = 'click'),
+         w AS (
+           SELECT user_id, event_id, side,
+             last_value(click_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
+           FROM u)
+         SELECT user_id, event_id, asof_click_id FROM w WHERE side = 1
+         ORDER BY user_id, event_id""",
 
     "w01_wet_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS sum_chars

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — an operator Spark lacks natively.
+  *
+  * For every left row, attach the most recent right row with
+  * `right.ts <= left.ts` sharing the join key (backward direction),
+  * optionally within a lookback tolerance.
+  *
+  * Implementation is composition, not a custom physical operator (the
+  * preferred path when built-ins can express the semantics): tag both
+  * sides, union, and run one `last(ignoreNulls)` window per key ordered
+  * by (ts, side) — a single shuffle on the key, no range self-join, no
+  * per-key driver loops. At 100 TB that is the same cost as any keyed
+  * window aggregation; ties at equal timestamps resolve right-then-left
+  * so a right row at exactly left.ts matches.
+  */
+object AsOfJoin {
+
+  /** `left` gains `asof_<col>` for each of `matchedCols` from the latest
+    * `right` row with rightTs <= leftTs per `key`; unmatched rows (or
+    * matches older than `toleranceUs` in the units of the ts casts) get
+    * nulls. */
+  def backward(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               matchedCols: Seq[String], toleranceUs: Long = Long.MaxValue): DataFrame = {
+    val mExpr = struct(matchedCols.map(col) :+ col(rightTs).cast("long").as("__mts"): _*)
+    val mType = right.select(mExpr.as("m")).schema.head.dataType
+    val lExpr = struct(left.columns.map(col): _*)
+    val lType = left.select(lExpr.as("l")).schema.head.dataType
+
+    val lt = left.select(col(key).as("__k"), col(leftTs).cast("long").as("__ts"),
+      lit(1).as("__side"), lit(null).cast(mType).as("__m"), lExpr.as("__l"))
+    val rt = right.select(col(key).as("__k"), col(rightTs).cast("long").as("__ts"),
+      lit(0).as("__side"), mExpr.as("__m"), lit(null).cast(lType).as("__l"))
+
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = lt.unionByName(rt)
+      .withColumn("__last", last(col("__m"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .withColumn("__last",
+        when(col("__last").isNotNull && col("__ts") - col("__last.__mts") <= toleranceUs,
+          col("__last")))
+    val withCols = matchedCols.foldLeft(matched) { (df, c) =>
+      df.withColumn(s"asof_$c", col(s"__last.$c"))
+    }
+    withCols.select(left.columns.map(c => col(s"__l.$c").as(c))
+      ++ matchedCols.map(c => col(s"asof_$c")): _*)
+  }
+}
