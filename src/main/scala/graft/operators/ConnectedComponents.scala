@@ -32,7 +32,8 @@ object ConnectedComponents {
       .where(col("v") > col("src"))
       .select(col("v").as("src"), col("m").as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct()
+      // no distinct here: smallStar's groupBy absorbs duplicates and the
+      // extra exchange costs more than the duplicate rows
   }
 
   /** One small-star round: every node connects its not-larger neighbors
