@@ -427,6 +427,41 @@ object SparkEntry {
                ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
     }),
 
+    // ---------------- exact percentiles / tf-idf ----------------
+    "q30_percentiles" -> ((s, d) => {
+      // type-1 discrete quantile (value at rank ceil(p*n)) - defined
+      // identically in the oracle, so no interpolation-arithmetic skew
+      val base = li(s, d).select("l_returnflag", "l_extendedprice", "l_quantity")
+      def disc(valueCol: String, p: Double, name: String) = {
+        val w = Window.partitionBy("l_returnflag").orderBy(valueCol)
+        val cw = Window.partitionBy("l_returnflag")
+        base.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(cw))
+          .filter(col("rn") === ceil(lit(p) * col("n")))
+          .groupBy("l_returnflag").agg(min(valueCol).as(name))
+      }
+      disc("l_extendedprice", 0.5, "p50")
+        .join(disc("l_extendedprice", 0.95, "p95"), "l_returnflag")
+        .join(disc("l_quantity", 0.5, "q50"), "l_returnflag")
+        .orderBy("l_returnflag")
+    }),
+
+    "d14_tfidf_topterms" -> ((s, d) => {
+      val words = docs(s, d).select(col("doc_id"),
+        explode(split(TextFunctions.normalizeForDedup(col("text")), " ")).as("term"))
+      val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfx = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
+      val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfx, "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log((col("n_docs") + 1.0) / (col("dfc") + 1.0)), 6))
+      val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk").cast("int").as("rnk"), col("term"), col("score"))
+        .orderBy("doc_id", "rnk")
+    }),
+
     // ---------------- scalar / correlated subquery shapes ----------------
     "q11_high_value_parts" -> ((s, d) => {
       val l = li(s, d)
@@ -817,6 +852,37 @@ object SparkEntry {
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q30_percentiles" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice, l_quantity,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rne,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rnq,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+         SELECT p50.l_returnflag, p50.p50, p95.p95, q50.q50 FROM
+           (SELECT l_returnflag, min(l_extendedprice) AS p50 FROM r
+            WHERE rne = CEIL(0.5 * n) GROUP BY l_returnflag) p50
+           JOIN (SELECT l_returnflag, min(l_extendedprice) AS p95 FROM r
+                 WHERE rne = CEIL(0.95 * n) GROUP BY l_returnflag) p95 USING (l_returnflag)
+           JOIN (SELECT l_returnflag, min(l_quantity) AS q50 FROM r
+                 WHERE rnq = CEIL(0.5 * n) GROUP BY l_returnflag) q50 USING (l_returnflag)
+         ORDER BY l_returnflag""",
+
+    "d14_tfidf_topterms" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+         dfx AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         sc AS (SELECT doc_id, tf.term AS term,
+                  round(tf * ln((n_docs + 1.0) / (dfc + 1.0)), 6) AS score
+                FROM tf JOIN dfx ON tf.term = dfx.term CROSS JOIN n)
+         SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, score FROM (
+           SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+           FROM sc)
+         WHERE rnk <= 3 ORDER BY doc_id, rnk""",
 
     "q11_high_value_parts" ->
       """SELECT l_partkey, sum_value FROM (

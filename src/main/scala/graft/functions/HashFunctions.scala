@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.types._
@@ -73,11 +73,26 @@ object HashFunctions {
   }
 }
 
+/** Codegen bridge: emit a call to this expression's own `nullSafeEval`
+  * through a captured reference, so projections containing these
+  * expressions stay inside whole-stage codegen (a CodegenFallback child
+  * would force the entire projection onto the interpreted path). */
+trait RefEvalCodegen { self: UnaryExpression =>
+  protected def javaResultType: String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", self,
+      classOf[UnaryExpression].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ($javaResultType) $ref.nullSafeEval($c);")
+  }
+}
+
 /** xxh64(utf8-bytes, seed) for string input. Delegates to Spark's
   * XXH64 kernel (same algorithm as the reference's xxh64_intdigest). */
 case class XxHash64String(child: Expression, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefEvalCodegen {
   override def dataType: DataType = LongType
+  override protected def javaResultType: String = "Long"
   override def nullSafeEval(v: Any): Any =
     XXH64.hashUTF8String(v.asInstanceOf[UTF8String], seed)
   override protected def withNewChildInternal(c: Expression): XxHash64String = copy(child = c)
@@ -86,8 +101,9 @@ case class XxHash64String(child: Expression, seed: Long)
 
 /** Base-31 Horner rolling hash over UTF-8 bytes (wrapping Long). */
 case class RollingHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefEvalCodegen {
   override def dataType: DataType = LongType
+  override protected def javaResultType: String = "Long"
   override def nullSafeEval(v: Any): Any = {
     val s = v.asInstanceOf[UTF8String].getBytes
     var h = 0L
@@ -112,10 +128,12 @@ case class RollingHash64(child: Expression)
   * subexpression with other consumers.
   */
 case class MinHashSignature(child: Expression, k: Int, ngram: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefEvalCodegen {
   require(k > 0 && ngram > 0)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def javaResultType: String =
+    "org.apache.spark.sql.catalyst.util.ArrayData"
 
   @transient private lazy val (pa, pb) = HashFunctions.permParams(k, seed)
 
@@ -154,9 +172,10 @@ case class MinHashSignature(child: Expression, k: Int, ngram: Int, seed: Long)
   * vote sum is positive. Near-duplicate docs land within small Hamming
   * distance. Empty input → 0. */
 case class SimHash64(child: Expression, ngram: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefEvalCodegen {
   require(ngram > 0)
   override def dataType: DataType = LongType
+  override protected def javaResultType: String = "Long"
 
   override def nullSafeEval(v: Any): Any = {
     // Tokenize the UTF-8 bytes in place (whitespace split) and hash each

@@ -63,6 +63,15 @@ class DedupSpec extends SparkSpec {
     assert(kept == 50L)
   }
 
+  test("simhash generalized banding recalls dups at larger maxHamming") {
+    // identical docs -> hamming 0, must collapse for any maxHamming band count
+    val many = (1L to 6L).map(i => (i, base)).toDF("doc_id", "text")
+    for (mh <- Seq(1, 3, 5, 7)) {
+      assert(Dedup.simhash(many, "doc_id", "text", maxHamming = mh).count() == 1L,
+        s"maxHamming=$mh")
+    }
+  }
+
   test("embedding cosine dedup collapses duplicate vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),

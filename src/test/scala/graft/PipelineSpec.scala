@@ -49,6 +49,21 @@ class PipelineSpec extends SparkSpec {
     assert(docs.forall(_.getString(0).length == 40))
   }
 
+  test("truncated wet record is dropped, valid earlier records survive") {
+    val dir = Files.createTempDirectory("wet_trunc")
+    val good = wetRecord("http://t/1", "2025-01-01T00:00:00Z", "g1", mkText("good"))
+    val bad = wetRecord("http://t/2", "2025-01-01T00:00:01Z", "g2", mkText("bad"))
+    val full = (good + bad).getBytes(StandardCharsets.UTF_8)
+    // cut the stream 100 bytes into the second record's payload
+    val cut = full.take(good.getBytes(StandardCharsets.UTF_8).length + 200)
+    val os = new GZIPOutputStream(new FileOutputStream(dir.resolve("t.wet.gz").toFile))
+    os.write(cut); os.close()
+    val docs = WetSource.readDir(spark, dir.toString, WetSource.WetConfig(minChars = 100)).collect()
+    assert(docs.length == 1)
+    assert(docs.head.getString(1) == "http://t/1")
+    assert(!docs.head.getString(4).contains("\u0000"))
+  }
+
   test("full nine-step pipeline on fixture produces packed binary") {
     val dataDir = Files.createTempDirectory("wetdata")
     val outBase = Files.createTempDirectory("pipeout").toString
