@@ -16,7 +16,9 @@ import org.apache.spark.sql.SparkSession
   */
 object PipelineMain {
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val flags = args.filter(_ == "--enable-ner").toSet
+    val kvArgs = args.filterNot(_ == "--enable-ner")
+    val opts = kvArgs.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     val cfg = Pipeline.PipelineConfig(
       dataDir = opts.getOrElse("--data-dir", "."),
       outputBase = opts.getOrElse("--output-base", "outputs/run"),
@@ -33,7 +35,10 @@ object PipelineMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val all = PipelineSteps.all(cfg.dataDir)
+    val all = PipelineSteps.all(cfg.dataDir).map {
+      case _: PipelineSteps.PiiStep => PipelineSteps.PiiStep(enableNer = flags("--enable-ner"))
+      case other => other
+    }
     val selected = opts.get("--steps") match {
       case Some(names) => val set = names.split(",").toSet; all.filter(s => set(s.name))
       case None        => all

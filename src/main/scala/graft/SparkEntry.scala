@@ -340,6 +340,25 @@ object SparkEntry {
         .orderBy("src")
     }),
 
+    "d15_char_entropy" -> ((s, d) => {
+      val chars = docs(s, d).select(col("doc_id"),
+        explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) > 0)
+      val freq = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      val tot = chars.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      freq.join(tot, "doc_id")
+        .withColumn("p", col("c").cast("double") / col("n"))
+        .groupBy("doc_id")
+        .agg(round(-sum(col("p") * log(col("p"))), 6).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
+    "d16_bigram_freq" -> ((s, d) =>
+      docs(s, d)
+        .select(explode(TextFunctions.wordShingles(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("bigram")).limit(30)),
+
     // ---------------- dedup operators (LSH paths; rows-only where no SQL) ----------------
     "x01_minhash_dedup" -> ((s, d) =>
       Dedup.minhashLsh(docs(s, d), "doc_id", "text")
@@ -795,6 +814,22 @@ object SparkEntry {
              / len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
          FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
          ORDER BY src""",
+
+    "d15_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+         f AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+         t AS (SELECT doc_id, count(*) AS n FROM ch GROUP BY doc_id)
+         SELECT f.doc_id, round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS entropy
+         FROM f JOIN t ON f.doc_id = t.doc_id
+         GROUP BY f.doc_id ORDER BY f.doc_id""",
+
+    "d16_bigram_freq" ->
+      """WITH t AS (SELECT string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         b AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bigram
+           FROM t WHERE len(w) >= 2)
+         SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+         ORDER BY n DESC, bigram LIMIT 30""",
 
     "e01_cosine_knn" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
