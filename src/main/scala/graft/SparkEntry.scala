@@ -274,6 +274,14 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
         .orderBy("event_type")),
 
+    "ev07_session_windows" -> ((s, d) =>
+      ev(s, d)
+        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+        .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("sw.start").cast("timestamp_ntz").as("session_start"), col("n"))
+        .orderBy("user_id", "session_start")),
+
     // ---------------- documents: text analysis ----------------
     "d01_token_stats" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -740,6 +748,18 @@ object SparkEntry {
     "ev06_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "ev07_session_windows" ->
+      """WITH g AS (SELECT user_id, ts,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sx AS (SELECT user_id, ts, sum(brk) OVER (
+             PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM g)
+         SELECT user_id, min(ts) AS session_start, count(*) AS n
+         FROM sx GROUP BY user_id, sid ORDER BY user_id, session_start""",
 
     "d01_token_stats" ->
       """SELECT doc_id,

@@ -64,6 +64,15 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup: drop duplicate doc ids across micro-batches
+    * with watermark-bounded state — the incremental twin of the batch
+    * exact-dedup step (state for ids older than the watermark is
+    * reclaimed, so memory stays bounded on an unbounded stream). */
+  def dedupStream(df: DataFrame, idCol: String, tsCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicates(Seq(idCol, tsCol))
+
   /** Drain a stream to an in-memory table with AvailableNow (process
     * everything currently present, then stop). Returns the table name. */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Update()): String = {

@@ -51,6 +51,20 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L), (2L, 1L)))
   }
 
+  test("streaming dedup drops duplicate ids within the watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    mem.addData(
+      (t0, 1L, "a"), (t0, 1L, "a-dup"), (t0, 2L, "b"),
+      (new java.sql.Timestamp(t0.getTime + 1000), 3L, "c"))
+    val out = Streaming.dedupStream(
+      mem.toDF().toDF("ts", "doc_id", "text"), "doc_id", "ts")
+    Streaming.runToMemory(out, "dedup_stream", org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("dedup_stream").select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("incremental parquet stream processes a directory exactly once") {
     val dir = Files.createTempDirectory("stream_in").toString
     val out = Files.createTempDirectory("stream_out").toString
