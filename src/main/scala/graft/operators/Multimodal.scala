@@ -4,28 +4,124 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal column plumbing: image/audio/video as opaque `binary`
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+/** Multimodal column operators: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in bounded batches.
   *
-  * The Spark-side machinery here is real and tested — schemas,
-  * partition-sized batching, deterministic feature shapes; the actual
-  * media codecs are NOT (no image/audio libraries ship in this
-  * environment), so `decodeStub` below is a clearly-marked deterministic
-  * fake standing where a JNI/codec call would go. Swapping in a real
-  * decoder touches exactly one function.
+  * Image (PPM P6) and audio (WAV PCM16) are REAL codecs implemented
+  * dependency-free below — synthesis produces valid files, decode
+  * parses them back, and resize re-samples actual pixels. Video decode
+  * is the one STUB (no container/codec library ships in this
+  * environment); its `frameFeatureStub` is clearly marked and the
+  * Spark-side plumbing around it (schema, batching, explode) is real.
   *
-  * Scale design: assets are processed with `mapPartitions` in
-  * `batchSize` groups — the executor-singleton/batched pattern every
-  * heavy model step in this engine uses (quality LID, NER, tokenize) —
-  * so decoder initialization amortizes across a partition and peak
-  * memory is bounded by batch, not partition, size.
+  * Scale design: decoding runs in `mapPartitions` over `batchSize`
+  * groups — the executor-singleton/batched pattern every heavy model
+  * step in this engine uses — so decoder state amortizes per partition
+  * and peak memory is bounded by the batch, not the partition.
   */
 object Multimodal {
+
+  // ---------------------------------------------------------------- PPM
+
+  /** Encode an RGB image as binary PPM (P6), pixels row-major. */
+  def encodePpm(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3)
+    val header = s"P6\n$width $height\n255\n".getBytes(StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
+  case class PpmImage(width: Int, height: Int, rgb: Array[Byte])
+
+  /** Decode a P6 PPM (ascii header, maxval 255, raw RGB). */
+  def decodePpm(data: Array[Byte]): PpmImage = {
+    var pos = 0
+    def token(): String = {
+      while (pos < data.length && Character.isWhitespace(data(pos))) pos += 1
+      val start = pos
+      while (pos < data.length && !Character.isWhitespace(data(pos))) pos += 1
+      new String(data, start, pos - start, StandardCharsets.US_ASCII)
+    }
+    require(token() == "P6", "not a P6 PPM")
+    val w = token().toInt; val h = token().toInt; val maxv = token().toInt
+    require(maxv == 255, s"unsupported maxval $maxv")
+    pos += 1 // single whitespace after maxval
+    val rgb = java.util.Arrays.copyOfRange(data, pos, pos + w * h * 3)
+    PpmImage(w, h, rgb)
+  }
+
+  /** Nearest-neighbor resize of a PPM — a real pixel operation. */
+  def resizePpm(img: PpmImage, outW: Int, outH: Int): PpmImage = {
+    val out = new Array[Byte](outW * outH * 3)
+    var y = 0
+    while (y < outH) {
+      val sy = y * img.height / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * img.width / outW
+        val si = (sy * img.width + sx) * 3
+        val di = (y * outW + x) * 3
+        out(di) = img.rgb(si); out(di + 1) = img.rgb(si + 1); out(di + 2) = img.rgb(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    PpmImage(outW, outH, out)
+  }
+
+  // ---------------------------------------------------------------- WAV
+
+  /** Encode PCM16 mono samples as a RIFF/WAVE file. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1); bb.putShort(1)
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  case class WavAudio(sampleRate: Int, samples: Array[Short])
+
+  /** Decode a PCM16 mono RIFF/WAVE file (the layout encodeWav writes). */
+  def decodeWav(data: Array[Byte]): WavAudio = {
+    val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    require(data.length >= 44 && data(0) == 'R' && data(8) == 'W', "not RIFF/WAVE")
+    bb.position(24)
+    val rate = bb.getInt
+    bb.position(40)
+    val dataLen = bb.getInt
+    val n = math.min(dataLen, data.length - 44) / 2
+    val samples = new Array[Short](n)
+    bb.position(44)
+    var i = 0
+    while (i < n) { samples(i) = bb.getShort; i += 1 }
+    WavAudio(rate, samples)
+  }
+
+  /** STUB — video frame features. A real build replaces this with a
+    * container/codec call (e.g. ffmpeg via JNI); deterministic fake so
+    * tests can assert plumbing without the codec. */
+  def frameFeatureStub(data: Array[Byte], frameIdx: Int): Float = {
+    var h = 1125899906842597L + frameIdx
+    var i = 0
+    while (i < data.length) { h = h * 31 + (data(i) & 0xff); i += 1 }
+    ((h >>> 40).toInt % 1000) / 1000.0f
+  }
+
+  // ------------------------------------------------------------- schema
 
   val assetSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false),      // image | audio | video
-    StructField("data", BinaryType, nullable = false),       // opaque encoded bytes
+    StructField("data", BinaryType, nullable = false),       // encoded bytes (real PPM/WAV)
     StructField("meta", StructType(Seq(
       StructField("width", IntegerType, nullable = true),
       StructField("height", IntegerType, nullable = true),
@@ -38,70 +134,113 @@ object Multimodal {
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
 
-  /** STUB — deterministic fake decode: a real build replaces this body
-    * with the codec call (e.g. libjpeg / ffmpeg via JNI). Produces a
-    * `dim`-length feature vector derived from the bytes, so tests can
-    * assert determinism and shape without the codec. */
-  def decodeStub(data: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    var h = 1125899906842597L
-    var i = 0
-    while (i < data.length) { h = h * 31 + (data(i) & 0xff); i += 1 }
-    var j = 0
-    while (j < dim) {
-      h = h * 6364136223846793005L + 1442695040888963407L
-      out(j) = ((h >>> 40).toInt % 1000) / 1000.0f
-      j += 1
-    }
-    out
-  }
-
-  /** Synthesize a deterministic asset table from any id-bearing frame —
-    * exercises the binary plumbing without real media files. */
+  /** Deterministic synthetic asset table with REAL payloads: 8x8 PPM
+    * gradients for images, 256-sample PCM16 WAVs for audio, opaque bytes
+    * for video. Exercises the full binary path without external files. */
   def synthesizeAssets(ids: DataFrame, idCol: String): DataFrame = {
-    val kinds = array(lit("image"), lit("audio"), lit("video"))
-    ids.select(col(idCol).cast("long").as("asset_id"))
-      .withColumn("kind", element_at(kinds, (pmod(col("asset_id"), lit(3)) + 1).cast("int")))
-      // fake encoded payload: sha2 of the id, repeated — opaque bytes
-      .withColumn("data", repeat(sha2(col("asset_id").cast("string"), 256), 4).cast("binary"))
-      .withColumn("meta", struct(
-        when(col("kind") === "image", lit(640)).otherwise(lit(null).cast("int")).as("width"),
-        when(col("kind") === "image", lit(480)).otherwise(lit(null).cast("int")).as("height"),
-        when(col("kind") === "audio", lit(16000)).otherwise(lit(null).cast("int")).as("sample_rate"),
-        when(col("kind") === "video", lit(120)).otherwise(lit(null).cast("int")).as("n_frames")))
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.row(assetSchema)
+    ids.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      (id % 3) match {
+        case 0 => // image: 8x8 gradient seeded by id
+          val rgb = new Array[Byte](8 * 8 * 3)
+          var i = 0
+          while (i < 64) {
+            rgb(i * 3) = ((i * 4 + id) % 256).toByte
+            rgb(i * 3 + 1) = ((i * 2 + id * 3) % 256).toByte
+            rgb(i * 3 + 2) = ((i + id * 7) % 256).toByte
+            i += 1
+          }
+          Row(id, "image", encodePpm(8, 8, rgb), Row(8, 8, null, null))
+        case 1 => // audio: 256 samples of a deterministic waveform
+          val samples = Array.tabulate(256)(i =>
+            (math.sin((i + id) * 0.1) * 16000).toShort)
+          Row(id, "audio", encodeWav(16000, samples), Row(null, null, 16000, null))
+        case _ => // video: opaque payload + frame-count metadata
+          val bytes = Array.tabulate(64)(i => ((i * 31 + id) % 256).toByte)
+          Row(id, "video", bytes, Row(null, null, null, 120: Integer))
+      }
+    }(enc)
   }
 
-  /** Batched feature extraction over the binary column. Real plumbing:
-    * mapPartitions + grouped(batchSize) + per-batch processing; stubbed
-    * decode. */
-  def extractFeatures(assets: DataFrame, dim: Int = 16, batchSize: Int = 64): DataFrame = {
+  /** Batched feature extraction: REAL decode for image (per-channel
+    * means + 2x2 block means from actual pixels) and audio (RMS,
+    * zero-crossing rate, mean from actual samples); stub for video. */
+  def extractFeatures(assets: DataFrame, batchSize: Int = 64): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
     assets.select("asset_id", "kind", "data").mapPartitions { rows =>
-      // per-partition "decoder" init would happen here (executor singleton)
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val data = r.getAs[Array[Byte]](2)
-          Row(r.getLong(0), r.getString(1), data.length, decodeStub(data, dim).toSeq)
+          val features: Array[Float] = r.getString(1) match {
+            case "image" =>
+              val img = decodePpm(data)
+              val n = img.width * img.height
+              val sums = new Array[Long](3)
+              var i = 0
+              while (i < n) {
+                sums(0) += img.rgb(i * 3) & 0xff
+                sums(1) += img.rgb(i * 3 + 1) & 0xff
+                sums(2) += img.rgb(i * 3 + 2) & 0xff
+                i += 1
+              }
+              // channel means + 2x2 grayscale block means
+              val small = resizePpm(img, 2, 2)
+              val blocks = (0 until 4).map { b =>
+                ((small.rgb(b * 3) & 0xff) + (small.rgb(b * 3 + 1) & 0xff)
+                  + (small.rgb(b * 3 + 2) & 0xff)) / (3f * 255f)
+              }
+              Array(sums(0).toFloat / n / 255f, sums(1).toFloat / n / 255f,
+                sums(2).toFloat / n / 255f) ++ blocks
+            case "audio" =>
+              val wav = decodeWav(data)
+              val n = math.max(1, wav.samples.length)
+              var sumSq = 0.0; var zc = 0; var sum = 0.0
+              var i = 0
+              while (i < wav.samples.length) {
+                val s = wav.samples(i) / 32768.0
+                sumSq += s * s; sum += s
+                if (i > 0 && (wav.samples(i) >= 0) != (wav.samples(i - 1) >= 0)) zc += 1
+                i += 1
+              }
+              Array(math.sqrt(sumSq / n).toFloat, zc.toFloat / n, (sum / n).toFloat,
+                wav.sampleRate / 48000f)
+            case _ => // video: STUB features per design note above
+              Array.tabulate(4)(i => frameFeatureStub(data, i))
+          }
+          Row(r.getLong(0), r.getString(1), data.length, features.toSeq)
         }
       }
     }(enc)
   }
 
+  /** Real image resize over the binary column: decode → nearest-neighbor
+    * resample → re-encode, bounded by `maxSide` preserving aspect. */
+  def resizeImages(assets: DataFrame, maxSide: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("data", BinaryType, nullable = false),
+      StructField("out_width", IntegerType, nullable = false),
+      StructField("out_height", IntegerType, nullable = false))))
+    assets.filter(col("kind") === "image").select("asset_id", "data")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = decodePpm(r.getAs[Array[Byte]](1))
+          val scale = math.min(1.0, maxSide.toDouble / math.max(img.width, img.height))
+          val (ow, oh) = (math.max(1, (img.width * scale).toInt),
+            math.max(1, (img.height * scale).toInt))
+          val out = resizePpm(img, ow, oh)
+          Row(r.getLong(0), encodePpm(ow, oh, out.rgb), ow, oh)
+        }
+      }(enc)
+  }
+
   /** Video frame sampling: explode `n_frames` metadata into every k-th
-    * frame row — pure Column expressions, no decode needed for the
-    * sampling plan itself. */
+    * frame row — pure Column expressions; the per-frame decode behind it
+    * is the stub. */
   def sampleFrames(assets: DataFrame, everyK: Int = 30): DataFrame =
     assets.filter(col("kind") === "video")
       .select(col("asset_id"),
         explode(sequence(lit(0), col("meta.n_frames") - 1, lit(everyK))).as("frame_idx"))
-
-  /** Image resize planning: target dims as metadata transform (the
-    * actual pixel op lives behind the same decode stub). */
-  def resizePlan(assets: DataFrame, maxSide: Int): DataFrame =
-    assets.filter(col("kind") === "image")
-      .withColumn("scale",
-        least(lit(1.0), lit(maxSide) / greatest(col("meta.width"), col("meta.height"))))
-      .withColumn("out_width", (col("meta.width") * col("scale")).cast("int"))
-      .withColumn("out_height", (col("meta.height") * col("scale")).cast("int"))
-      .select("asset_id", "out_width", "out_height", "scale")
 }

@@ -8,25 +8,67 @@ class MultimodalSpec extends SparkSpec {
 
   private def assets = Multimodal.synthesizeAssets((0L until 30L).toDF("id"), "id")
 
-  test("synthesized assets carry binary payloads and kind-specific metadata") {
-    val a = assets.collect()
-    assert(a.length == 30)
-    assert(a.forall(_.getAs[Array[Byte]]("data").nonEmpty))
-    val img = assets.filter($"kind" === "image").select("meta.width").head().getInt(0)
-    assert(img == 640)
-    val audio = assets.filter($"kind" === "audio").select("meta.sample_rate").head().getInt(0)
-    assert(audio == 16000)
+  test("ppm codec roundtrips pixels exactly") {
+    val rgb = Array.tabulate(4 * 2 * 3)(i => (i * 7 % 256).toByte)
+    val img = Multimodal.decodePpm(Multimodal.encodePpm(4, 2, rgb))
+    assert(img.width == 4 && img.height == 2)
+    assert(img.rgb.toSeq == rgb.toSeq)
   }
 
-  test("feature extraction is deterministic with fixed shape") {
-    val f1 = Multimodal.extractFeatures(assets, dim = 16, batchSize = 7)
-      .orderBy("asset_id").collect()
-    val f2 = Multimodal.extractFeatures(assets, dim = 16, batchSize = 64)
-      .orderBy("asset_id").collect()
+  test("wav codec roundtrips samples exactly") {
+    val samples = Array.tabulate(100)(i => (i * 321 - 16000).toShort)
+    val wav = Multimodal.decodeWav(Multimodal.encodeWav(22050, samples))
+    assert(wav.sampleRate == 22050)
+    assert(wav.samples.toSeq == samples.toSeq)
+  }
+
+  test("nearest-neighbor resize picks real source pixels") {
+    // 2x1 image: red pixel then blue pixel; upscale to 4x1
+    val rgb = Array[Byte](255.toByte, 0, 0, 0, 0, 255.toByte)
+    val out = Multimodal.resizePpm(Multimodal.PpmImage(2, 1, rgb), 4, 1)
+    assert(out.rgb.grouped(3).map(_.toSeq).toSeq ==
+      Seq(Seq(255.toByte, 0, 0), Seq(255.toByte, 0, 0), Seq(0, 0, 255.toByte), Seq(0, 0, 255.toByte)))
+  }
+
+  test("synthesized assets carry real decodable payloads") {
+    val a = assets.collect()
+    assert(a.length == 30)
+    a.foreach { r =>
+      val data = r.getAs[Array[Byte]]("data")
+      r.getString(1) match {
+        case "image" =>
+          val img = Multimodal.decodePpm(data)
+          assert(img.width == 8 && img.height == 8)
+        case "audio" =>
+          val wav = Multimodal.decodeWav(data)
+          assert(wav.sampleRate == 16000 && wav.samples.length == 256)
+        case "video" => assert(data.nonEmpty)
+      }
+    }
+  }
+
+  test("feature extraction decodes real payloads, deterministic across batch sizes") {
+    val f1 = Multimodal.extractFeatures(assets, batchSize = 7).orderBy("asset_id").collect()
+    val f2 = Multimodal.extractFeatures(assets, batchSize = 64).orderBy("asset_id").collect()
     assert(f1.length == 30)
     f1.zip(f2).foreach { case (a, b) =>
-      assert(a.getSeq[Float](3).length == 16)
-      assert(a.getSeq[Float](3) == b.getSeq[Float](3)) // batch size can't change results
+      assert(a.getSeq[Float](3) == b.getSeq[Float](3))
+    }
+    // image features are channel means in [0,1]
+    val img = f1.find(_.getString(1) == "image").get.getSeq[Float](3)
+    assert(img.length == 7 && img.forall(v => v >= 0f && v <= 1f))
+    // audio RMS of a sine-ish wave is near 1/sqrt(2) * amplitude(0.49)
+    val aud = f1.find(_.getString(1) == "audio").get.getSeq[Float](3)
+    assert(aud.head > 0.2f && aud.head < 0.5f, s"rms=${aud.head}")
+  }
+
+  test("distributed image resize bounds the max side") {
+    val resized = Multimodal.resizeImages(assets, maxSide = 4).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      assert(r.getInt(2) <= 4 && r.getInt(3) <= 4)
+      val img = Multimodal.decodePpm(r.getAs[Array[Byte]](1))
+      assert(img.width == r.getInt(2) && img.height == r.getInt(3))
     }
   }
 
@@ -36,10 +78,5 @@ class MultimodalSpec extends SparkSpec {
     assert(perAsset.forall(_.getLong(1) == 4)) // 120 frames / 30
     val nVideos = assets.filter($"kind" === "video").count()
     assert(perAsset.length == nVideos)
-  }
-
-  test("resize plan clamps to max side preserving aspect") {
-    val plan = Multimodal.resizePlan(assets, maxSide = 320).head()
-    assert(plan.getInt(1) == 320 && plan.getInt(2) == 240)
   }
 }
