@@ -51,7 +51,8 @@ object Bench {
     val bc = spark.sparkContext.broadcast(vocab)
     // replicate to ~40M tokens so the measurement is throughput-bound
     val repl = math.max(1, (40000000L / math.max(1L, nDocs * 60)).toInt)
-    val corpus = docs.crossJoin(spark.range(repl)).select(col("text")).as[String].cache()
+    val corpus = docs.crossJoin(spark.range(repl)).select(col("text")).as[String]
+      .repartition(cpus.toInt * 2).cache()
     corpus.count() // materialize before timing
     val t0 = System.nanoTime()
     val totalTokens = corpus.mapPartitions { it =>
@@ -69,13 +70,26 @@ object Bench {
     }.reduce(_ + _)
     val tokSec = (System.nanoTime() - t0) / 1e9
     val tokensPerSec = (totalTokens / tokSec).toLong
+
+    // minhash signature throughput over the same replicated corpus
+    val t1 = System.nanoTime()
+    val nSigs = corpus.count()
+    // sum over a signature element so Catalyst cannot prune the compute
+    corpus.toDF("text").select(
+        graft.functions.HashFunctions.minhash(
+          graft.functions.TextFunctions.normalizeForDedup(org.apache.spark.sql.functions.col("text"))).as("sig"))
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.element_at(org.apache.spark.sql.functions.col("sig"), 1)))
+      .head()
+    val mhSec = (System.nanoTime() - t1) / 1e9
+    val mhDocsPerSec = (nSigs / mhSec).toLong
     corpus.unpersist(); docs.unpersist()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"tokenize_tokens":$totalTokens,"tokenize_sec":$tokSec,"tokens_per_sec":$tokensPerSec}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"tokenize_tokens":$totalTokens,"tokenize_sec":$tokSec,"tokens_per_sec":$tokensPerSec,"minhash_docs":$nSigs,"minhash_sec":$mhSec,"minhash_docs_per_sec":$mhDocsPerSec}""")
     spark.stop()
   }
 }

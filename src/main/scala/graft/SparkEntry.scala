@@ -413,6 +413,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_results"))
     }),
 
+    // ---------------- multimodal binary columns ----------------
+    "m01_multimodal_features" -> ((s, d) => {
+      val assets = Multimodal.synthesizeAssets(docs(s, d).select("doc_id"), "doc_id")
+      Multimodal.extractFeatures(assets)
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"), min("n_bytes").as("min_bytes"), max("n_bytes").as("max_bytes"))
+        .orderBy("kind")
+    }),
+
     // ---------------- PII redaction ----------------
     "p01_pii_redact" -> ((s, d) =>
       docs(s, d)
@@ -867,6 +876,15 @@ object SparkEntry {
          round(avg(sqrt(list_sum(list_transform(embedding,
            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
          FROM embeddings GROUP BY label ORDER BY label""",
+
+    "m01_multimodal_features" ->
+      """SELECT kind, count(*) AS n,
+              CAST(CASE kind WHEN 'image' THEN 203 WHEN 'audio' THEN 556 ELSE 64 END AS INTEGER) AS min_bytes,
+              CAST(CASE kind WHEN 'image' THEN 203 WHEN 'audio' THEN 556 ELSE 64 END AS INTEGER) AS max_bytes
+         FROM (SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                           WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+               FROM documents)
+         GROUP BY kind ORDER BY kind""",
 
     "p01_pii_redact" ->
       s"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
