@@ -413,6 +413,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_results"))
     }),
 
+    "e05_kmeans_clusters" -> ((s, d) => {
+      val clustered = Similarity.kmeansClusters(emb(s, d), "vec_id", "embedding", 8)
+      clustered.agg(
+        countDistinct("cluster").cast("long").as("n_clusters"),
+        count(lit(1)).as("n_points"))
+    }),
+
     // ---------------- multimodal binary columns ----------------
     "m01_multimodal_features" -> ((s, d) => {
       val assets = Multimodal.synthesizeAssets(docs(s, d).select("doc_id"), "doc_id")

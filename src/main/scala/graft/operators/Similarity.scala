@@ -98,6 +98,21 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 4).as("score"))
   }
 
+  /** Embedding clustering via MLlib KMeans (k-means|| init) — the
+    * topic-bucketing / corpus-stratification operator a training-data
+    * pipeline uses ahead of sampling. Returns the input plus a `cluster`
+    * column; deterministic for a fixed seed + partitioning. */
+  def kmeansClusters(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = df.withColumn("__features", array_to_vector(col(vecCol)))
+    val model = new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol("__features").setPredictionCol("cluster")
+      .fit(feat)
+    model.transform(feat).drop("__features")
+  }
+
   /** IVF-style approximate top-k: corpus is assigned to the nearest of
     * `nCentroids` centroids (deterministically sampled from the corpus
     * itself — ids with the smallest hash), queries probe the `nProbe`

@@ -94,6 +94,21 @@ class DedupSpec extends SparkSpec {
     assert(res.map(_.getLong(2)).toSeq == Seq(2L, 4L)) // by cosine to (1,0)
   }
 
+  test("kmeans recovers well-separated clusters") {
+    val rnd = new scala.util.Random(3)
+    val centers = Seq(Array.fill(8)(5f), Array.fill(8)(-5f),
+      Array.tabulate(8)(i => if (i % 2 == 0) 5f else -5f))
+    val vecs = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, i % 3, c.map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    }.toDF("vec_id", "label", "embedding")
+    val clustered = Similarity.kmeansClusters(vecs, "vec_id", "embedding", 3)
+    // purity: every true label maps to exactly one predicted cluster
+    val purity = clustered.groupBy("label", "cluster").count()
+      .groupBy("label").count().collect()
+    assert(purity.forall(_.getLong(1) == 1L))
+  }
+
   test("lsh knn recall against brute force on clustered vectors") {
     val rnd = new scala.util.Random(7)
     // 3 tight clusters in 16-d
