@@ -27,7 +27,9 @@ class PipelineSpec extends SparkSpec {
   }
 
   private def mkText(seedWord: String): String =
-    (1 to 60).map(i => s"$seedWord$i the and of with").mkString(" ")
+    // no shared template across seeds: texts from different seeds must
+    // NOT be LSH-near-duplicates of each other
+    (1 to 60).map(i => s"$seedWord$i ${seedWord}q$i ${seedWord}z$i the").mkString(" ")
 
   test("wet parser roundtrip honors type filter, min chars, truncation, doc ids") {
     val dir = Files.createTempDirectory("wet")
