@@ -282,6 +282,36 @@ object SparkEntry {
         .select(col("user_id"), col("sw.start").cast("timestamp_ntz").as("session_start"), col("n"))
         .orderBy("user_id", "session_start")),
 
+    "ev08_range_window" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L)
+      ev(s, d).withColumn("us", expr("ts div 1000"))
+        .select(col("user_id"), col("event_id"),
+          round(sum("value").over(w), 4).as("hour_sum"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q31_rank_stats" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+      ord(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+          round(percent_rank().over(w), 6).as("pr"),
+          ntile(4).over(w).cast("int").as("quartile"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q32_pivot_status_priority" -> ((s, d) =>
+      ord(s, d).groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderstatus"),
+          col("`1-URGENT`").as("urgent"), col("`2-HIGH`").as("high"),
+          col("`3-MEDIUM`").as("medium"), col("`4-NOT SPECIFIED`").as("notspec"),
+          col("`5-LOW`").as("low"))
+        .orderBy("o_orderstatus")),
+
     // ---------------- documents: text analysis ----------------
     "d01_token_stats" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -764,6 +794,30 @@ object SparkEntry {
     "ev06_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "ev08_range_window" ->
+      """SELECT user_id, event_id, round(sum(value) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS hour_sum
+         FROM events ORDER BY user_id, event_id""",
+
+    "q31_rank_stats" ->
+      """SELECT o_orderkey, o_orderpriority,
+              round(percent_rank() OVER w, 6) AS pr,
+              CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+              round(cume_dist() OVER w, 6) AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderkey""",
+
+    "q32_pivot_status_priority" ->
+      """SELECT o_orderstatus,
+              CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+              CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+              CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+              CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS notspec,
+              CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "ev07_session_windows" ->
       """WITH g AS (SELECT user_id, ts,

@@ -54,6 +54,39 @@ object HashFunctions {
     z ^ (z >>> 31)
   }
 
+  /** Minimal open-addressing set of longs (linear probing, power-of-two
+    * capacity) — avoids java.util.HashSet's per-add Long boxing on the
+    * shingle-dedup hot path. 0 is reserved as the empty marker (callers
+    * pass well-mixed hashes; a literal 0 simply re-processes, harmless
+    * for a min-sketch). */
+  private[graft] final class LongSet(initialCapacity: Int) {
+    private var cap = Integer.highestOneBit(math.max(16, initialCapacity) * 2)
+    private var mask = cap - 1
+    private var table = new Array[Long](cap)
+    private var n = 0
+    def add(x: Long): Boolean = {
+      if (x == 0L) return true
+      var i = (splitmix64(x).toInt) & mask
+      while (true) {
+        val v = table(i)
+        if (v == x) return false
+        if (v == 0L) {
+          table(i) = x; n += 1
+          if (n * 4 > cap * 3) grow()
+          return true
+        }
+        i = (i + 1) & mask
+      }
+      false
+    }
+    private def grow(): Unit = {
+      val old = table
+      cap <<= 1; mask = cap - 1; table = new Array[Long](cap); n = 0
+      var j = 0
+      while (j < old.length) { if (old(j) != 0L) add(old(j)); j += 1 }
+    }
+  }
+
   /** Deterministic (a_j odd, b_j) permutation parameters for MinHash,
     * derived from `seed` via a SplitMix64 stream. The reference draws
     * them from numpy RandomState (reference: src/llm_data_pipeline/
@@ -157,7 +190,7 @@ case class MinHashSignature(child: Expression, k: Int, ngram: Int, seed: Long)
     // the reference's per-shingle xxh64 is internal-only: dedup needs
     // consistency, not a pinned hash family (see SURVEY §7.4).
     val n = math.min(ngram, bytes.length)
-    val seen = new java.util.HashSet[Long](512)
+    val seen = new HashFunctions.LongSet(512)
     var h = 0L
     var i = 0
     while (i < n) { h = h * RollBase + (bytes(i) & 0xffL); i += 1 }

@@ -92,12 +92,14 @@ object Dedup {
       // other member yields the same connected components as the full
       // clique with n-1 edges instead of C(n,2) and diameter 2 (so the
       // CC iteration converges in a couple of rounds, unlike a chain).
-      // No quadratic blowup -> no bucket cap needed: even boilerplate
-      // mega-buckets get deduped rather than skipped.
-      allBuckets.select(explode(expr(
-          "transform(slice(ids, 2, size(ids)), v -> named_struct('src', ids[0], 'dst', v))"
-        )).as("pair"))
-        .select(col("pair.src").as("src"), col("pair.dst").as("dst"))
+      // Built as min-agg + join rather than collect_list so a
+      // boilerplate mega-bucket never materializes as one in-memory
+      // array: state per group is a single min, and even million-row
+      // buckets stream through - no cap needed, they get deduped.
+      val roots = bandDf.groupBy("band_id", "band_hash").agg(min(col("id")).as("root"))
+      bandDf.join(roots, Seq("band_id", "band_hash"))
+        .where(col("id") =!= col("root"))
+        .select(col("root").as("src"), col("id").as("dst"))
         .distinct()
     } else {
       // Full pair mode (needed when pairs are re-verified): bucket-local
