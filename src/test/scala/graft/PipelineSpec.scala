@@ -3,6 +3,7 @@ package graft
 import graft.core.Pipeline
 import graft.operators.PipelineSteps
 import graft.sources.WetSource
+import org.apache.spark.sql.functions.col
 
 import java.io.{ByteArrayOutputStream, FileOutputStream}
 import java.nio.charset.StandardCharsets
@@ -49,6 +50,27 @@ class PipelineSpec extends SparkSpec {
     assert(byUrl("http://a.example/4").getString(4).length == 500) // truncated
     assert(docs.map(_.getString(0)).distinct.length == 2)          // unique sha1 ids
     assert(docs.forall(_.getString(0).length == 40))
+  }
+
+  test("wet DataSource V2: spark.read.format(\"wet\") reads a directory") {
+    val dir = Files.createTempDirectory("wetv2")
+    writeWetGz(dir.resolve("a.wet.gz"), Seq(
+      wetRecord("http://v2/1", "2025-01-01T00:00:00Z", "v1", mkText("alpha")),
+      wetRecord("http://v2/2", "2025-01-01T00:00:01Z", "v2", mkText("beta"))))
+    writeWetGz(dir.resolve("b.wet.gz"), Seq(
+      wetRecord("http://v2/3", "2025-01-01T00:00:02Z", "v3", mkText("gamma"))))
+    val df = spark.read.format("wet").option("minChars", "100").load(dir.toString)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("doc_id", "url", "warc_date", "source_path", "text"))
+    assert(df.count() == 3)
+    // partition-per-file parallelism
+    assert(df.rdd.getNumPartitions == 2)
+    // usable as a plain table: project + filter compose
+    assert(df.filter(col("url") === "http://v2/2").select("text").head()
+      .getString(0).startsWith("beta1"))
+    // maxFiles option caps the listing
+    assert(spark.read.format("wet").option("minChars", "100")
+      .option("maxFiles", "1").load(dir.toString).count() == 2)
   }
 
   test("truncated wet record is dropped, valid earlier records survive") {
