@@ -72,8 +72,8 @@ object Bench {
     val tokensPerSec = (totalTokens / tokSec).toLong
 
     // minhash signature throughput over the same replicated corpus
+    val nSigs = corpus.count() // known size; excluded from the timed window
     val t1 = System.nanoTime()
-    val nSigs = corpus.count()
     // sum over a signature element so Catalyst cannot prune the compute
     corpus.toDF("text").select(
         graft.functions.HashFunctions.minhash(

@@ -393,6 +393,7 @@ object SparkEntry {
 
     "d16_bigram_freq" -> ((s, d) =>
       docs(s, d)
+        .filter(size(split(TextFunctions.normalizeForDedup(col("text")), " ")) >= 2)
         .select(explode(TextFunctions.wordShingles(col("text"), 2)).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("bigram")).limit(30)),
@@ -822,7 +823,7 @@ object SparkEntry {
     "ev07_session_windows" ->
       """WITH g AS (SELECT user_id, ts,
              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          sx AS (SELECT user_id, ts, sum(brk) OVER (
              PARTITION BY user_id ORDER BY ts
@@ -1052,7 +1053,7 @@ object SparkEntry {
          w AS (
            SELECT user_id, event_id, side,
              last_value(click_id IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY us, side
+               PARTITION BY user_id ORDER BY us, side, click_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
            FROM u)
          SELECT user_id, event_id, asof_click_id FROM w WHERE side = 1

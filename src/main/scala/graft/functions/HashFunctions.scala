@@ -113,8 +113,7 @@ object HashFunctions {
 trait RefEvalCodegen { self: UnaryExpression =>
   protected def javaResultType: String
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftExpr", self,
-      classOf[UnaryExpression].getName)
+    val ref = ctx.addReferenceObj("graftExpr", self, self.getClass.getName)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = ($javaResultType) $ref.nullSafeEval($c);")
   }

@@ -37,7 +37,9 @@ object AsOfJoin {
     val rt = right.select(col(key).as("__k"), col(rightTs).cast("long").as("__ts"),
       lit(0).as("__side"), mExpr.as("__m"), lit(null).cast(lType).as("__l"))
 
-    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"))
+    // __m as the final sort key makes equal-(ts,side) right rows resolve
+    // deterministically (struct compare = matchedCols order)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"), col("__m"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = lt.unionByName(rt)
       .withColumn("__last", last(col("__m"), ignoreNulls = true).over(w))

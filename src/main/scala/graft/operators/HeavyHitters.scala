@@ -50,6 +50,11 @@ object HeavyHitters {
         }
         Iterator.single(mergeCompact(acc, k).toMap)
       }(Encoders.kryo[Map[String, Long]])
+    if (partials.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(column, org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("count_lower_bound", org.apache.spark.sql.types.LongType))))
     val merged = partials.reduce { (a, b) =>
       val acc = mutable.Map[String, Long](a.toSeq: _*)
       b.foreach { case (kk, v) =>

@@ -51,6 +51,8 @@ object Multimodal {
     val w = token().toInt; val h = token().toInt; val maxv = token().toInt
     require(maxv == 255, s"unsupported maxval $maxv")
     pos += 1 // single whitespace after maxval
+    require(data.length >= pos + w * h * 3,
+      s"truncated PPM: need ${pos + w * h * 3} bytes, have ${data.length}")
     val rgb = java.util.Arrays.copyOfRange(data, pos, pos + w * h * 3)
     PpmImage(w, h, rgb)
   }

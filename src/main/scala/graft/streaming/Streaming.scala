@@ -71,7 +71,7 @@ object Streaming {
   def dedupStream(df: DataFrame, idCol: String, tsCol: String,
                   watermark: String = "1 hour"): DataFrame =
     df.withWatermark(tsCol, watermark)
-      .dropDuplicates(Seq(idCol, tsCol))
+      .dropDuplicatesWithinWatermark(Seq(idCol))
 
   /** Drain a stream to an in-memory table with AvailableNow (process
     * everything currently present, then stop). Returns the table name. */

@@ -57,6 +57,7 @@ class StreamingSpec extends SparkSpec {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     mem.addData(
       (t0, 1L, "a"), (t0, 1L, "a-dup"), (t0, 2L, "b"),
+      (new java.sql.Timestamp(t0.getTime + 500), 1L, "a-later-ts"),
       (new java.sql.Timestamp(t0.getTime + 1000), 3L, "c"))
     val out = Streaming.dedupStream(
       mem.toDF().toDF("ts", "doc_id", "text"), "doc_id", "ts")
