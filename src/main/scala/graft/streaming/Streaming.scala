@@ -73,6 +73,24 @@ object Streaming {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq(idCol))
 
+  /** Watermarked stream-stream interval join: each left event joins
+    * right events for the same key within `[left.ts - lookback, left.ts]`.
+    * Both sides carry watermarks so the join state is bounded — the
+    * streaming form of the as-of/enrichment join (e.g. purchases
+    * enriched with the clicks that preceded them). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   lookback: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key)
+        && r(rightTs) <= l(leftTs)
+        && r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lookback"))
+      .drop(r(key))
+  }
+
   /** Drain a stream to an in-memory table with AvailableNow (process
     * everything currently present, then stop). Returns the table name. */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Update()): String = {

@@ -66,6 +66,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream interval join matches right rows in the lookback window") {
+    implicit val sq = spark.sqlContext
+    val purchases = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(offsetMin: Int) = new java.sql.Timestamp(t0.getTime + offsetMin * 60000L)
+    purchases.addData((ts(0), 1L, "p1"), (ts(90), 2L, "p2"))
+    clicks.addData(
+      (ts(-30), 1L, "c1"),  // 30 min before p1: in window
+      (ts(-90), 1L, "c0"),  // 90 min before p1: outside 1h lookback
+      (ts(85), 2L, "c2"),   // 5 min before p2: in window
+      (ts(95), 2L, "c3"))   // after p2: excluded
+    val joined = Streaming.intervalJoin(
+      purchases.toDF().toDF("pts", "user_id", "purchase"),
+      clicks.toDF().toDF("cts", "user_id", "click"),
+      "user_id", "pts", "cts")
+    Streaming.runToMemory(joined, "sjoin", org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("sjoin").select("purchase", "click").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("p1", "c1"), ("p2", "c2")))
+  }
+
   test("incremental parquet stream processes a directory exactly once") {
     val dir = Files.createTempDirectory("stream_in").toString
     val out = Files.createTempDirectory("stream_out").toString
