@@ -22,33 +22,38 @@ import org.apache.spark.storage.StorageLevel
 object ConnectedComponents {
 
   /** One large-star round: every node points its larger neighbors at the
-    * minimum of its neighborhood (including itself). */
+    * minimum of its neighborhood (including itself).
+    *
+    * Implemented as min-aggregate + join rather than collect_set so the
+    * per-group state is one long even when a component hub has millions
+    * of neighbors — the same bounded-memory discipline as the LSH
+    * bucket-star construction. */
   private def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-    sym.groupBy("src")
-      .agg(min(least(col("dst"), col("src"))).as("m"), collect_set("dst").as("nbrs"))
-      .select(col("src"), col("m"), explode(col("nbrs")).as("v"))
-      .where(col("v") > col("src"))
-      .select(col("v").as("src"), col("m").as("dst"))
+    val mins = sym.groupBy("src").agg(min(least(col("dst"), col("src"))).as("m"))
+    sym.join(mins, "src")
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
       .where(col("src") =!= col("dst"))
-      // no distinct here: smallStar's groupBy absorbs duplicates and the
-      // extra exchange costs more than the duplicate rows
+      // no distinct here: smallStar's aggregation absorbs duplicates
   }
 
   /** One small-star round: every node connects its not-larger neighbors
-    * (and itself) to the minimum among them. */
+    * (and itself) to the minimum among them. Bounded group state for the
+    * same reason as largeStar. */
   private def smallStar(edges: DataFrame): DataFrame = {
     // orient so src >= dst
     val oriented = edges.select(
       greatest(col("src"), col("dst")).as("src"),
       least(col("src"), col("dst")).as("dst"))
-    oriented.groupBy("src")
-      .agg(min(col("dst")).as("m"), collect_set("dst").as("nbrs"))
-      .select(col("src"), col("m"), explode(array_union(col("nbrs"), array(col("src")))).as("v"))
-      .where(col("v") =!= col("m"))
-      .select(col("v").as("src"), col("m").as("dst"))
-      .distinct()
+    val mins = oriented.groupBy("src").agg(min(col("dst")).as("m"))
+    val viaNbrs = oriented.join(mins, "src")
+      .where(col("dst") =!= col("m"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+    val self = mins.where(col("src") =!= col("m"))
+      .select(col("src"), col("m").as("dst"))
+    viaNbrs.union(self).distinct()
   }
 
   /** Deterministic convergence fingerprint of an edge set. */
