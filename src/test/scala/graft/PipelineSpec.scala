@@ -144,5 +144,30 @@ class PipelineSpec extends SparkSpec {
     // resume-from: re-run just export reusing prior outputs
     val stats2 = Pipeline.run(spark, cfg, PipelineSteps.all(dataDir.toString), Some("export"))
     assert(stats2.map(_.step) == Seq("export"))
+
+    // int32 export path: same token stream, 4 bytes per id
+    val cfg32 = cfg.copy(exportDtype = "int32")
+    Pipeline.run(spark, cfg32, PipelineSteps.all(dataDir.toString), Some("export"))
+    val bin32 = Files.readAllBytes(Path.of(s"$outBase/export_tokens.bin"))
+    assert(bin32.length == allIds.length * 4)
+    val decoded32 = bin32.grouped(4).map(b =>
+      (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24)).toSeq
+    assert(decoded32 == allIds.toSeq)
+  }
+
+  test("pii step with NER enabled redacts gated capitalized names") {
+    import spark.implicits._
+    val outBase = Files.createTempDirectory("piiout").toString
+    Seq(
+      ("d1", "Contact John Smith at the office"),
+      ("d2", "no names in this plain lowercase text"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$outBase/quality_parquet")
+    val cfg = Pipeline.PipelineConfig(dataDir = ".", outputBase = outBase)
+    PipelineSteps.PiiStep(enableNer = true).run(spark, cfg)
+    val out = spark.read.parquet(s"$outBase/pii_parquet").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("d1").contains("<NAME>") && !out("d1").contains("John"))
+    assert(out("d2") == "no names in this plain lowercase text")
   }
 }
