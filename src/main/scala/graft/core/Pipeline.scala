@@ -30,6 +30,7 @@ object Pipeline {
       keepPiiStats: Boolean = false,
       seqLen: Int = 4096,
       vocabSize: Int = 32000,
+      tokenizer: String = "word",       // "word" | "bpe"
       exportDtype: String = "uint16")
 
   case class StepStats(step: String, inputRows: Long, outputRows: Long,

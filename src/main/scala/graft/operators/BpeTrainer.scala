@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Byte-pair-encoding tokenizer: distributed corpus statistics + the
+  * standard in-memory merge loop.
+  *
+  * This is the real BPE training structure (as in SentencePiece/GPT-2
+  * BPE, both public): the corpus-sized work — word frequency counting —
+  * is a distributed groupBy; the merge loop then runs over the *word
+  * frequency table* (≤ a few hundred thousand rows), which is how
+  * production trainers work too — no per-merge corpus rescan. Replaces
+  * the reference's native SentencePiece training
+  * (reference: src/llm_data_pipeline/tokenizer/train.py:90-264) with a
+  * self-contained JVM implementation honoring the same id convention
+  * (unk=0, bos=1, eos=2, pad=3; reference: tokenizer/train.py:111-134).
+  */
+object BpeTrainer {
+
+  val UnkId = 0; val BosId = 1; val EosId = 2; val PadId = 3
+  private val EndOfWord = "</w>"
+
+  case class BpeModel(merges: Seq[(String, String)], vocab: Map[String, Int])
+      extends Serializable {
+    @transient private lazy val mergeRank: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+
+    /** Greedy standard BPE encode of one word: start from characters
+      * (+ end-of-word marker), repeatedly apply the lowest-rank merge. */
+    def encodeWord(word: String): Seq[Int] = {
+      if (word.isEmpty) return Seq.empty
+      var parts: Vector[String] = word.map(_.toString).toVector :+ EndOfWord
+      var done = false
+      while (!done && parts.length > 1) {
+        var bestRank = Int.MaxValue
+        var bestIdx = -1
+        var i = 0
+        while (i < parts.length - 1) {
+          mergeRank.get((parts(i), parts(i + 1))).foreach { r =>
+            if (r < bestRank) { bestRank = r; bestIdx = i }
+          }
+          i += 1
+        }
+        if (bestIdx < 0) done = true
+        else parts = (parts.take(bestIdx) :+ (parts(bestIdx) + parts(bestIdx + 1))) ++
+          parts.drop(bestIdx + 2)
+      }
+      parts.map(p => vocab.getOrElse(p, UnkId))
+    }
+
+    def encodeText(text: String): Array[Int] =
+      text.split("\\s+").iterator.filter(_.nonEmpty).flatMap(encodeWord).toArray
+  }
+
+  /** The merge loop over a word-frequency table (pure, driver-side —
+    * the table is small by construction). */
+  def train(wordFreqs: Seq[(String, Long)], vocabSize: Int): BpeModel = {
+    // words as symbol sequences with the end-of-word marker
+    var words: Array[(Array[String], Long)] =
+      wordFreqs.map { case (w, f) => (w.map(_.toString).toArray :+ EndOfWord, f) }.toArray
+    val baseSymbols = mutable.LinkedHashSet[String](EndOfWord)
+    wordFreqs.foreach(_._1.foreach(c => baseSymbols += c.toString))
+
+    val merges = mutable.ArrayBuffer[(String, String)]()
+    val maxMerges = math.max(0, vocabSize - 4 - baseSymbols.size)
+    var iter = 0
+    var exhausted = false
+    while (iter < maxMerges && !exhausted) {
+      // pair frequencies, weighted by word frequency
+      val pairCounts = mutable.Map[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + f)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        // deterministic argmax: max count, ties by lexicographic pair
+        val best = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        val mergedSym = best._1 + best._2
+        words = words.map { case (syms, f) =>
+          val out = mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+              out += mergedSym; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, f)
+        }
+      }
+      iter += 1
+    }
+
+    val symbols = (baseSymbols.toSeq ++ merges.map(m => m._1 + m._2)).distinct
+    val vocab = Map("<unk>" -> UnkId, "<bos>" -> BosId, "<eos>" -> EosId, "<pad>" -> PadId) ++
+      symbols.zipWithIndex.map { case (s, i) => s -> (i + 4) }
+    BpeModel(merges.toSeq, vocab)
+  }
+
+  /** Distributed word counting → driver merge loop. `maxWords` bounds
+    * the frequency table (the long tail below it cannot affect early
+    * merges materially — standard trainer practice). */
+  def trainFromCorpus(df: DataFrame, textCol: String, vocabSize: Int,
+                      maxWords: Int = 100000): BpeModel = {
+    val freqs = df
+      .select(explode(split(TextFunctions.normalizeForDedup(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(desc("f"), asc("w"))
+      .limit(maxWords)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    train(freqs, vocabSize)
+  }
+
+  /** Distributed encoding with the broadcast model — the executor-
+    * singleton pattern (tokens column added as `ids`). */
+  def tokenize(df: DataFrame, textCol: String, model: BpeModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val cols = df.columns
+    val withNorm = df.withColumn("__norm", TextFunctions.normalizeForDedup(col(textCol)))
+    val enc = org.apache.spark.sql.Encoders.row(
+      org.apache.spark.sql.types.StructType(withNorm.schema.fields.filterNot(_.name == "__norm") :+
+        org.apache.spark.sql.types.StructField("ids",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, false))))
+    withNorm.mapPartitions { rows =>
+      val m = bc.value
+      rows.map { r =>
+        val normIdx = r.fieldIndex("__norm")
+        val vals = (0 until r.length).filter(_ != normIdx).map(r.get)
+        org.apache.spark.sql.Row.fromSeq(vals :+ m.encodeText(r.getString(normIdx)).toSeq)
+      }
+    }(enc)
+  }
+}

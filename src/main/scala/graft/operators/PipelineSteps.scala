@@ -188,6 +188,17 @@ object PipelineSteps {
         .toDF("word", "freq", "id")
       val vocab = specials.unionByName(words.select(col("word"), col("freq"), col("id")))
       vocab.write.mode("overwrite").parquet(s"${cfg.outputBase}/vocab_parquet")
+      if (cfg.tokenizer == "bpe") {
+        // real BPE training: distributed word counts + in-memory merges;
+        // persist the merge table as the model artifact
+        import spark.implicits._
+        val model = BpeTrainer.trainFromCorpus(in, "text", cfg.vocabSize)
+        model.merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+          .toDF("rank", "left", "right")
+          .coalesce(1).write.mode("overwrite").parquet(s"${cfg.outputBase}/bpe_merges_parquet")
+        model.vocab.toSeq.map { case (w, i) => (w, 0L, i) }.toDF("word", "freq", "id")
+          .coalesce(1).write.mode("overwrite").parquet(s"${cfg.outputBase}/bpe_vocab_parquet")
+      }
       val n = spark.read.parquet(s"${cfg.outputBase}/vocab_parquet").count()
       StepStats(name, -1, n)
     }
@@ -201,18 +212,30 @@ object PipelineSteps {
     def run(spark: SparkSession, cfg: PipelineConfig): StepStats = {
       import spark.implicits._
       val in = readStep(spark, cfg, name)
-      val vocab = spark.read.parquet(s"${cfg.outputBase}/vocab_parquet")
-        .select("word", "id").as[(String, Int)].collect().toMap
-      val bc = spark.sparkContext.broadcast(vocab)
       val eos = 2
-      val toks = in.select(col("doc_id"), TextFunctions.normalizeForDedup(col("text")).as("norm"))
-        .select(col("doc_id"), split(col("norm"), " ").as("words"))
-        .as[(String, Seq[String])]
-        .map { case (id, ws) =>
-          val v = bc.value
-          (id, ws.iterator.filter(_.nonEmpty).map(w => v.getOrElse(w, 0)).toArray :+ eos)
+      val tokenized =
+        if (cfg.tokenizer == "bpe") {
+          val merges = spark.read.parquet(s"${cfg.outputBase}/bpe_merges_parquet")
+            .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+          val bvocab = spark.read.parquet(s"${cfg.outputBase}/bpe_vocab_parquet")
+            .select("word", "id").as[(String, Int)].collect().toMap
+          BpeTrainer.tokenize(in.select("doc_id", "text"), "text",
+              BpeTrainer.BpeModel(merges, bvocab))
+            .select(col("doc_id"), concat(col("ids"), array(lit(eos))).as("ids"))
+        } else {
+          val vocab = spark.read.parquet(s"${cfg.outputBase}/vocab_parquet")
+            .select("word", "id").as[(String, Int)].collect().toMap
+          val bc = spark.sparkContext.broadcast(vocab)
+          in.select(col("doc_id"), TextFunctions.normalizeForDedup(col("text")).as("norm"))
+            .select(col("doc_id"), split(col("norm"), " ").as("words"))
+            .as[(String, Seq[String])]
+            .map { case (id, ws) =>
+              val v = bc.value
+              (id, ws.iterator.filter(_.nonEmpty).map(w => v.getOrElse(w, 0)).toArray :+ eos)
+            }
+            .toDF("doc_id", "ids")
         }
-        .toDF("doc_id", "ids")
+      val toks = tokenized
         .withColumn("ord", xxhash64(col("doc_id"))) // stable pseudo-order
       val packed = Packer.pack(toks, "ord", "ids", cfg.seqLen, eosId = eos,
         numPartitions = numPartitions)
