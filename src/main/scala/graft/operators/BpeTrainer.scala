@@ -52,8 +52,23 @@ object BpeTrainer {
       parts.map(p => vocab.getOrElse(p, UnkId))
     }
 
+    @transient private lazy val wordCache =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[Int]]()
+
+    /** Memoized per-word encode — real tokenizers cache word→ids since
+      * natural corpora repeat words heavily (Zipf). */
+    def encodeWordCached(word: String): Seq[Int] = {
+      val hit = wordCache.get(word)
+      if (hit != null) hit
+      else {
+        val ids = encodeWord(word)
+        if (wordCache.size < 1000000) wordCache.put(word, ids)
+        ids
+      }
+    }
+
     def encodeText(text: String): Array[Int] =
-      text.split("\\s+").iterator.filter(_.nonEmpty).flatMap(encodeWord).toArray
+      text.split("\\s+").iterator.filter(_.nonEmpty).flatMap(encodeWordCached).toArray
   }
 
   /** The merge loop over a word-frequency table (pure, driver-side —
