@@ -451,6 +451,19 @@ object SparkEntry {
         count(lit(1)).as("n_points"))
     }),
 
+    "e06_centroid_similarity" -> ((s, d) => {
+      val centroids = emb(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos").agg(round(avg(col("v").cast("double")), 6).as("c"))
+      val a = centroids.select(col("label").as("la"), col("pos"), col("c").as("ca"))
+      val b = centroids.select(col("label").as("lb"), col("pos"), col("c").as("cb"))
+      a.join(b, "pos").where(col("la") < col("lb"))
+        .groupBy("la", "lb")
+        .agg(round(sum(col("ca") * col("cb"))
+          / (sqrt(sum(col("ca") * col("ca"))) * sqrt(sum(col("cb") * col("cb")))), 4).as("cos"))
+        .orderBy("la", "lb")
+    }),
+
     // ---------------- multimodal binary columns ----------------
     "m01_multimodal_features" -> ((s, d) => {
       val assets = Multimodal.synthesizeAssets(docs(s, d).select("doc_id"), "doc_id")
@@ -938,6 +951,17 @@ object SparkEntry {
          round(avg(sqrt(list_sum(list_transform(embedding,
            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
          FROM embeddings GROUP BY label ORDER BY label""",
+
+    "e06_centroid_similarity" ->
+      """WITH c AS (
+           SELECT label, pos - 1 AS pos, round(avg(CAST(v AS DOUBLE)), 6) AS c
+           FROM (SELECT label, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos FROM embeddings)
+           GROUP BY label, pos - 1)
+         SELECT a.label AS la, b.label AS lb,
+           round(sum(a.c * b.c) / (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))), 4) AS cos
+         FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+         GROUP BY a.label, b.label ORDER BY la, lb""",
 
     "m01_multimodal_features" ->
       """SELECT kind, count(*) AS n,
