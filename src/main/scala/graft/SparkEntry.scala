@@ -398,6 +398,10 @@ object SparkEntry {
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("bigram")).limit(30)),
 
+    "d18_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedExact(docs(s, d), "lang", 0.2, "doc_id")
+        .select("lang", "doc_id").orderBy("lang", "doc_id")),
+
     // ---------------- dedup operators (LSH paths; rows-only where no SQL) ----------------
     "x01_minhash_dedup" -> ((s, d) =>
       Dedup.minhashLsh(docs(s, d), "doc_id", "text")
@@ -934,6 +938,14 @@ object SparkEntry {
            FROM t WHERE len(w) >= 2)
          SELECT bigram, count(*) AS n FROM b GROUP BY bigram
          ORDER BY n DESC, bigram LIMIT 30""",
+
+    "d18_stratified_sample" ->
+      """SELECT lang, doc_id FROM (
+           SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+         WHERE rn <= CEIL(0.2 * n) ORDER BY lang, doc_id""",
 
     "e01_cosine_knn" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
