@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{MinHashSignature, RollingHash64, SimHash64, XxHash64String}
+import graft.functions.{MinHashSignature, NormalizeNfkc, RollingHash64, SimHash64, XxHash64String}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -66,6 +66,12 @@ object GraftExtensions {
       args match {
         case Seq(c) => RollingHash64(c)
         case _ => throw new IllegalArgumentException("graft_rolling_hash(text)")
+      }
+    },
+    "graft_nfkc" -> { args =>
+      args match {
+        case Seq(c) => NormalizeNfkc(c)
+        case _ => throw new IllegalArgumentException("graft_nfkc(text)")
       }
     })
 

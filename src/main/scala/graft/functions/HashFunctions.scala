@@ -41,6 +41,11 @@ object HashFunctions {
   def minhash(c: Column, k: Int = 128, ngram: Int = 5, seed: Long = 42L): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(c), k, ngram, seed))
 
+  /** Unicode NFKC normalization (full-width → ASCII, ligature
+    * decomposition, etc.). */
+  def normalizeNfkc(c: Column): Column =
+    ExpressionUtils.column(NormalizeNfkc(ExpressionUtils.expression(c)))
+
   /** 64-bit SimHash over whitespace-token shingles of the input string. */
   def simhash64(c: Column, ngram: Int = 2): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c), ngram))
@@ -117,6 +122,25 @@ trait RefEvalCodegen { self: UnaryExpression =>
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = ($javaResultType) $ref.nullSafeEval($c);")
   }
+}
+
+/** Unicode NFKC normalization — the reference tokenizer's `nmt_nfkc`
+  * normalization rule (reference: src/llm_data_pipeline/tokenizer/
+  * train.py:111-134) minus the NMT whitespace tweaks; Spark has no
+  * built-in Unicode normalizer. Compatibility-composes full-width
+  * forms, ligatures, etc. before tokenization. */
+case class NormalizeNfkc(child: Expression)
+    extends UnaryExpression with RefEvalCodegen {
+  override def dataType: DataType = StringType
+  override protected def javaResultType: String =
+    "org.apache.spark.unsafe.types.UTF8String"
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC))
+  }
+  override protected def withNewChildInternal(c: Expression): NormalizeNfkc = copy(child = c)
+  override def prettyName: String = "normalize_nfkc"
 }
 
 /** xxh64(utf8-bytes, seed) for string input. Delegates to Spark's

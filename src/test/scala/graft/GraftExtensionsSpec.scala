@@ -30,6 +30,6 @@ class GraftExtensionsSpec extends SparkSpec {
     // session's registry via the extension object instead of a 2nd session
     val e = new GraftExtensions
     assert(GraftExtensions.builders.map(_._1).toSet ==
-      Set("graft_minhash", "graft_simhash", "graft_xxhash64", "graft_rolling_hash"))
+      Set("graft_minhash", "graft_simhash", "graft_xxhash64", "graft_rolling_hash", "graft_nfkc"))
   }
 }

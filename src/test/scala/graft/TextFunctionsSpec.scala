@@ -87,6 +87,13 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got.toSeq == Seq("en", "en", "zh"))
   }
 
+  test("nfkc normalization composes full-width and ligature forms") {
+    import graft.functions.HashFunctions
+    val got = Seq("\uFF28\uFF45\uFF4C\uFF4C\uFF4F \uFB01nal \u2460").toDF("t")
+      .select(HashFunctions.normalizeNfkc(col("t"))).head().getString(0)
+    assert(got == "Hello final 1", got)
+  }
+
   test("word shingles") {
     val got = Seq("a b c d").toDF("t")
       .select(TextFunctions.wordShingles(col("t"), 2)).head().getSeq[String](0)
