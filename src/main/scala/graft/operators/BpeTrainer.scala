@@ -142,7 +142,6 @@ object BpeTrainer {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
-    val cols = df.columns
     val withNorm = df.withColumn("__norm", TextFunctions.normalizeForDedup(col(textCol)))
     val enc = org.apache.spark.sql.Encoders.row(
       org.apache.spark.sql.types.StructType(withNorm.schema.fields.filterNot(_.name == "__norm") :+
