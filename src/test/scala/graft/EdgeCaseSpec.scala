@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.HashFunctions
+import graft.operators.{AsOfJoin, HeavyHitters}
+import graft.sources.WetSource
+import org.apache.spark.sql.functions._
+
+import java.io.FileOutputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+import scala.util.Random
+
+/** Edge cases surfaced by review that deserve pinned behavior. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wet maxDocsPerFile caps per-file emission") {
+    val dir = Files.createTempDirectory("wetcap")
+    val recs = (1 to 10).map { i =>
+      val text = (1 to 40).map(j => s"w$i-$j filler words here").mkString(" ")
+      val p = text.getBytes(StandardCharsets.UTF_8)
+      s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://c/$i\r\n" +
+        s"WARC-Date: 2025-01-01T00:00:00Z\r\nWARC-Record-ID: <urn:uuid:c$i>\r\n" +
+        s"Content-Length: ${p.length}\r\n\r\n$text\r\n\r\n"
+    }
+    val os = new GZIPOutputStream(new FileOutputStream(dir.resolve("c.wet.gz").toFile))
+    recs.foreach(r => os.write(r.getBytes(StandardCharsets.UTF_8)))
+    os.close()
+    val docs = WetSource.readDir(spark, dir.toString,
+      WetSource.WetConfig(minChars = 50, maxDocsPerFile = 3))
+    assert(docs.count() == 3)
+  }
+
+  test("heavy hitters on empty input returns empty frame, not a crash") {
+    val empty = spark.emptyDataFrame.withColumn("w", lit("x")).filter(lit(false))
+    assert(HeavyHitters.topK(empty, "w", 5).count() == 0)
+  }
+
+  test("heavy hitters merge preserves guarantee across many partitions") {
+    val n = 3000
+    val data = ((1 to n / 3).map(_ => "dominant") ++ (1 to n * 2 / 3).map(i => s"t$i"))
+    val hh = HeavyHitters.topK(data.map(Tuple1(_)).toDF("w").repartition(16), "w", 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // any item with freq > N/k = 150 must survive; dominant has 1000
+    assert(hh.contains("dominant"))
+    assert(hh("dominant") <= n / 3)           // lower bound never overcounts
+    assert(hh("dominant") > n / 3 - n / 20)   // undercount bounded by N/k
+  }
+
+  test("LongSet agrees with java HashSet on random streams") {
+    val rnd = new Random(11)
+    val ls = new HashFunctions.LongSet(16)
+    val ref = scala.collection.mutable.Set[Long]()
+    var agree = true
+    (1 to 5000).foreach { _ =>
+      val v = HashFunctions.splitmix64(rnd.nextLong()) | 1L // avoid reserved 0
+      val a = ls.add(v)
+      val b = ref.add(v)
+      if (a != b) agree = false
+    }
+    assert(agree)
+  }
+
+  test("as-of join with no matching key yields nulls, not dropped rows") {
+    val l = Seq((9L, 100L, "orphan")).toDF("key", "ts", "tag")
+    val r = Seq((1L, 50L, 1.0)).toDF("key", "qts", "v")
+    val out = AsOfJoin.backward(l, r, "key", "ts", "qts", Seq("v")).collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(3))
+  }
+
+  test("as-of join multiple left rows share one right match deterministically") {
+    val l = (1 to 5).map(i => (1L, 100L + i, s"t$i")).toDF("key", "ts", "tag")
+    val r = Seq((1L, 100L, 7.5)).toDF("key", "qts", "v")
+    val out = AsOfJoin.backward(l, r, "key", "ts", "qts", Seq("v"))
+      .orderBy("ts").collect()
+    assert(out.forall(_.getDouble(3) == 7.5))
+  }
+}
