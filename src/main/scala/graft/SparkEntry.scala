@@ -419,6 +419,20 @@ object SparkEntry {
       Dedup.embeddingCosine(emb(s, d), "vec_id", "embedding", threshold = 0.97)
         .groupBy("label").agg(count(lit(1)).as("n_kept")).orderBy("label")),
 
+    "x05_source_similarity" -> ((s, d) => {
+      val sigs = Dedup.minhashSignatures(docs(s, d), "doc_id", "text")
+        .join(docs(s, d).select(col("doc_id").as("id"), col("source")), "id")
+      val unions = sigs.groupBy("source")
+        .agg(graft.functions.MinHashUnionAgg.minhashUnion(col("signature")).as("usig"))
+      val a = unions.select(col("source").as("sa"), col("usig").as("ua"))
+      val b = unions.select(col("source").as("sb"), col("usig").as("ub"))
+      a.join(b, col("sa") < col("sb"))
+        .select(col("sa"), col("sb"),
+          round(graft.functions.MinHashUnionAgg.estimatedJaccard(col("ua"), col("ub")), 4).as("est_jaccard"))
+        .orderBy(desc("est_jaccard"), asc("sa"), asc("sb"))
+        .limit(20)
+    }),
+
     // ---------------- similarity search ----------------
     "e01_cosine_knn" -> ((s, d) => {
       val e = emb(s, d)
