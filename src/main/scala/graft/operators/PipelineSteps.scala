@@ -142,16 +142,19 @@ object PipelineSteps {
       val inRows = in.count()
       val sigs = in.select(col("doc_id").as("id"), col("signature"))
       val pairs = Dedup.candidatePairs(Dedup.bandRows(sigs, mh), mh, chainOnly = true)
-      // canonical pick: per component keep max (length, doc_id)
+      // canonical pick: per component keep max (length, doc_id) — via
+      // struct-max aggregation + join, not a window: a window would sort
+      // an entire mega-component inside one partition, while the
+      // aggregate carries one (length, doc_id) pair per group
       val comp = ConnectedComponents.runOnStrings(pairs)
       val withComp = in.join(comp, in("doc_id") === comp("id"), "left")
         .withColumn("component", coalesce(col("component"), col("doc_id")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("component").orderBy(desc("length"), desc("doc_id"))
+      val best = withComp.groupBy("component")
+        .agg(max(struct(col("length"), col("doc_id"))).as("__best"))
+        .select(col("__best.doc_id").as("__keep_id"))
       val kept = withComp
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .drop("__rn", "id", "component")
+        .join(best, withComp("doc_id") === best("__keep_id"), "left_semi")
+        .drop("id", "component")
       val out = writeStep(kept, cfg, name)
       in.unpersist()
       StepStats(name, inRows, out, 0, Map("removed" -> (inRows - out).toString))
