@@ -53,6 +53,14 @@ class ConnectedComponentsSpec extends SparkSpec {
     check(Seq((5L, 1L), (5L, 2L), (5L, 3L), (1L, 1L), (2L, 5L), (5L, 2L)))
   }
 
+  test("empty edge set yields empty labeling") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(ConnectedComponents.run(empty).count() == 0)
+    val emptyStr = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(ConnectedComponents.runOnStrings(emptyStr).count() == 0)
+  }
+
   test("random graphs match union-find") {
     val rnd = new Random(42)
     for (trial <- 1 to 5) {
