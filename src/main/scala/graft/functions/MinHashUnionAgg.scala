@@ -42,12 +42,23 @@ case class MinHashUnionAgg(
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
-      val n = math.min(k, arr.numElements())
+      require(arr.numElements() == k,
+        s"minhash_union(k=$k) got a signature of length ${arr.numElements()}")
+      // An all-zero signature is the empty-set convention
+      // (MinHashSignature on empty text). The union identity for an
+      // empty set is "no contribution" — folding its zeros in would be
+      // absorbing (0 is the unsigned minimum) and would poison the
+      // whole group's signature.
+      var allZero = true
       var i = 0
-      while (i < n) {
-        val x = arr.getLong(i)
-        if (java.lang.Long.compareUnsigned(x, buf(i)) < 0) buf(i) = x
-        i += 1
+      while (i < k && allZero) { if (arr.getLong(i) != 0L) allZero = false; i += 1 }
+      if (!allZero) {
+        i = 0
+        while (i < k) {
+          val x = arr.getLong(i)
+          if (java.lang.Long.compareUnsigned(x, buf(i)) < 0) buf(i) = x
+          i += 1
+        }
       }
     }
     buf
@@ -63,8 +74,10 @@ case class MinHashUnionAgg(
   }
 
   override def eval(buf: Array[Long]): Any = {
-    // empty group (all nulls): the all-max sentinel has no meaning; match
-    // the empty-text convention of all zeros
+    // group with no non-empty signatures: emit the all-zero empty-set
+    // convention (note: two empty groups therefore estimate jaccard 1.0
+    // against each other — the empty-vs-empty case is definitionally
+    // ambiguous and callers should filter empty corpora if it matters)
     if (buf.forall(_ == -1L)) new GenericArrayData(new Array[Long](k))
     else new GenericArrayData(buf.clone())
   }

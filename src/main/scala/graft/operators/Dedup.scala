@@ -126,8 +126,7 @@ object Dedup {
     val s2 = sigs.select(col("id").as("dst"), col("signature").as("sig2"))
     pairs.join(s1, "src").join(s2, "dst")
       .withColumn("jac",
-        aggregate(zip_with(col("sig1"), col("sig2"), (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / size(col("sig1")))
+        graft.functions.MinHashUnionAgg.estimatedJaccard(col("sig1"), col("sig2")))
       .where(col("jac") >= threshold)
       .select("src", "dst")
   }

@@ -149,9 +149,13 @@ object PipelineSteps {
       val comp = ConnectedComponents.runOnStrings(pairs)
       val withComp = in.join(comp, in("doc_id") === comp("id"), "left")
         .withColumn("component", coalesce(col("component"), col("doc_id")))
+      // doc_id is unique by construction (sha1 over source/url/date/
+      // record id, and exact dupes die in dedup) so one keep-id selects
+      // exactly one row; distinct() guards the semi-join if that
+      // invariant is ever violated upstream
       val best = withComp.groupBy("component")
         .agg(max(struct(col("length"), col("doc_id"))).as("__best"))
-        .select(col("__best.doc_id").as("__keep_id"))
+        .select(col("__best.doc_id").as("__keep_id")).distinct()
       val kept = withComp
         .join(best, withComp("doc_id") === best("__keep_id"), "left_semi")
         .drop("id", "component")

@@ -53,6 +53,19 @@ class MinHashUnionAggSpec extends SparkSpec {
     assert(pairs(("s2", "s3")) < 0.1, pairs.toString)
   }
 
+  test("empty-text signatures do not poison the group union") {
+    val docs = Seq(("s1", "real content words here"), ("s1", "   "),
+      ("s2", "other content words there")).toDF("source", "text")
+    val sigs = docs.select(col("source"),
+      HashFunctions.minhash(TextFunctions.normalizeForDedup(col("text"))).as("sig"))
+    val unions = sigs.groupBy("source")
+      .agg(MinHashUnionAgg.minhashUnion(col("sig")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // s1's union must equal its single non-empty doc's signature
+    assert(unions("s1") == sigOf("real content words here").toSeq)
+    assert(unions("s1") != unions("s2"))
+  }
+
   test("partial aggregation across partitions matches single-partition result") {
     val docs = (1 to 64).map(i => ("src", s"document number $i with words w$i x$i y$i"))
       .toDF("source", "text")
