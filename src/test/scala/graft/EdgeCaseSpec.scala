@@ -62,6 +62,29 @@ class EdgeCaseSpec extends SparkSpec {
     assert(agree)
   }
 
+  test("as-of join matches a brute-force reference on random data") {
+    val rnd = new Random(5)
+    val lefts = (1 to 120).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val rights = (1 to 80).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i * 1.5))
+    val ldf = lefts.toDF("key", "ts", "lid")
+    val rdf = rights.toDF("key", "qts", "v")
+    val got = AsOfJoin.backward(ldf, rdf, "key", "ts", "qts", Seq("v"))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    lefts.foreach { case (k, ts, lid) =>
+      val cand = rights.filter(r => r._1 == k && r._2 <= ts)
+      val want =
+        if (cand.isEmpty) None
+        else Some(cand.maxBy(r => (r._2, r._3))._3) // ties by payload (matchedCols order)
+      assert(got(lid) == want, s"lid=$lid key=$k ts=$ts")
+    }
+  }
+
+  test("stratified sample with frac=1.0 is the identity") {
+    val df = (1L to 50L).map(i => (i, s"s${i % 3}")).toDF("id", "lang")
+    val out = graft.operators.Sampling.stratifiedExact(df, "lang", 1.0, "id")
+    assert(out.count() == 50)
+  }
+
   test("as-of join with no matching key yields nulls, not dropped rows") {
     val l = Seq((9L, 100L, "orphan")).toDF("key", "ts", "tag")
     val r = Seq((1L, 50L, 1.0)).toDF("key", "qts", "v")
