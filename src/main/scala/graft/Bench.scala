@@ -33,11 +33,16 @@ object Bench {
 
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     // min of two runs per query: the second run reuses compiled codegen
-    // and warmed file listings, and min() is robust to machine noise
+    // and warmed file listings, and min() is robust to machine noise.
+    // Each run executes the FULL plan via a noop-sink write — a count()
+    // here would let Catalyst prune deterministic projections and
+    // eliminate the final sort, under-measuring map-shaped queries.
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => failed += name }
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } catch { case _: Throwable => failed += name }
         (System.nanoTime() - t0) / 1e9
       }
       val a = once(); val b = once()

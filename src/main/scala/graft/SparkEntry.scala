@@ -292,11 +292,25 @@ object SparkEntry {
     }),
 
     "q31_rank_stats" -> ((s, d) => {
-      val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-      ord(s, d).select(col("o_orderkey"), col("o_orderpriority"),
-          round(percent_rank().over(w), 6).as("pr"),
-          ntile(4).over(w).cast("int").as("quartile"),
-          round(cume_dist().over(w), 6).as("cd"))
+      // percent_rank/ntile/cume_dist over a cardinality-5 partition key
+      // would single-task-sort 1/5 of the table each; instead compute the
+      // global per-group row number distributively (Ranking operator) and
+      // derive all three analytically. The (totalprice, orderkey) order
+      // key is unique, so rank == row_number and cume_dist == rn/n.
+      val base = ord(s, d).select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val rn = Ranking.withRowNumber(base, Seq("o_orderpriority"),
+        Seq(col("o_totalprice"), col("o_orderkey")), "rn")
+      val totals = base.groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      rn.join(broadcast(totals), "o_orderpriority")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(when(col("n") > 1, (col("rn") - 1).cast("double") / (col("n") - 1))
+            .otherwise(0.0), 6).as("pr"),
+          // ntile(4): first (n%4) tiles get (n div 4 + 1) rows, rest (n div 4)
+          expr("""CAST(CASE WHEN rn <= (n div 4 + 1) * (n % 4)
+                       THEN (rn - 1) div (n div 4 + 1) + 1
+                       ELSE (n % 4) + (rn - 1 - (n div 4 + 1) * (n % 4)) div (n div 4) + 1
+                  END AS INT)""").as("quartile"),
+          round(col("rn").cast("double") / col("n"), 6).as("cd"))
         .orderBy("o_orderkey")
     }),
 
@@ -379,15 +393,22 @@ object SparkEntry {
     }),
 
     "d15_char_entropy" -> ((s, d) => {
-      val chars = docs(s, d).select(col("doc_id"),
-        explode(split(col("text"), "")).as("ch"))
-        .filter(length(col("ch")) > 0)
-      val freq = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-      val tot = chars.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      freq.join(tot, "doc_id")
-        .withColumn("p", col("c").cast("double") / col("n"))
-        .groupBy("doc_id")
-        .agg(round(-sum(col("p") * log(col("p"))), 6).as("entropy"))
+      // Per-row entropy with zero shuffle: the char-frequency histogram of
+      // each doc is built and folded entirely inside one projection
+      // (aggregate over distinct chars), so shuffle volume is 0 instead of
+      // one row per corpus character. O(distinct * len) per doc; distinct
+      // is bounded by the alphabet, not the doc length.
+      val staged = docs(s, d).select(col("doc_id"),
+        filter(split(col("text"), ""), c => length(c) > lit(0)).as("chs"))
+      val n = size(col("chs")).cast("double")
+      val entropy = aggregate(
+        array_distinct(col("chs")),
+        lit(0.0d),
+        (acc, ch) => {
+          val p = size(filter(col("chs"), x => x === ch)).cast("double") / n
+          acc + p * log(p)
+        })
+      staged.select(col("doc_id"), round(-entropy, 6).as("entropy"))
         .orderBy("doc_id")
     }),
 
@@ -526,7 +547,7 @@ object SparkEntry {
     "q29_grouping_sets" -> ((s, d) => {
       ord(s, d).createOrReplaceTempView("orders")
       s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-                      sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+                      round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS total
                FROM orders
                GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
                ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
@@ -535,19 +556,15 @@ object SparkEntry {
     // ---------------- exact percentiles / tf-idf ----------------
     "q30_percentiles" -> ((s, d) => {
       // type-1 discrete quantile (value at rank ceil(p*n)) - defined
-      // identically in the oracle, so no interpolation-arithmetic skew
+      // identically in the oracle, so no interpolation-arithmetic skew.
+      // Computed over a distinct-value count table with a distributed
+      // running sum (Ranking.exactQuantiles) — the cardinality-3 group
+      // key never becomes a single-task window sort of 1/3 of lineitem.
       val base = li(s, d).select("l_returnflag", "l_extendedprice", "l_quantity")
-      def disc(valueCol: String, p: Double, name: String) = {
-        val w = Window.partitionBy("l_returnflag").orderBy(valueCol)
-        val cw = Window.partitionBy("l_returnflag")
-        base.withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(cw))
-          .filter(col("rn") === ceil(lit(p) * col("n")))
-          .groupBy("l_returnflag").agg(min(valueCol).as(name))
-      }
-      disc("l_extendedprice", 0.5, "p50")
-        .join(disc("l_extendedprice", 0.95, "p95"), "l_returnflag")
-        .join(disc("l_quantity", 0.5, "q50"), "l_returnflag")
+      Ranking.exactQuantiles(base, "l_returnflag", "l_extendedprice",
+          Seq(0.5 -> "p50", 0.95 -> "p95"))
+        .join(Ranking.exactQuantiles(base, "l_returnflag", "l_quantity",
+          Seq(0.5 -> "q50")), "l_returnflag")
         .orderBy("l_returnflag")
     }),
 
@@ -1033,7 +1050,7 @@ object SparkEntry {
 
     "q29_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+              round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS total
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",

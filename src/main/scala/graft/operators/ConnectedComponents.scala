@@ -72,11 +72,15 @@ object ConnectedComponents {
     * bits directly). */
   def runOnStrings(pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.monotonically_increasing_id
+    // localCheckpoint (not persist+count): monotonically_increasing_id is
+    // nondeterministic under recomputation, and this mapping feeds TWO
+    // joins below — if an executor-loss/cache-eviction recompute reassigned
+    // ids between them, components would silently diverge. Checkpointing
+    // materializes the assignment so recompute replays stored blocks.
     val ids = pairs.select(col("src").as("sid"))
       .union(pairs.select(col("dst").as("sid"))).distinct()
       .withColumn("nid", monotonically_increasing_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    ids.count() // pin the id assignment before reuse in two joins
+      .localCheckpoint(true)
     val p2 = pairs
       .join(ids.select(col("sid").as("src"), col("nid").as("nsrc")), "src")
       .join(ids.select(col("sid").as("dst"), col("nid").as("ndst")), "dst")

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed per-group ranking without per-group window sorts.
+  *
+  * `Window.partitionBy(g).orderBy(...)` puts every row of a group into ONE
+  * task — fatal when the group cardinality is tiny (3–5 groups over a
+  * 100 TB table = 3–5 tasks each sorting a third of the data). This
+  * operator computes the same 1-based row number (and, more generally, a
+  * running sum) with:
+  *
+  *   1. a range repartition on (group ++ sort) — the only shuffle; rows of
+  *      a group span many partitions but stay globally ordered across them;
+  *   2. a per-(partition, group) aggregate — `partitions × groups` rows
+  *      collected to the driver (KBs), turned into start offsets;
+  *   3. a per-partition streaming pass adding offset + local running count.
+  *
+  * The repartitioned input is pinned with `localCheckpoint` because passes
+  * 2 and 3 must observe the identical partitioning (range sampling is not
+  * replay-stable under recomputation).
+  */
+object Ranking {
+
+  /** Global 1-based row number of each row within its group under
+    * `sortCols` — equivalent to
+    * `row_number().over(Window.partitionBy(groupCols).orderBy(sortCols))`
+    * but scale-safe for low-cardinality groups. Output rows additionally
+    * carry `outCol: Long`. */
+  def withRowNumber(df: DataFrame, groupCols: Seq[String], sortCols: Seq[Column],
+                    outCol: String, numPartitions: Int = 0): DataFrame =
+    withRunningSum(df, groupCols, sortCols, lit(1L), outCol, numPartitions)
+
+  /** Running sum of `valueCol` (cast to long) within each group in
+    * `sortCols` order, ties included up to and including the current row.
+    * With `valueCol = lit(1L)` this is `row_number`. */
+  def withRunningSum(df: DataFrame, groupCols: Seq[String], sortCols: Seq[Column],
+                     valueCol: Column, outCol: String,
+                     numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val orderExprs = groupCols.map(col) ++ sortCols
+    val staged = df.withColumn("__rank_v", valueCol.cast(LongType))
+    val sorted = staged
+      .repartitionByRange(parts, orderExprs: _*)
+      .sortWithinPartitions(orderExprs: _*)
+      .localCheckpoint(true)
+
+    // pass 1: per-(partition, group) totals; tiny by construction
+    val perPart = sorted
+      .groupBy(spark_partition_id().as("__pid"), struct(groupCols.map(col): _*).as("__g"))
+      .agg(sum(col("__rank_v")).as("__s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getStruct(1).toSeq, r.getLong(2)))
+
+    // start offset of (pid, group) = that group's total in earlier partitions
+    val offsets: Map[(Int, Seq[Any]), Long] = perPart
+      .groupBy(_._2)
+      .iterator
+      .flatMap { case (g, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, _, s) =>
+          val entry = ((pid, g), acc); acc += s; entry
+        }
+      }
+      .toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+
+    val gIdx = groupCols.map(sorted.schema.fieldIndex)
+    val vIdx = sorted.schema.fieldIndex("__rank_v")
+    val outSchema = sorted.schema.add(outCol, LongType, nullable = false)
+    val out = sorted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val off = bc.value
+      var curKey: Seq[Any] = null
+      var acc = 0L
+      it.map { r =>
+        val k = gIdx.map(r.get)
+        if (curKey == null || k != curKey) {
+          curKey = k
+          acc = off.getOrElse((pid, k), 0L)
+        }
+        acc += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }(Encoders.row(outSchema))
+    out.drop("__rank_v")
+  }
+
+  /** Exact type-1 discrete quantiles (value at rank `ceil(p*n)`) per
+    * group, built from a distinct-value count table + distributed running
+    * sum — no window, no per-group single-task sort. Returns one row per
+    * group with one column per requested (p, name). */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     ps: Seq[(Double, String)]): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val cum = withRunningSum(counts, Seq(groupCol), Seq(col("__v")), col("__c"), "__cum")
+      .join(broadcast(totals), groupCol)
+    ps.map { case (p, name) =>
+      // rank target r = ceil(p*n); the ranked element is the smallest
+      // distinct value whose cumulative count reaches r
+      cum.where(col("__cum") >= ceil(lit(p) * col("__n")))
+        .groupBy(groupCol).agg(min("__v").as(name))
+    }.reduce(_.join(_, groupCol))
+  }
+}

@@ -61,6 +61,26 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(ConnectedComponents.runOnStrings(emptyStr).count() == 0)
   }
 
+  test("runOnStrings id assignment is recompute-stable (checkpointed mapping)") {
+    import spark.implicits._
+    // sha1-ish string keys in two components; the nid mapping feeds two
+    // separate joins — if recomputation could reassign ids between them
+    // (the old persist+count pinning), components would silently diverge.
+    val pairs = Seq(
+      ("aaa", "bbb"), ("bbb", "ccc"), ("xxx", "yyy"), ("yyy", "zzz"), ("ccc", "aaa"))
+      .toDF("src", "dst")
+    def run() = ConnectedComponents.runOnStrings(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val first = run()
+    // representative is the min *dense id* (assignment-order dependent),
+    // so assert the grouping, not the representative identity
+    val groups = first.groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(groups == Set(Set("aaa", "bbb", "ccc"), Set("xxx", "yyy", "zzz")))
+    first.foreach { case (id, comp) => assert(first(comp) == comp, s"$id -> $comp not a root") }
+    // second full evaluation (fresh checkpoint) must agree exactly
+    assert(run() == first)
+  }
+
   test("random graphs match union-find") {
     val rnd = new Random(42)
     for (trial <- 1 to 5) {
