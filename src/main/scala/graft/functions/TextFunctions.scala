@@ -170,4 +170,13 @@ object TextFunctions {
       zip_with(acc, next, (a, b) => concat(a, lit(" "), b)))
     when(size(toks) < n, array(normalizeForDedup(c))).otherwise(joined)
   }
+
+  /** Char n-gram shingles of an (already normalized) string as an array
+    * column; strings shorter than n yield the whole string as the single
+    * shingle. Used by the exact-Jaccard verification paths — semantics
+    * must stay mirrorable in plain SQL (the dedup oracles recompute it). */
+  def charShingles(c: Column, n: Int): Column =
+    when(length(c) < n, array(c))
+      .otherwise(transform(sequence(lit(1), length(c) - lit(n - 1)),
+        i => c.substr(i, lit(n))))
 }

@@ -146,6 +146,69 @@ object Dedup {
     result
   }
 
+  /** Near-duplicate pairs found via MinHash-LSH candidate generation and
+    * verified by EXACT char-ngram Jaccard (not the signature estimate) —
+    * the oracle-checkable face of the LSH pipeline: the output must equal
+    * the brute-force all-pairs Jaccard graph whenever the banding has
+    * full recall at `threshold`, which a small-sf gate can assert
+    * externally. Returns (src, dst, jaccard) with src < dst. */
+  def minhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                           threshold: Double,
+                           cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, cfg)
+    val cand = candidatePairs(bandRows(sigs, cfg), cfg)
+    val grams = df.select(col(idCol).as("id"),
+      array_distinct(TextFunctions.charShingles(
+        TextFunctions.normalizeForDedup(col(textCol)), cfg.ngram)).as("g"))
+    exactJaccardFilter(cand, grams, threshold)
+  }
+
+  /** Near-duplicate pairs via SimHash banding + Hamming-distance
+    * candidates, verified by exact char-ngram Jaccard. Same
+    * oracle-checkable contract as [[minhashVerifiedPairs]]. */
+  def simhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                           threshold: Double, verifyNgram: Int = 4,
+                           ngram: Int = 2, maxHamming: Int = 3,
+                           maxBucket: Int = 1000): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      HashFunctions.simhash64(TextFunctions.normalizeForDedup(col(textCol)), ngram).as("sig"))
+    val bands = maxHamming + 1
+    val width = 64 / bands
+    val banded = sigs.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        val hi = if (b == bands - 1) 64 - b * width else width
+        struct(lit(b).as("band_id"),
+          shiftrightunsigned(col("sig"), b * width)
+            .bitwiseAND(lit((1L << hi) - 1)).as("band_hash"))
+      }: _*)).as("band"))
+      .select(col("id"), col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
+    val cand = candidatePairs(banded, MinHashConfig(maxBucket = maxBucket))
+    val s1 = sigs.select(col("id").as("src"), col("sig").as("sig1"))
+    val s2 = sigs.select(col("id").as("dst"), col("sig").as("sig2"))
+    val withinHamming = cand.join(s1, "src").join(s2, "dst")
+      .where(bit_count(col("sig1").bitwiseXOR(col("sig2"))) <= maxHamming)
+      .select("src", "dst")
+    val grams = df.select(col(idCol).as("id"),
+      array_distinct(TextFunctions.charShingles(
+        TextFunctions.normalizeForDedup(col(textCol)), verifyNgram)).as("g"))
+    exactJaccardFilter(withinHamming, grams, threshold)
+  }
+
+  /** Keep only candidate pairs whose exact shingle-set Jaccard reaches
+    * `threshold`; emits the jaccard value (plain int-ratio arithmetic, so
+    * an external SQL engine reproduces it bit-for-bit). */
+  private def exactJaccardFilter(pairs: DataFrame, grams: DataFrame,
+                                 threshold: Double): DataFrame = {
+    val g1 = grams.select(col("id").as("src"), col("g").as("g1"))
+    val g2 = grams.select(col("id").as("dst"), col("g").as("g2"))
+    pairs.join(g1, "src").join(g2, "dst")
+      .withColumn("jaccard",
+        size(array_intersect(col("g1"), col("g2"))).cast("double")
+          / size(array_union(col("g1"), col("g2"))))
+      .where(col("jaccard") >= threshold)
+      .select("src", "dst", "jaccard")
+  }
+
   /** SimHash near-dedup: 64-bit simhash, 4×16-bit band blocking, Hamming
     * distance <= maxHamming verification (classic Charikar'02 /
     * Manku et al. WWW'07 construction — public algorithms). */

@@ -69,25 +69,34 @@ object Similarity {
   }
 
   /** Approximate top-k via sign-LSH: queries and corpus are bucketed by
-    * [[signBucket]]; candidates are corpus rows sharing the bucket, with
-    * optional multi-probe (xor of 1 bit) to improve recall. Scale path:
-    * one equi-join shuffle on the bucket key instead of |Q|×|C|. */
+    * [[signBucket]]; candidates are corpus rows sharing a bucket in any of
+    * `tables` independent hash tables (OR-amplification — the standard
+    * recall lever when neighbor cosines are moderate and a single table's
+    * collision probability is low), with optional multi-probe (xor of 1
+    * bit) on the query side. Scale path: one equi-join shuffle on the
+    * (table, bucket) key instead of |Q|×|C|; corpus rows replicate
+    * `tables` times, queries `tables × (1 + multiProbeBits)` times. */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               queryId: String, corpusId: String, vecCol: String,
               k: Int, planes: Int = 12, seed: Long = 7L,
-              multiProbeBits: Int = 2): DataFrame = {
-    val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("bucket", signBucket(col("cv"), planes, seed))
-    val q0 = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket0", signBucket(col("qv"), planes, seed))
+              multiProbeBits: Int = 2, tables: Int = 1): DataFrame = {
+    def bucketsOf(vec: Column) = array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"), signBucket(vec, planes, seed + t * 1000003L).as("bucket"))
+    }: _*)
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"),
+        explode(bucketsOf(col(vecCol))).as("tb"))
+      .select(col("neighbor_id"), col("cv"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     // multi-probe: original bucket plus buckets at Hamming distance 1
     // for the first `multiProbeBits` planes
     val probes = array((lit(0L) +: (0 until multiProbeBits).map(b => lit(1L << b))): _*)
-    val q = q0.select(col("query_id"), col("qv"), col("bucket0"),
-      explode(probes).as("flip"))
-      .select(col("query_id"), col("qv"),
+    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"),
+        explode(bucketsOf(col(vecCol))).as("tb"))
+      .select(col("query_id"), col("qv"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket0"))
+      .withColumn("flip", explode(probes))
+      .select(col("query_id"), col("qv"), col("tbl"),
         col("bucket0").bitwiseXOR(col("flip")).as("bucket"))
-    val scored = c.join(q, "bucket")
+    val scored = c.join(q, Seq("tbl", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))

@@ -72,6 +72,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhashVerifiedPairs returns exactly the exact-Jaccard pairs") {
+    // brute-force char-5gram Jaccard on the driver as the truth
+    def grams(s: String): Set[String] = {
+      val n = s.trim.toLowerCase.replaceAll("\\s+", " ")
+      if (n.length < 5) Set(n) else n.sliding(5).toSet
+    }
+    val rows = corpus.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> grams(r.getString(1)))
+    val want = (for {
+      (i, gi) <- rows; (j, gj) <- rows if i < j
+      jac = gi.intersect(gj).size.toDouble / gi.union(gj).size if jac >= 0.6
+    } yield (i, j)).toSet
+    val got = Dedup.minhashVerifiedPairs(corpus, "doc_id", "text", threshold = 0.6)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(want.nonEmpty) // the planted dups must actually exercise the path
+  }
+
+  test("simhashVerifiedPairs verified by exact jaccard, bounded by hamming") {
+    val got = Dedup.simhashVerifiedPairs(corpus, "doc_id", "text",
+        threshold = 0.6, maxHamming = 8)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1-2 (near-dup) and 1-3 / 2-3 (exact after normalize) are the true pairs
+    assert(got.contains((1L, 3L)))
+    assert(got.subsetOf(Set((1L, 2L), (1L, 3L), (2L, 3L))))
+  }
+
   test("embedding cosine dedup collapses duplicate vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
