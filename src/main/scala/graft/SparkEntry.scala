@@ -700,6 +700,27 @@ object SparkEntry {
           sum(length(col("text"))).cast("long").as("sum_chars"))
     }),
 
+    // ---------------- BPE tokenizer roundtrip (byte fallback + NFKC) ----------------
+    "k02_bpe_roundtrip" -> ((s, d) => {
+      // decode(encode(t)) must equal the NFKC+flatten normalization of t
+      // for EVERY document (including CJK), and no id may be unk — the
+      // byte-fallback guarantee. The oracle states the invariant.
+      import s.implicits._
+      val t = docs(s, d)
+      val model = BpeTrainer.trainFromCorpus(t, "text", vocabSize = 2000)
+      val bc = s.sparkContext.broadcast(model)
+      BpeTrainer.tokenize(t.select("doc_id", "text"), "text", model)
+        .select(col("doc_id"),
+          BpeTrainer.normalizeForTokenize(col("text")).as("norm"), col("ids"))
+        .as[(Long, String, Seq[Int])]
+        .map { case (id, norm, ids) =>
+          val m = bc.value
+          (id, m.decode(ids) == norm, ids.count(_ == BpeTrainer.UnkId).toLong)
+        }
+        .toDF("doc_id", "roundtrip_ok", "n_unk")
+        .orderBy("doc_id")
+    }),
+
     // ---------------- packing (reference K3 semantics, 1-partition parity) ----------------
     "k01_pack_conservation" -> ((s, d) => {
       val toks = docs(s, d).select(col("doc_id"),
@@ -1255,7 +1276,13 @@ object SparkEntry {
 
     "k01_pack_conservation" ->
       """SELECT CAST(sum(cnt + 1) // 512 AS BIGINT) AS n_chunks
-         FROM (SELECT len(string_split_regex(trim(text), '\s+')) AS cnt FROM documents)"""
+         FROM (SELECT len(string_split_regex(trim(text), '\s+')) AS cnt FROM documents)""",
+
+    // Tokenizer invariant gate: lossless roundtrip and zero unk on every
+    // document — byte fallback must cover the full corpus alphabet.
+    "k02_bpe_roundtrip" ->
+      """SELECT doc_id, CAST(1 AS BOOLEAN) AS roundtrip_ok, CAST(0 AS BIGINT) AS n_unk
+         FROM documents ORDER BY doc_id"""
   )
 
   // Escaped-for-SQL-single-quoted-literal pattern strings (no quotes in

@@ -22,18 +22,34 @@ import scala.collection.mutable
 object BpeTrainer {
 
   val UnkId = 0; val BosId = 1; val EosId = 2; val PadId = 3
+  /** Byte-fallback tokens <0x00>..<0xFF> occupy ids 4..259 (SentencePiece
+    * byte_fallback convention, reference: tokenizer/train.py:111-134):
+    * any character outside the trained alphabet encodes as its UTF-8
+    * bytes, so NO input ever maps to unk. */
+  val ByteIdBase = 4
+  val FirstSymbolId: Int = ByteIdBase + 256
   private val EndOfWord = "</w>"
+
+  /** Split into per-code-point strings (NOT UTF-16 chars: a surrogate
+    * pair like an emoji must stay one symbol or byte fallback would
+    * UTF-8-encode lone surrogates as replacement chars). */
+  private def codePointSymbols(word: String): Vector[String] =
+    word.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
 
   case class BpeModel(merges: Seq[(String, String)], vocab: Map[String, Int])
       extends Serializable {
     @transient private lazy val mergeRank: Map[(String, String), Int] =
       merges.zipWithIndex.toMap
+    @transient private lazy val idToSymbol: Map[Int, String] =
+      vocab.map(_.swap)
 
     /** Greedy standard BPE encode of one word: start from characters
-      * (+ end-of-word marker), repeatedly apply the lowest-rank merge. */
+      * (+ end-of-word marker), repeatedly apply the lowest-rank merge.
+      * Symbols absent from the vocab fall back to their UTF-8 bytes —
+      * never unk. */
     def encodeWord(word: String): Seq[Int] = {
       if (word.isEmpty) return Seq.empty
-      var parts: Vector[String] = word.map(_.toString).toVector :+ EndOfWord
+      var parts: Vector[String] = codePointSymbols(word) :+ EndOfWord
       var done = false
       while (!done && parts.length > 1) {
         var bestRank = Int.MaxValue
@@ -49,7 +65,38 @@ object BpeTrainer {
         else parts = (parts.take(bestIdx) :+ (parts(bestIdx) + parts(bestIdx + 1))) ++
           parts.drop(bestIdx + 2)
       }
-      parts.map(p => vocab.getOrElse(p, UnkId))
+      parts.flatMap { p =>
+        vocab.get(p) match {
+          case Some(id) => Seq(id)
+          case None => p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            .toSeq.map(b => ByteIdBase + (b & 0xff))
+        }
+      }
+    }
+
+    /** Inverse of [[encodeText]]: symbols concatenate, byte-fallback runs
+      * UTF-8-decode, end-of-word markers become spaces. Lossless for any
+      * input (the roundtrip gate asserts decode(encode(t)) == t). */
+    def decode(ids: Seq[Int]): String = {
+      val sb = new StringBuilder
+      val bytes = new scala.collection.mutable.ArrayBuffer[Byte]()
+      def flushBytes(): Unit = if (bytes.nonEmpty) {
+        sb.append(new String(bytes.toArray, java.nio.charset.StandardCharsets.UTF_8))
+        bytes.clear()
+      }
+      ids.foreach { id =>
+        if (id >= ByteIdBase && id < FirstSymbolId) bytes += (id - ByteIdBase).toByte
+        else {
+          flushBytes()
+          val sym = idToSymbol.getOrElse(id, "")
+          if (sym.endsWith(EndOfWord))
+            sb.append(sym.dropRight(EndOfWord.length)).append(' ')
+          else if (sym == "<unk>" || sym == "<bos>" || sym == "<eos>" || sym == "<pad>") ()
+          else sb.append(sym)
+        }
+      }
+      flushBytes()
+      sb.toString.stripSuffix(" ")
     }
 
     @transient private lazy val wordCache =
@@ -76,9 +123,9 @@ object BpeTrainer {
   def train(wordFreqs: Seq[(String, Long)], vocabSize: Int): BpeModel = {
     // words as symbol sequences with the end-of-word marker
     var words: Array[(Array[String], Long)] =
-      wordFreqs.map { case (w, f) => (w.map(_.toString).toArray :+ EndOfWord, f) }.toArray
+      wordFreqs.map { case (w, f) => ((codePointSymbols(w) :+ EndOfWord).toArray, f) }.toArray
     val baseSymbols = mutable.LinkedHashSet[String](EndOfWord)
-    wordFreqs.foreach(_._1.foreach(c => baseSymbols += c.toString))
+    wordFreqs.foreach(wf => codePointSymbols(wf._1).foreach(baseSymbols += _))
 
     val merges = mutable.ArrayBuffer[(String, String)]()
     val maxMerges = math.max(0, vocabSize - 4 - baseSymbols.size)
@@ -116,10 +163,18 @@ object BpeTrainer {
     }
 
     val symbols = (baseSymbols.toSeq ++ merges.map(m => m._1 + m._2)).distinct
+    val byteTokens = (0 until 256).map(b => f"<0x$b%02X>" -> (ByteIdBase + b))
     val vocab = Map("<unk>" -> UnkId, "<bos>" -> BosId, "<eos>" -> EosId, "<pad>" -> PadId) ++
-      symbols.zipWithIndex.map { case (s, i) => s -> (i + 4) }
+      byteTokens ++
+      symbols.zipWithIndex.map { case (s, i) => s -> (i + FirstSymbolId) }
     BpeModel(merges.toSeq, vocab)
   }
+
+  /** The normalization every text crosses before training or encoding:
+    * Unicode NFKC (the reference's nmt_nfkc rule — full-width forms,
+    * ligatures compose) then whitespace-flatten + lowercase. */
+  def normalizeForTokenize(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    TextFunctions.normalizeForDedup(graft.functions.HashFunctions.normalizeNfkc(c))
 
   /** Distributed word counting → driver merge loop. `maxWords` bounds
     * the frequency table (the long tail below it cannot affect early
@@ -127,7 +182,7 @@ object BpeTrainer {
   def trainFromCorpus(df: DataFrame, textCol: String, vocabSize: Int,
                       maxWords: Int = 100000): BpeModel = {
     val freqs = df
-      .select(explode(split(TextFunctions.normalizeForDedup(col(textCol)), " ")).as("w"))
+      .select(explode(split(normalizeForTokenize(col(textCol)), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("f"))
       .orderBy(desc("f"), asc("w"))
@@ -142,7 +197,7 @@ object BpeTrainer {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
-    val withNorm = df.withColumn("__norm", TextFunctions.normalizeForDedup(col(textCol)))
+    val withNorm = df.withColumn("__norm", normalizeForTokenize(col(textCol)))
     val enc = org.apache.spark.sql.Encoders.row(
       org.apache.spark.sql.types.StructType(withNorm.schema.fields.filterNot(_.name == "__norm") :+
         org.apache.spark.sql.types.StructField("ids",

@@ -16,15 +16,40 @@ class BpeTrainerSpec extends SparkSpec {
     assert(first._1 + first._2 == "es" || first._1 + first._2 == "st", s"first=$first")
   }
 
-  test("encode reconstructs words from learned subwords; OOV chars -> unk") {
+  test("encode reconstructs words from learned subwords; OOV chars -> byte fallback, never unk") {
     val freqs = Seq("hello" -> 10L, "help" -> 8L, "world" -> 7L)
-    val m = BpeTrainer.train(freqs, vocabSize = 60)
-    val inv = m.vocab.map(_.swap)
-    def decode(ids: Seq[Int]) = ids.map(inv).mkString.replace("</w>", "")
-    assert(decode(m.encodeWord("hello")) == "hello")
-    assert(decode(m.encodeWord("help")) == "help")
-    // word with a char never seen in training
-    assert(m.encodeWord("héllo").contains(BpeTrainer.UnkId))
+    val m = BpeTrainer.train(freqs, vocabSize = 320)
+    assert(m.decode(m.encodeWord("hello")) == "hello")
+    assert(m.decode(m.encodeWord("help")) == "help")
+    // chars never seen in training encode as UTF-8 byte tokens and decode
+    // back losslessly — the SentencePiece byte_fallback contract
+    val oov = m.encodeWord("héllo")
+    assert(!oov.contains(BpeTrainer.UnkId))
+    assert(oov.exists(id => id >= BpeTrainer.ByteIdBase && id < BpeTrainer.FirstSymbolId))
+    assert(m.decode(oov) == "héllo")
+  }
+
+  test("byte fallback roundtrips arbitrary UTF-8 (CJK, emoji, ligatures) with zero unk") {
+    val m = BpeTrainer.train(Seq("plain" -> 3L), vocabSize = 300)
+    for (s <- Seq("漢字テスト", "héllo wörld", "emoji 🙂 test", "ﬁligature")) {
+      val ids = s.split("\\s+").toSeq.flatMap(m.encodeWord)
+      assert(!ids.contains(BpeTrainer.UnkId), s"unk in $s")
+      assert(m.decode(ids) == s, s"roundtrip of $s")
+    }
+  }
+
+  test("NFKC normalization is applied before training and tokenize") {
+    // full-width latin and the ﬁ ligature must compose to ascii, so the
+    // full-width corpus trains the SAME model as its ascii form and both
+    // spellings encode identically
+    val ascii = Seq((1L, "file fight file")).toDF("doc_id", "text")
+    val wide = Seq((1L, "ﬁle ﬁght ﬁle")).toDF("doc_id", "text") // U+FB01 ligature
+    val mAscii = BpeTrainer.trainFromCorpus(ascii, "text", vocabSize = 300)
+    val mWide = BpeTrainer.trainFromCorpus(wide, "text", vocabSize = 300)
+    assert(mAscii.merges == mWide.merges)
+    val outAscii = BpeTrainer.tokenize(ascii, "text", mAscii).select("ids").head.getSeq[Int](0)
+    val outWide = BpeTrainer.tokenize(wide, "text", mAscii).select("ids").head.getSeq[Int](0)
+    assert(outAscii == outWide && outAscii.nonEmpty)
   }
 
   test("frequent whole words collapse to few tokens, rare words to more") {
