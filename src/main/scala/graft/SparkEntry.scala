@@ -412,6 +412,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d19_dup_lines" -> ((s, d) => {
+      // The synthetic corpus has no newlines, so the dup-line judge branch
+      // (F6) can only be exercised on synthesized multi-line docs: even
+      // doc_ids get a 6-line text with lines repeating (ratio 5/6 > 0.3 ->
+      // dup_lines), odd doc_ids get 6 distinct lines (-> ok). Thresholds
+      // neutralize every earlier branch so this query isolates F6/F7's
+      // dup path; the oracle recomputes the same trim/drop-blank/count
+      // semantics in SQL.
+      def sl(i: Int) = substring(col("text"), 1 + (i - 1) * 8, 8)
+      val synth = when(col("doc_id") % 2 === 0,
+          concat_ws("\n", sl(1), sl(2), sl(1), sl(2), sl(1), sl(3)))
+        .otherwise(concat_ws("\n", sl(1), sl(2), sl(3), sl(4), sl(5), sl(6)))
+      val thr = TextFunctions.CleanThresholds(minChars = 10, maxChars = 100000,
+        minNonWs = 0.0, minAlphaCjk = 0.0, maxPunct = 1.0, maxDupLine = 0.3)
+      docs(s, d).select(col("doc_id"),
+          TextFunctions.judgeReason(synth, thr).as("drop_reason"))
+        .orderBy("doc_id")
+    }),
+
     "d16_bigram_freq" -> ((s, d) =>
       docs(s, d)
         .filter(size(split(TextFunctions.normalizeForDedup(col("text")), " ")) >= 2)
@@ -1013,6 +1032,32 @@ object SparkEntry {
          SELECT f.doc_id, round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS entropy
          FROM f JOIN t ON f.doc_id = t.doc_id
          GROUP BY f.doc_id ORDER BY f.doc_id""",
+
+    // mirrors dupLineRatio exactly: split on \n, trim, drop blanks,
+    // n<5 -> 0, else (#lines occurring >1)/n; earlier judge branches are
+    // threshold-neutralized on the Spark side so only dup_lines/ok remain
+    "d19_dup_lines" ->
+      """WITH s AS (SELECT doc_id,
+             substr(text, 1, 8) AS a, substr(text, 9, 8) AS b,
+             substr(text, 17, 8) AS c, substr(text, 25, 8) AS d,
+             substr(text, 33, 8) AS e, substr(text, 41, 8) AS f
+           FROM documents),
+         synth AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+             THEN a || chr(10) || b || chr(10) || a || chr(10) || b || chr(10) || a || chr(10) || c
+             ELSE a || chr(10) || b || chr(10) || c || chr(10) || d || chr(10) || e || chr(10) || f
+           END AS t FROM s),
+         lin AS (SELECT doc_id,
+             list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+               x -> length(x) > 0) AS ls
+           FROM synth),
+         m AS (SELECT doc_id, ls, len(ls) AS n FROM lin),
+         dup AS (SELECT doc_id, n,
+             CASE WHEN n < 5 THEN 0.0
+                  ELSE len(list_filter(ls, x -> len(list_filter(ls, y -> y = x)) > 1)) * 1.0 / n
+             END AS ratio
+           FROM m)
+         SELECT doc_id, CASE WHEN ratio > 0.3 THEN 'dup_lines' ELSE 'ok' END AS drop_reason
+         FROM dup ORDER BY doc_id""",
 
     "d16_bigram_freq" ->
       """WITH t AS (SELECT string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w

@@ -259,35 +259,73 @@ object PipelineSteps {
   }
 
   /** export: packed parquet → one flat little-endian binary of token ids
-    * (reference: src/llm_data_pipeline/export/run.py:36-163), with the
-    * uint16 bounds check as a single max aggregate
-    * (reference: export/run.py:125-127) instead of per-chunk checks. */
+    * (reference: src/llm_data_pipeline/export/run.py:36-163).
+    *
+    * Executor-parallel: chunks are range-partitioned on the global
+    * (part_id, chunk_in_part) order, each task streams its partition to
+    * one shard file, and the driver concatenates shards in partition
+    * order — byte-identical to a single driver-side stream but the
+    * encoding work (the actual CPU) runs on executors, and the driver
+    * touches only finished bytes. A manifest records the shard layout so
+    * a consumer can also read the shards directly without the concat.
+    * (At cluster scale the shard dir must be shared storage.)
+    *
+    * uint16 bounds: the reference WARNS and wraps (numpy astype;
+    * reference: export/run.py:125-127) — mirrored here, `toShort` wraps
+    * identically mod 65536. */
   case class ExportStep() extends Step {
     val name = "export"
     def run(spark: SparkSession, cfg: PipelineConfig): StepStats = {
+      import spark.implicits._
       val in = readStep(spark, cfg, name)
-      val flat = in.orderBy("part_id", "chunk_in_part").select(col("input_ids"))
       if (cfg.exportDtype == "uint16") {
-        // reference semantics: ids must be < 65535 for uint16 export
-        // (reference: src/llm_data_pipeline/export/run.py:125-127)
         val row = in.agg(max(array_max(col("input_ids")))).head()
-        if (!row.isNullAt(0))
-          require(row.getInt(0) < 65535, s"token id ${row.getInt(0)} exceeds uint16 range")
+        if (!row.isNullAt(0) && row.getInt(0) >= 65535)
+          System.err.println(
+            s"[graft] WARNING: token id ${row.getInt(0)} >= 65535 exported as uint16 (wraps)")
       }
       val outPath = s"${cfg.outputBase}/export_tokens.bin"
+      val shardDir = new java.io.File(s"${cfg.outputBase}/export_tokens.shards")
+      shardDir.mkdirs()
+      shardDir.listFiles().foreach(f => if (f.getName.endsWith(".bin")) f.delete())
+      val shardPath = shardDir.getAbsolutePath
+      val uint16 = cfg.exportDtype == "uint16"
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val flat = in.select(col("part_id"), col("chunk_in_part"), col("input_ids"))
+        .repartitionByRange(parts, col("part_id"), col("chunk_in_part"))
+        .sortWithinPartitions("part_id", "chunk_in_part")
+        .select(col("input_ids"))
+      val shardStats = flat.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val f = new java.io.File(shardPath, f"part-$pid%05d.bin")
+        val os = new BufferedOutputStream(new FileOutputStream(f), 1 << 20)
+        var n = 0L
+        it.foreach { r =>
+          val ids = r.getSeq[Int](0)
+          val bb = ByteBuffer.allocate(ids.length * (if (uint16) 2 else 4))
+            .order(ByteOrder.LITTLE_ENDIAN)
+          ids.foreach { i => if (uint16) bb.putShort(i.toShort) else bb.putInt(i) }
+          os.write(bb.array())
+          n += ids.length
+        }
+        os.close()
+        Iterator((pid, n, f.length()))
+      }.collect().sortBy(_._1)
+      // ordered concat + manifest; shards stay for direct sharded reads
       val os = new BufferedOutputStream(new FileOutputStream(outPath), 1 << 20)
-      var n = 0L
-      val it = flat.toLocalIterator()
-      while (it.hasNext) {
-        val ids = it.next().getSeq[Int](0)
-        val bb = ByteBuffer.allocate(ids.length * (if (cfg.exportDtype == "uint16") 2 else 4))
-          .order(ByteOrder.LITTLE_ENDIAN)
-        ids.foreach { i => if (cfg.exportDtype == "uint16") bb.putShort(i.toShort) else bb.putInt(i) }
-        os.write(bb.array())
-        n += ids.length
+      shardStats.foreach { case (pid, _, _) =>
+        java.nio.file.Files.copy(
+          new java.io.File(shardPath, f"part-$pid%05d.bin").toPath, os)
       }
       os.close()
-      StepStats(name, -1, n, 0, Map("dtype" -> cfg.exportDtype, "path" -> outPath))
+      val manifest = shardStats.map { case (pid, n, bytes) =>
+        f"""{"shard":"part-$pid%05d.bin","tokens":$n%d,"bytes":$bytes%d}"""
+      }.mkString("[", ",", "]")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(shardPath, "manifest.json"), manifest)
+      val n = shardStats.map(_._2).sum
+      StepStats(name, -1, n, 0, Map("dtype" -> cfg.exportDtype, "path" -> outPath,
+        "shards" -> shardStats.length.toString))
     }
   }
 

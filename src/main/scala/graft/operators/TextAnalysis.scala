@@ -18,18 +18,51 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Per-language stopword evidence for the heuristic LID. */
+  /** Per-language stopword evidence for the table-driven LID scorer.
+    * ASCII-only terms by design: both Spark (Java regex) and the SQL
+    * oracle (RE2) treat `\b` with ASCII word chars, so an accented final
+    * letter would silently kill the boundary match in BOTH engines.
+    * zh is handled by the CJK-ratio gate, not this table. */
   val LangStopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is", "that", "with", "for"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit"),
     "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans"),
-    "es" -> Seq("el", "los", "las", "es", "una", "que", "para"))
+    "es" -> Seq("el", "los", "las", "es", "una", "que", "para"),
+    "it" -> Seq("il", "della", "che", "per", "con", "sono", "di"),
+    "pt" -> Seq("como", "mais", "dos", "ele", "isso", "muito", "sem"),
+    "nl" -> Seq("het", "een", "van", "niet", "zijn", "voor", "ook"),
+    "sv" -> Seq("och", "att", "som", "detta", "vilket", "inte", "har"))
+
+  /** Persist a scorer table as a parquet artifact (lang, terms) — the
+    * deployment seam for a trained replacement: ship a different artifact,
+    * `loadScorerTable` it, and every LID call site picks it up without a
+    * code change (the reference's swappable lid.176.bin plays this role,
+    * reference: src/llm_data_pipeline/quality/model.py:267-340). */
+  def writeScorerTable(spark: org.apache.spark.sql.SparkSession, path: String,
+                       table: Seq[(String, Seq[String])] = LangStopwords): Unit = {
+    import spark.implicits._
+    // priority carries the argmax tie-break order explicitly — row order
+    // inside a parquet file is not a contract
+    table.zipWithIndex.map { case ((l, ts), i) => (l, ts, i) }
+      .toDF("lang", "terms", "priority")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a scorer table artifact; tiny by construction (one row per
+    * language), collected once on the driver and folded into the codegen'd
+    * scorer expression — the broadcast is the expression itself. */
+  def loadScorerTable(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Seq[(String, Seq[String])] =
+    spark.read.parquet(path).select("lang", "terms", "priority").collect()
+      .sortBy(_.getInt(2))
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toSeq
 
   /** Heuristic language-ID label: CJK-ratio gate for zh, else the
-    * stopword-evidence argmax with deterministic tie-break (declaration
-    * order above), "und" when no evidence. */
-  def langIdLabel(text: Column): Column = {
-    val hits = LangStopwords.map { case (lang, sw) =>
+    * stopword-evidence argmax with deterministic tie-break (table order),
+    * "und" when no evidence. */
+  def langIdLabel(text: Column,
+                  table: Seq[(String, Seq[String])] = LangStopwords): Column = {
+    val hits = table.map { case (lang, sw) =>
       lang -> TextFunctions.stopwordHits(text, sw)
     }
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
@@ -42,8 +75,9 @@ object TextAnalysis {
   }
 
   /** LID score in [0,1]: normalized stopword-evidence margin. */
-  def langIdScore(text: Column): Column = {
-    val hits = LangStopwords.map { case (_, sw) => TextFunctions.stopwordHits(text, sw) }
+  def langIdScore(text: Column,
+                  table: Seq[(String, Seq[String])] = LangStopwords): Column = {
+    val hits = table.map { case (_, sw) => TextFunctions.stopwordHits(text, sw) }
     val best = hits.reduce((a, b) => greatest(a, b)).cast("double")
     val total = hits.reduce((a, b) => a + b).cast("double")
     round(when(total === 0, 0.0).otherwise(best / total), 6)

@@ -9,6 +9,7 @@ import java.io.{ByteArrayOutputStream, FileOutputStream}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path}
 import java.util.zip.GZIPOutputStream
+import scala.jdk.CollectionConverters._
 
 /** Golden end-to-end: synthetic WET fixture → all nine steps → packed
   * binary, asserting schema/row contracts per stage (SURVEY §5 plan). */
@@ -136,6 +137,16 @@ class PipelineSpec extends SparkSpec {
     val bytes = Files.readAllBytes(Path.of(s"$outBase/export_tokens.bin"))
     val decoded = bytes.grouped(2).map(b => ((b(0) & 0xff) | ((b(1) & 0xff) << 8))).toArray
     assert(decoded.toSeq == allIds.toSeq)
+    // executor-side shards + manifest: concat of shards in partition order
+    // must equal the final file byte-for-byte
+    val shardDir = Path.of(s"$outBase/export_tokens.shards")
+    val shardFiles = Files.list(shardDir).iterator().asScala.toSeq
+      .filter(_.toString.endsWith(".bin")).sortBy(_.getFileName.toString)
+    assert(shardFiles.nonEmpty)
+    val shardConcat = shardFiles.flatMap(p => Files.readAllBytes(p).toSeq)
+    assert(shardConcat == bytes.toSeq, "shard concat != export file")
+    val manifest = Files.readString(shardDir.resolve("manifest.json"))
+    assert(manifest.contains("\"tokens\":") && manifest.startsWith("["))
 
     // stats json checkpoint exists and is valid-ish
     val js = Files.readString(Path.of(s"$outBase/pipeline_stats.json"))

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Table-driven language-ID scorer: 8 Latin-script languages + the CJK
+  * gate, and the parquet-artifact seam for a trained replacement. */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val samples = Seq(
+    ("en", "the cat is on the mat and that is fine for everyone with time"),
+    ("de", "der hund und die katze sind nicht mit dem mann der das sagt"),
+    ("fr", "le chien et la maison est une merveille dans les rues et le soir"),
+    ("es", "el perro es una maravilla para los gatos y las casas que vemos"),
+    ("it", "il cane che corre per la strada con il gatto sono di roma della citta"),
+    ("pt", "ele gosta mais dos livros como isso sem muito esforco e muito bom"),
+    ("nl", "het huis is een plek van de mensen die niet zijn voor ook maar iets"),
+    ("sv", "och att det som detta inte har vilket man och att som detta har"),
+    ("zh", "这是一个中文测试文档，其中包含了足够多的汉字内容来触发中日韩检测。"))
+
+  test("classifies 9 languages (8 table-driven + CJK gate) correctly") {
+    val df = samples.toDF("lang", "text")
+      .select(col("lang"), TextAnalysis.langIdLabel(col("text")).as("pred"))
+    df.collect().foreach(r =>
+      assert(r.getString(1) == r.getString(0), s"expected ${r.getString(0)}"))
+  }
+
+  test("scorer-table parquet artifact roundtrips and drives identical predictions") {
+    val path = Files.createTempDirectory("lidmodel").toString + "/table"
+    TextAnalysis.writeScorerTable(spark, path)
+    val loaded = TextAnalysis.loadScorerTable(spark, path)
+    assert(loaded.toMap == TextAnalysis.LangStopwords.toMap)
+    val df = samples.toDF("lang", "text")
+    val a = df.select(TextAnalysis.langIdLabel(col("text"))).collect().map(_.getString(0)).toSeq
+    val b = df.select(TextAnalysis.langIdLabel(col("text"), loaded)).collect().map(_.getString(0)).toSeq
+    assert(a == b)
+  }
+
+  test("a swapped artifact changes the scorer without code change") {
+    val path = Files.createTempDirectory("lidmodel2").toString + "/table"
+    TextAnalysis.writeScorerTable(spark, path,
+      Seq("xx" -> Seq("zorp", "blat"), "en" -> Seq("the", "and")))
+    val loaded = TextAnalysis.loadScorerTable(spark, path)
+    val pred = Seq(("t1", "zorp blat zorp")).toDF("id", "text")
+      .select(TextAnalysis.langIdLabel(col("text"), loaded)).head.getString(0)
+    assert(pred == "xx")
+  }
+
+  test("no-evidence text maps to und") {
+    val pred = Seq(("t1", "qqqq wwww zzzz 12345")).toDF("id", "text")
+      .select(TextAnalysis.langIdLabel(col("text"))).head.getString(0)
+    assert(pred == "und")
+  }
+}
