@@ -393,22 +393,31 @@ object SparkEntry {
     }),
 
     "d15_char_entropy" -> ((s, d) => {
-      // Per-row entropy with zero shuffle: the char-frequency histogram of
-      // each doc is built and folded entirely inside one projection
-      // (aggregate over distinct chars), so shuffle volume is 0 instead of
-      // one row per corpus character. O(distinct * len) per doc; distinct
-      // is bounded by the alphabet, not the doc length.
+      // Per-row entropy with zero shuffle: sort the chars of each doc and
+      // derive run lengths from run-start positions — O(n log n) per doc
+      // in pure array expressions, vs one shuffled row per corpus char in
+      // the naive plan (and vs O(distinct*n) array scans for the
+      // filter-per-distinct-char variant).
       val staged = docs(s, d).select(col("doc_id"),
         filter(split(col("text"), ""), c => length(c) > lit(0)).as("chs"))
-      val n = size(col("chs")).cast("double")
-      val entropy = aggregate(
-        array_distinct(col("chs")),
-        lit(0.0d),
-        (acc, ch) => {
-          val p = size(filter(col("chs"), x => x === ch)).cast("double") / n
-          acc + p * log(p)
-        })
-      staged.select(col("doc_id"), round(-entropy, 6).as("entropy"))
+      val sortedDf = staged.select(col("doc_id"),
+        array_sort(col("chs")).as("sc"), size(col("chs")).as("n"))
+      val starts = filter(sequence(lit(1), col("n")),
+        i => i === 1 || element_at(col("sc"), i) =!= element_at(col("sc"), i - 1))
+      val withStarts = sortedDf.select(col("doc_id"), col("n"),
+        when(col("n") === 0, array().cast("array<int>")).otherwise(starts).as("st"))
+      val lens = zip_with(
+        col("st"),
+        concat(slice(col("st"), lit(2), greatest(size(col("st")) - 1, lit(0))),
+          array(col("n") + 1)),
+        (a, b) => b - a)
+      val entropy = aggregate(lens, lit(0.0d), (acc, c) => {
+        val p = c.cast("double") / col("n")
+        acc + p * log(p)
+      })
+      withStarts.select(col("doc_id"),
+          when(col("n") === 0, lit(0.0))
+            .otherwise(round(-entropy, 6)).as("entropy"))
         .orderBy("doc_id")
     }),
 

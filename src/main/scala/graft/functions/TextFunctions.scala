@@ -132,6 +132,7 @@ object TextFunctions {
     size(regexp_extract_all(lower(c), lit(pat), lit(0)))
   }
 
+
   /** English stopwords for the heuristic scorer. */
   val EnStopwords: Seq[String] =
     Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "with")

@@ -156,7 +156,15 @@ object Dedup {
                            threshold: Double,
                            cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, cfg)
-    val cand = candidatePairs(bandRows(sigs, cfg), cfg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Signature-estimate prefilter before the exact verify: LSH banding
+    // over templated corpora floods candidates (hot buckets), and each
+    // exact check joins two ~KB shingle arrays — the 128-int estimate
+    // compare costs ~nothing and a true pair at J>=t has estimate below
+    // t-0.25 with probability ~1e-13 (binomial over 128 permutations),
+    // so the prefilter is lossless in every practical sense.
+    val cand = verifyPairs(candidatePairs(bandRows(sigs, cfg), cfg), sigs,
+      math.max(0.0, threshold - 0.25))
     val grams = df.select(col(idCol).as("id"),
       array_distinct(TextFunctions.charShingles(
         TextFunctions.normalizeForDedup(col(textCol)), cfg.ngram)).as("g"))

@@ -62,6 +62,10 @@ object TextAnalysis {
     * "und" when no evidence. */
   def langIdLabel(text: Column,
                   table: Seq[(String, Seq[String])] = LangStopwords): Column = {
+    // per-language regex scan: measured FASTER than an alpha-run split +
+    // set probes, because higher-order-function lambdas are interpreted
+    // (no codegen/CSE) so the shared token array gets re-evaluated per
+    // language, while each regex scan is a single codegen'd pass
     val hits = table.map { case (lang, sw) =>
       lang -> TextFunctions.stopwordHits(text, sw)
     }
