@@ -109,13 +109,23 @@ object Bench {
     val bpeSec = (System.nanoTime() - t2) / 1e9
     val bpeTokensPerSec = (bpeTokens / bpeSec).toLong
 
+    // --- M5 tokenizer comparison report: ours (BPE) vs the word-vocab
+    // baseline over the identical corpus — token ratio, chars/token and
+    // savings, the reference's compare.py metrics re-expressed for the
+    // two tokenizers this engine ships (reference: src/llm_data_pipeline/
+    // tokenizer/compare.py:38-141).
+    val totalChars = corpus.map(_.length.toLong).reduce(_ + _)
+    val bpePerWordRatio = if (totalTokens > 0) bpeTokens.toDouble / totalTokens else 0.0
+    val bpeCharsPerToken = if (bpeTokens > 0) totalChars.toDouble / bpeTokens else 0.0
+    val wordCharsPerToken = if (totalTokens > 0) totalChars.toDouble / totalTokens else 0.0
+
     corpus.unpersist(); docs.unpersist()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"tokenize_tokens":$totalTokens,"tokenize_sec":$tokSec,"tokens_per_sec":$tokensPerSec,"minhash_docs":$nSigs,"minhash_sec":$mhSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens":$bpeTokens,"bpe_sec":$bpeSec,"bpe_tokens_per_sec":$bpeTokensPerSec}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"tokenize_tokens":$totalTokens,"tokenize_sec":$tokSec,"tokens_per_sec":$tokensPerSec,"minhash_docs":$nSigs,"minhash_sec":$mhSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens":$bpeTokens,"bpe_sec":$bpeSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"compare_corpus_chars":$totalChars,"compare_bpe_per_word_ratio":$bpePerWordRatio,"compare_bpe_chars_per_token":$bpeCharsPerToken,"compare_word_chars_per_token":$wordCharsPerToken}""")
     spark.stop()
   }
 }

@@ -494,6 +494,33 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "x06_source_jaccard" -> ((s, d) => {
+      // EXACT corpus-level source similarity: J(A,B) over the union of
+      // each source's distinct char-5gram sets, computed distributed
+      // (explode -> distinct (source,gram) -> equi-join on gram ->
+      // count), no collect. Complements x05's one-pass MinHash-union
+      // sketch: same question, exact answer — and the oracle-checkable
+      // yardstick for the sketch's estimates. Scale note: fanout of the
+      // gram join is #sources-sharing-a-gram per gram; with corpus-level
+      // source counts (1e2..1e3) that is bounded, unlike a doc-level join.
+      val grams = docs(s, d).select(col("source"), explode(array_distinct(
+          TextFunctions.charShingles(
+            TextFunctions.normalizeForDedup(col("text")), 5))).as("g"))
+        .distinct()
+      val sizes = grams.groupBy("source").agg(count(lit(1)).as("sz"))
+      val a = grams.select(col("source").as("sa"), col("g"))
+      val b = grams.select(col("source").as("sb"), col("g"))
+      val inter = a.join(b, "g").where(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("source").as("sa"), col("sz").as("za")), "sa")
+        .join(sizes.select(col("source").as("sb"), col("sz").as("zb")), "sb")
+        .select(col("sa"), col("sb"),
+          round(col("inter").cast("double")
+            / (col("za") + col("zb") - col("inter")), 6).as("jaccard"))
+        .orderBy("sa", "sb")
+    }),
+
     // ---------------- similarity search ----------------
     "e01_cosine_knn" -> ((s, d) => {
       val e = emb(s, d)
@@ -1131,6 +1158,18 @@ object SparkEntry {
            round(sum(a.c * b.c) / (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))), 4) AS cos
          FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
          GROUP BY a.label, b.label ORDER BY la, lb""",
+
+    "x06_source_jaccard" ->
+      """WITH n AS (SELECT source, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+           FROM documents),
+         g AS (SELECT DISTINCT source, unnest(list_distinct(CASE WHEN length(s) < 5 THEN [s]
+               ELSE list_transform(range(1, length(s)-3), i -> s[i:i+4]) END)) AS g FROM n),
+         z AS (SELECT source, count(*) AS sz FROM g GROUP BY source),
+         i AS (SELECT a.source AS sa, b.source AS sb, count(*) AS inter
+               FROM g a JOIN g b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
+         SELECT sa, sb, round(inter * 1.0 / (za.sz + zb.sz - inter), 6) AS jaccard
+         FROM i JOIN z za ON i.sa = za.source JOIN z zb ON i.sb = zb.source
+         ORDER BY sa, sb""",
 
     // Brute-force all-pairs exact-Jaccard rebuild of the LSH-verified
     // pair graph. The length prefilter is lossless: J(A,B) >= t implies
