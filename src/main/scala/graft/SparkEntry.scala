@@ -460,11 +460,14 @@ object SparkEntry {
         .orderBy("src", "dst")),
 
     "x02_simhash_dedup" -> ((s, d) =>
-      // maxHamming=8 (9 pigeonhole bands): the measured Hamming ceiling of
-      // the exact-Jaccard>=0.8 pairs on this corpus; smaller budgets miss
-      // real near-dups, which the brute-force oracle would expose
+      // maxHamming=8: the measured Hamming ceiling of the exact-Jaccard
+      // >=0.8 pairs on this corpus (smaller budgets miss real near-dups,
+      // which the brute-force oracle would expose). blocks=10: Manku
+      // block-combination banding — 45 tables of ~13-bit keys instead of
+      // 9 tables of 7-bit keys, ~11x fewer random bucket collisions at
+      // the same guaranteed recall.
       Dedup.simhashVerifiedPairs(docs(s, d), "doc_id", "text", threshold = 0.8,
-          maxHamming = 8)
+          maxHamming = 8, blocks = 10)
         .select(col("src"), col("dst"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("src", "dst")),
 
@@ -503,15 +506,27 @@ object SparkEntry {
       // yardstick for the sketch's estimates. Scale note: fanout of the
       // gram join is #sources-sharing-a-gram per gram; with corpus-level
       // source counts (1e2..1e3) that is bounded, unlike a doc-level join.
-      val grams = docs(s, d).select(col("source"), explode(array_distinct(
-          TextFunctions.charShingles(
-            TextFunctions.normalizeForDedup(col("text")), 5))).as("g"))
+      // grams travel as xxhash64 longs, not strings: set cardinalities
+      // (and so Jaccard) are preserved modulo 64-bit collisions
+      // (~1e-8 at 1M distinct grams — and the exact oracle would catch
+      // one). Intersections come from ONE shuffle on the gram: each gram
+      // group holds its (bounded, <= #sources) source set and expands
+      // source pairs locally — no second copy of the gram table, no
+      // equi-join.
+      val grams = docs(s, d).select(col("source"), explode(
+          graft.functions.HashFunctions.charShingleHashes(
+            TextFunctions.normalizeForDedup(col("text")), 5)).as("g"))
         .distinct()
       val sizes = grams.groupBy("source").agg(count(lit(1)).as("sz"))
-      val a = grams.select(col("source").as("sa"), col("g"))
-      val b = grams.select(col("source").as("sb"), col("g"))
-      val inter = a.join(b, "g").where(col("sa") < col("sb"))
-        .groupBy("sa", "sb").agg(count(lit(1)).as("inter"))
+      val inter = grams.groupBy("g")
+        .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .where(size(col("ss")) > 1)
+        .select(explode(expr(
+          """flatten(transform(sequence(0, size(ss)-2), i ->
+               transform(slice(ss, i+2, size(ss)), v ->
+                 named_struct('sa', ss[i], 'sb', v))))""")).as("p"))
+        .groupBy(col("p.sa").as("sa"), col("p.sb").as("sb"))
+        .agg(count(lit(1)).as("inter"))
       inter
         .join(sizes.select(col("source").as("sa"), col("sz").as("za")), "sa")
         .join(sizes.select(col("source").as("sb"), col("sz").as("zb")), "sb")

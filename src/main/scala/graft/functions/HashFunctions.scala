@@ -50,6 +50,16 @@ object HashFunctions {
   def simhash64(c: Column, ngram: Int = 2): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c), ngram))
 
+  /** DISTINCT xxh64 hashes of all char n-gram shingles, one byte-wise
+    * pass (array<long>). The fast face of `TextFunctions.charShingles`:
+    * a `substr`-per-index expression is O(len²) per row because
+    * code-point indexing rescans from the string start, which measured
+    * ~14 s over sf0.1 documents vs <1 s here. Distinct-set cardinalities
+    * (and so Jaccard) match the string-shingle sets modulo 64-bit
+    * collisions — which an exact external oracle would expose. */
+  def charShingleHashes(c: Column, ngram: Int): Column =
+    ExpressionUtils.column(CharShingleHashes(ExpressionUtils.expression(c), ngram))
+
   /** SplitMix64 — public-domain mixing function (Steele et al., used as
     * the default stream seeder in java.util.SplittableRandom). */
   private[graft] def splitmix64(z0: Long): Long = {
@@ -183,6 +193,48 @@ case class RollingHash64(child: Expression)
   * [[TextFunctions.normalizeForDedup]] so Catalyst can share that
   * subexpression with other consumers.
   */
+/** Distinct xxh64 hashes of char n-gram shingles (code-point windows
+  * over the UTF-8 bytes, one pass). Strings shorter than n code points
+  * yield the hash of the whole string — mirroring the `[s]` fallback of
+  * the string-shingle definition the dedup oracles use. */
+case class CharShingleHashes(child: Expression, ngram: Int)
+    extends UnaryExpression with RefEvalCodegen {
+  require(ngram > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def javaResultType: String =
+    "org.apache.spark.sql.catalyst.util.ArrayData"
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val offset = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+    val nB = bytes.length
+    // code-point start offsets (one walk; starts(nCp) = end sentinel)
+    val starts = new Array[Int](nB + 1)
+    var nCp = 0
+    var i = 0
+    while (i < nB) {
+      starts(nCp) = i
+      nCp += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    starts(nCp) = nB
+    if (nCp < ngram)
+      return new GenericArrayData(Array(XXH64.hashUnsafeBytes(bytes, offset, nB, 0L)))
+    val seen = new HashFunctions.LongSet(512)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](nCp)
+    var s = 0
+    while (s + ngram <= nCp) {
+      val from = starts(s)
+      val h = XXH64.hashUnsafeBytes(bytes, offset + from, starts(s + ngram) - from, 0L)
+      if (seen.add(h)) out += h
+      s += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): CharShingleHashes = copy(child = c)
+  override def prettyName: String = "char_shingle_hashes"
+}
+
 case class MinHashSignature(child: Expression, k: Int, ngram: Int, seed: Long)
     extends UnaryExpression with RefEvalCodegen {
   require(k > 0 && ngram > 0)

@@ -118,46 +118,91 @@ object BpeTrainer {
       text.split("\\s+").iterator.filter(_.nonEmpty).flatMap(encodeWordCached).toArray
   }
 
+  /** Apply one merge to a symbol sequence, greedy left-to-right. */
+  private def applyMerge(syms: Array[String], a: String, b: String): Array[String] = {
+    val merged = a + b
+    val out = mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += merged; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
   /** The merge loop over a word-frequency table (pure, driver-side —
-    * the table is small by construction). */
+    * the table is small by construction).
+    *
+    * Incremental, like production trainers: pair counts live in a
+    * TreeSet-backed argmax and only the words CONTAINING the merged pair
+    * are recounted per iteration (occurrence index), so a merge costs
+    * O(affected words × their length × log P) instead of a full corpus
+    * rescan — the difference between minutes and hours at the
+    * reference's 32k-vocab scale. Argmax semantics are identical to the
+    * naive loop: max count, ties by lexicographic pair (the equivalence
+    * is property-tested against a naive reference implementation). */
   def train(wordFreqs: Seq[(String, Long)], vocabSize: Int): BpeModel = {
     // words as symbol sequences with the end-of-word marker
-    var words: Array[(Array[String], Long)] =
-      wordFreqs.map { case (w, f) => ((codePointSymbols(w) :+ EndOfWord).toArray, f) }.toArray
+    val words: Array[Array[String]] =
+      wordFreqs.map(wf => (codePointSymbols(wf._1) :+ EndOfWord).toArray).toArray
+    val wfreq: Array[Long] = wordFreqs.map(_._2).toArray
     val baseSymbols = mutable.LinkedHashSet[String](EndOfWord)
     wordFreqs.foreach(wf => codePointSymbols(wf._1).foreach(baseSymbols += _))
+
+    val counts = mutable.HashMap[(String, String), Long]()
+    val occ = mutable.HashMap[(String, String), mutable.HashSet[Int]]()
+    val bestFirst: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long.reverse, Ordering.String, Ordering.String)
+        .on((t: (Long, String, String)) => (t._1, t._2, t._3))
+    val ranked = mutable.TreeSet.empty[(Long, String, String)](bestFirst)
+
+    def bump(p: (String, String), delta: Long): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      val nw = old + delta
+      if (old != 0L) ranked.remove((old, p._1, p._2))
+      if (nw != 0L) { counts(p) = nw; ranked.add((nw, p._1, p._2)) }
+      else counts.remove(p)
+    }
+    def removeWord(wi: Int): Unit = {
+      val syms = words(wi); val f = wfreq(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        bump(p, -f)
+        occ.get(p).foreach { s => s -= wi; if (s.isEmpty && !counts.contains(p)) occ.remove(p) }
+        i += 1
+      }
+    }
+    def addWord(wi: Int): Unit = {
+      val syms = words(wi); val f = wfreq(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        bump(p, f)
+        occ.getOrElseUpdate(p, mutable.HashSet.empty[Int]) += wi
+        i += 1
+      }
+    }
+    words.indices.foreach(addWord)
 
     val merges = mutable.ArrayBuffer[(String, String)]()
     val maxMerges = math.max(0, vocabSize - 4 - baseSymbols.size)
     var iter = 0
     var exhausted = false
     while (iter < maxMerges && !exhausted) {
-      // pair frequencies, weighted by word frequency
-      val pairCounts = mutable.Map[(String, String), Long]()
-      words.foreach { case (syms, f) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val p = (syms(i), syms(i + 1))
-          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + f)
-          i += 1
-        }
-      }
-      if (pairCounts.isEmpty) exhausted = true
+      if (ranked.isEmpty) exhausted = true
       else {
-        // deterministic argmax: max count, ties by lexicographic pair
-        val best = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
-        merges += best
-        val mergedSym = best._1 + best._2
-        words = words.map { case (syms, f) =>
-          val out = mutable.ArrayBuffer[String]()
-          var i = 0
-          while (i < syms.length) {
-            if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
-              out += mergedSym; i += 2
-            } else { out += syms(i); i += 1 }
-          }
-          (out.toArray, f)
+        val (_, a, b) = ranked.head
+        merges += ((a, b))
+        val affected = occ.getOrElse((a, b), mutable.HashSet.empty[Int]).toArray.sorted
+        affected.foreach { wi =>
+          removeWord(wi)
+          words(wi) = applyMerge(words(wi), a, b)
+          addWord(wi)
         }
+        // the merged pair must be gone from the index now (its count fell
+        // to zero when every occurrence was rewritten)
       }
       iter += 1
     }

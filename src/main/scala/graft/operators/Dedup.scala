@@ -157,39 +157,96 @@ object Dedup {
                            cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, cfg)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Signature-estimate prefilter before the exact verify: LSH banding
-    // over templated corpora floods candidates (hot buckets), and each
-    // exact check joins two ~KB shingle arrays — the 128-int estimate
-    // compare costs ~nothing and a true pair at J>=t has estimate below
-    // t-0.25 with probability ~1e-13 (binomial over 128 permutations),
-    // so the prefilter is lossless in every practical sense.
-    val cand = verifyPairs(candidatePairs(bandRows(sigs, cfg), cfg), sigs,
-      math.max(0.0, threshold - 0.25))
+    val cand = candidatePairsEstimateGated(sigs, cfg,
+      math.max(0.0, threshold - 0.3))
     val grams = df.select(col(idCol).as("id"),
-      array_distinct(TextFunctions.charShingles(
-        TextFunctions.normalizeForDedup(col(textCol)), cfg.ngram)).as("g"))
+      HashFunctions.charShingleHashes(
+        TextFunctions.normalizeForDedup(col(textCol)), cfg.ngram).as("g"))
     exactJaccardFilter(cand, grams, threshold)
+  }
+
+  /** Candidate pairs with a BUCKET-LOCAL mini-signature gate: each band
+    * row carries a 32-permutation slice of the signature, pairs are
+    * generated and estimate-filtered inside the bucket expansion, and
+    * only survivors are shuffled for distinct. On templated corpora the
+    * banding floods hundreds of thousands of hot-bucket pairs; here they
+    * die where they are born — no pair-table shuffle, no signature join.
+    * The gate is lossless in every practical sense: a true pair at J>=t
+    * estimates below t-0.3 with probability ~3e-5 at the threshold
+    * boundary (binomial over 32 permutations), ~1e-12 for real
+    * near-dup similarity levels. */
+  private def candidatePairsEstimateGated(sigs: DataFrame, cfg: MinHashConfig,
+                                          estThreshold: Double): DataFrame = {
+    val b = bands(cfg)
+    val r = cfg.rowsPerBand
+    val minMatches = math.ceil(estThreshold * 32).toInt
+    val bandStructs = array((0 until b).map { i =>
+      struct(lit(i).as("band_id"),
+        xxhash64(lit(i), slice(col("signature"), i * r + 1, r)).as("band_hash"))
+    }: _*)
+    val bandDf = sigs
+      .select(col("id"), slice(col("signature"), 1, 32).as("msig"),
+        explode(bandStructs).as("band"))
+      .select(col("id"), col("msig"),
+        col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
+    val buckets = bandDf.groupBy("band_id", "band_hash")
+      .agg(sort_array(collect_list(struct(col("id"), col("msig")))).as("xs"))
+      .where(size(col("xs")) > 1 && size(col("xs")) <= cfg.maxBucket)
+    buckets.select(explode(expr(
+        s"""flatten(transform(sequence(0, size(xs)-2), i ->
+              filter(
+                transform(slice(xs, i+2, size(xs)), v ->
+                  named_struct('src', xs[i].id, 'dst', v.id,
+                    'm', size(filter(zip_with(xs[i].msig, v.msig, (a, b) -> a = b), x -> x)))),
+                p -> p.m >= $minMatches)))""")).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      .distinct()
   }
 
   /** Near-duplicate pairs via SimHash banding + Hamming-distance
     * candidates, verified by exact char-ngram Jaccard. Same
     * oracle-checkable contract as [[minhashVerifiedPairs]]. */
+  /** SimHash banding rows for Hamming radius `maxHamming`, generalized
+    * Manku-style (WWW'07 §3): split the 64 bits into `blocks` blocks and
+    * key each table on a combination of `blocks - maxHamming` of them.
+    * Any pair within the radius leaves >= blocks - maxHamming blocks
+    * untouched (each flipped bit hits one block), so one combination
+    * matches exactly — recall is guaranteed, like plain pigeonhole.
+    *
+    * `blocks = maxHamming + 1` degenerates to classic pigeonhole (key =
+    * 1 block, few tables, HOT buckets: width 64/(r+1) bits). Larger
+    * `blocks` trades table count C(blocks, blocks-maxHamming) for
+    * exponentially colder buckets — e.g. r=8: 9 blocks -> 9 tables of
+    * 7-bit keys vs 10 blocks -> 45 tables of ~13-bit keys (~11x fewer
+    * random collisions at equal recall). At 100 TB bucket heat is the
+    * bottleneck, so the wider-key mode is the scale default. */
+  private[operators] def simhashBandRows(sigs: DataFrame, maxHamming: Int,
+                                         blocks: Int): DataFrame = {
+    require(blocks > maxHamming, s"need blocks > maxHamming, got $blocks <= $maxHamming")
+    val width = 64 / blocks
+    val blockExprs = (0 until blocks).map { b =>
+      val hi = if (b == blocks - 1) 64 - b * width else width
+      val mask = if (hi >= 64) -1L else (1L << hi) - 1
+      shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))
+    }
+    val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
+    val bandStructs = array(combos.zipWithIndex.map { case (combo, i) =>
+      struct(lit(i).as("band_id"),
+        xxhash64((lit(i) +: combo.map(blockExprs)): _*).as("band_hash"))
+    }: _*)
+    sigs.select(col("id"), explode(bandStructs).as("band"))
+      .select(col("id"), col("band.band_id").as("band_id"),
+        col("band.band_hash").as("band_hash"))
+  }
+
   def simhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
                            threshold: Double, verifyNgram: Int = 4,
                            ngram: Int = 2, maxHamming: Int = 3,
-                           maxBucket: Int = 1000): DataFrame = {
+                           maxBucket: Int = 1000, blocks: Int = 0): DataFrame = {
     val sigs = df.select(col(idCol).as("id"),
       HashFunctions.simhash64(TextFunctions.normalizeForDedup(col(textCol)), ngram).as("sig"))
-    val bands = maxHamming + 1
-    val width = 64 / bands
-    val banded = sigs.select(col("id"),
-      explode(array((0 until bands).map { b =>
-        val hi = if (b == bands - 1) 64 - b * width else width
-        struct(lit(b).as("band_id"),
-          shiftrightunsigned(col("sig"), b * width)
-            .bitwiseAND(lit((1L << hi) - 1)).as("band_hash"))
-      }: _*)).as("band"))
-      .select(col("id"), col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
+    val banded = simhashBandRows(sigs, maxHamming,
+      if (blocks > 0) blocks else maxHamming + 1)
     val cand = candidatePairs(banded, MinHashConfig(maxBucket = maxBucket))
     val s1 = sigs.select(col("id").as("src"), col("sig").as("sig1"))
     val s2 = sigs.select(col("id").as("dst"), col("sig").as("sig2"))
@@ -197,14 +254,15 @@ object Dedup {
       .where(bit_count(col("sig1").bitwiseXOR(col("sig2"))) <= maxHamming)
       .select("src", "dst")
     val grams = df.select(col(idCol).as("id"),
-      array_distinct(TextFunctions.charShingles(
-        TextFunctions.normalizeForDedup(col(textCol)), verifyNgram)).as("g"))
+      HashFunctions.charShingleHashes(
+        TextFunctions.normalizeForDedup(col(textCol)), verifyNgram).as("g"))
     exactJaccardFilter(withinHamming, grams, threshold)
   }
 
   /** Keep only candidate pairs whose exact shingle-set Jaccard reaches
     * `threshold`; emits the jaccard value (plain int-ratio arithmetic, so
-    * an external SQL engine reproduces it bit-for-bit). */
+    * an external SQL engine reproduces it bit-for-bit — shingle sets
+    * travel as distinct xxh64 longs, set sizes preserved mod collision). */
   private def exactJaccardFilter(pairs: DataFrame, grams: DataFrame,
                                  threshold: Double): DataFrame = {
     val g1 = grams.select(col("id").as("src"), col("g").as("g1"))
@@ -222,24 +280,15 @@ object Dedup {
     * Manku et al. WWW'07 construction — public algorithms). */
   def simhash(df: DataFrame, idCol: String, textCol: String,
               ngram: Int = 2, maxHamming: Int = 3,
-              maxBucket: Int = 1000): DataFrame = {
+              maxBucket: Int = 1000, blocks: Int = 0): DataFrame = {
     val sigs = Partitioning.ensureParallelism(df).select(col(idCol).as("id"),
         HashFunctions.simhash64(TextFunctions.normalizeForDedup(col(textCol)), ngram).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // pigeonhole banding: maxHamming+1 bands over the 64 bits guarantee a
-    // pair within maxHamming agrees on at least one band (Manku WWW'07);
-    // bucket grouping reuses the capped clique expansion so hot 16-bit
-    // band values cannot go quadratic
-    val bands = maxHamming + 1
-    val width = 64 / bands
-    val banded = sigs.select(col("id"),
-      explode(array((0 until bands).map { b =>
-        val hi = if (b == bands - 1) 64 - b * width else width
-        struct(lit(b).as("band_id"),
-          shiftrightunsigned(col("sig"), b * width)
-            .bitwiseAND(lit((1L << hi) - 1)).as("band_hash"))
-      }: _*)).as("band"))
-      .select(col("id"), col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
+    // block-combination banding (see simhashBandRows): recall-guaranteed
+    // at the radius; bucket grouping reuses the capped clique expansion
+    // so hot band values cannot go quadratic
+    val banded = simhashBandRows(sigs, maxHamming,
+      if (blocks > 0) blocks else maxHamming + 1)
     val cand = candidatePairs(banded, MinHashConfig(maxBucket = maxBucket))
     val s1 = sigs.select(col("id").as("src"), col("sig").as("sig1"))
     val s2 = sigs.select(col("id").as("dst"), col("sig").as("sig2"))

@@ -52,6 +52,59 @@ class BpeTrainerSpec extends SparkSpec {
     assert(outAscii == outWide && outAscii.nonEmpty)
   }
 
+  test("incremental merge loop is equivalent to the naive full-rescan reference") {
+    // the naive loop the incremental trainer replaced: full pair recount
+    // + argmax per iteration; must produce the IDENTICAL merge sequence
+    def naiveMerges(wordFreqs: Seq[(String, Long)], vocabSize: Int): Seq[(String, String)] = {
+      def cps(w: String) = w.map(_.toString).toVector
+      var words: Array[(Array[String], Long)] =
+        wordFreqs.map { case (w, f) => ((cps(w) :+ "</w>").toArray, f) }.toArray
+      val base = scala.collection.mutable.LinkedHashSet[String]("</w>")
+      wordFreqs.foreach(_._1.foreach(c => base += c.toString))
+      val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      val maxMerges = math.max(0, vocabSize - 4 - base.size)
+      var iter = 0; var exhausted = false
+      while (iter < maxMerges && !exhausted) {
+        val pc = scala.collection.mutable.Map[(String, String), Long]()
+        words.foreach { case (syms, f) =>
+          var i = 0
+          while (i < syms.length - 1) {
+            val p = (syms(i), syms(i + 1)); pc.update(p, pc.getOrElse(p, 0L) + f); i += 1
+          }
+        }
+        if (pc.isEmpty) exhausted = true
+        else {
+          val best = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+          merges += best
+          val ms = best._1 + best._2
+          words = words.map { case (syms, f) =>
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+                out += ms; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, f)
+          }
+        }
+        iter += 1
+      }
+      merges.toSeq
+    }
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val alphabet = "abcd"
+      val words = (1 to 30).map { _ =>
+        (1 to (2 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString ->
+          (1L + rnd.nextInt(9))
+      }.groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }.toSeq.sortBy(_._1)
+      val vocab = 270 + rnd.nextInt(20)
+      assert(BpeTrainer.train(words, vocab).merges == naiveMerges(words, vocab),
+        s"trial $trial")
+    }
+  }
+
   test("frequent whole words collapse to few tokens, rare words to more") {
     val corpus = (Seq.fill(200)("training") ++ Seq.fill(200)("data")
       ++ Seq.fill(3)("serendipity")).mkString(" ")

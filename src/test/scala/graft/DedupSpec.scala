@@ -99,6 +99,19 @@ class DedupSpec extends SparkSpec {
     assert(got.subsetOf(Set((1L, 2L), (1L, 3L), (2L, 3L))))
   }
 
+  test("block-combination simhash banding finds the same pairs as pigeonhole") {
+    // wider-key mode (blocks > maxHamming+1) must preserve the recall
+    // guarantee: identical verified pair set on a corpus with planted dups
+    def pairs(blocks: Int) =
+      Dedup.simhashVerifiedPairs(corpus, "doc_id", "text",
+          threshold = 0.6, maxHamming = 8, blocks = blocks)
+        .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pigeonhole = pairs(9)   // classic: key = 1 block
+    val wide = pairs(10)        // 45 tables, 2-block keys
+    assert(wide == pigeonhole)
+    assert(pigeonhole.nonEmpty)
+  }
+
   test("embedding cosine dedup collapses duplicate vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),

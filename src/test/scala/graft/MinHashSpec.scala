@@ -83,4 +83,21 @@ class MinHashSpec extends SparkSpec {
     assert(ham(hs(0), hs(1)) <= 12, s"near hamming=${ham(hs(0), hs(1))}")
     assert(ham(hs(0), hs(2)) > 12, s"far hamming=${ham(hs(0), hs(2))}")
   }
+
+  test("charShingleHashes matches string-shingle distinct sets (ascii + CJK + short)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq("hello world hello", "中文字符测试中文字符", "abc", "", "aaaaaaa")
+      .toDF("t")
+    val got = rows.select(
+        size(graft.functions.HashFunctions.charShingleHashes(col("t"), 5)).as("nh"),
+        size(array_distinct(graft.functions.TextFunctions.charShingles(col("t"), 5))).as("ns"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    // identical strings hash identically; different shingle windows differ
+    val hs = rows.select(graft.functions.HashFunctions.charShingleHashes(col("t"), 5).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    assert(hs(2).length == 1 && hs(3).length == 1) // short-string fallback
+    assert(hs(4).length == 1)                      // "aaaaaaa": one distinct 5-gram
+  }
 }
