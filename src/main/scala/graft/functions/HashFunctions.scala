@@ -50,6 +50,16 @@ object HashFunctions {
   def simhash64(c: Column, ngram: Int = 2): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c), ngram))
 
+  /** Sign-LSH bucket ids for `tables` independent hyperplane tables in
+    * one pass (array<long>, one bucket per table). The Column-HOF
+    * formulation evaluates `tables × planes` interpreted aggregate
+    * lambdas per row; this computes all of them in a single traversal
+    * of the vector. Planes are derived deterministically from
+    * (seed, table, plane, dim) via splitmix64 — executors need no
+    * shared state. */
+  def signBuckets(c: Column, planes: Int, seed: Long, tables: Int): Column =
+    ExpressionUtils.column(SignBuckets(ExpressionUtils.expression(c), planes, seed, tables))
+
   /** DISTINCT xxh64 hashes of all char n-gram shingles, one byte-wise
     * pass (array<long>). The fast face of `TextFunctions.charShingles`:
     * a `substr`-per-index expression is O(len²) per row because
@@ -193,6 +203,58 @@ case class RollingHash64(child: Expression)
   * [[TextFunctions.normalizeForDedup]] so Catalyst can share that
   * subexpression with other consumers.
   */
+/** Sign-LSH buckets over an embedding array (float or double elements):
+  * bucket bit p of table t = sign of the dot product with a pseudo-random
+  * hyperplane whose components are splitmix64-derived per
+  * (seed, table, plane, dimension), mapped uniformly into [-1, 1)
+  * (Charikar'02 random hyperplane LSH; hash-derived planes replace an
+  * RNG so the computation is stateless and deterministic everywhere). */
+case class SignBuckets(child: Expression, planes: Int, seed: Long, tables: Int)
+    extends UnaryExpression with RefEvalCodegen {
+  require(planes > 0 && planes <= 63 && tables > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def javaResultType: String =
+    "org.apache.spark.sql.catalyst.util.ArrayData"
+
+  @transient private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"signBuckets needs array<float|double>, got $other")
+  }
+  @transient private lazy val tableSeeds: Array[Long] =
+    Array.tabulate(tables)(t => HashFunctions.splitmix64(seed * 31L + t))
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      val ts = tableSeeds(t)
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          val w = HashFunctions.splitmix64(ts ^ (p.toLong << 32) ^ i.toLong)
+          dot += x * ((((w % 2001L) + 2001L) % 2001L) / 1000.0 - 1.0)
+          i += 1
+        }
+        if (dot > 0.0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): SignBuckets = copy(child = c)
+  override def prettyName: String = "sign_buckets"
+}
+
 /** Distinct xxh64 hashes of char n-gram shingles (code-point windows
   * over the UTF-8 bytes, one pass). Strings shorter than n code points
   * yield the hash of the whole string — mirroring the `[s]` fallback of

@@ -30,23 +30,13 @@ object Similarity {
     when(n === 0.0, lit(0.0)).otherwise(d / n)
   }
 
-  /** Sign-LSH bucket id: `planes` pseudo-random hyperplanes whose
-    * components are derived per (plane, dimension) from the builtin
-    * xxhash64 — deterministic, dimension-agnostic, computed fully inside
-    * codegen. Bucket = integer of sign bits (Charikar'02 random
-    * hyperplane LSH; the hash-derived planes replace an RNG so executors
-    * need no shared state). */
-  def signBucket(vec: Column, planes: Int, seed: Long): Column = {
-    val bits = (0 until planes).map { p =>
-      val dotP = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") *
-            (pmod(xxhash64(lit(seed), lit(p), i), lit(2001)).cast("double") / 1000.0 - 1.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dotP > 0.0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a + b)
-  }
+  /** Sign-LSH bucket id (single table): delegates to the one-pass
+    * [[graft.functions.SignBuckets]] expression — the Column-HOF
+    * formulation it replaces evaluated `planes` interpreted aggregate
+    * lambdas per row (Charikar'02 random hyperplane LSH; hash-derived
+    * planes replace an RNG so executors need no shared state). */
+  def signBucket(vec: Column, planes: Int, seed: Long): Column =
+    element_at(graft.functions.HashFunctions.signBuckets(vec, planes, seed, 1), 1)
 
   /** Exact brute-force cosine top-k: for each row of `queries`, the k
     * nearest `corpus` rows by cosine. `queries` is broadcast (small dim
@@ -80,19 +70,17 @@ object Similarity {
               queryId: String, corpusId: String, vecCol: String,
               k: Int, planes: Int = 12, seed: Long = 7L,
               multiProbeBits: Int = 2, tables: Int = 1): DataFrame = {
-    def bucketsOf(vec: Column) = array((0 until tables).map { t =>
-      struct(lit(t).as("tbl"), signBucket(vec, planes, seed + t * 1000003L).as("bucket"))
-    }: _*)
-    val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"),
-        explode(bucketsOf(col(vecCol))).as("tb"))
-      .select(col("neighbor_id"), col("cv"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    def bucketsOf(vec: Column) =
+      posexplode(graft.functions.HashFunctions.signBuckets(vec, planes, seed, tables))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"))
+      .select(col("neighbor_id"), col("cv"),
+        bucketsOf(col("cv")).as(Seq("tbl", "bucket")))
     // multi-probe: original bucket plus buckets at Hamming distance 1
     // for the first `multiProbeBits` planes
     val probes = array((lit(0L) +: (0 until multiProbeBits).map(b => lit(1L << b))): _*)
-    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"),
-        explode(bucketsOf(col(vecCol))).as("tb"))
-      .select(col("query_id"), col("qv"), col("tb.tbl").as("tbl"),
-        col("tb.bucket").as("bucket0"))
+    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"),
+        bucketsOf(col("qv")).as(Seq("tbl", "bucket0")))
       .withColumn("flip", explode(probes))
       .select(col("query_id"), col("qv"), col("tbl"),
         col("bucket0").bitwiseXOR(col("flip")).as("bucket"))
