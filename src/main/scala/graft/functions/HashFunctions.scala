@@ -50,6 +50,14 @@ object HashFunctions {
   def simhash64(c: Column, ngram: Int = 2): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c), ngram))
 
+  /** Per-language stopword hit counts in ONE pass (array<int>, one
+    * entry per language). Exactly the `\b(w1|...)\b` regex semantics the
+    * LID oracles use — a hit is a maximal ASCII word-char run
+    * ([a-z0-9_], input pre-lowered) equal to a stopword — but tokenized
+    * once instead of one full regex scan per language. */
+  def stopwordLangHits(c: Column, table: Seq[Seq[String]]): Column =
+    ExpressionUtils.column(StopwordLangHits(ExpressionUtils.expression(c), table))
+
   /** Sign-LSH bucket ids for `tables` independent hyperplane tables in
     * one pass (array<long>, one bucket per table). The Column-HOF
     * formulation evaluates `tables × planes` interpreted aggregate
@@ -203,6 +211,59 @@ case class RollingHash64(child: Expression)
   * [[TextFunctions.normalizeForDedup]] so Catalyst can share that
   * subexpression with other consumers.
   */
+/** One-pass multi-language stopword counter. Token = maximal run of
+  * ASCII word chars ([a-zA-Z0-9_]); every non-word byte (including all
+  * multi-byte UTF-8 lead/continuation bytes) is a boundary — identical
+  * to Java/RE2 `\b` word-boundary semantics for pure-ASCII stopwords,
+  * which is what the SQL oracles compute. Counts tokens equal to a
+  * stopword, per language. */
+case class StopwordLangHits(child: Expression, table: Seq[Seq[String]])
+    extends UnaryExpression with RefEvalCodegen {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def javaResultType: String =
+    "org.apache.spark.sql.catalyst.util.ArrayData"
+
+  // word -> indices of languages listing it (a word may serve several)
+  @transient private lazy val wordLangs: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    table.zipWithIndex.foreach { case (ws, li) =>
+      ws.foreach { w =>
+        val prev = Option(m.get(w)).getOrElse(Array.empty[Int])
+        m.put(w, prev :+ li)
+      }
+    }
+    m
+  }
+
+  private def isWordByte(b: Byte): Boolean = {
+    val c = b & 0xff
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val hits = new Array[Int](table.length)
+    var i = 0
+    while (i < bytes.length) {
+      while (i < bytes.length && !isWordByte(bytes(i))) i += 1
+      val start = i
+      while (i < bytes.length && isWordByte(bytes(i))) i += 1
+      if (i > start && i - start <= 24) {
+        val tok = new String(bytes, start, i - start, java.nio.charset.StandardCharsets.US_ASCII)
+        val langs = wordLangs.get(tok)
+        if (langs != null) {
+          var j = 0
+          while (j < langs.length) { hits(langs(j)) += 1; j += 1 }
+        }
+      }
+    }
+    new GenericArrayData(hits)
+  }
+  override protected def withNewChildInternal(c: Expression): StopwordLangHits = copy(child = c)
+  override def prettyName: String = "stopword_lang_hits"
+}
+
 /** Sign-LSH buckets over an embedding array (float or double elements):
   * bucket bit p of table t = sign of the dot product with a pseudo-random
   * hyperplane whose components are splitmix64-derived per

@@ -62,12 +62,13 @@ object TextAnalysis {
     * "und" when no evidence. */
   def langIdLabel(text: Column,
                   table: Seq[(String, Seq[String])] = LangStopwords): Column = {
-    // per-language regex scan: measured FASTER than an alpha-run split +
-    // set probes, because higher-order-function lambdas are interpreted
-    // (no codegen/CSE) so the shared token array gets re-evaluated per
-    // language, while each regex scan is a single codegen'd pass
-    val hits = table.map { case (lang, sw) =>
-      lang -> TextFunctions.stopwordHits(text, sw)
+    // all languages counted by ONE tokenizing pass (StopwordLangHits
+    // expression) instead of a full regex scan per language; codegen
+    // subexpression elimination collapses the repeated array references
+    val hitsArr = graft.functions.HashFunctions.stopwordLangHits(
+      lower(text), table.map(_._2))
+    val hits = table.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(hitsArr, i + 1)
     }
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
     val pick = hits.foldRight(lit("und"): Column) { case ((lang, h), els) =>
@@ -81,7 +82,9 @@ object TextAnalysis {
   /** LID score in [0,1]: normalized stopword-evidence margin. */
   def langIdScore(text: Column,
                   table: Seq[(String, Seq[String])] = LangStopwords): Column = {
-    val hits = table.map { case (_, sw) => TextFunctions.stopwordHits(text, sw) }
+    val hitsArr = graft.functions.HashFunctions.stopwordLangHits(
+      lower(text), table.map(_._2))
+    val hits = table.indices.map(i => element_at(hitsArr, i + 1))
     val best = hits.reduce((a, b) => greatest(a, b)).cast("double")
     val total = hits.reduce((a, b) => a + b).cast("double")
     round(when(total === 0, 0.0).otherwise(best / total), 6)
