@@ -791,11 +791,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---------------- packing (reference K3 semantics, 1-partition parity) ----------------
+    // ---------------- packing (reference K3 semantics — EXACT at 8
+    // partitions: the two-pass packer owns global chunk boundaries, so
+    // the single-stream oracle count holds at any partition count) ----------------
     "k01_pack_conservation" -> ((s, d) => {
       val toks = docs(s, d).select(col("doc_id"),
         expr("transform(sequence(1, size(split(trim(text), '\\\\s+'))), i -> i)").as("ids"))
-      val packed = Packer.pack(toks, "doc_id", "ids", seqLen = 512, eosId = 0, numPartitions = 1)
+      val packed = Packer.packExact(toks, "doc_id", "ids", seqLen = 512, eosId = 0,
+        numPartitions = 8)
       packed.agg(count(lit(1)).cast("long").as("n_chunks"))
     })
   )

@@ -104,9 +104,171 @@ object Packer {
     (local, lens.toArray, offs.toArray)
   }
 
+  /** The (token, docId) stream of one ordered doc iterator with the
+    * ensure-EOS dedup applied — the packer's unit of accounting. */
+  private def tokenStream(docs: Iterator[Array[Int]], eosId: Int,
+                          firstDocId: Long): Iterator[(Int, Long)] = {
+    var docId = firstDocId - 1
+    docs.flatMap { ids =>
+      docId += 1
+      val d = docId
+      val it = ids.iterator.map(t => (t, d))
+      if (ids.isEmpty || ids.last != eosId) it ++ Iterator((eosId, d)) else it
+    }
+  }
+
+  /** EXACT distributed packing: bit-identical to the single-stream
+    * reference semantics at any partition count. Two passes over a
+    * pinned range-partitioned sort:
+    *
+    *   1. per-partition token totals (post ensure-EOS), doc counts, and
+    *      the first `seqLen-1` stream tokens (the "head") are collected;
+    *      the driver derives each partition's global start offset, how
+    *      many head tokens it must SKIP (they complete the previous
+    *      partition's boundary chunk), how many full chunks it owns, and
+    *      the forward "spill" (following partitions' heads) its last
+    *      owned chunk may borrow — spill is < seqLen tokens, so this
+    *      broadcast is KBs per partition regardless of data size;
+    *   2. each partition re-streams its rows, skips its head share,
+    *      emits its owned chunks (the last possibly completed from the
+    *      spill), and the owner of the global tail pads or drops it.
+    *
+    * Chunk boundaries are global positions ≡ 0 (mod seqLen), so the
+    * emitted chunk sequence ordered by (part_id, chunk_in_part) equals
+    * the one-partition stream exactly — no dropped per-partition tails,
+    * which `pack` trades away for simplicity. */
+  def packExact(df: DataFrame, orderCol: String, tokensCol: String, seqLen: Int,
+                eosId: Int, padTail: Boolean = false,
+                numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val prepared = df
+      .select(col(orderCol).cast("long").as("__ord"), col(tokensCol).as("__toks"))
+      .repartitionByRange(parts, col("__ord"))
+      .sortWithinPartitions("__ord")
+      .localCheckpoint(true) // both passes must see identical partitions
+    val L = seqLen
+
+    // pass 1: (pid, totalTokens, docCount, headTokens) — head carries no
+    // doc ids; they are reconstructed from docOffsets on the driver side
+    case class PartInfo(pid: Int, total: Long, docs: Long,
+                        headToks: Array[Int], headSids: Array[Long])
+    val infos = {
+      import spark.implicits._
+      prepared.mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var total = 0L
+        var docs = 0L
+        val headT = new ArrayBuffer[Int]()
+        val headS = new ArrayBuffer[Long]() // doc index LOCAL to partition
+        rows.foreach { r =>
+          val ids = r.getSeq[Int](1)
+          val withEos = ids.length + (if (ids.isEmpty || ids.last != eosId) 1 else 0)
+          if (headT.length < L - 1) {
+            val take = math.min(L - 1 - headT.length, withEos)
+            var i = 0
+            while (i < take) {
+              headT += (if (i < ids.length) ids(i) else eosId)
+              headS += docs
+              i += 1
+            }
+          }
+          total += withEos
+          docs += 1
+        }
+        Iterator((pid, total, docs, headT.toArray, headS.toArray))
+      }.collect().map(t => PartInfo(t._1, t._2, t._3, t._4, t._5)).sortBy(_.pid)
+    }
+
+    val n = infos.length
+    val tokOffset = new Array[Long](n + 1)
+    val docOffset = new Array[Long](n + 1)
+    infos.foreach { pi =>
+      tokOffset(pi.pid + 1) = pi.total
+      docOffset(pi.pid + 1) = pi.docs
+    }
+    for (i <- 1 to n) { tokOffset(i) += tokOffset(i - 1); docOffset(i) += docOffset(i - 1) }
+    val totalGlobal = if (n == 0) 0L else tokOffset(n)
+
+    // per-partition plan: (skip, nFull, ownsTail, spillToks, spillSids)
+    // — a plain tuple so the broadcast closure stays serializable
+    type PartPlan = (Long, Long, Boolean, Array[Int], Array[Long])
+    val plans: Map[Int, PartPlan] = infos.map { pi =>
+      val p = pi.pid
+      val start = tokOffset(p) + ((L - tokOffset(p) % L) % L)
+      val end = tokOffset(p + 1)
+      val ownedStartsEnd = math.min(end, totalGlobal) // starts strictly below own end
+      val nOwned = if (start >= ownedStartsEnd) 0L else (ownedStartsEnd - start - 1) / L + 1
+      val tailStart = totalGlobal - totalGlobal % L
+      val ownsTail = totalGlobal % L != 0 && start <= tailStart && tailStart < end
+      val nFull = if (ownsTail) nOwned - 1 else nOwned
+      // forward spill: heads of following partitions, globalized doc ids,
+      // until seqLen-1 tokens or data end
+      val st = new ArrayBuffer[Int]()
+      val ss = new ArrayBuffer[Long]()
+      var q = p + 1
+      while (st.length < L - 1 && q < n) {
+        val h = infos(q)
+        var i = 0
+        while (st.length < L - 1 && i < h.headToks.length) {
+          st += h.headToks(i)
+          ss += docOffset(q) + h.headSids(i)
+          i += 1
+        }
+        q += 1
+      }
+      p -> ((start - tokOffset(p), nFull, ownsTail, st.toArray, ss.toArray))
+    }.toMap
+    val bcPlans = spark.sparkContext.broadcast(plans)
+    val bcDocOffset = spark.sparkContext.broadcast(docOffset)
+
+    val enc = org.apache.spark.sql.Encoders.row(chunkSchema)
+    prepared.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val (skip, nFull, ownsTail, spillToks, spillSids) =
+        bcPlans.value.getOrElse(pid,
+          (0L, 0L, false, Array.empty[Int], Array.empty[Long]))
+      val docs = rows.map(_.getSeq[Int](1).toArray)
+      // Iterator.drop takes Int; skip < seqLen so the cast is safe
+      val own = tokenStream(docs, eosId, bcDocOffset.value(pid)).drop(skip.toInt)
+      val full = own ++ spillToks.iterator.zip(spillSids.iterator)
+      val idBuf = new ArrayBuffer[Int](L)
+      val sidBuf = new ArrayBuffer[Long](L)
+      var emitted = 0L
+      val out = new ArrayBuffer[Row]()
+      var done = false
+      while (!done && (emitted < nFull || ownsTail)) {
+        idBuf.clear(); sidBuf.clear()
+        while (idBuf.length < L && full.hasNext) {
+          val (t, s) = full.next()
+          idBuf += t; sidBuf += s
+        }
+        if (idBuf.length == L && emitted < nFull) {
+          val (local, lens, offs) = runsFromSids(sidBuf.toArray.map(_.toInt))
+          out += Row(pid, emitted, idBuf.toArray.toSeq, local.toSeq, lens.toSeq, offs.toSeq)
+          emitted += 1
+        } else {
+          // global tail (only the owner reaches here with a short buffer)
+          if (ownsTail && idBuf.nonEmpty && padTail) {
+            val lastSid = sidBuf.last
+            while (idBuf.length < L) { idBuf += eosId; sidBuf += lastSid }
+            val (local, lens, offs) = runsFromSids(sidBuf.toArray.map(_.toInt))
+            out += Row(pid, emitted, idBuf.toArray.toSeq, local.toSeq, lens.toSeq, offs.toSeq)
+          }
+          done = true
+        }
+      }
+      out.iterator
+    }(enc)
+  }
+
   /** DataFrame API: pack `tokensCol` (array<int>) into `seqLen` chunks.
     * `numPartitions = 1` gives exact single-stream reference semantics;
-    * larger values give partition-local packing at linear scale. */
+    * larger values give partition-local packing at linear scale. (See
+    * [[packExact]] for the two-pass construction that is reference-exact
+    * at ANY partition count.) */
   def pack(df: DataFrame, orderCol: String, tokensCol: String, seqLen: Int,
            eosId: Int, padTail: Boolean = false, numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession

@@ -244,7 +244,7 @@ object PipelineSteps {
         }
       val toks = tokenized
         .withColumn("ord", xxhash64(col("doc_id"))) // stable pseudo-order
-      val packed = Packer.pack(toks, "ord", "ids", cfg.seqLen, eosId = eos,
+      val packed = Packer.packExact(toks, "ord", "ids", cfg.seqLen, eosId = eos,
         numPartitions = numPartitions)
       // S9 sink parity: zstd-compressed shards of bounded record count
       // (reference: src/llm_data_pipeline/tokenizer/run.py:220-261,540)

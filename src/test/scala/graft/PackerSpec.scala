@@ -72,6 +72,50 @@ class PackerSpec extends SparkSpec {
     }
   }
 
+  test("packExact at any partition count equals the single stream exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3; parts <- Seq(1, 3, 8); padTail <- Seq(false, true)) {
+      val nDocs = 40 + rnd.nextInt(60)
+      val docs = (1L to nDocs.toLong).map { i =>
+        // include docs already ending in EOS (dedup branch) and empties
+        val len = rnd.nextInt(9)
+        val ids = Array.fill(len)(1 + rnd.nextInt(90))
+        if (len > 0 && rnd.nextBoolean()) ids(len - 1) = 0
+        (i, ids)
+      }
+      val df = docs.toDF("id", "ids")
+      val seqLen = 16
+      val got = Packer.packExact(df, "id", "ids", seqLen, eosId = 0,
+          padTail = padTail, numPartitions = parts)
+        .orderBy("part_id", "chunk_in_part").collect()
+      val want = Packer.packStream(docs.sortBy(_._1).map(_._2).iterator,
+        seqLen, 0, padTail).toSeq
+      assert(got.length == want.length,
+        s"trial=$trial parts=$parts pad=$padTail: ${got.length} vs ${want.length}")
+      got.zip(want).foreach { case (row, (ids, sid, lens, offs)) =>
+        assert(row.getSeq[Int](2) == ids.toSeq, s"ids trial=$trial parts=$parts pad=$padTail")
+        assert(row.getSeq[Int](3) == sid.toSeq, s"sid trial=$trial parts=$parts pad=$padTail")
+        assert(row.getSeq[Int](4) == lens.toSeq, s"lens trial=$trial parts=$parts")
+        assert(row.getSeq[Int](5) == offs.toSeq, s"offs trial=$trial parts=$parts")
+      }
+    }
+  }
+
+  test("packExact handles tiny partitions (docs fewer than partitions)") {
+    import spark.implicits._
+    val docs = Seq((1L, Array(1, 2, 3)), (2L, Array(4, 5)), (3L, Array(6)))
+    val df = docs.toDF("id", "ids")
+    val got = Packer.packExact(df, "id", "ids", seqLen = 4, eosId = 0,
+        numPartitions = 8)
+      .orderBy("part_id", "chunk_in_part").collect()
+    val want = Packer.packStream(docs.map(_._2).iterator, 4, 0, padTail = false).toSeq
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (row, (ids, _, _, _)) =>
+      assert(row.getSeq[Int](2) == ids.toSeq)
+    }
+  }
+
   test("multi-partition pack conserves all but per-partition tails") {
     import spark.implicits._
     val docs = (1L to 200L).map(i => (i, Array.fill((i % 5 + 1).toInt)(i.toInt)))
