@@ -1263,8 +1263,8 @@ object SparkEntry {
 
     "m01_multimodal_features" ->
       """SELECT kind, count(*) AS n,
-              CAST(CASE kind WHEN 'image' THEN 203 WHEN 'audio' THEN 556 ELSE 64 END AS INTEGER) AS min_bytes,
-              CAST(CASE kind WHEN 'image' THEN 203 WHEN 'audio' THEN 556 ELSE 64 END AS INTEGER) AS max_bytes
+              CAST(CASE kind WHEN 'image' THEN 203 WHEN 'audio' THEN 556 ELSE 443 END AS INTEGER) AS min_bytes,
+              CAST(CASE kind WHEN 'image' THEN 203 WHEN 'audio' THEN 556 ELSE 443 END AS INTEGER) AS max_bytes
          FROM (SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
                            WHEN 1 THEN 'audio' ELSE 'video' END AS kind
                FROM documents)

@@ -311,12 +311,13 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = minhashSignatures(df, idCol, textCol, cfg)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // two-stage verification: the cheap signature-equality estimate (128
-    // int compares) prunes the candidate flood before the exact
-    // word-shingle intersection (hundreds of string hashes per pair).
-    // The estimate lives in char-ngram space while the exact test is in
-    // word-ngram space, so the pre-filter threshold is deliberately loose.
-    val cand = verifyPairs(candidatePairs(bandRows(sigs, cfg), cfg), sigs,
+    // two-stage verification: the cheap signature estimate prunes the
+    // candidate flood BEFORE any pair leaves its LSH bucket (see
+    // candidatePairsEstimateGated), ahead of the exact word-shingle
+    // intersection. The estimate lives in char-ngram space while the
+    // exact test is in word-ngram space, so the pre-filter threshold is
+    // deliberately loose.
+    val cand = candidatePairsEstimateGated(sigs, cfg,
       math.max(0.0, threshold * 0.5))
     val s1 = sh.select(col("id").as("src"), col("sh").as("sh1"))
     val s2 = sh.select(col("id").as("dst"), col("sh").as("sh2"))

@@ -10,12 +10,12 @@ import java.nio.charset.StandardCharsets
 /** Multimodal column operators: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in bounded batches.
   *
-  * Image (PPM P6) and audio (WAV PCM16) are REAL codecs implemented
-  * dependency-free below — synthesis produces valid files, decode
-  * parses them back, and resize re-samples actual pixels. Video decode
-  * is the one STUB (no container/codec library ships in this
-  * environment); its `frameFeatureStub` is clearly marked and the
-  * Spark-side plumbing around it (schema, batching, explode) is real.
+  * Image (PPM P6), audio (WAV PCM16) and video (YUV4MPEG2/C420) are
+  * REAL codecs implemented dependency-free below — synthesis produces
+  * valid files, decode parses them back, resize re-samples actual
+  * pixels, and video features come from decoded frame lumas. (A
+  * production build would swap in compressed codecs via JNI; the
+  * formats here are the standard uncompressed interchange ones.)
   *
   * Scale design: decoding runs in `mapPartitions` over `batchSize`
   * groups — the executor-singleton/batched pattern every heavy model
@@ -108,14 +108,59 @@ object Multimodal {
     WavAudio(rate, samples)
   }
 
-  /** STUB — video frame features. A real build replaces this with a
-    * container/codec call (e.g. ffmpeg via JNI); deterministic fake so
-    * tests can assert plumbing without the codec. */
-  def frameFeatureStub(data: Array[Byte], frameIdx: Int): Float = {
-    var h = 1125899906842597L + frameIdx
-    var i = 0
-    while (i < data.length) { h = h * 31 + (data(i) & 0xff); i += 1 }
-    ((h >>> 40).toInt % 1000) / 1000.0f
+  // ---------------------------------------------------------------- Y4M
+
+  /** Encode luma frames as YUV4MPEG2 / C420 (the mjpegtools y4m format —
+    * a real, public, uncompressed video container): ascii stream header,
+    * then per frame a `FRAME\n` marker + raw Y plane + quarter-size U
+    * and V planes (neutral 128 here — grayscale video). */
+  def encodeY4m(width: Int, height: Int, fpsNum: Int,
+                frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width % 2 == 0 && height % 2 == 0, "C420 needs even dimensions")
+    frames.foreach(f => require(f.length == width * height, "bad Y plane size"))
+    val header = s"YUV4MPEG2 W$width H$height F$fpsNum:1 Ip A1:1 C420\n"
+      .getBytes(StandardCharsets.US_ASCII)
+    val chroma = (width / 2) * (height / 2)
+    val marker = "FRAME\n".getBytes(StandardCharsets.US_ASCII)
+    val bb = ByteBuffer.allocate(
+      header.length + frames.length * (marker.length + width * height + 2 * chroma))
+    bb.put(header)
+    frames.foreach { y =>
+      bb.put(marker)
+      bb.put(y)
+      var i = 0
+      while (i < 2 * chroma) { bb.put(128.toByte); i += 1 }
+    }
+    bb.array()
+  }
+
+  case class Y4mVideo(width: Int, height: Int, fpsNum: Int, frames: Seq[Array[Byte]])
+
+  /** Decode a YUV4MPEG2 stream (the layout encodeY4m writes; tolerates
+    * any parameter order in the header). Returns the Y planes. */
+  def decodeY4m(data: Array[Byte]): Y4mVideo = {
+    var pos = 0
+    while (pos < data.length && data(pos) != '\n') pos += 1
+    val header = new String(data, 0, pos, StandardCharsets.US_ASCII)
+    require(header.startsWith("YUV4MPEG2"), "not a YUV4MPEG2 stream")
+    pos += 1
+    val params = header.split(' ').drop(1).map(p => p.head -> p.tail).toMap
+    val w = params('W').toInt
+    val h = params('H').toInt
+    val fps = params.get('F').map(_.split(':')(0).toInt).getOrElse(25)
+    val chroma = (w / 2) * (h / 2)
+    val frames = Seq.newBuilder[Array[Byte]]
+    while (pos < data.length) {
+      var eol = pos
+      while (eol < data.length && data(eol) != '\n') eol += 1
+      require(new String(data, pos, eol - pos, StandardCharsets.US_ASCII)
+        .startsWith("FRAME"), "bad frame marker")
+      pos = eol + 1
+      require(data.length >= pos + w * h + 2 * chroma, "truncated frame")
+      frames += java.util.Arrays.copyOfRange(data, pos, pos + w * h)
+      pos += w * h + 2 * chroma
+    }
+    Y4mVideo(w, h, fps, frames.result())
   }
 
   // ------------------------------------------------------------- schema
@@ -159,9 +204,12 @@ object Multimodal {
           val samples = Array.tabulate(256)(i =>
             (math.sin((i + id) * 0.1) * 16000).toShort)
           Row(id, "audio", encodeWav(16000, samples), Row(null, null, 16000, null))
-        case _ => // video: opaque payload + frame-count metadata
-          val bytes = Array.tabulate(64)(i => ((i * 31 + id) % 256).toByte)
-          Row(id, "video", bytes, Row(null, null, null, 120: Integer))
+        case _ => // video: 4-frame 8x8 grayscale Y4M that brightens per
+          // frame (saturating, not wrapping, so frame means differ)
+          val frames = (0 until 4).map(f =>
+            Array.tabulate(64)(i =>
+              math.min(255, i * 3 + f * 20 + (id % 16)).toByte))
+          Row(id, "video", encodeY4m(8, 8, 12, frames), Row(8, 8, null, 4: Integer))
       }
     }(enc)
   }
@@ -208,8 +256,13 @@ object Multimodal {
               }
               Array(math.sqrt(sumSq / n).toFloat, zc.toFloat / n, (sum / n).toFloat,
                 wav.sampleRate / 48000f)
-            case _ => // video: STUB features per design note above
-              Array.tabulate(4)(i => frameFeatureStub(data, i))
+            case _ => // video: REAL decode — mean luma of each frame
+              val vid = decodeY4m(data)
+              vid.frames.take(4).map { y =>
+                var s = 0L; var i = 0
+                while (i < y.length) { s += y(i) & 0xff; i += 1 }
+                s.toFloat / math.max(1, y.length) / 255f
+              }.toArray.padTo(4, 0f)
           }
           Row(r.getLong(0), r.getString(1), data.length, features.toSeq)
         }
@@ -239,8 +292,8 @@ object Multimodal {
   }
 
   /** Video frame sampling: explode `n_frames` metadata into every k-th
-    * frame row — pure Column expressions; the per-frame decode behind it
-    * is the stub. */
+    * frame row — pure Column expressions; [[decodeY4m]] supplies the
+    * actual frames when the payload is needed. */
   def sampleFrames(assets: DataFrame, everyK: Int = 30): DataFrame =
     assets.filter(col("kind") === "video")
       .select(col("asset_id"),

@@ -42,9 +42,20 @@ class MultimodalSpec extends SparkSpec {
         case "audio" =>
           val wav = Multimodal.decodeWav(data)
           assert(wav.sampleRate == 16000 && wav.samples.length == 256)
-        case "video" => assert(data.nonEmpty)
+        case "video" =>
+          val vid = Multimodal.decodeY4m(data)
+          assert(vid.width == 8 && vid.height == 8 && vid.frames.length == 4)
       }
     }
+  }
+
+  test("Y4M video codec roundtrips frames exactly") {
+    val frames = (0 until 3).map(f => Array.tabulate(8 * 8)(i => ((i + f * 7) % 256).toByte))
+    val encoded = Multimodal.encodeY4m(8, 8, 25, frames)
+    val decoded = Multimodal.decodeY4m(encoded)
+    assert(decoded.width == 8 && decoded.height == 8 && decoded.fpsNum == 25)
+    assert(decoded.frames.length == 3)
+    decoded.frames.zip(frames).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
   }
 
   test("feature extraction decodes real payloads, deterministic across batch sizes") {
@@ -73,10 +84,23 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("frame sampling explodes every k-th frame of videos only") {
-    val frames = Multimodal.sampleFrames(assets, everyK = 30)
+    val frames = Multimodal.sampleFrames(assets, everyK = 3)
     val perAsset = frames.groupBy("asset_id").count().collect()
-    assert(perAsset.forall(_.getLong(1) == 4)) // 120 frames / 30
+    assert(perAsset.forall(_.getLong(1) == 2)) // frames 0 and 3 of 4
     val nVideos = assets.filter($"kind" === "video").count()
     assert(perAsset.length == nVideos)
+  }
+
+  test("video features are decoded frame lumas, not hashes") {
+    val feats = Multimodal.extractFeatures(assets).filter($"kind" === "video")
+      .orderBy("asset_id").collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val f = r.getSeq[Float](3)
+      assert(f.length == 4 && f.forall(v => v >= 0f && v <= 1f))
+      // synthesized frames brighten with frame index (+16 luma per frame,
+      // modulo wraps on a few pixels) — means must not all be equal
+      assert(f.distinct.length > 1)
+    }
   }
 }
