@@ -1158,8 +1158,8 @@ object SparkEntry {
               CAST(0.96 AS DOUBLE) AS recall_at_5""",
 
     "e04_ivf_knn" ->
-      """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(69 AS BIGINT) AS n_hits,
-              CAST(0.69 AS DOUBLE) AS recall_at_5""",
+      """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(82 AS BIGINT) AS n_hits,
+              CAST(0.82 AS DOUBLE) AS recall_at_5""",
 
     // k-means with fixed seed keeps all 8 clusters populated on this
     // well-separated corpus; n_points is computed, n_clusters asserted.

@@ -111,19 +111,39 @@ object Similarity {
   }
 
   /** IVF-style approximate top-k: corpus is assigned to the nearest of
-    * `nCentroids` centroids (deterministically sampled from the corpus
-    * itself — ids with the smallest hash), queries probe the `nProbe`
-    * nearest centroid cells. The cell assignment is the partition key at
-    * scale: each query only scans nProbe/nCentroids of the corpus. */
+    * `nCentroids` centroids, queries probe the `nProbe` nearest centroid
+    * cells. The cell assignment is the partition key at scale: each
+    * query only scans nProbe/nCentroids of the corpus.
+    *
+    * `kmeansCentroids = true` (default) trains the centroids with MLlib
+    * k-means|| (fixed seed) — the standard IVF coarse quantizer, which
+    * follows the corpus's actual cluster structure; `false` falls back
+    * to a training-free deterministic sample (rows with the smallest
+    * hashed id), cheaper but with visibly worse cell quality. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               queryId: String, corpusId: String, vecCol: String,
-              k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+              k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+              kmeansCentroids: Boolean = true, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"))
-    // deterministic "training-free" centroids: the nCentroids corpus rows
-    // with the smallest xxhash64(id) — effectively a uniform sample
-    val centroids = c.withColumn("h", xxhash64(col("neighbor_id")))
-      .orderBy(col("h")).limit(nCentroids)
-      .select(col("neighbor_id").as("centroid_id"), col("cv").as("centv"))
+    val centroids =
+      if (kmeansCentroids) {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val feat = c.withColumn("__features", array_to_vector(col("cv")))
+        val model = new KMeans().setK(nCentroids).setSeed(seed)
+          .setFeaturesCol("__features").fit(feat)
+        import spark.implicits._
+        model.clusterCenters.zipWithIndex
+          .map { case (v, i) => (i.toLong, v.toArray) }.toSeq
+          .toDF("centroid_id", "centv0")
+          // match the corpus element type so cosine() sees same-typed sides
+          .select(col("centroid_id"), col("centv0").as("centv"))
+      } else {
+        c.withColumn("h", xxhash64(col("neighbor_id")))
+          .orderBy(col("h")).limit(nCentroids)
+          .select(col("neighbor_id").as("centroid_id"), col("cv").as("centv"))
+      }
     val assignW = Window.partitionBy(col("neighbor_id"))
       .orderBy(col("csim").desc, col("centroid_id").asc)
     val assigned = c.crossJoin(broadcast(centroids))
