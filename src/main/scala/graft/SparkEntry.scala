@@ -415,9 +415,10 @@ object SparkEntry {
         val p = c.cast("double") / col("n")
         acc + p * log(p)
       })
-      withStarts.select(col("doc_id"),
-          when(col("n") === 0, lit(0.0))
-            .otherwise(round(-entropy, 6)).as("entropy"))
+      // n == 0 rows are dropped, mirroring the oracle's explode+group
+      // shape (an empty doc produces no char rows there)
+      withStarts.where(col("n") > 0)
+        .select(col("doc_id"), round(-entropy, 6).as("entropy"))
         .orderBy("doc_id")
     }),
 
@@ -647,8 +648,11 @@ object SparkEntry {
 
     "q29_grouping_sets" -> ((s, d) => {
       ord(s, d).createOrReplaceTempView("orders")
+      // money summed in exact integer cents (BIGINT), rendered back to
+      // 2dp — bit-stable under ANY partial-aggregation order, unlike a
+      // double sum whose rounding could flip near a cent boundary
       s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-                      round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS total
+                      round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total
                FROM orders
                GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
                ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
@@ -1305,7 +1309,7 @@ object SparkEntry {
 
     "q29_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-              round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS total
+              round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",

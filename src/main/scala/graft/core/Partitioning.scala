@@ -13,25 +13,34 @@ import org.apache.spark.sql.DataFrame
   */
 object Partitioning {
 
-  /** Repartition iff the FILE source under-supplies splits. Decided from
-    * the (cached) file listing + sizes — never `df.rdd`, which would
-    * force a second full physical planning of the query per call. A
-    * non-file DataFrame (memory relation, shuffle output) is returned
-    * unchanged: those already carry defaultParallelism or
-    * shuffle.partitions worth of splits. */
+  /** Repartition iff the source under-supplies splits. For file scans
+    * the decision comes from the (cached) file listing + sizes using
+    * Spark's own bin-packing model (maxPartitionBytes + per-file open
+    * cost) — NOT `files.length`, because Spark packs many small files
+    * into few partitions; and never `df.rdd`, which would force a second
+    * full physical planning per call for the common case. Non-file
+    * DataFrames (memory relations, post-shuffle lineages) fall back to
+    * the rdd-partition check — rare in practice and the only way to see
+    * their parallelism. */
   def ensureParallelism(df: DataFrame, minFactor: Int = 1): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism * minFactor
     val files = df.inputFiles
-    if (files.isEmpty || files.length >= target) return df
-    // few files: is their byte count enough for `target` scan splits?
+    if (files.isEmpty)
+      return if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // at >= target * maxPartitionBytes of open-cost alone, the scan is
+    // provably wide enough — skip the per-file stat calls
+    val sqlConf = spark.sessionState.conf
+    val maxSplit = math.max(1L, sqlConf.filesMaxPartitionBytes)
+    val openCost = sqlConf.filesOpenCostInBytes
+    if (files.length.toLong * openCost >= target.toLong * maxSplit) return df
     val conf = spark.sessionState.newHadoopConf()
-    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val totalBytes = files.iterator.map { f =>
       val p = new Path(f)
       p.getFileSystem(conf).getFileStatus(p).getLen
     }.sum
-    val approxSplits = math.max(files.length, (totalBytes / maxSplit).toInt)
+    // Spark sizes splits as ceil((bytes + nFiles*openCost) / maxSplitBytes)-ish
+    val approxSplits = (totalBytes + files.length.toLong * openCost + maxSplit - 1) / maxSplit
     if (approxSplits < target) df.repartition(target) else df
   }
 }

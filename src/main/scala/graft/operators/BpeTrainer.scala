@@ -187,7 +187,10 @@ object BpeTrainer {
     words.indices.foreach(addWord)
 
     val merges = mutable.ArrayBuffer[(String, String)]()
-    val maxMerges = math.max(0, vocabSize - 4 - baseSymbols.size)
+    // vocabSize budget = specials (4) + byte-fallback tokens (256) +
+    // base symbols + merges — the SentencePiece convention where byte
+    // tokens count inside vocab_size, so max emitted id < vocabSize
+    val maxMerges = math.max(0, vocabSize - 4 - 256 - baseSymbols.size)
     var iter = 0
     var exhausted = false
     while (iter < maxMerges && !exhausted) {

@@ -156,7 +156,6 @@ object Dedup {
                            threshold: Double,
                            cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, cfg)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = candidatePairsEstimateGated(sigs, cfg,
       math.max(0.0, threshold - 0.3))
     val grams = df.select(col(idCol).as("id"),
@@ -179,13 +178,17 @@ object Dedup {
                                           estThreshold: Double): DataFrame = {
     val b = bands(cfg)
     val r = cfg.rowsPerBand
-    val minMatches = math.ceil(estThreshold * 32).toInt
+    // mini-signature length bounded by the actual signature length, and
+    // the match quota scaled to it — a small cfg.k must loosen the gate,
+    // not silently demand more matches than positions exist
+    val miniLen = math.min(32, cfg.k)
+    val minMatches = math.ceil(estThreshold * miniLen).toInt
     val bandStructs = array((0 until b).map { i =>
       struct(lit(i).as("band_id"),
         xxhash64(lit(i), slice(col("signature"), i * r + 1, r)).as("band_hash"))
     }: _*)
     val bandDf = sigs
-      .select(col("id"), slice(col("signature"), 1, 32).as("msig"),
+      .select(col("id"), slice(col("signature"), 1, miniLen).as("msig"),
         explode(bandStructs).as("band"))
       .select(col("id"), col("msig"),
         col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
@@ -243,8 +246,12 @@ object Dedup {
                            threshold: Double, verifyNgram: Int = 4,
                            ngram: Int = 2, maxHamming: Int = 3,
                            maxBucket: Int = 1000, blocks: Int = 0): DataFrame = {
+    // persisted: referenced by the banding AND both sides of the Hamming
+    // join — without it the simhash scan runs three times per query.
+    // Session-scoped (no unpersist seam in a lazy return); LRU-evictable.
     val sigs = df.select(col(idCol).as("id"),
       HashFunctions.simhash64(TextFunctions.normalizeForDedup(col(textCol)), ngram).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = simhashBandRows(sigs, maxHamming,
       if (blocks > 0) blocks else maxHamming + 1)
     val cand = candidatePairs(banded, MinHashConfig(maxBucket = maxBucket))

@@ -287,7 +287,8 @@ object PipelineSteps {
       val outPath = s"${cfg.outputBase}/export_tokens.bin"
       val shardDir = new java.io.File(s"${cfg.outputBase}/export_tokens.shards")
       shardDir.mkdirs()
-      shardDir.listFiles().foreach(f => if (f.getName.endsWith(".bin")) f.delete())
+      shardDir.listFiles().foreach(f =>
+        if (f.getName.endsWith(".bin") || f.getName.endsWith(".tmp")) f.delete())
       val shardPath = shardDir.getAbsolutePath
       val uint16 = cfg.exportDtype == "uint16"
       val parts = spark.sessionState.conf.numShufflePartitions
@@ -296,9 +297,14 @@ object PipelineSteps {
         .sortWithinPartitions("part_id", "chunk_in_part")
         .select(col("input_ids"))
       val shardStats = flat.mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val f = new java.io.File(shardPath, f"part-$pid%05d.bin")
-        val os = new BufferedOutputStream(new FileOutputStream(f), 1 << 20)
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        // write to an attempt-private temp file, then atomically rename:
+        // a retried or speculative attempt can never interleave bytes
+        // into the final shard, and the last successful rename wins
+        val tmp = new java.io.File(shardPath,
+          f"part-$pid%05d.attempt-${tc.taskAttemptId()}%d.tmp")
+        val os = new BufferedOutputStream(new FileOutputStream(tmp), 1 << 20)
         var n = 0L
         it.foreach { r =>
           val ids = r.getSeq[Int](0)
@@ -309,6 +315,10 @@ object PipelineSteps {
           n += ids.length
         }
         os.close()
+        val f = new java.io.File(shardPath, f"part-$pid%05d.bin")
+        java.nio.file.Files.move(tmp.toPath, f.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         Iterator((pid, n, f.length()))
       }.collect().sortBy(_._1)
       // ordered concat + manifest; shards stay for direct sharded reads

@@ -8,8 +8,8 @@ class BpeTrainerSpec extends SparkSpec {
 
   test("merge loop learns frequent pairs first, deterministically") {
     val freqs = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
-    val m1 = BpeTrainer.train(freqs, vocabSize = 34)
-    val m2 = BpeTrainer.train(freqs, vocabSize = 34)
+    val m1 = BpeTrainer.train(freqs, vocabSize = 290)
+    val m2 = BpeTrainer.train(freqs, vocabSize = 290)
     assert(m1.merges == m2.merges)
     // 'est</w>' family dominates (9 occurrences): es or st merges early
     val first = m1.merges.head
@@ -62,7 +62,7 @@ class BpeTrainerSpec extends SparkSpec {
       val base = scala.collection.mutable.LinkedHashSet[String]("</w>")
       wordFreqs.foreach(_._1.foreach(c => base += c.toString))
       val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
-      val maxMerges = math.max(0, vocabSize - 4 - base.size)
+      val maxMerges = math.max(0, vocabSize - 4 - 256 - base.size)
       var iter = 0; var exhausted = false
       while (iter < maxMerges && !exhausted) {
         val pc = scala.collection.mutable.Map[(String, String), Long]()
@@ -109,7 +109,7 @@ class BpeTrainerSpec extends SparkSpec {
     val corpus = (Seq.fill(200)("training") ++ Seq.fill(200)("data")
       ++ Seq.fill(3)("serendipity")).mkString(" ")
     val df = Seq(corpus).toDF("text")
-    val m = BpeTrainer.trainFromCorpus(df, "text", vocabSize = 34)
+    val m = BpeTrainer.trainFromCorpus(df, "text", vocabSize = 290)
     info(s"merges=${m.merges.size} training=${m.encodeWord("training")} seren=${m.encodeWord("serendipity")}")
     assert(m.encodeWord("training").length <= 2)
     assert(m.encodeWord("serendipity").length > m.encodeWord("training").length)
@@ -121,7 +121,7 @@ class BpeTrainerSpec extends SparkSpec {
     val docs = (1 to 40).map(i => (s"doc$i", s"training data example number$i training data"))
     docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$outBase/deduped_parquet")
     val cfg = graft.core.Pipeline.PipelineConfig(dataDir = ".", outputBase = outBase,
-      vocabSize = 120, tokenizer = "bpe", seqLen = 32)
+      vocabSize = 400, tokenizer = "bpe", seqLen = 32)
     graft.operators.PipelineSteps.TrainTokenizerStep().run(spark, cfg)
     assert(spark.read.parquet(s"$outBase/bpe_merges_parquet").count() > 0)
     graft.operators.PipelineSteps.TokenizeStep().run(spark, cfg)

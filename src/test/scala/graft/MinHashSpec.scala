@@ -87,7 +87,8 @@ class MinHashSpec extends SparkSpec {
   test("charShingleHashes matches string-shingle distinct sets (ascii + CJK + short)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val rows = Seq("hello world hello", "中文字符测试中文字符", "abc", "", "aaaaaaa")
+    val rows = Seq("hello world hello", "中文字符测试中文字符", "abc", "", "aaaaaaa",
+        "🙂🙃 emoji 🙂🙃 windows") // non-BMP: 4-byte UTF-8 code points
       .toDF("t")
     val got = rows.select(
         size(graft.functions.HashFunctions.charShingleHashes(col("t"), 5)).as("nh"),
