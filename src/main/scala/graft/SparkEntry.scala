@@ -491,7 +491,9 @@ object SparkEntry {
         .agg(graft.functions.MinHashUnionAgg.minhashUnion(col("signature")).as("usig"))
       val a = unions.select(col("source").as("sa"), col("usig").as("ua"))
       val b = unions.select(col("source").as("sb"), col("usig").as("ub"))
-      a.join(b, col("sa") < col("sb"))
+      // one row per source: broadcast turns the inequality pair join
+      // into a BroadcastNestedLoopJoin instead of a CartesianProduct
+      a.join(broadcast(b), col("sa") < col("sb"))
         .select(col("sa"), col("sb"),
           round(graft.functions.MinHashUnionAgg.estimatedJaccard(col("ua"), col("ub")), 4).as("est_jaccard"))
         .orderBy(desc("est_jaccard"), asc("sa"), asc("sb"))

@@ -7,8 +7,25 @@ import org.apache.spark.sql.SparkSession
   * queries so pushdown / pruning / broadcast decisions can be reviewed
   * (and greps itself for the markers that matter at scale). */
 object ExplainAudit {
+
+  /** Scale red flags in a formatted plan: whole-table single-partition
+    * windows (`Window` with empty partition spec), cartesian products,
+    * and non-broadcast nested-loop joins. */
+  def redFlags(plan: String): Seq[String] = {
+    val flags = scala.collection.mutable.ArrayBuffer[String]()
+    // Window over an empty partition spec ships every row to one task
+    if (plan.contains("Window") &&
+        "partitionBy=\\[\\]".r.findFirstIn(plan).isDefined)
+      flags += "unpartitioned-window"
+    if (plan.contains("CartesianProduct")) flags += "cartesian"
+    if (plan.contains("NestedLoopJoin") && !plan.contains("BroadcastNestedLoopJoin"))
+      flags += "non-broadcast-nested-loop"
+    flags.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    if (args.length > 1 && args(1) == "--sweep") { sweep(d); return }
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q02_filter_project", "q03_segment_revenue", "q05_region_revenue",
         "q22_customers_without_orders", "d09_source_stats", "e01_cosine_knn")
@@ -27,6 +44,34 @@ object ExplainAudit {
       println(s"[audit] $n pushedFilters=${hasPush} broadcast=${plan.contains("BroadcastHashJoin")} " +
         s"wholestage=${plan.contains("WholeStageCodegen")}")
     }
+    spark.stop()
+  }
+
+  /** Sweep EVERY declared query's physical plan for scale red flags —
+    * one line per query, SWEEP-FAIL if any flag fires. Plan-only (no
+    * execution), so the whole inventory audits in seconds. */
+  def sweep(d: String): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var bad = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+      // st01/w01/k02 execute side effects while building; plan-audit them too
+      try {
+        val plan = fn(spark, d).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        val flags = redFlags(plan)
+        if (flags.nonEmpty) { bad += 1; println(s"[sweep] $n FLAGS: ${flags.mkString(",")}") }
+        else println(s"[sweep] $n ok")
+      } catch {
+        case e: Throwable => println(s"[sweep] $n PLAN-ERROR ${e.getMessage.take(100)}")
+      }
+    }
+    println(if (bad == 0) "[sweep] PASS: no scale red flags in any query plan"
+      else s"[sweep] FAIL: $bad flagged queries")
     spark.stop()
   }
 }
