@@ -739,6 +739,15 @@ object SparkEntry {
       s.table("st01_tbl").orderBy("hr", "event_type")
     }),
 
+    // ---------------- heavy hitters (Misra-Gries + exact recount) ----------------
+    "h01_heavy_hitters" -> ((s, d) =>
+      // k >= distinct values makes the sketch provably exact, so the
+      // whole path — per-partition summaries, kryo partial merge,
+      // broadcast semi-join, exact recount — gates against plain SQL;
+      // the undercount/compaction bounds are property-tested in specs
+      HeavyHitters.topKExact(ev(s, d), "event_type", 5)
+        .orderBy(desc("n"), asc("event_type"))),
+
     // ---------------- as-of (point-in-time) join ----------------
     "a01_asof_click" -> ((s, d) => {
       val e = ev(s, d).withColumn("us", expr("ts div 1000"))
@@ -1370,6 +1379,10 @@ object SparkEntry {
     "st01_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n
          FROM events GROUP BY hr, event_type ORDER BY hr, event_type""",
+
+    "h01_heavy_hitters" ->
+      """SELECT event_type, count(*) AS n FROM events
+         GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5""",
 
     "a01_asof_click" ->
       """WITH u AS (

@@ -71,4 +71,43 @@ class PropertySpec extends SparkSpec {
       assert(r.getLong(1) == want)
     }
   }
+
+  test("charShingleHashes distinct counts equal string shingles on random unicode") {
+    import spark.implicits._
+    val charGen = Gen.frequency(
+      7 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('\u4e00', '\u4e2d', '\u6587', '\u6d4b', '\u8bd5'),
+      1 -> Gen.const(' '))
+    val strGen = Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    val rows = samples(strGen, 60) :+ "\ud83d\ude42ab\ud83d\ude43cd\ud83d\ude42" // surrogate pairs
+    for (n <- Seq(2, 5)) {
+      val got = rows.toDF("t").select(
+          size(HashFunctions.charShingleHashes(col("t"), n)).as("nh"),
+          size(array_distinct(TextFunctions.charShingles(col("t"), n))).as("ns"))
+        .collect()
+      got.foreach(r => assert(r.getInt(0) == r.getInt(1), s"n=$n ${r.toString}"))
+    }
+  }
+
+  test("packExact degenerate seqLen=1 still matches the single stream") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, Array.fill((i % 3).toInt)(i.toInt)))
+    val got = Packer.packExact(docs.toDF("id", "ids"), "id", "ids", seqLen = 1,
+        eosId = 0, numPartitions = 4)
+      .orderBy("part_id", "chunk_in_part").collect()
+    val want = Packer.packStream(docs.map(_._2).iterator, 1, 0, padTail = false).toSeq
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (row, (ids, _, _, _)) =>
+      assert(row.getSeq[Int](2) == ids.toSeq)
+    }
+  }
+
+  test("Ranking row numbers with more partitions than rows") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 2.0), (2L, "a", 1.0), (3L, "b", 5.0)).toDF("id", "g", "v")
+    val got = graft.operators.Ranking.withRowNumber(df, Seq("g"),
+        Seq(col("v"), col("id")), "rn", numPartitions = 16)
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
 }
