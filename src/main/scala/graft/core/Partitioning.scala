@@ -39,8 +39,16 @@ object Partitioning {
       val p = new Path(f)
       p.getFileSystem(conf).getFileStatus(p).getLen
     }.sum
-    // Spark sizes splits as ceil((bytes + nFiles*openCost) / maxSplitBytes)-ish
-    val approxSplits = (totalBytes + files.length.toLong * openCost + maxSplit - 1) / maxSplit
+    // Mirror FilePartition.maxSplitBytes: the effective split size shrinks
+    // to bytesPerCore for small-to-mid inputs, so a single 1 GB file on 32
+    // cores ALREADY scans as ~32 partitions — without this term the guard
+    // would shuffle it for nothing.
+    val padded = totalBytes + files.length.toLong * openCost
+    val minPartitionNum = spark.sessionState.conf.filesMinPartitionNum
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val bytesPerCore = padded / math.max(1, minPartitionNum)
+    val splitBytes = math.min(maxSplit, math.max(openCost, bytesPerCore))
+    val approxSplits = (padded + math.max(1L, splitBytes) - 1) / math.max(1L, splitBytes)
     if (approxSplits < target) df.repartition(target) else df
   }
 }

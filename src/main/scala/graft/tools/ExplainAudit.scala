@@ -9,14 +9,49 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
 
   /** Scale red flags in a formatted plan: whole-table single-partition
-    * windows (`Window` with empty partition spec), cartesian products,
-    * and non-broadcast nested-loop joins. */
+    * windows (`Window` with an EMPTY partition spec — every row in one
+    * task), cartesian products, and non-broadcast nested-loop joins.
+    *
+    * FormattedMode renders a partitioned Window node as
+    * `Arguments: [windowExprs], [partitionSpec], [orderSpec]` — THREE
+    * top-level bracket groups — and simply OMITS an empty partition
+    * list, leaving two. Detection counts top-level groups per Window
+    * node's Arguments line (pinned against real Spark plans in
+    * ExplainAuditSpec; an assumed token like `partitionBy=[]` never
+    * appears and would make the check dead code). WindowGroupLimit is
+    * excluded: Catalyst plans unpartitioned top-k as
+    * TakeOrderedAndProject, and the trailing Window still trips the
+    * detector. */
   def redFlags(plan: String): Seq[String] = {
+    // A window spec renders as windowspecdefinition(partCols..., orderItems...,
+    // specifiedwindowframe(...)). Partition columns are bare expressions;
+    // order items always carry ASC/DESC. So: no partition columns iff the
+    // FIRST argument is an order item or directly the frame.
+    def firstArgOf(src: String, from: Int): String = {
+      var depth = 0
+      var i = from
+      val sb = new StringBuilder
+      while (i < src.length) {
+        val c = src.charAt(i)
+        if (c == ')' && depth == 0) return sb.toString
+        if (c == ',' && depth == 0) return sb.toString
+        if (c == '(') depth += 1
+        if (c == ')') depth -= 1
+        sb.append(c)
+        i += 1
+      }
+      sb.toString
+    }
     val flags = scala.collection.mutable.ArrayBuffer[String]()
-    // Window over an empty partition spec ships every row to one task
-    if (plan.contains("Window") &&
-        "partitionBy=\\[\\]".r.findFirstIn(plan).isDefined)
-      flags += "unpartitioned-window"
+    val marker = "windowspecdefinition("
+    var idx = plan.indexOf(marker)
+    while (idx >= 0 && !flags.contains("unpartitioned-window")) {
+      val arg = firstArgOf(plan, idx + marker.length).trim
+      if (arg.startsWith("specifiedwindowframe") ||
+          arg.contains(" ASC") || arg.contains(" DESC"))
+        flags += "unpartitioned-window"
+      idx = plan.indexOf(marker, idx + marker.length)
+    }
     if (plan.contains("CartesianProduct")) flags += "cartesian"
     if (plan.contains("NestedLoopJoin") && !plan.contains("BroadcastNestedLoopJoin"))
       flags += "non-broadcast-nested-loop"
@@ -67,11 +102,13 @@ object ExplainAudit {
         if (flags.nonEmpty) { bad += 1; println(s"[sweep] $n FLAGS: ${flags.mkString(",")}") }
         else println(s"[sweep] $n ok")
       } catch {
-        case e: Throwable => println(s"[sweep] $n PLAN-ERROR ${e.getMessage.take(100)}")
+        case e: Throwable =>
+          bad += 1 // an un-auditable plan is a failure, not a pass
+          println(s"[sweep] $n PLAN-ERROR ${String.valueOf(e.getMessage).take(100)}")
       }
     }
     println(if (bad == 0) "[sweep] PASS: no scale red flags in any query plan"
-      else s"[sweep] FAIL: $bad flagged queries")
+      else s"[sweep] FAIL: $bad flagged or unplannable queries")
     spark.stop()
   }
 }
