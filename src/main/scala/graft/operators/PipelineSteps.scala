@@ -183,13 +183,18 @@ object PipelineSteps {
         .na.drop()
         .repartition(corpusShards)
         .write.mode("overwrite").text(s"${cfg.outputBase}/train_corpus_txt")
-      val words = in.select(explode(split(TextFunctions.normalizeForDedup(col("text")), " ")).as("word"))
+      // id assignment happens driver-side after the distributed top-k:
+      // the vocab artifact is <= vocabSize rows by construction, and this
+      // avoids an unpartitioned (single-task) ranking window entirely
+      val ranked = in.select(explode(split(TextFunctions.normalizeForDedup(col("text")), " ")).as("word"))
         .filter(length(col("word")) > 0)
         .groupBy("word").agg(count(lit(1)).as("freq"))
         .orderBy(desc("freq"), asc("word"))
         .limit(cfg.vocabSize - 4)
-        .withColumn("id", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(desc("freq"), asc("word"))) + 3)
+        .collect()
+      val words = spark.createDataFrame(
+        ranked.zipWithIndex.toSeq.map { case (r, i) => (r.getString(0), r.getLong(1), i + 4) })
+        .toDF("word", "freq", "id")
       val specials = spark.createDataFrame(Seq(
         ("<unk>", 0L, 0), ("<bos>", 0L, 1), ("<eos>", 0L, 2), ("<pad>", 0L, 3)))
         .toDF("word", "freq", "id")
