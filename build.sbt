@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses Bench/Verify stdout line-by-line as JSON; sbt's
+// default logger prefixes forked-process output with "[info] ", which makes
+// every line unparseable (BENCH_r01/r02 both recorded parsed:null). Inherit
+// raw stdout so the one JSON line starts at column 0.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

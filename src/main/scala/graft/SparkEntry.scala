@@ -650,11 +650,13 @@ object SparkEntry {
 
     "q29_grouping_sets" -> ((s, d) => {
       ord(s, d).createOrReplaceTempView("orders")
-      // money summed in exact integer cents (BIGINT), rendered back to
-      // 2dp — bit-stable under ANY partial-aggregation order, unlike a
-      // double sum whose rounding could flip near a cent boundary
+      // money summed in exact integer cents (BIGINT) and LEFT as cents —
+      // round-tripping through /100.0 + round() reintroduces a double
+      // whose last ulp (and the hash of its rendering) can differ
+      // between Spark and DuckDB for >=1e7 totals. int64 hashes
+      // identically everywhere.
       s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-                      round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
                FROM orders
                GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
                ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
@@ -1320,7 +1322,7 @@ object SparkEntry {
 
     "q29_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-              round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",

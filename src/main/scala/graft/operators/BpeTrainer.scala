@@ -143,12 +143,33 @@ object BpeTrainer {
     * naive loop: max count, ties by lexicographic pair (the equivalence
     * is property-tested against a naive reference implementation). */
   def train(wordFreqs: Seq[(String, Long)], vocabSize: Int): BpeModel = {
+    // specials (4) + byte tokens (256) are fixed overhead; at least one
+    // symbol slot must remain or every text would be pure byte fallback
+    require(vocabSize > FirstSymbolId,
+      s"vocabSize=$vocabSize must exceed ${FirstSymbolId} " +
+      "(4 special + 256 byte-fallback ids are fixed overhead)")
     // words as symbol sequences with the end-of-word marker
     val words: Array[Array[String]] =
       wordFreqs.map(wf => (codePointSymbols(wf._1) :+ EndOfWord).toArray).toArray
     val wfreq: Array[Long] = wordFreqs.map(_._2).toArray
-    val baseSymbols = mutable.LinkedHashSet[String](EndOfWord)
-    wordFreqs.foreach(wf => codePointSymbols(wf._1).foreach(baseSymbols += _))
+    val allBase = mutable.LinkedHashSet[String](EndOfWord)
+    wordFreqs.foreach(wf => codePointSymbols(wf._1).foreach(allBase += _))
+    // cap the alphabet to the symbol budget (SentencePiece's
+    // character-coverage analogue: the RAREST chars lose their own token
+    // and ride byte fallback instead), so symbol ids provably stay
+    // < vocabSize — the id-bound invariant the export path relies on.
+    val symbolBudget = vocabSize - FirstSymbolId
+    val baseSymbols: mutable.LinkedHashSet[String] =
+      if (allBase.size <= symbolBudget) allBase
+      else {
+        val charFreq = mutable.HashMap[String, Long]().withDefaultValue(0L)
+        wordFreqs.foreach { case (w, f) =>
+          codePointSymbols(w).foreach(s => charFreq(s) += f)
+        }
+        val kept = allBase.toSeq.filterNot(_ == EndOfWord)
+          .sortBy(s => (-charFreq(s), s)).take(symbolBudget - 1)
+        mutable.LinkedHashSet(EndOfWord) ++ kept
+      }
 
     val counts = mutable.HashMap[(String, String), Long]()
     val occ = mutable.HashMap[(String, String), mutable.HashSet[Int]]()
@@ -215,6 +236,8 @@ object BpeTrainer {
     val vocab = Map("<unk>" -> UnkId, "<bos>" -> BosId, "<eos>" -> EosId, "<pad>" -> PadId) ++
       byteTokens ++
       symbols.zipWithIndex.map { case (s, i) => s -> (i + FirstSymbolId) }
+    assert(vocab.valuesIterator.max < vocabSize,
+      s"BPE id-bound invariant violated: max id ${vocab.valuesIterator.max} >= $vocabSize")
     BpeModel(merges.toSeq, vocab)
   }
 

@@ -12,10 +12,14 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Semantics per stream: concatenate every document's token ids plus one
   * EOS per document (skipping the EOS when the document already ends
-  * with it — `ensure_eos` dedupe, reference: tokenizer/run.py:147-160),
-  * emit fixed `seqLen` chunks with carry-over across documents, and
-  * run-length metadata (`seq_id` per token, `seq_lens`, `offsets`,
-  * reference: tokenizer/run.py:73-103) for block-diagonal attention.
+  * with it — `ensure_eos` dedupe, reference: tokenizer/run.py:147-160;
+  * EMPTY documents are skipped entirely — no EOS, no sample id,
+  * reference: run.py:153-154), emit fixed `seqLen` chunks with
+  * carry-over across documents, and run-length metadata (`seq_id` per
+  * token, `seq_lens`, `offsets`, reference: tokenizer/run.py:73-103)
+  * for block-diagonal attention. When `padTail` is set, tail padding
+  * carries a FRESH sample id so the pad never merges with the last real
+  * segment (reference: run.py:207-209).
   *
   * Distribution contract: packing is PARTITION-LOCAL. Rows are
   * range-partitioned and sorted by `orderCol`, each partition packs its
@@ -49,17 +53,23 @@ object Packer {
       private def fill(): Unit = {
         while (idBuf.length < seqLen && docs.hasNext) {
           val ids = docs.next()
-          idBuf ++= ids
-          // ensure exactly one trailing EOS per document
-          if (ids.isEmpty || ids.last != eosId) idBuf += eosId
-          val docLen = idBuf.length - sidBuf.length
-          var i = 0
-          while (i < docLen) { sidBuf += nextDocId; i += 1 }
-          nextDocId += 1
+          // empty docs contribute nothing — no EOS, no sample id
+          // (reference: tokenizer/run.py:153-154 `if not ids: continue`)
+          if (ids.nonEmpty) {
+            idBuf ++= ids
+            // ensure exactly one trailing EOS per document
+            if (ids.last != eosId) idBuf += eosId
+            val docLen = idBuf.length - sidBuf.length
+            var i = 0
+            while (i < docLen) { sidBuf += nextDocId; i += 1 }
+            nextDocId += 1
+          }
         }
         if (!docs.hasNext && idBuf.length < seqLen) {
           if (padTail && idBuf.nonEmpty) {
-            while (idBuf.length < seqLen) { idBuf += eosId; sidBuf += nextDocId - 1 }
+            // pad sids take a FRESH sample id so the pad run never merges
+            // with the last real segment (reference: tokenizer/run.py:207-209)
+            while (idBuf.length < seqLen) { idBuf += eosId; sidBuf += nextDocId }
           } else if (!padTail) {
             idBuf.clear(); sidBuf.clear()
           }
@@ -110,10 +120,13 @@ object Packer {
                           firstDocId: Long): Iterator[(Int, Long)] = {
     var docId = firstDocId - 1
     docs.flatMap { ids =>
-      docId += 1
-      val d = docId
-      val it = ids.iterator.map(t => (t, d))
-      if (ids.isEmpty || ids.last != eosId) it ++ Iterator((eosId, d)) else it
+      if (ids.isEmpty) Iterator.empty // skipped: no EOS, no sample id
+      else {
+        docId += 1
+        val d = docId
+        val it = ids.iterator.map(t => (t, d))
+        if (ids.last != eosId) it ++ Iterator((eosId, d)) else it
+      }
     }
   }
 
@@ -165,18 +178,20 @@ object Packer {
         val headS = new ArrayBuffer[Long]() // doc index LOCAL to partition
         rows.foreach { r =>
           val ids = r.getSeq[Int](1)
-          val withEos = ids.length + (if (ids.isEmpty || ids.last != eosId) 1 else 0)
-          if (headT.length < L - 1) {
-            val take = math.min(L - 1 - headT.length, withEos)
-            var i = 0
-            while (i < take) {
-              headT += (if (i < ids.length) ids(i) else eosId)
-              headS += docs
-              i += 1
+          if (ids.nonEmpty) { // empty docs are skipped stream-wide
+            val withEos = ids.length + (if (ids.last != eosId) 1 else 0)
+            if (headT.length < L - 1) {
+              val take = math.min(L - 1 - headT.length, withEos)
+              var i = 0
+              while (i < take) {
+                headT += (if (i < ids.length) ids(i) else eosId)
+                headS += docs
+                i += 1
+              }
             }
+            total += withEos
+            docs += 1
           }
-          total += withEos
-          docs += 1
         }
         Iterator((pid, total, docs, headT.toArray, headS.toArray))
       }.collect().map(t => PartInfo(t._1, t._2, t._3, t._4, t._5)).sortBy(_.pid)
@@ -252,8 +267,10 @@ object Packer {
         } else {
           // global tail (only the owner reaches here with a short buffer)
           if (ownsTail && idBuf.nonEmpty && padTail) {
-            val lastSid = sidBuf.last
-            while (idBuf.length < L) { idBuf += eosId; sidBuf += lastSid }
+            // fresh global sample id for pad (= total doc count), so the
+            // pad run stays a distinct segment — reference run.py:207-209
+            val freshSid = bcDocOffset.value.last
+            while (idBuf.length < L) { idBuf += eosId; sidBuf += freshSid }
             val (local, lens, offs) = runsFromSids(sidBuf.toArray.map(_.toInt))
             out += Row(pid, emitted, idBuf.toArray.toSeq, local.toSeq, lens.toSeq, offs.toSeq)
           }

@@ -7,8 +7,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import org.apache.hadoop.fs.{Path => HPath}
+
 import java.io.{BufferedOutputStream, FileOutputStream}
 import java.nio.{ByteBuffer, ByteOrder}
+
+/** Hadoop `Configuration` is not Java-serializable; this wrapper ships it
+  * to executors via its own writable form so shard tasks resolve the SAME
+  * filesystem (S3A credentials, defaultFS, ...) as the driver. */
+private[operators] class SerializableHadoopConf(
+    @transient var conf: org.apache.hadoop.conf.Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.readFields(in)
+  }
+}
 
 /** The nine reference pipeline steps (reference: src/llm_data_pipeline/
   * pipeline.py:85-95 — ingest → clean → quality → pii → minhash →
@@ -273,7 +291,10 @@ object PipelineSteps {
     * encoding work (the actual CPU) runs on executors, and the driver
     * touches only finished bytes. A manifest records the shard layout so
     * a consumer can also read the shards directly without the concat.
-    * (At cluster scale the shard dir must be shared storage.)
+    * All shard/concat I/O goes through the Hadoop FileSystem API, so
+    * `cfg.outputBase` may be any shared filesystem (HDFS, S3A, NFS,
+    * file:) — multi-node deployments work transparently rather than
+    * depending on executor-local disks.
     *
     * uint16 bounds: the reference WARNS and wraps (numpy astype;
     * reference: export/run.py:125-127) — mirrored here, `toShort` wraps
@@ -289,12 +310,17 @@ object PipelineSteps {
           System.err.println(
             s"[graft] WARNING: token id ${row.getInt(0)} >= 65535 exported as uint16 (wraps)")
       }
-      val outPath = s"${cfg.outputBase}/export_tokens.bin"
-      val shardDir = new java.io.File(s"${cfg.outputBase}/export_tokens.shards")
-      shardDir.mkdirs()
-      shardDir.listFiles().foreach(f =>
-        if (f.getName.endsWith(".bin") || f.getName.endsWith(".tmp")) f.delete())
-      val shardPath = shardDir.getAbsolutePath
+      val outPath = new HPath(s"${cfg.outputBase}/export_tokens.bin")
+      val shardDir = new HPath(s"${cfg.outputBase}/export_tokens.shards")
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val dfs = shardDir.getFileSystem(hconf)
+      dfs.mkdirs(shardDir)
+      dfs.listStatus(shardDir).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.endsWith(".bin") || nm.endsWith(".tmp")) dfs.delete(st.getPath, false)
+      }
+      val shardPath = dfs.makeQualified(shardDir).toString
+      val bcConf = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
       val uint16 = cfg.exportDtype == "uint16"
       val parts = spark.sessionState.conf.numShufflePartitions
       val flat = in.select(col("part_id"), col("chunk_in_part"), col("input_ids"))
@@ -304,12 +330,13 @@ object PipelineSteps {
       val shardStats = flat.mapPartitions { it =>
         val tc = org.apache.spark.TaskContext.get()
         val pid = tc.partitionId()
-        // write to an attempt-private temp file, then atomically rename:
+        val fs = new HPath(shardPath).getFileSystem(bcConf.value.conf)
+        // write to an attempt-private temp file, then rename into place:
         // a retried or speculative attempt can never interleave bytes
-        // into the final shard, and the last successful rename wins
-        val tmp = new java.io.File(shardPath,
+        // into the final shard, and a complete attempt's file wins
+        val tmp = new HPath(shardPath,
           f"part-$pid%05d.attempt-${tc.taskAttemptId()}%d.tmp")
-        val os = new BufferedOutputStream(new FileOutputStream(tmp), 1 << 20)
+        val os = new BufferedOutputStream(fs.create(tmp, true), 1 << 20)
         var n = 0L
         it.foreach { r =>
           val ids = r.getSeq[Int](0)
@@ -320,26 +347,30 @@ object PipelineSteps {
           n += ids.length
         }
         os.close()
-        val f = new java.io.File(shardPath, f"part-$pid%05d.bin")
-        java.nio.file.Files.move(tmp.toPath, f.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        Iterator((pid, n, f.length()))
+        val f = new HPath(shardPath, f"part-$pid%05d.bin")
+        fs.delete(f, false) // HDFS rename does not overwrite
+        fs.rename(tmp, f)
+        Iterator((pid, n, fs.getFileStatus(f).getLen))
       }.collect().sortBy(_._1)
       // ordered concat + manifest; shards stay for direct sharded reads
-      val os = new BufferedOutputStream(new FileOutputStream(outPath), 1 << 20)
+      val os = new BufferedOutputStream(dfs.create(outPath, true), 1 << 20)
       shardStats.foreach { case (pid, _, _) =>
-        java.nio.file.Files.copy(
-          new java.io.File(shardPath, f"part-$pid%05d.bin").toPath, os)
+        val is = dfs.open(new HPath(shardDir, f"part-$pid%05d.bin"))
+        try {
+          val buf = new Array[Byte](1 << 20)
+          var r = is.read(buf)
+          while (r >= 0) { if (r > 0) os.write(buf, 0, r); r = is.read(buf) }
+        } finally is.close()
       }
       os.close()
       val manifest = shardStats.map { case (pid, n, bytes) =>
         f"""{"shard":"part-$pid%05d.bin","tokens":$n%d,"bytes":$bytes%d}"""
       }.mkString("[", ",", "]")
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(shardPath, "manifest.json"), manifest)
+      val mos = dfs.create(new HPath(shardDir, "manifest.json"), true)
+      try mos.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally mos.close()
       val n = shardStats.map(_._2).sum
-      StepStats(name, -1, n, 0, Map("dtype" -> cfg.exportDtype, "path" -> outPath,
+      StepStats(name, -1, n, 0, Map("dtype" -> cfg.exportDtype, "path" -> outPath.toString,
         "shards" -> shardStats.length.toString))
     }
   }

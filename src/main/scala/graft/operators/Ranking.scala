@@ -22,8 +22,23 @@ import org.apache.spark.sql.types.LongType
   * The repartitioned input is pinned with `localCheckpoint` because passes
   * 2 and 3 must observe the identical partitioning (range sampling is not
   * replay-stable under recomputation).
+  *
+  * ==Contract==
+  *  - '''Eager''': unlike normal DataFrame transforms, calling these
+  *    methods runs Spark jobs immediately (the checkpoint and the offset
+  *    collect) — even if the result is only ever `.explain()`ed.
+  *  - '''Group cardinality must be modest''': the driver holds one offset
+  *    entry per (partition, group). The collect is bounded by
+  *    `MaxOffsetEntries` and fails fast with a clear error beyond it;
+  *    for high-cardinality groups use `Window.partitionBy` instead (its
+  *    per-group sorts are fine when groups are small).
   */
 object Ranking {
+
+  /** Upper bound on (partition × group) offset entries collected to the
+    * driver — ~1M entries is low tens of MB. Beyond this a plain window
+    * is the right tool, so fail fast rather than risk driver OOM. */
+  val MaxOffsetEntries: Int = 1 << 20
 
   /** Global 1-based row number of each row within its group under
     * `sortCols` — equivalent to
@@ -51,11 +66,21 @@ object Ranking {
       .sortWithinPartitions(orderExprs: _*)
       .localCheckpoint(true)
 
-    // pass 1: per-(partition, group) totals; tiny by construction
-    val perPart = sorted
+    // pass 1: per-(partition, group) totals; tiny by construction for
+    // low-cardinality groups. limit(+1) bounds the transfer BEFORE the
+    // collect, so a mis-used high-cardinality key errors instead of
+    // OOMing the driver.
+    val perPartRows = sorted
       .groupBy(spark_partition_id().as("__pid"), struct(groupCols.map(col): _*).as("__g"))
       .agg(sum(col("__rank_v")).as("__s"))
+      .limit(MaxOffsetEntries + 1)
       .collect()
+    require(perPartRows.length <= MaxOffsetEntries,
+      s"Ranking.withRunningSum: more than $MaxOffsetEntries (partition × group) " +
+      s"offset entries for groupCols=${groupCols.mkString(",")} — group cardinality " +
+      "is too high for the driver-offset construction; use a plain " +
+      "Window.partitionBy (per-group sorts are safe when groups are small)")
+    val perPart = perPartRows
       .map(r => (r.getInt(0), r.getStruct(1).toSeq, r.getLong(2)))
 
     // start offset of (pid, group) = that group's total in earlier partitions

@@ -38,6 +38,26 @@ class BpeTrainerSpec extends SparkSpec {
     }
   }
 
+  test("oversized alphabet is capped by frequency: ids stay < vocabSize, decode lossless") {
+    // 40 distinct CJK chars but budget for only 10 symbol slots
+    // (vocabSize 270 - 260 fixed overhead): the 31 rarest chars must lose
+    // their own token and ride byte fallback, never exceed the id bound
+    val words = (0 until 40).map(i =>
+      new String(Character.toChars(0x4E00 + i)) -> (100L - i))
+    val m = BpeTrainer.train(words, vocabSize = 270)
+    assert(m.vocab.values.max < 270, s"max id ${m.vocab.values.max}")
+    for ((w, _) <- words) {
+      val ids = m.encodeWord(w)
+      assert(!ids.contains(BpeTrainer.UnkId))
+      assert(ids.forall(_ < 270))
+      assert(m.decode(ids) == w)
+    }
+    // infeasible budgets fail fast instead of silently overflowing
+    intercept[IllegalArgumentException] {
+      BpeTrainer.train(words, vocabSize = 200)
+    }
+  }
+
   test("NFKC normalization is applied before training and tokenize") {
     // full-width latin and the ﬁ ligature must compose to ascii, so the
     // full-width corpus trains the SAME model as its ascii form and both
@@ -132,7 +152,7 @@ class BpeTrainerSpec extends SparkSpec {
 
   test("distributed tokenize appends subword ids per row") {
     val df = Seq((1L, "aa ab aa"), (2L, "ab aa")).toDF("doc_id", "text")
-    val m = BpeTrainer.trainFromCorpus(df, "text", vocabSize = 30)
+    val m = BpeTrainer.trainFromCorpus(df, "text", vocabSize = 270)
     val out = BpeTrainer.tokenize(df, "text", m).orderBy("doc_id").collect()
     assert(out.length == 2)
     val ids1 = out(0).getSeq[Int](2)

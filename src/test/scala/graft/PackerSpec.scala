@@ -31,6 +31,18 @@ class PackerSpec extends SparkSpec {
     assert(chunks.map(_._1.toSeq) == Seq(Seq(1, 2, 3), Seq(4, 5, 6), Seq(7, 0, 0)))
   }
 
+  test("empty docs are skipped (no EOS, no sample id) and pad gets a fresh sid") {
+    // reference run.py:153-154 (`if not ids: continue`) and run.py:207-209
+    // (pad sids use a NEW sample id so pad never merges with the tail doc)
+    val docs = Seq(Array(1, 2), Array.empty[Int], Array(3))
+    val chunks = packAll(docs, 6, pad = true)
+    val (ids, sid, lens, offs) = chunks.head
+    assert(ids.toSeq == Seq(1, 2, 0, 3, 0, 0)) // no EOS for the empty doc
+    assert(sid.toSeq == Seq(0, 0, 0, 1, 1, 2)) // pad run = fresh segment
+    assert(lens.toSeq == Seq(3, 2, 1))
+    assert(offs.toSeq == Seq(0, 3, 5))
+  }
+
   test("no double EOS when doc already ends with eos") {
     val chunks = packAll(Seq(Array(1, 2, 0), Array(3, 0)), 6, pad = true)
     assert(chunks.head._1.toSeq == Seq(1, 2, 0, 3, 0, 0))

@@ -27,7 +27,9 @@ class PropertySpec extends SparkSpec {
     cases.foreach { case (docs, seqLen) =>
       val arrays = docs.map(_.toArray)
       val chunks = Packer.packStream(arrays.iterator, seqLen, eosId = 0, padTail = false).toSeq
-      val totalTokens = arrays.map(a => a.length + (if (a.isEmpty || a.last != 0) 1 else 0)).sum
+      // empty docs are skipped stream-wide (reference run.py:153-154)
+      val totalTokens = arrays.filter(_.nonEmpty)
+        .map(a => a.length + (if (a.last != 0) 1 else 0)).sum
       assert(chunks.size == totalTokens / seqLen, s"seqLen=$seqLen")
       chunks.foreach { case (ids, sid, lens, offs) =>
         assert(ids.length == seqLen && sid.length == seqLen)
