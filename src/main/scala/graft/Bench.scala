@@ -31,13 +31,20 @@ object Bench {
       SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
 
+    // optional comma-separated query-name filter for focused profiling
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     // min of two runs per query: the second run reuses compiled codegen
     // and warmed file listings, and min() is robust to machine noise.
     // Each run executes the FULL plan via a noop-sink write — a count()
     // here would let Catalyst prune deterministic projections and
     // eliminate the final sort, under-measuring map-shaped queries.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try {
@@ -47,6 +54,14 @@ object Bench {
       }
       val a = once(); val b = once()
       name -> math.min(a, b)
+    }
+
+    if (only.isDefined) { // focused profiling: skip the throughput suites
+      val qs0 = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${results.values.sum},"unit":"sec","queries":$qs0,"sf":"$sfDir","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
+      spark.stop()
+      return
     }
 
     // --- tokenize-equivalent throughput (M5) ---

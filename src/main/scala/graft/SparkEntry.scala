@@ -393,32 +393,16 @@ object SparkEntry {
     }),
 
     "d15_char_entropy" -> ((s, d) => {
-      // Per-row entropy with zero shuffle: sort the chars of each doc and
-      // derive run lengths from run-start positions — O(n log n) per doc
-      // in pure array expressions, vs one shuffled row per corpus char in
-      // the naive plan (and vs O(distinct*n) array scans for the
-      // filter-per-distinct-char variant).
-      val staged = docs(s, d).select(col("doc_id"),
-        filter(split(col("text"), ""), c => length(c) > lit(0)).as("chs"))
-      val sortedDf = staged.select(col("doc_id"),
-        array_sort(col("chs")).as("sc"), size(col("chs")).as("n"))
-      val starts = filter(sequence(lit(1), col("n")),
-        i => i === 1 || element_at(col("sc"), i) =!= element_at(col("sc"), i - 1))
-      val withStarts = sortedDf.select(col("doc_id"), col("n"),
-        when(col("n") === 0, array().cast("array<int>")).otherwise(starts).as("st"))
-      val lens = zip_with(
-        col("st"),
-        concat(slice(col("st"), lit(2), greatest(size(col("st")) - 1, lit(0))),
-          array(col("n") + 1)),
-        (a, b) => b - a)
-      val entropy = aggregate(lens, lit(0.0d), (acc, c) => {
-        val p = c.cast("double") / col("n")
-        acc + p * log(p)
-      })
-      // n == 0 rows are dropped, mirroring the oracle's explode+group
-      // shape (an empty doc produces no char rows there)
-      withStarts.where(col("n") > 0)
-        .select(col("doc_id"), round(-entropy, 6).as("entropy"))
+      // Per-row entropy with zero shuffle, one pass per doc: a custom
+      // codegen-bridged Expression counts code points in a single scan.
+      // (The previous array_sort construction allocated one String per
+      // char and compared them O(n log n) times per doc — 2.6 s at
+      // sf0.1; the interpreted HOF lambdas re-evaluated shared columns.)
+      // Empty docs are dropped, mirroring the oracle's explode+group
+      // shape (an empty doc produces no char rows there).
+      docs(s, d).where(length(col("text")) > 0)
+        .select(col("doc_id"),
+          round(graft.functions.HashFunctions.charEntropy(col("text")), 6).as("entropy"))
         .orderBy("doc_id")
     }),
 
@@ -1174,9 +1158,12 @@ object SparkEntry {
       """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(96 AS BIGINT) AS n_hits,
               CAST(0.96 AS DOUBLE) AS recall_at_5""",
 
+    // 0.82 -> 0.86 when the quantizer moved to the deterministic
+    // single-partition training sample (partition-invariant centroids;
+    // re-probed stable across 2/16/32 cores before pinning)
     "e04_ivf_knn" ->
-      """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(82 AS BIGINT) AS n_hits,
-              CAST(0.82 AS DOUBLE) AS recall_at_5""",
+      """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(86 AS BIGINT) AS n_hits,
+              CAST(0.86 AS DOUBLE) AS recall_at_5""",
 
     // k-means with fixed seed keeps all 8 clusters populated on this
     // well-separated corpus; n_points is computed, n_clusters asserted.
@@ -1193,6 +1180,29 @@ object SparkEntry {
            round(sum(a.c * b.c) / (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))), 4) AS cos
          FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
          GROUP BY a.label, b.label ORDER BY la, lb""",
+
+    // Pinned expected output at sf0.01 (the driver's gate SF), like the
+    // e03/e04/e05 oracles: the MinHash-union sketch is fully
+    // deterministic (fixed seed-0 xxh64 permutations, fixed corpus), so
+    // its top-20 source-pair estimates are a stable constant. The values
+    // are k/128 signature-agreement fractions rounded to 4dp; x06 is the
+    // exact-Jaccard yardstick showing they track truth. Re-pin whenever
+    // seeds, k, or shingle width change.
+    "x05_source_similarity" ->
+      """SELECT sa, sb, CAST(est_jaccard_dec AS DOUBLE) AS est_jaccard
+         FROM (VALUES
+           ('src11', 'src9', 0.8125), ('src11', 'src3', 0.7813),
+           ('src13', 'src9', 0.7813), ('src5', 'src9', 0.7813),
+           ('src10', 'src12', 0.7656), ('src12', 'src17', 0.7656),
+           ('src12', 'src4', 0.7656), ('src1', 'src2', 0.7578),
+           ('src11', 'src12', 0.7578), ('src12', 'src2', 0.7578),
+           ('src3', 'src5', 0.7578), ('src1', 'src6', 0.75),
+           ('src12', 'src16', 0.75), ('src12', 'src18', 0.75),
+           ('src17', 'src5', 0.75), ('src17', 'src9', 0.75),
+           ('src3', 'src9', 0.75), ('src10', 'src7', 0.7422),
+           ('src11', 'src5', 0.7422), ('src12', 'src19', 0.7422)
+         ) AS t(sa, sb, est_jaccard_dec)
+         ORDER BY est_jaccard DESC, sa, sb""",
 
     "x06_source_jaccard" ->
       """WITH n AS (SELECT source, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s

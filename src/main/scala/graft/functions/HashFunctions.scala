@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
@@ -77,6 +77,21 @@ object HashFunctions {
     * collisions — which an exact external oracle would expose. */
   def charShingleHashes(c: Column, ngram: Int): Column =
     ExpressionUtils.column(CharShingleHashes(ExpressionUtils.expression(c), ngram))
+
+  /** Cosine similarity of two numeric arrays in ONE pass (dot and both
+    * norms together) as a codegen-bridged expression — the zip_with +
+    * aggregate HOF formulation is interpreted (no codegen, no CSE) and
+    * walks the arrays three times. Bit-identical accumulation order to
+    * the HOF version, so oracle-pinned scores are unchanged. */
+  def cosineSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Shannon entropy (nats) of the string's code-point distribution —
+    * one pass, no per-char array materialization (the array_sort
+    * construction allocated one String per character and compared them
+    * O(n log n) times per doc). Empty string → 0.0. */
+  def charEntropy(c: Column): Column =
+    ExpressionUtils.column(CharEntropy(ExpressionUtils.expression(c)))
 
   /** SplitMix64 — public-domain mixing function (Steele et al., used as
     * the default stream seeder in java.util.SplittableRandom). */
@@ -181,6 +196,87 @@ case class XxHash64String(child: Expression, seed: Long)
     XXH64.hashUTF8String(v.asInstanceOf[UTF8String], seed)
   override protected def withNewChildInternal(c: Expression): XxHash64String = copy(child = c)
   override def prettyName: String = "xxhash64_seed"
+}
+
+/** One-pass cosine similarity over two numeric arrays (float or double
+  * elements, independently per side). Accumulates dot, ‖a‖², ‖b‖² in a
+  * single index loop in the SAME left-to-right order as the
+  * `aggregate(zip_with(...))` HOF chain it replaces, so results are
+  * bit-identical and pinned oracles hold. Zero norm (either side) or
+  * length mismatch → 0.0 (the HOF chain yields 0.0 / null respectively;
+  * all call sites treat both as "no similarity"). */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val lFloat = elemIsFloat(left)
+  @transient private lazy val rFloat = elemIsFloat(right)
+
+  override def nullSafeEval(av: Any, bv: Any): Any = {
+    val a = av.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = bv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return 0.0d
+    var dot = 0.0d; var na = 0.0d; var nb = 0.0d
+    var i = 0
+    while (i < n) {
+      val x = if (lFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0d) 0.0d else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = ((Double) $ref.nullSafeEval($a, $b)).doubleValue();")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** Shannon entropy in nats over the code-point frequency distribution:
+  * `-Σ (c/n)·ln(c/n)` — the same quantity the SQL construction
+  * `unnest(string_split(text,'')) → group → sum` computes, in one pass
+  * over the decoded string with a primitive-count map. Summation order
+  * differs from the grouped SQL (hash-map iteration vs per-char groups);
+  * both are far inside the 6-dp rounding the consumers apply. */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with RefEvalCodegen {
+  override def dataType: DataType = DoubleType
+  override protected def javaResultType: String = "Double"
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    if (s.isEmpty) 0.0d
+    else {
+      val counts = new java.util.HashMap[Integer, Array[Int]]()
+      var i = 0
+      var n = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        i += Character.charCount(cp)
+        n += 1
+        val e = counts.get(cp)
+        if (e == null) counts.put(cp, Array(1)) else e(0) += 1
+      }
+      var h = 0.0d
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val p = it.next()(0).toDouble / n
+        h -= p * math.log(p)
+      }
+      h
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): CharEntropy = copy(child = c)
+  override def prettyName: String = "char_entropy"
 }
 
 /** Base-31 Horner rolling hash over UTF-8 bytes (wrapping Long). */

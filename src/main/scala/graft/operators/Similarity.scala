@@ -23,12 +23,13 @@ object Similarity {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity with zero-norm guard (0.0 when either is zero). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = norm(a) * norm(b)
-    when(n === 0.0, lit(0.0)).otherwise(d / n)
-  }
+  /** Cosine similarity with zero-norm guard (0.0 when either is zero).
+    * One-pass codegen-bridged expression ([[graft.functions.CosineSim]]):
+    * the HOF formulation (`aggregate(zip_with(...))` × 3) is interpreted
+    * per element — measured as the dominant per-pair cost of every
+    * scoring join here. Identical accumulation order, identical values. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.HashFunctions.cosineSim(a, b)
 
   /** Sign-LSH bucket id (single table): delegates to the one-pass
     * [[graft.functions.SignBuckets]] expression — the Column-HOF
@@ -98,16 +99,34 @@ object Similarity {
   /** Embedding clustering via MLlib KMeans (k-means|| init) — the
     * topic-bucketing / corpus-stratification operator a training-data
     * pipeline uses ahead of sampling. Returns the input plus a `cluster`
-    * column; deterministic for a fixed seed + partitioning. */
+    * column; deterministic for a fixed seed, independent of the input
+    * partitioning (training runs on the canonical sample below). */
   def kmeansClusters(df: DataFrame, idCol: String, vecCol: String,
                      k: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val model = fitKmeansOnSample(df, idCol, vecCol, k, seed)
+    val feat = df.withColumn("__features", array_to_vector(col(vecCol)))
+    model.setPredictionCol("cluster")
+    model.transform(feat).drop("__features")
+  }
+
+  /** K-means fit on a deterministic bounded sample: the `256·k` rows
+    * with the smallest hashed id (TakeOrdered — per-partition top-n
+    * then merge, never a full sort), single-partition so the iterative
+    * fit pays no per-iteration scheduling overhead and the centroids
+    * cannot depend on the input partitioning. A coarse quantizer needs
+    * a few hundred points per centroid, not the corpus (standard IVF
+    * trainer practice) — at 100 TB the alternative is 20 full passes. */
+  private def fitKmeansOnSample(df: DataFrame, idCol: String, vecCol: String,
+                                k: Int, seed: Long) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val feat = df.withColumn("__features", array_to_vector(col(vecCol)))
-    val model = new KMeans().setK(k).setSeed(seed)
-      .setFeaturesCol("__features").setPredictionCol("cluster")
-      .fit(feat)
-    model.transform(feat).drop("__features")
+    val sampleN = math.max(256 * k, 2048)
+    val train = df.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+      .orderBy(xxhash64(col("__id")), col("__id")).limit(sampleN)
+      .coalesce(1)
+      .withColumn("__features", array_to_vector(col("__vec")))
+    new KMeans().setK(k).setSeed(seed).setFeaturesCol("__features").fit(train)
   }
 
   /** IVF-style approximate top-k: corpus is assigned to the nearest of
@@ -128,11 +147,7 @@ object Similarity {
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"))
     val centroids =
       if (kmeansCentroids) {
-        import org.apache.spark.ml.clustering.KMeans
-        import org.apache.spark.ml.functions.array_to_vector
-        val feat = c.withColumn("__features", array_to_vector(col("cv")))
-        val model = new KMeans().setK(nCentroids).setSeed(seed)
-          .setFeaturesCol("__features").fit(feat)
+        val model = fitKmeansOnSample(c, "neighbor_id", "cv", nCentroids, seed)
         import spark.implicits._
         model.clusterCenters.zipWithIndex
           .map { case (v, i) => (i.toLong, v.toArray) }.toSeq

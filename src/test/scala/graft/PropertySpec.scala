@@ -63,6 +63,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cosineSim expression is bit-identical to the HOF aggregate chain") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(64, Gen.chooseNum(-100, 100).map(_ / 7.0f))
+    val pairs = samples(vecGen.flatMap(a => vecGen.map(a -> _)), 20) :+
+      (List.fill(64)(0.0f) -> List.fill(64)(1.0f)) // zero-norm guard
+    val df = pairs.toDF("a", "b")
+    val hof = org.apache.spark.sql.functions.aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    def nrm(c: org.apache.spark.sql.Column) = sqrt(org.apache.spark.sql.functions.aggregate(
+      zip_with(c, c, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x))
+    val n = nrm(col("a")) * nrm(col("b"))
+    val want = when(n === 0.0, lit(0.0)).otherwise(hof / n)
+    df.select(HashFunctions.cosineSim(col("a"), col("b")).as("got"), want.as("want"))
+      .collect().foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)), r.toString)
+      }
+  }
+
+  test("charEntropy matches naive code-point frequency entropy") {
+    import spark.implicits._
+    val strGen = Gen.chooseNum(0, 80).flatMap(n => Gen.listOfN(n, Gen.frequency(
+      6 -> Gen.alphaNumChar, 1 -> Gen.const(' '),
+      1 -> Gen.oneOf('一', 'é'))).map(_.mkString))
+    val rows = samples(strGen, 40) :+ "🙂🙂ab" // surrogate pairs
+    rows.filter(_.nonEmpty).toDF("t")
+      .select(col("t"), HashFunctions.charEntropy(col("t")).as("h"))
+      .collect().foreach { r =>
+        val cps = r.getString(0).codePoints().toArray
+        val n = cps.length.toDouble
+        val want = -cps.groupBy(identity).values.map(_.length / n)
+          .map(p => p * math.log(p)).sum
+        assert(math.abs(r.getDouble(1) - want) < 1e-12, r.toString)
+      }
+  }
+
   test("rolling hash equals reference Horner fold for ascii strings") {
     import spark.implicits._
     val strs = samples(Gen.asciiPrintableStr, 30).filter(_.nonEmpty)
