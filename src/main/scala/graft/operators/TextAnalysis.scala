@@ -61,23 +61,12 @@ object TextAnalysis {
     * stopword-evidence argmax with deterministic tie-break (table order),
     * "und" when no evidence. */
   def langIdLabel(text: Column,
-                  table: Seq[(String, Seq[String])] = LangStopwords): Column = {
-    // all languages counted by ONE tokenizing pass (StopwordLangHits
-    // expression) instead of a full regex scan per language; codegen
-    // subexpression elimination collapses the repeated array references
-    val hitsArr = graft.functions.HashFunctions.stopwordLangHits(
-      lower(text), table.map(_._2))
-    val hits = table.zipWithIndex.map { case ((lang, _), i) =>
-      lang -> element_at(hitsArr, i + 1)
-    }
-    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = hits.foldRight(lit("und"): Column) { case ((lang, h), els) =>
-      when(h === best && best > 0, lang).otherwise(els)
-    }
-    when(length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")).cast("double")
-        >= length(text) * 0.05, "zh")
-      .otherwise(pick)
-  }
+                  table: Seq[(String, Seq[String])] = LangStopwords): Column =
+    // gate + tokenize + argmax all inside ONE expression pass: the
+    // previous when-chain over element_at(hits, i) put most references
+    // in conditional positions, which defeats codegen subexpression
+    // elimination — every branch re-ran the tokenizing pass
+    graft.functions.HashFunctions.langIdLabelExpr(text, table, 0.05)
 
   /** LID score in [0,1]: normalized stopword-evidence margin. */
   def langIdScore(text: Column,
