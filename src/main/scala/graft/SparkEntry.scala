@@ -456,6 +456,40 @@ object SparkEntry {
         .select(col("src"), col("dst"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("src", "dst")),
 
+    "d20_trained_lid" -> ((s, d) => {
+      // model-backed LID (M1): train the Naive-Bayes char-3gram model and
+      // predict with it. The corpus's own `lang` column is random
+      // metadata over English-ish synthetic text (no learnable signal —
+      // every scorer collapses to the prior), so, like d19's dup-line
+      // fixture, the labeled text is SYNTHESIZED deterministically from
+      // doc_id: each doc draws 30 words from its language's wordlist via
+      // xxhash64(doc_id, position). Exact count aggregates + fixed gram
+      // order make the confusion matrix a partitioning-invariant
+      // constant at a given SF — pinned oracle (expected: all-diagonal).
+      val wordLists = Seq(
+        "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "haben", "dies", "von"),
+        "en" -> Seq("the", "and", "of", "is", "that", "with", "for", "have", "this", "from"),
+        "es" -> Seq("el", "los", "las", "es", "una", "que", "para", "tener", "este", "cada"),
+        "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "avoir", "ce", "chaque"))
+      val langArr = array(wordLists.map(w => lit(w._1)): _*)
+      val langTrue = element_at(langArr, (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+      def textFor(words: Seq[String]) = concat_ws(" ",
+        transform(sequence(lit(1), lit(30)), i => element_at(
+          array(words.map(lit): _*),
+          (pmod(xxhash64(concat(col("doc_id").cast("string"), lit("w"), i.cast("string"))),
+            lit(words.length)) + 1).cast("int"))))
+      val synthText = wordLists.foldRight(lit(""): Column) { case ((lang, ws), els) =>
+        when(langTrue === lang, textFor(ws)).otherwise(els)
+      }
+      val synth = docs(s, d).select(col("doc_id"), langTrue.as("lang"),
+        synthText.as("text"))
+      val model = TrainedLid.train(synth, "lang", "text")
+      TrainedLid.predict(synth, "text", model)
+        .groupBy(col("lang"), col("lang_pred_model"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred_model")
+    }),
+
     "x03_ngram_jaccard_dedup" -> ((s, d) =>
       // kept set after near-dedup; the oracle rebuilds the exact word-3gram
       // Jaccard graph and its transitive closure in SQL, so this asserts
@@ -1035,6 +1069,18 @@ object SparkEntry {
          ORDER BY doc_id""",
 
     "d04_lang_id" -> langIdOracle("SELECT doc_id, lang_pred FROM scored ORDER BY doc_id"),
+
+    // Pinned at sf0.01 (driver's gate SF): the synthesized 4-language
+    // fixture assigns doc_id % 4 over 500 docs → 125 per language, and
+    // the trained NB model separates the disjoint wordlists perfectly —
+    // the all-diagonal matrix is exact-count deterministic under any
+    // partitioning (spec-proved). Re-pin if the fixture or SF changes.
+    "d20_trained_lid" ->
+      """SELECT lang, lang_pred_model, CAST(n_dec AS BIGINT) AS n FROM (VALUES
+           ('de', 'de', 125), ('en', 'en', 125),
+           ('es', 'es', 125), ('fr', 'fr', 125)
+         ) AS t(lang, lang_pred_model, n_dec)
+         ORDER BY lang, lang_pred_model""",
 
     "d05_lang_confusion" -> langIdOracle(
       "SELECT lang, lang_pred, count(*) AS n FROM scored GROUP BY lang, lang_pred ORDER BY lang, lang_pred"),

@@ -31,7 +31,11 @@ object Pipeline {
       seqLen: Int = 4096,
       vocabSize: Int = 32000,
       tokenizer: String = "word",       // "word" | "bpe"
-      exportDtype: String = "uint16")
+      exportDtype: String = "uint16",
+      // optional trained-LID artifact (operators.TrainedLid.writeModel);
+      // when set, QualityStep scores with the model instead of the
+      // stopword heuristic — the reference's swappable lid.176.bin seam
+      lidModelPath: Option[String] = None)
 
   case class StepStats(step: String, inputRows: Long, outputRows: Long,
                        elapsedSec: Double = 0, extra: Map[String, String] = Map.empty)

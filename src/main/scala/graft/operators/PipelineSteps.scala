@@ -94,8 +94,19 @@ object PipelineSteps {
     val name = "quality"
     def run(spark: SparkSession, cfg: PipelineConfig): StepStats = {
       val in = readStep(spark, cfg, name)
-      val scored = in
-        .withColumn("lang", concat(lit("__label__"), TextAnalysis.langIdLabel(col("text"))))
+      // model seam (reference lid.176.bin swap, quality/model.py:267-340):
+      // an artifact path routes labeling through the trained NB scorer;
+      // otherwise the table-driven stopword heuristic labels
+      val labeled = cfg.lidModelPath match {
+        case Some(p) =>
+          val m = TrainedLid.loadModel(spark, p)
+          TrainedLid.predict(in, "text", m, outCol = "__lid").
+            withColumn("lang", concat(lit("__label__"), col("__lid"))).drop("__lid")
+        case None =>
+          in.withColumn("lang",
+            concat(lit("__label__"), TextAnalysis.langIdLabel(col("text"))))
+      }
+      val scored = labeled
         .withColumn("lang_score", TextAnalysis.langIdScore(col("text")))
         .withColumn("quality_keep",
           substring(col("lang"), 10, 10).isin(cfg.langs: _*)

@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.functions.{HashFunctions, TextFunctions}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Trained language identification — the model-backed path the reference
+  * gets from fastText's lid.176.bin (reference: src/llm_data_pipeline/
+  * quality/model.py:267-340), re-expressed as an artifact this
+  * zero-egress build can TRAIN ITSELF from a labeled corpus: multinomial
+  * Naive Bayes over hashed character n-grams (the same feature family
+  * fastText's LID uses).
+  *
+  *  - '''Train''' (distributed, one shuffle): explode each labeled doc's
+  *    distinct n-gram hashes through the codegen'd
+  *    [[graft.functions.CharShingleHashes]] projection, bucket them
+  *    (`pmod(hash, buckets)`), count per (lang, bucket). Counts are
+  *    exact aggregates, so the model is bit-identical under any
+  *    partitioning / core count. Laplace-smoothed log-likelihoods and
+  *    log-priors are assembled driver-side (langs × buckets doubles —
+  *    KBs to MBs, independent of corpus size).
+  *  - '''Artifact''': one parquet row per language (lang, prior,
+  *    weights[buckets]) — the deployment seam: ship a differently
+  *    trained artifact and `loadModel` picks it up with no code change.
+  *  - '''Predict''' (zero shuffle): gram hashing stays a codegen'd
+  *    column projection; scoring is a tight loop over the broadcast
+  *    weight matrix in `mapPartitions` (the executor-singleton model
+  *    pattern, R4/P7). Ties break to the alphabetically-first language;
+  *    score sums run in the doc's gram order, so predictions are
+  *    partitioning-invariant too.
+  */
+object TrainedLid {
+
+  /** langs sorted ascending; weights(li)(bucket) = smoothed log P(b|l). */
+  case class LidModel(langs: Array[String], priors: Array[Double],
+                      weights: Array[Array[Double]], buckets: Int,
+                      ngram: Int) extends Serializable
+
+  def train(df: DataFrame, langCol: String, textCol: String,
+            buckets: Int = 1 << 14, ngram: Int = 3,
+            alpha: Double = 0.5): LidModel = {
+    val grams = df.select(col(langCol).as("lang"),
+        explode(HashFunctions.charShingleHashes(
+          TextFunctions.normalizeForDedup(col(textCol)), ngram)).as("g"))
+      .select(col("lang"), pmod(col("g"), lit(buckets.toLong)).cast("int").as("b"))
+    val counts = grams.groupBy("lang", "b").agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val docCounts = df.groupBy(col(langCol).as("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langs = docCounts.keys.toArray.sorted
+    val idx = langs.zipWithIndex.toMap
+    val totals = new Array[Double](langs.length)
+    counts.foreach { case (l, _, c) => totals(idx(l)) += c.toDouble }
+    val nDocs = docCounts.values.sum.toDouble
+    val priors = langs.map(l => math.log(docCounts(l) / nDocs))
+    val weights = langs.map { l =>
+      val denom = math.log(totals(idx(l)) + alpha * buckets)
+      Array.fill(buckets)(math.log(alpha) - denom) // unseen-bucket smoothing
+    }
+    counts.foreach { case (l, b, c) =>
+      weights(idx(l))(b) = math.log(c + alpha) -
+        math.log(totals(idx(l)) + alpha * buckets)
+    }
+    LidModel(langs, priors, weights, buckets, ngram)
+  }
+
+  /** Persist the model as one parquet row per language. */
+  def writeModel(spark: SparkSession, path: String, m: LidModel): Unit = {
+    import spark.implicits._
+    m.langs.indices.map(i => (m.langs(i), m.priors(i), m.weights(i).toSeq,
+        m.buckets, m.ngram))
+      .toDF("lang", "prior", "weights", "buckets", "ngram")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: SparkSession, path: String): LidModel = {
+    val rows = spark.read.parquet(path)
+      .select("lang", "prior", "weights", "buckets", "ngram")
+      .collect().sortBy(_.getString(0))
+    LidModel(rows.map(_.getString(0)), rows.map(_.getDouble(1)),
+      rows.map(_.getSeq[Double](2).toArray),
+      rows.head.getInt(3), rows.head.getInt(4))
+  }
+
+  /** Append `outCol` with the argmax-language of each row's text. */
+  def predict(df: DataFrame, textCol: String, model: LidModel,
+              outCol: String = "lang_pred_model"): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    val withGrams = df.withColumn("__lid_grams",
+      HashFunctions.charShingleHashes(
+        TextFunctions.normalizeForDedup(col(textCol)), model.ngram))
+    val gIdx = withGrams.schema.fieldIndex("__lid_grams")
+    val outSchema = withGrams.schema.add(outCol, StringType, nullable = false)
+    val out = withGrams.mapPartitions { it =>
+      val m = bc.value
+      val nL = m.langs.length
+      val b = m.buckets
+      it.map { r =>
+        val grams = r.getSeq[Long](gIdx)
+        var bestIdx = 0
+        var bestScore = Double.NegativeInfinity
+        var li = 0
+        while (li < nL) {
+          var s = m.priors(li)
+          val w = m.weights(li)
+          val gi = grams.iterator
+          while (gi.hasNext) {
+            val g = gi.next()
+            s += w((((g % b) + b) % b).toInt) // same pmod as training
+          }
+          if (s > bestScore) { bestScore = s; bestIdx = li } // first max wins
+          li += 1
+        }
+        Row.fromSeq(r.toSeq :+ m.langs(bestIdx))
+      }
+    }(Encoders.row(outSchema))
+    out.drop("__lid_grams")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.TrainedLid
+
+class TrainedLidSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    ("en", "the cat sat on the mat with the hat and that is that"),
+    ("en", "this is the english sentence that we wrote for the test"),
+    ("en", "the quick brown fox jumps over the lazy dog for fun"),
+    ("de", "der hund und die katze sind nicht mit dem mann gegangen"),
+    ("de", "das ist der deutsche satz den wir geschrieben haben"),
+    ("de", "die sonne scheint und der regen kommt nicht heute"),
+    ("fr", "le chat est dans la maison et les enfants sont dehors"),
+    ("fr", "la phrase que nous avons ecrite est dans une langue"),
+    ("fr", "les jours de la semaine sont dans le calendrier"))
+    .toDF("lang", "text")
+
+  test("training recovers the labels of its own corpus") {
+    val df = corpus
+    val m = TrainedLid.train(df, "lang", "text")
+    assert(m.langs.toSeq == Seq("de", "en", "fr")) // sorted
+    val preds = TrainedLid.predict(df, "text", m)
+      .select("lang", "lang_pred_model").collect()
+    assert(preds.forall(r => r.getString(0) == r.getString(1)),
+      preds.filterNot(r => r.getString(0) == r.getString(1)).mkString(","))
+  }
+
+  test("model is partitioning-invariant and the artifact roundtrips") {
+    val df = corpus
+    val m1 = TrainedLid.train(df.repartition(1), "lang", "text")
+    val m7 = TrainedLid.train(df.repartition(7), "lang", "text")
+    assert(m1.langs.sameElements(m7.langs))
+    assert(m1.priors.sameElements(m7.priors))
+    assert(m1.weights.zip(m7.weights).forall { case (a, b) => a.sameElements(b) })
+
+    val path = java.nio.file.Files.createTempDirectory("lidmodel").toString + "/m"
+    TrainedLid.writeModel(spark, path, m1)
+    val loaded = TrainedLid.loadModel(spark, path)
+    assert(loaded.buckets == m1.buckets && loaded.ngram == m1.ngram)
+    val a = TrainedLid.predict(df, "text", m1).select("lang_pred_model").collect().toSeq
+    val b = TrainedLid.predict(df, "text", loaded).select("lang_pred_model").collect().toSeq
+    assert(a == b)
+  }
+
+  test("QualityStep routes labeling through the model artifact when configured") {
+    import org.apache.spark.sql.functions._
+    val outBase = java.nio.file.Files.createTempDirectory("lidstep").toString
+    val m = TrainedLid.train(corpus, "lang", "text")
+    TrainedLid.writeModel(spark, s"$outBase/lid_model", m)
+    // quality reads the clean step's output dir
+    corpus.select(col("text")).write.mode("overwrite").parquet(s"$outBase/cleaned_parquet")
+    val cfg = graft.core.Pipeline.PipelineConfig(dataDir = ".", outputBase = outBase,
+      langs = Seq("de"), langThreshold = 0.0,
+      lidModelPath = Some(s"$outBase/lid_model"))
+    graft.operators.PipelineSteps.QualityStep().run(spark, cfg)
+    val kept = spark.read.parquet(s"$outBase/quality_parquet")
+    // only the 3 German sentences survive the model-labeled lang filter
+    assert(kept.count() == 3)
+    assert(kept.select("lang").collect().forall(_.getString(0) == "__label__de"))
+  }
+
+  test("unseen language text falls to the nearest trained language deterministically") {
+    val m = TrainedLid.train(corpus, "lang", "text")
+    val out1 = TrainedLid.predict(Seq(("x", "zzz qqq www")).toDF("lang", "text"), "text", m)
+      .select("lang_pred_model").head.getString(0)
+    val out2 = TrainedLid.predict(Seq(("x", "zzz qqq www")).toDF("lang", "text"), "text", m)
+      .select("lang_pred_model").head.getString(0)
+    assert(out1 == out2) // no RNG anywhere in the scorer
+    assert(m.langs.contains(out1))
+  }
+}
