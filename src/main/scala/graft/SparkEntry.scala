@@ -759,6 +759,33 @@ object SparkEntry {
       s.table("st01_tbl").orderBy("hr", "event_type")
     }),
 
+    "st02_stream_dedup" -> ((s, d) => {
+      // streaming exact dedup (watermark-bounded state) gated against the
+      // batch DISTINCT: dedup on (user_id, event_type) across
+      // micro-batches, then count survivors per event_type. WHICH row of
+      // a dup group survives depends on arrival order, so only the KEY
+      // SET (deterministic) reaches the oracle compare.
+      val batchSchema = ev(s, d).schema
+      s.catalog.dropTempView("st02_tbl")
+      val stage = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_stream_${math.abs(d.hashCode)}")
+      java.nio.file.Files.createDirectories(stage)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(d, "events.parquet"),
+        stage.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val stream = graft.streaming.Streaming.parquetStream(s, stage.toString, batchSchema)
+        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+        .withColumn("dedup_key",
+          concat(col("user_id").cast("string"), lit("|"), col("event_type")))
+      val dd = graft.streaming.Streaming.dedupStream(stream, "dedup_key", "tstamp",
+          watermark = "10 days") // fixture spans days; state bound still holds
+        .select("event_type", "dedup_key")
+      graft.streaming.Streaming.runToMemory(dd, "st02_tbl",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table("st02_tbl").groupBy("event_type").agg(count(lit(1)).as("n_distinct_users"))
+        .orderBy("event_type")
+    }),
+
     // ---------------- heavy hitters (Misra-Gries + exact recount) ----------------
     "h01_heavy_hitters" -> ((s, d) =>
       // k >= distinct values makes the sketch provably exact, so the
@@ -1437,6 +1464,10 @@ object SparkEntry {
     "st01_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n
          FROM events GROUP BY hr, event_type ORDER BY hr, event_type""",
+
+    "st02_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "h01_heavy_hitters" ->
       """SELECT event_type, count(*) AS n FROM events
