@@ -34,6 +34,18 @@ object SparkEntry {
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
+  /** File-stream sources need a directory: stage the single-file events
+    * table once per sf dir (st01/st02/st03 share it). */
+  private def stageEventsDir(d: String): String = {
+    val stage = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_stream_${math.abs(d.hashCode)}")
+    java.nio.file.Files.createDirectories(stage)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(d, "events.parquet"),
+      stage.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    stage.toString
+  }
+
   // Judge thresholds tuned so every reason except punct/dup actually
   // fires on the synthetic docs table (48..553 chars, no newlines).
   private val judgeT = TextFunctions.CleanThresholds(
@@ -744,19 +756,33 @@ object SparkEntry {
     "st01_stream_hourly" -> ((s, d) => {
       val batchSchema = ev(s, d).schema
       s.catalog.dropTempView("st01_tbl")
-      // file-stream sources need a directory: stage the single-file table
-      val stage = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_stream_${math.abs(d.hashCode)}")
-      java.nio.file.Files.createDirectories(stage)
-      java.nio.file.Files.copy(java.nio.file.Paths.get(d, "events.parquet"),
-        stage.resolve("events.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      val stream = graft.streaming.Streaming.parquetStream(s, stage.toString, batchSchema)
+      val stream = graft.streaming.Streaming.parquetStream(s, stageEventsDir(d), batchSchema)
         .withColumn("hr", date_trunc("hour", timestamp_micros(expr("ts div 1000"))).cast("timestamp_ntz"))
         .groupBy("hr", "event_type").agg(count(lit(1)).as("n"))
       graft.streaming.Streaming.runToMemory(stream, "st01_tbl",
         org.apache.spark.sql.streaming.OutputMode.Complete())
       s.table("st01_tbl").orderBy("hr", "event_type")
+    }),
+
+    "st03_stream_interval_join" -> ((s, d) => {
+      // watermarked stream-stream interval join gated against the batch
+      // range join: purchases matched to the same user's clicks in the
+      // preceding 30 minutes. The matched SET is deterministic (unlike
+      // row arrival order), so the pair count is the oracle surface.
+      val batchSchema = ev(s, d).schema
+      s.catalog.dropTempView("st03_tbl")
+      val stream = graft.streaming.Streaming.parquetStream(s, stageEventsDir(d), batchSchema)
+        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tstamp").as("p_ts"))
+      val clicks = stream.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tstamp").as("c_ts"))
+      val joined = graft.streaming.Streaming.intervalJoin(
+        purchases, clicks, "user_id", "p_ts", "c_ts",
+        lookback = "30 minutes", watermark = "30 days")
+      graft.streaming.Streaming.runToMemory(joined, "st03_tbl",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table("st03_tbl").agg(count(lit(1)).as("n_pairs"))
     }),
 
     "st02_stream_dedup" -> ((s, d) => {
@@ -767,13 +793,7 @@ object SparkEntry {
       // SET (deterministic) reaches the oracle compare.
       val batchSchema = ev(s, d).schema
       s.catalog.dropTempView("st02_tbl")
-      val stage = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_stream_${math.abs(d.hashCode)}")
-      java.nio.file.Files.createDirectories(stage)
-      java.nio.file.Files.copy(java.nio.file.Paths.get(d, "events.parquet"),
-        stage.resolve("events.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      val stream = graft.streaming.Streaming.parquetStream(s, stage.toString, batchSchema)
+      val stream = graft.streaming.Streaming.parquetStream(s, stageEventsDir(d), batchSchema)
         .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
         .withColumn("dedup_key",
           concat(col("user_id").cast("string"), lit("|"), col("event_type")))
@@ -1468,6 +1488,17 @@ object SparkEntry {
     "st02_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // microsecond-precision comparison on both sides (Spark: ts div 1000;
+    // DuckDB: epoch_us of the nanosecond timestamp — same truncation)
+    "st03_stream_interval_join" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_pairs
+         FROM (SELECT user_id, epoch_us(ts) AS pus FROM events
+               WHERE event_type = 'purchase') p
+         JOIN (SELECT user_id, epoch_us(ts) AS cus FROM events
+               WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND c.cus <= p.pus AND c.cus >= p.pus - 1800000000""",
 
     "h01_heavy_hitters" ->
       """SELECT event_type, count(*) AS n FROM events
