@@ -202,32 +202,54 @@ case class XxHash64String(child: Expression, seed: Long)
   override def prettyName: String = "xxhash64_seed"
 }
 
-/** One-pass cosine similarity over two numeric arrays (float or double
-  * elements, independently per side). Accumulates dot, ‖a‖², ‖b‖² in a
-  * single index loop in the SAME left-to-right order as the
-  * `aggregate(zip_with(...))` HOF chain it replaces, so results are
-  * bit-identical and pinned oracles hold. Zero norm (either side) or
-  * length mismatch → 0.0 (the HOF chain yields 0.0 / null respectively;
-  * all call sites treat both as "no similarity"). */
+/** One-pass cosine similarity over two numeric arrays (float / double /
+  * int / long / short elements, independently per side — each widened
+  * to double exactly like the `x.cast("double")` the HOF chain
+  * applied). Accumulates dot, ‖a‖², ‖b‖² in a single index loop in the
+  * SAME left-to-right order as the `aggregate(zip_with(...))` chain it
+  * replaces, so results are bit-identical and pinned oracles hold.
+  * Zero norm (either side) → 0.0; length mismatch or a NULL element on
+  * either side → NULL (all matching the HOF chain it replaced). */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null array elements → null
 
-  private def elemIsFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  @transient private lazy val lFloat = elemIsFloat(left)
-  @transient private lazy val rFloat = elemIsFloat(right)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType | ShortType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires numeric arrays, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  private def getter(e: Expression): (org.apache.spark.sql.catalyst.util.ArrayData, Int) => Double =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType   => (a, i) => a.getFloat(i).toDouble
+      case DoubleType  => (a, i) => a.getDouble(i)
+      case IntegerType => (a, i) => a.getInt(i).toDouble
+      case LongType    => (a, i) => a.getLong(i).toDouble
+      case ShortType   => (a, i) => a.getShort(i).toDouble
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+  @transient private lazy val getL = getter(left)
+  @transient private lazy val getR = getter(right)
 
   override def nullSafeEval(av: Any, bv: Any): Any = {
     val a = av.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val b = bv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val n = a.numElements()
-    if (n != b.numElements()) return 0.0d
+    if (n != b.numElements()) return null // zip_with pads with null → null
     var dot = 0.0d; var na = 0.0d; var nb = 0.0d
     var i = 0
     while (i < n) {
-      val x = if (lFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (rFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = getL(a, i)
+      val y = getR(b, i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -237,8 +259,11 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("graftExpr", this, getClass.getName)
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = ((Double) $ref.nullSafeEval($a, $b)).doubleValue();")
+    val res = ctx.freshName("cosRes") // unique per occurrence in the method
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      Object $res = $ref.nullSafeEval($a, $b);
+      if ($res == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((Double) $res).doubleValue(); }""")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
@@ -270,11 +295,21 @@ case class CharEntropy(child: Expression)
         val e = counts.get(cp)
         if (e == null) counts.put(cp, Array(1)) else e(0) += 1
       }
+      // Kahan-compensated sum: neither this hash-map iteration order nor
+      // DuckDB's group order is canonical, so bit-equality across engines
+      // was never structural — both sides rely on the 6-dp rounding the
+      // consumers apply. Compensation keeps the cross-order error at
+      // ~1 ulp of the TOTAL (vs ~n ulps naive), pushing the probability
+      // of a rounding-boundary flip per doc to ~1e-10.
       var h = 0.0d
+      var comp = 0.0d
       val it = counts.values().iterator()
       while (it.hasNext) {
         val p = it.next()(0).toDouble / n
-        h -= p * math.log(p)
+        val term = -p * math.log(p) - comp
+        val t = h + term
+        comp = (t - h) - term
+        h = t
       }
       h
     }
@@ -317,29 +352,46 @@ case class RollingHash64(child: Expression)
   * to Java/RE2 `\b` word-boundary semantics for pure-ASCII stopwords,
   * which is what the SQL oracles compute. Counts tokens equal to a
   * stopword, per language. */
-case class StopwordLangHits(child: Expression, table: Seq[Seq[String]])
-    extends UnaryExpression with RefEvalCodegen {
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override protected def javaResultType: String =
-    "org.apache.spark.sql.catalyst.util.ArrayData"
+/** Shared ASCII-word-run tokenizer pieces for the stopword-scoring
+  * expressions (single source of truth: [[StopwordLangHits]] and
+  * [[LangIdLabel]] must tokenize identically or lang_score would
+  * desynchronize from lang_pred and from the d04/d05 oracle regex). */
+private[functions] object AsciiWordTokenizer {
+  /** Tokens longer than this can't be stopwords — skipped unhashed. */
+  val MaxTokenLen = 24
 
-  // word -> indices of languages listing it (a word may serve several)
-  @transient private lazy val wordLangs: java.util.HashMap[String, Array[Int]] = {
-    val m = new java.util.HashMap[String, Array[Int]]()
-    table.zipWithIndex.foreach { case (ws, li) =>
-      ws.foreach { w =>
-        val prev = Option(m.get(w)).getOrElse(Array.empty[Int])
-        m.put(w, prev :+ li)
-      }
-    }
-    m
-  }
-
-  private def isWordByte(b: Byte): Boolean = {
+  /** Token chars = [a-zA-Z0-9_]; every other byte (incl. all multi-byte
+    * UTF-8 lead/continuation bytes) is a boundary — identical to
+    * Java/RE2 `\b` semantics for pure-ASCII stopwords. */
+  def isWordByte(b: Byte): Boolean = {
     val c = b & 0xff
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
       (c >= '0' && c <= '9') || c == '_'
   }
+
+  /** lowercased word -> indices of languages listing it (a word may
+    * serve several languages). */
+  def buildWordLangs(table: Seq[Seq[String]]): java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    table.zipWithIndex.foreach { case (ws, li) =>
+      ws.foreach { w =>
+        val k = w.toLowerCase
+        val prev = Option(m.get(k)).getOrElse(Array.empty[Int])
+        m.put(k, prev :+ li)
+      }
+    }
+    m
+  }
+}
+
+case class StopwordLangHits(child: Expression, table: Seq[Seq[String]])
+    extends UnaryExpression with RefEvalCodegen {
+  import AsciiWordTokenizer._
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def javaResultType: String =
+    "org.apache.spark.sql.catalyst.util.ArrayData"
+
+  @transient private lazy val wordLangs = buildWordLangs(table)
 
   override def nullSafeEval(v: Any): Any = {
     val bytes = v.asInstanceOf[UTF8String].getBytes
@@ -349,7 +401,7 @@ case class StopwordLangHits(child: Expression, table: Seq[Seq[String]])
       while (i < bytes.length && !isWordByte(bytes(i))) i += 1
       val start = i
       while (i < bytes.length && isWordByte(bytes(i))) i += 1
-      if (i > start && i - start <= 24) {
+      if (i > start && i - start <= MaxTokenLen) {
         val tok = new String(bytes, start, i - start, java.nio.charset.StandardCharsets.US_ASCII)
         val langs = wordLangs.get(tok)
         if (langs != null) {
@@ -385,33 +437,18 @@ case class LangIdLabel(child: Expression, table: Seq[(String, Seq[String])],
   override protected def javaResultType: String =
     "org.apache.spark.unsafe.types.UTF8String"
 
+  import AsciiWordTokenizer._
+
   @transient private lazy val langLabels: Array[UTF8String] =
     table.map(t => UTF8String.fromString(t._1)).toArray
   @transient private lazy val zhLabel = UTF8String.fromString("zh")
   @transient private lazy val undLabel = UTF8String.fromString("und")
-  // lowercased word -> indices of languages listing it
-  @transient private lazy val wordLangs: java.util.HashMap[String, Array[Int]] = {
-    val m = new java.util.HashMap[String, Array[Int]]()
-    table.map(_._2).zipWithIndex.foreach { case (ws, li) =>
-      ws.foreach { w =>
-        val k = w.toLowerCase
-        val prev = Option(m.get(k)).getOrElse(Array.empty[Int])
-        m.put(k, prev :+ li)
-      }
-    }
-    m
-  }
-
-  private def isWordByte(b: Byte): Boolean = {
-    val c = b & 0xff
-    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-      (c >= '0' && c <= '9') || c == '_'
-  }
+  @transient private lazy val wordLangs = buildWordLangs(table.map(_._2))
 
   override def nullSafeEval(v: Any): Any = {
     val bytes = v.asInstanceOf[UTF8String].getBytes
     val hits = new Array[Int](table.length)
-    val tok = new Array[Char](24)
+    val tok = new Array[Char](MaxTokenLen)
     var totalCp = 0L
     var cjkCp = 0L
     var i = 0

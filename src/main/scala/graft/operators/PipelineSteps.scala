@@ -359,8 +359,16 @@ object PipelineSteps {
         }
         os.close()
         val f = new HPath(shardPath, f"part-$pid%05d.bin")
-        fs.delete(f, false) // HDFS rename does not overwrite
-        fs.rename(tmp, f)
+        // commit via rename WITHOUT pre-delete: HDFS rename fails when the
+        // destination exists, which here means another (speculative or
+        // retried) attempt already committed identical bytes — keep the
+        // winner and discard our tmp. A delete-then-rename would open a
+        // window where a killed attempt leaves NO shard at all.
+        if (!fs.rename(tmp, f)) {
+          fs.delete(tmp, false)
+          if (!fs.exists(f))
+            throw new java.io.IOException(s"shard commit failed: $f")
+        }
         Iterator((pid, n, fs.getFileStatus(f).getLen))
       }.collect().sortBy(_._1)
       // ordered concat + manifest; shards stay for direct sharded reads

@@ -83,7 +83,10 @@ object TrainedLid {
       rows.head.getInt(3), rows.head.getInt(4))
   }
 
-  /** Append `outCol` with the argmax-language of each row's text. */
+  /** Append `outCol` with the argmax-language of each row's text.
+    * NULL text yields a NULL label (mirroring the heuristic labeler's
+    * null propagation, so a downstream lang filter drops the row either
+    * way instead of the model path crashing the job). */
   def predict(df: DataFrame, textCol: String, model: LidModel,
               outCol: String = "lang_pred_model"): DataFrame = {
     val spark = df.sparkSession
@@ -92,30 +95,38 @@ object TrainedLid {
       HashFunctions.charShingleHashes(
         TextFunctions.normalizeForDedup(col(textCol)), model.ngram))
     val gIdx = withGrams.schema.fieldIndex("__lid_grams")
-    val outSchema = withGrams.schema.add(outCol, StringType, nullable = false)
-    val out = withGrams.mapPartitions { it =>
+    // the helper column is consumed HERE, not carried through the row
+    // encoder and dropped later — rows are text-sized, grams likewise
+    val outSchema = org.apache.spark.sql.types.StructType(
+      withGrams.schema.filterNot(_.name == "__lid_grams"))
+      .add(outCol, StringType, nullable = true)
+    withGrams.mapPartitions { it =>
       val m = bc.value
       val nL = m.langs.length
       val b = m.buckets
       it.map { r =>
-        val grams = r.getSeq[Long](gIdx)
-        var bestIdx = 0
-        var bestScore = Double.NegativeInfinity
-        var li = 0
-        while (li < nL) {
-          var s = m.priors(li)
-          val w = m.weights(li)
-          val gi = grams.iterator
-          while (gi.hasNext) {
-            val g = gi.next()
-            s += w((((g % b) + b) % b).toInt) // same pmod as training
+        val grams = if (r.isNullAt(gIdx)) null else r.getSeq[Long](gIdx)
+        val label = if (grams == null) null
+        else {
+          var bestIdx = 0
+          var bestScore = Double.NegativeInfinity
+          var li = 0
+          while (li < nL) {
+            var s = m.priors(li)
+            val w = m.weights(li)
+            val gi = grams.iterator
+            while (gi.hasNext) {
+              val g = gi.next()
+              s += w((((g % b) + b) % b).toInt) // same pmod as training
+            }
+            if (s > bestScore) { bestScore = s; bestIdx = li } // first max wins
+            li += 1
           }
-          if (s > bestScore) { bestScore = s; bestIdx = li } // first max wins
-          li += 1
+          m.langs(bestIdx)
         }
-        Row.fromSeq(r.toSeq :+ m.langs(bestIdx))
+        val vals = r.toSeq.zipWithIndex.collect { case (v, i) if i != gIdx => v }
+        Row.fromSeq(vals :+ label)
       }
     }(Encoders.row(outSchema))
-    out.drop("__lid_grams")
   }
 }

@@ -61,6 +61,15 @@ class TrainedLidSpec extends SparkSpec {
     assert(kept.select("lang").collect().forall(_.getString(0) == "__label__de"))
   }
 
+  test("null text predicts a null label instead of crashing the job") {
+    val m = TrainedLid.train(corpus, "lang", "text")
+    val withNull = Seq((1L, "the cat and the dog"), (2L, null))
+      .toDF("id", "text")
+    val out = TrainedLid.predict(withNull, "text", m).orderBy("id").collect()
+    assert(out(0).getString(2) == "en")
+    assert(out(1).isNullAt(2)) // mirrors the heuristic labeler's null row
+  }
+
   test("unseen language text falls to the nearest trained language deterministically") {
     val m = TrainedLid.train(corpus, "lang", "text")
     val out1 = TrainedLid.predict(Seq(("x", "zzz qqq www")).toDF("lang", "text"), "text", m)
