@@ -482,9 +482,14 @@ object SparkEntry {
         "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "haben", "dies", "von"),
         "en" -> Seq("the", "and", "of", "is", "that", "with", "for", "have", "this", "from"),
         "es" -> Seq("el", "los", "las", "es", "una", "que", "para", "tener", "este", "cada"),
-        "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "avoir", "ce", "chaque"))
+        "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "avoir", "ce", "chaque"),
+        "it" -> Seq("il", "della", "che", "per", "con", "sono", "come", "anche", "alla", "questo"),
+        "nl" -> Seq("het", "een", "van", "niet", "zijn", "voor", "ook", "maar", "naar", "deze"),
+        "pt" -> Seq("como", "mais", "dos", "ele", "isso", "muito", "sem", "pela", "seus", "onde"),
+        "sv" -> Seq("och", "att", "som", "detta", "vilket", "inte", "har", "den", "efter", "mellan"))
       val langArr = array(wordLists.map(w => lit(w._1)): _*)
-      val langTrue = element_at(langArr, (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+      val langTrue = element_at(langArr,
+        (pmod(col("doc_id"), lit(wordLists.length)) + 1).cast("int"))
       def textFor(words: Seq[String]) = concat_ws(" ",
         transform(sequence(lit(1), lit(30)), i => element_at(
           array(words.map(lit): _*),
@@ -1117,15 +1122,17 @@ object SparkEntry {
 
     "d04_lang_id" -> langIdOracle("SELECT doc_id, lang_pred FROM scored ORDER BY doc_id"),
 
-    // Pinned at sf0.01 (driver's gate SF): the synthesized 4-language
-    // fixture assigns doc_id % 4 over 500 docs → 125 per language, and
-    // the trained NB model separates the disjoint wordlists perfectly —
-    // the all-diagonal matrix is exact-count deterministic under any
-    // partitioning (spec-proved). Re-pin if the fixture or SF changes.
+    // Pinned at sf0.01 (driver's gate SF): the synthesized 8-language
+    // fixture assigns doc_id % 8 over 500 docs (ids 0-3 mod 8 → 63 docs,
+    // 4-7 → 62), and the trained NB model separates the wordlists
+    // perfectly — the all-diagonal matrix is exact-count deterministic
+    // under any partitioning (spec-proved). Re-pin if the fixture or SF
+    // changes.
     "d20_trained_lid" ->
       """SELECT lang, lang_pred_model, CAST(n_dec AS BIGINT) AS n FROM (VALUES
-           ('de', 'de', 125), ('en', 'en', 125),
-           ('es', 'es', 125), ('fr', 'fr', 125)
+           ('de', 'de', 63), ('en', 'en', 63), ('es', 'es', 63),
+           ('fr', 'fr', 63), ('it', 'it', 62), ('nl', 'nl', 62),
+           ('pt', 'pt', 62), ('sv', 'sv', 62)
          ) AS t(lang, lang_pred_model, n_dec)
          ORDER BY lang, lang_pred_model""",
 
