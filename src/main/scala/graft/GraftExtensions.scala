@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{MinHashSignature, NormalizeNfkc, RollingHash64, SimHash64, XxHash64String}
+import graft.functions.{CharEntropy, CosineSim, MinHashSignature, NormalizeNfkc, RollingHash64, SimHash64, XxHash64String}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -72,6 +72,18 @@ object GraftExtensions {
       args match {
         case Seq(c) => NormalizeNfkc(c)
         case _ => throw new IllegalArgumentException("graft_nfkc(text)")
+      }
+    },
+    "graft_cosine_sim" -> { args =>
+      args match {
+        case Seq(a, b) => CosineSim(a, b)
+        case _ => throw new IllegalArgumentException("graft_cosine_sim(vec, vec)")
+      }
+    },
+    "graft_char_entropy" -> { args =>
+      args match {
+        case Seq(c) => CharEntropy(c)
+        case _ => throw new IllegalArgumentException("graft_char_entropy(text)")
       }
     })
 

@@ -68,7 +68,12 @@ object TextAnalysis {
     // elimination — every branch re-ran the tokenizing pass
     graft.functions.HashFunctions.langIdLabelExpr(text, table, 0.05)
 
-  /** LID score in [0,1]: normalized stopword-evidence margin. */
+  /** LID score in [0,1]: normalized stopword-evidence margin.
+    * `best / greatest(total, 1)` instead of `when(total === 0, ...)`:
+    * total = 0 implies best = 0 so the value is identical, but keeping
+    * every reference in an UNCONDITIONAL position lets codegen
+    * subexpression elimination evaluate the tokenizing pass once (CSE
+    * skips `when` branches — the d04 lesson). */
   def langIdScore(text: Column,
                   table: Seq[(String, Seq[String])] = LangStopwords): Column = {
     val hitsArr = graft.functions.HashFunctions.stopwordLangHits(
@@ -76,7 +81,7 @@ object TextAnalysis {
     val hits = table.indices.map(i => element_at(hitsArr, i + 1))
     val best = hits.reduce((a, b) => greatest(a, b)).cast("double")
     val total = hits.reduce((a, b) => a + b).cast("double")
-    round(when(total === 0, 0.0).otherwise(best / total), 6)
+    round(best / greatest(total, lit(1.0)), 6)
   }
 
   /** documents → + (lang_pred, lang_score, quality_score, n_tokens,

@@ -23,6 +23,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.getLong(1) == viaApi.getLong(1))
     assert(viaSql.getLong(2) == viaApi.getLong(2))
     assert(viaSql.getLong(3) == viaApi.getLong(3))
+
+    Seq((Seq(1.0f, 2.0f, 3.0f), Seq(3.0f, 2.0f, 1.0f))).toDF("a", "b")
+      .createOrReplaceTempView("gx_vecs")
+    val cosSql = spark.sql("SELECT graft_cosine_sim(a, b) FROM gx_vecs").head().getDouble(0)
+    val cosApi = spark.table("gx_vecs")
+      .select(HashFunctions.cosineSim(col("a"), col("b"))).head().getDouble(0)
+    assert(cosSql == cosApi)
+    val entSql = spark.sql("SELECT graft_char_entropy(text) FROM gx_docs").head().getDouble(0)
+    val entApi = spark.table("gx_docs")
+      .select(HashFunctions.charEntropy(col("text"))).head().getDouble(0)
+    assert(entSql == entApi && entSql > 0.0)
   }
 
   test("withExtensions injection works at session build time") {
@@ -30,6 +41,7 @@ class GraftExtensionsSpec extends SparkSpec {
     // session's registry via the extension object instead of a 2nd session
     val e = new GraftExtensions
     assert(GraftExtensions.builders.map(_._1).toSet ==
-      Set("graft_minhash", "graft_simhash", "graft_xxhash64", "graft_rolling_hash", "graft_nfkc"))
+      Set("graft_minhash", "graft_simhash", "graft_xxhash64", "graft_rolling_hash",
+        "graft_nfkc", "graft_cosine_sim", "graft_char_entropy"))
   }
 }
