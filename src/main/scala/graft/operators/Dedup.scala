@@ -341,14 +341,26 @@ object Dedup {
 
   /** Embedding near-dedup: cosine similarity >= threshold within
     * sign-LSH buckets (random hyperplanes) — see [[Similarity]] for the
-    * primitives. */
+    * primitives.
+    *
+    * Skew guard (same contract as the text path's clique-mode
+    * `maxBucket` cap): within-bucket pair generation is C(n,2), so a
+    * hot bucket — a dominant embedding direction, or all-zero vectors
+    * hashing identically — would go quadratic at corpus scale. Buckets
+    * larger than `maxBucket` are excluded from pair generation
+    * (documented recall trade; their members are kept, not dropped). */
   def embeddingCosine(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double = 0.95, planes: Int = 16,
-                      seed: Long = 7L): DataFrame = {
+                      seed: Long = 7L, maxBucket: Int = 1000): DataFrame = {
     val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", Similarity.signBucket(col("vec"), planes, seed))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val a = withBucket.select(col("bucket"), col("id").as("src"), col("vec").as("v1"))
+    val okBuckets = withBucket.groupBy("bucket")
+      .agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") > 1 && col("__bn") <= maxBucket)
+      .select("bucket")
+    val a = withBucket.join(broadcast(okBuckets), "bucket")
+      .select(col("bucket"), col("id").as("src"), col("vec").as("v1"))
     val b = withBucket.select(col("bucket"), col("id").as("dst"), col("vec").as("v2"))
     val pairs = a.join(b, "bucket")
       .where(col("src") < col("dst"))

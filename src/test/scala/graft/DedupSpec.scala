@@ -124,6 +124,20 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L, 4L))
   }
 
+  test("embedding dedup skew guard: oversized buckets generate no pairs, members kept") {
+    // 20 identical-direction vectors land in ONE sign bucket; with
+    // maxBucket below that, the bucket is excluded from C(n,2) pair
+    // generation (documented recall trade) and every member survives
+    val vecs = (1L to 20L).map(i => (i, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val capped = Dedup.embeddingCosine(vecs, "vec_id", "embedding",
+      threshold = 0.95, planes = 4, maxBucket = 10)
+    assert(capped.count() == 20)
+    val uncapped = Dedup.embeddingCosine(vecs, "vec_id", "embedding",
+      threshold = 0.95, planes = 4, maxBucket = 1000)
+    assert(uncapped.count() == 1) // all collapse to the canonical min id
+  }
+
   test("brute-force knn returns exact neighbors in cosine order") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
