@@ -134,13 +134,36 @@ object Bench {
     val bpeCharsPerToken = if (bpeTokens > 0) totalChars.toDouble / bpeTokens else 0.0
     val wordCharsPerToken = if (totalTokens > 0) totalChars.toDouble / totalTokens else 0.0
 
+    // --- LID accuracy report (M1): trained NB char-3gram model vs the
+    // stopword-heuristic labeler, on a HELD-OUT 20% of the synthesized
+    // 8-language fixture (train and eval docs share the wordlists but no
+    // doc_ids, so this measures generalization, not memorization).
+    val fixture = graft.operators.TrainedLid
+      .synthFixture(docs.select(col("doc_id"))).cache()
+    val isEval = pmod(xxhash64(col("doc_id"), lit("lidsplit")), lit(5)) === 0
+    val lidModel = graft.operators.TrainedLid.train(
+      fixture.where(!isEval), "lang", "text")
+    val evalDf = fixture.where(isEval)
+    val trainedHits = graft.operators.TrainedLid
+      .predict(evalDf, "text", lidModel)
+      .select(when(col("lang_pred_model") === col("lang"), 1L).otherwise(0L).as("hit"))
+      .agg(sum("hit"), count(lit(1))).head()
+    val (lidHits, lidN) = (trainedHits.getLong(0), trainedHits.getLong(1))
+    val heurHits = evalDf
+      .select(when(graft.operators.TextAnalysis.langIdLabel(col("text")) === col("lang"), 1L)
+        .otherwise(0L).as("hit"))
+      .agg(sum("hit")).head().getLong(0)
+    val lidTrainedAcc = if (lidN > 0) lidHits.toDouble / lidN else 0.0
+    val lidHeuristicAcc = if (lidN > 0) heurHits.toDouble / lidN else 0.0
+    fixture.unpersist()
+
     corpus.unpersist(); docs.unpersist()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"tokenize_tokens":$totalTokens,"tokenize_sec":$tokSec,"tokens_per_sec":$tokensPerSec,"minhash_docs":$nSigs,"minhash_sec":$mhSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens":$bpeTokens,"bpe_sec":$bpeSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"compare_corpus_chars":$totalChars,"compare_bpe_per_word_ratio":$bpePerWordRatio,"compare_bpe_chars_per_token":$bpeCharsPerToken,"compare_word_chars_per_token":$wordCharsPerToken}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"tokenize_tokens":$totalTokens,"tokenize_sec":$tokSec,"tokens_per_sec":$tokensPerSec,"minhash_docs":$nSigs,"minhash_sec":$mhSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens":$bpeTokens,"bpe_sec":$bpeSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"compare_corpus_chars":$totalChars,"compare_bpe_per_word_ratio":$bpePerWordRatio,"compare_bpe_chars_per_token":$bpeCharsPerToken,"compare_word_chars_per_token":$wordCharsPerToken,"lid_eval_docs":$lidN,"lid_trained_acc":$lidTrainedAcc,"lid_heuristic_acc":$lidHeuristicAcc}""")
     spark.stop()
   }
 }

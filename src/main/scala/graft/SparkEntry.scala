@@ -470,36 +470,12 @@ object SparkEntry {
 
     "d20_trained_lid" -> ((s, d) => {
       // model-backed LID (M1): train the Naive-Bayes char-3gram model and
-      // predict with it. The corpus's own `lang` column is random
-      // metadata over English-ish synthetic text (no learnable signal —
-      // every scorer collapses to the prior), so, like d19's dup-line
-      // fixture, the labeled text is SYNTHESIZED deterministically from
-      // doc_id: each doc draws 30 words from its language's wordlist via
-      // xxhash64(doc_id, position). Exact count aggregates + fixed gram
-      // order make the confusion matrix a partitioning-invariant
-      // constant at a given SF — pinned oracle (expected: all-diagonal).
-      val wordLists = Seq(
-        "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "haben", "dies", "von"),
-        "en" -> Seq("the", "and", "of", "is", "that", "with", "for", "have", "this", "from"),
-        "es" -> Seq("el", "los", "las", "es", "una", "que", "para", "tener", "este", "cada"),
-        "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "avoir", "ce", "chaque"),
-        "it" -> Seq("il", "della", "che", "per", "con", "sono", "come", "anche", "alla", "questo"),
-        "nl" -> Seq("het", "een", "van", "niet", "zijn", "voor", "ook", "maar", "naar", "deze"),
-        "pt" -> Seq("como", "mais", "dos", "ele", "isso", "muito", "sem", "pela", "seus", "onde"),
-        "sv" -> Seq("och", "att", "som", "detta", "vilket", "inte", "har", "den", "efter", "mellan"))
-      val langArr = array(wordLists.map(w => lit(w._1)): _*)
-      val langTrue = element_at(langArr,
-        (pmod(col("doc_id"), lit(wordLists.length)) + 1).cast("int"))
-      def textFor(words: Seq[String]) = concat_ws(" ",
-        transform(sequence(lit(1), lit(30)), i => element_at(
-          array(words.map(lit): _*),
-          (pmod(xxhash64(concat(col("doc_id").cast("string"), lit("w"), i.cast("string"))),
-            lit(words.length)) + 1).cast("int"))))
-      val synthText = wordLists.foldRight(lit(""): Column) { case ((lang, ws), els) =>
-        when(langTrue === lang, textFor(ws)).otherwise(els)
-      }
-      val synth = docs(s, d).select(col("doc_id"), langTrue.as("lang"),
-        synthText.as("text"))
+      // predict with it, over the synthesized 8-language fixture
+      // (TrainedLid.synthFixture — the corpus's own `lang` column has no
+      // learnable signal). Exact count aggregates + fixed gram order make
+      // the confusion matrix a partitioning-invariant constant at a given
+      // SF — pinned oracle (expected: all-diagonal).
+      val synth = TrainedLid.synthFixture(docs(s, d).select("doc_id"))
       val model = TrainedLid.train(synth, "lang", "text")
       TrainedLid.predict(synth, "text", model)
         .groupBy(col("lang"), col("lang_pred_model"))

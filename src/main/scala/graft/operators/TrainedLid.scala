@@ -32,6 +32,42 @@ import org.apache.spark.sql.types.StringType
   */
 object TrainedLid {
 
+  /** Wordlists for the deterministic 8-language labeled fixture (shared
+    * by the d20 gate query and the bench accuracy report). The corpus's
+    * own `lang` column is random metadata over English-ish synthetic
+    * text — no learnable signal — so labeled text is SYNTHESIZED from
+    * doc_id instead (same approach as d19's dup-line fixture). */
+  val FixtureWordLists: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "haben", "dies", "von"),
+    "en" -> Seq("the", "and", "of", "is", "that", "with", "for", "have", "this", "from"),
+    "es" -> Seq("el", "los", "las", "es", "una", "que", "para", "tener", "este", "cada"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "avoir", "ce", "chaque"),
+    "it" -> Seq("il", "della", "che", "per", "con", "sono", "come", "anche", "alla", "questo"),
+    "nl" -> Seq("het", "een", "van", "niet", "zijn", "voor", "ook", "maar", "naar", "deze"),
+    "pt" -> Seq("como", "mais", "dos", "ele", "isso", "muito", "sem", "pela", "seus", "onde"),
+    "sv" -> Seq("och", "att", "som", "detta", "vilket", "inte", "har", "den", "efter", "mellan"))
+
+  /** (doc_id) → (doc_id, lang, text): each doc's language is
+    * doc_id % 8 and its text draws 30 words from that language's
+    * wordlist via xxhash64(doc_id, position). Pure Column expressions —
+    * exact and partitioning-invariant, so gate oracles over the fixture
+    * can pin constants. */
+  def synthFixture(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val wordLists = FixtureWordLists
+    val langArr = array(wordLists.map(w => lit(w._1)): _*)
+    val langTrue = element_at(langArr,
+      (pmod(col(idCol), lit(wordLists.length)) + 1).cast("int"))
+    def textFor(words: Seq[String]) = concat_ws(" ",
+      transform(sequence(lit(1), lit(30)), i => element_at(
+        array(words.map(lit): _*),
+        (pmod(xxhash64(concat(col(idCol).cast("string"), lit("w"), i.cast("string"))),
+          lit(words.length)) + 1).cast("int"))))
+    val synthText = wordLists.foldRight(lit(""): org.apache.spark.sql.Column) {
+      case ((lang, ws), els) => when(langTrue === lang, textFor(ws)).otherwise(els)
+    }
+    ids.select(col(idCol), langTrue.as("lang"), synthText.as("text"))
+  }
+
   /** langs sorted ascending; weights(li)(bucket) = smoothed log P(b|l). */
   case class LidModel(langs: Array[String], priors: Array[Double],
                       weights: Array[Array[Double]], buckets: Int,

@@ -70,6 +70,24 @@ class TrainedLidSpec extends SparkSpec {
     assert(out(1).isNullAt(2)) // mirrors the heuristic labeler's null row
   }
 
+  test("held-out fixture split: trained model generalizes, beats the 8-lang tie-broken heuristic") {
+    import org.apache.spark.sql.functions._
+    val fixture = TrainedLid.synthFixture(
+      spark.range(0, 400).select(col("id").as("doc_id")))
+    assert(fixture.select("lang").distinct().count() == 8)
+    // same split rule as Bench: ~20% held out by doc_id hash
+    val isEval = pmod(xxhash64(col("doc_id"), lit("lidsplit")), lit(5)) === 0
+    val m = TrainedLid.train(fixture.where(!isEval), "lang", "text")
+    val eval = fixture.where(isEval)
+    val n = eval.count()
+    assert(n > 0 && n < 400)
+    val hits = TrainedLid.predict(eval, "text", m)
+      .where(col("lang_pred_model") === col("lang")).count()
+    // disjoint wordlists + 30 words/doc: the NB model should be perfect
+    // on docs whose ids it never saw
+    assert(hits == n, s"trained accuracy $hits/$n")
+  }
+
   test("unseen language text falls to the nearest trained language deterministically") {
     val m = TrainedLid.train(corpus, "lang", "text")
     val out1 = TrainedLid.predict(Seq(("x", "zzz qqq www")).toDF("lang", "text"), "text", m)
