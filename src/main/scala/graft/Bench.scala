@@ -159,11 +159,33 @@ object Bench {
 
     corpus.unpersist(); docs.unpersist()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"tokenize_tokens":$totalTokens,"tokenize_sec":$tokSec,"tokens_per_sec":$tokensPerSec,"minhash_docs":$nSigs,"minhash_sec":$mhSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens":$bpeTokens,"bpe_sec":$bpeSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"compare_corpus_chars":$totalChars,"compare_bpe_per_word_ratio":$bpePerWordRatio,"compare_bpe_chars_per_token":$bpeCharsPerToken,"compare_word_chars_per_token":$wordCharsPerToken,"lid_eval_docs":$lidN,"lid_trained_acc":$lidTrainedAcc,"lid_heuristic_acc":$lidHeuristicAcc}""")
+
+    // Full-precision per-query detail goes to a file; stdout gets ONE
+    // compact line. The round driver captures only the trailing ~2000
+    // chars of stdout and json-parses the bench line from that window —
+    // a full 76-query map at float64 precision (~3 KB) overflows it and
+    // the line arrives truncated (BENCH_r01..r03 all recorded
+    // parsed:null for exactly this reason). Keep the stdout line well
+    // under the window: top slowest queries at ms precision, the rest
+    // summarized as other_sec.
+    val detailQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val detailJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$detailQs,"sf":"$sfDir","failed":$failedJson,"tokenize_tokens":$totalTokens,"tokenize_sec":$tokSec,"tokens_per_sec":$tokensPerSec,"minhash_docs":$nSigs,"minhash_sec":$mhSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens":$bpeTokens,"bpe_sec":$bpeSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"compare_corpus_chars":$totalChars,"compare_bpe_per_word_ratio":$bpePerWordRatio,"compare_bpe_chars_per_token":$bpeCharsPerToken,"compare_word_chars_per_token":$wordCharsPerToken,"lid_eval_docs":$lidN,"lid_trained_acc":$lidTrainedAcc,"lid_heuristic_acc":$lidHeuristicAcc}"""
+    try {
+      val out = java.nio.file.Paths.get("target", "bench_detail.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (detailJson + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val bySlowest = results.toSeq.sortBy(-_._2)
+    val top = bySlowest.take(28)
+    val otherSec = bySlowest.drop(28).map(_._2).sum
+    val compactQs = top.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfDir","failed":$failedJson,"n_queries":${results.size},"other_sec":${f3(otherSec)},"tokens_per_sec":$tokensPerSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"bpe_chars_per_token":${f3(bpeCharsPerToken)},"lid_eval_docs":$lidN,"lid_trained_acc":${f3(lidTrainedAcc)},"lid_heuristic_acc":${f3(lidHeuristicAcc)}}""")
     spark.stop()
   }
 }
