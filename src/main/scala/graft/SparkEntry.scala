@@ -776,6 +776,11 @@ object SparkEntry {
       s.catalog.dropTempView("st02_tbl")
       val stream = graft.streaming.Streaming.parquetStream(s, stageEventsDir(d), batchSchema)
         .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+        // drop null user_ids BEFORE keying: concat(null, ...) is NULL, so
+        // all null-user rows would collapse into ONE surviving row per
+        // key while the batch oracle's count(DISTINCT user_id) excludes
+        // NULLs entirely — mirror DISTINCT's null exclusion instead
+        .where(col("user_id").isNotNull)
         .withColumn("dedup_key",
           concat(col("user_id").cast("string"), lit("|"), col("event_type")))
       val dd = graft.streaming.Streaming.dedupStream(stream, "dedup_key", "tstamp",

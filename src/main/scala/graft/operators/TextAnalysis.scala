@@ -59,7 +59,12 @@ object TextAnalysis {
 
   /** Heuristic language-ID label: CJK-ratio gate for zh, else the
     * stopword-evidence argmax with deterministic tie-break (table order),
-    * "und" when no evidence. */
+    * "und" when no evidence. NULL text yields NULL (null-safe unary
+    * expression), NOT "und" — an intentional change from the old
+    * when-chain Column formulation, whose null conditions fell through
+    * to the "und" literal. Downstream language filters drop the row
+    * either way, and TrainedLid.predict mirrors the same null
+    * propagation, so the two labelers stay interchangeable. */
   def langIdLabel(text: Column,
                   table: Seq[(String, Seq[String])] = LangStopwords): Column =
     // gate + tokenize + argmax all inside ONE expression pass: the

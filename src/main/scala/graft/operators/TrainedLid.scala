@@ -127,14 +127,18 @@ object TrainedLid {
               outCol: String = "lang_pred_model"): DataFrame = {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(model)
-    val withGrams = df.withColumn("__lid_grams",
+    // collision-free helper name: withColumn silently REPLACES an
+    // existing column, which would corrupt the caller's schema
+    val gramsCol = Iterator.iterate("__lid_grams")(_ + "_")
+      .dropWhile(n => df.columns.contains(n)).next()
+    val withGrams = df.withColumn(gramsCol,
       HashFunctions.charShingleHashes(
         TextFunctions.normalizeForDedup(col(textCol)), model.ngram))
-    val gIdx = withGrams.schema.fieldIndex("__lid_grams")
+    val gIdx = withGrams.schema.fieldIndex(gramsCol)
     // the helper column is consumed HERE, not carried through the row
     // encoder and dropped later — rows are text-sized, grams likewise
     val outSchema = org.apache.spark.sql.types.StructType(
-      withGrams.schema.filterNot(_.name == "__lid_grams"))
+      withGrams.schema.filterNot(_.name == gramsCol))
       .add(outCol, StringType, nullable = true)
     withGrams.mapPartitions { it =>
       val m = bc.value

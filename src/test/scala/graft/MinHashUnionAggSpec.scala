@@ -66,6 +66,56 @@ class MinHashUnionAggSpec extends SparkSpec {
     assert(unions("s1") != unions("s2"))
   }
 
+  test("union estimates stay within MinHash error bounds of exact corpus jaccard") {
+    // Tolerance gate behind the x05 pinned oracle (ADVICE r3): the
+    // pinned VALUES snapshot alone gates stability, not truth — a
+    // wrong-but-deterministic estimator would pass it. Here the SAME
+    // estimator path (doc signatures -> per-source union -> k-agreement)
+    // is checked against exact char-5gram Jaccard over each source's
+    // unioned shingle set, on a corpus with overlaps spanning ~0.1-0.9.
+    // k=128 gives sigma = sqrt(J(1-J)/128) <= 0.045; 0.15 is >3 sigma.
+    val pool = (1 to 300).map(i => s"word$i")
+    val nSrc = 6
+    val docs = (for {
+      s <- 0 until nSrc
+      d <- 0 until 5
+    } yield {
+      // source s draws a sliding window of the pool: adjacent sources
+      // overlap heavily, distant ones barely
+      val words = (0 until 120).map(j => pool((s * 30 + d * 7 + j) % pool.size))
+      (s"s$s", words.mkString(" "))
+    }).toDF("source", "text")
+
+    // estimator path (x05 shape)
+    val sigs = docs.select(col("source"),
+      HashFunctions.minhash(TextFunctions.normalizeForDedup(col("text"))).as("sig"))
+    val est = sigs.groupBy("source")
+      .agg(MinHashUnionAgg.minhashUnion(col("sig")).as("u"))
+      .as("a").join(sigs.groupBy("source")
+        .agg(MinHashUnionAgg.minhashUnion(col("sig")).as("u")).as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("sa"), col("b.source").as("sb"),
+        MinHashUnionAgg.estimatedJaccard(col("a.u"), col("b.u")).as("jac"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+
+    // exact path (x06 shape): distinct gram-hash set per source
+    val gramSets = docs.select(col("source"), explode(
+        HashFunctions.charShingleHashes(
+          TextFunctions.normalizeForDedup(col("text")), 5)).as("g"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).map { case (s, rs) => s -> rs.map(_.getLong(1)).toSet }
+
+    var checked = 0
+    for (((sa, sb), e) <- est) {
+      val (ga, gb) = (gramSets(sa), gramSets(sb))
+      val exact = (ga & gb).size.toDouble / (ga | gb).size
+      assert(math.abs(e - exact) <= 0.15,
+        s"pair ($sa,$sb): estimate $e vs exact $exact")
+      checked += 1
+    }
+    assert(checked == nSrc * (nSrc - 1) / 2)
+  }
+
   test("partial aggregation across partitions matches single-partition result") {
     val docs = (1 to 64).map(i => ("src", s"document number $i with words w$i x$i y$i"))
       .toDF("source", "text")

@@ -49,6 +49,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(pred == "xx")
   }
 
+  test("stray UTF-8 continuation byte advances one byte, not two") {
+    // ADVICE r3: a malformed lead byte in 0x80-0xBF must not swallow the
+    // following byte — here every "the" is preceded by a stray 0x80, and
+    // a two-byte skip would eat each 't' and yield zero stopword hits
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val theBytes = "the ".getBytes("UTF-8")
+    val malformed = Array.fill(5)(0x80.toByte +: theBytes).flatten
+    val expr = graft.functions.LangIdLabel(
+      Literal(UTF8String.fromBytes(malformed), org.apache.spark.sql.types.StringType),
+      TextAnalysis.LangStopwords, 0.05)
+    assert(expr.eval(null).toString == "en")
+  }
+
   test("no-evidence text maps to und") {
     val pred = Seq(("t1", "qqqq wwww zzzz 12345")).toDF("id", "text")
       .select(TextAnalysis.langIdLabel(col("text"))).head.getString(0)

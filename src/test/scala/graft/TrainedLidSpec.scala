@@ -44,6 +44,17 @@ class TrainedLidSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("predict survives an input column named like its internal helper") {
+    import org.apache.spark.sql.functions._
+    val m = TrainedLid.train(corpus, "lang", "text")
+    val df = corpus.withColumn("__lid_grams", lit("caller data"))
+    val out = TrainedLid.predict(df, "text", m)
+    // the caller's column must come through untouched, plus the prediction
+    assert(out.columns.count(_ == "__lid_grams") == 1)
+    assert(out.select("__lid_grams").head().getString(0) == "caller data")
+    assert(out.where(col("lang_pred_model") === col("lang")).count() == corpus.count())
+  }
+
   test("QualityStep routes labeling through the model artifact when configured") {
     import org.apache.spark.sql.functions._
     val outBase = java.nio.file.Files.createTempDirectory("lidstep").toString
