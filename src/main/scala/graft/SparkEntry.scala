@@ -472,12 +472,16 @@ object SparkEntry {
       // model-backed LID (M1): train the Naive-Bayes char-3gram model and
       // predict with it, over the synthesized 8-language fixture
       // (TrainedLid.synthFixture — the corpus's own `lang` column has no
-      // learnable signal). Exact count aggregates + fixed gram order make
-      // the confusion matrix a partitioning-invariant constant at a given
-      // SF — pinned oracle (expected: all-diagonal).
-      val synth = TrainedLid.synthFixture(docs(s, d).select("doc_id"))
+      // learnable signal) PLUS a Danish holdout the model never trains
+      // on: unseen-language inputs must land on the nearest trained
+      // neighbor (sv — shared/near-form function words), not crash or
+      // scatter. Exact count aggregates + fixed gram order make the
+      // confusion matrix a partitioning-invariant constant at a given
+      // SF — pinned oracle (expected: all-diagonal + da->sv).
+      val ids = docs(s, d).select("doc_id")
+      val synth = TrainedLid.synthFixture(ids)
       val model = TrainedLid.train(synth, "lang", "text")
-      TrainedLid.predict(synth, "text", model)
+      TrainedLid.predict(synth.unionByName(TrainedLid.synthHoldout(ids)), "text", model)
         .groupBy(col("lang"), col("lang_pred_model"))
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "lang_pred_model")
@@ -1107,10 +1111,13 @@ object SparkEntry {
     // fixture assigns doc_id % 8 over 500 docs (ids 0-3 mod 8 → 63 docs,
     // 4-7 → 62), and the trained NB model separates the wordlists
     // perfectly — the all-diagonal matrix is exact-count deterministic
-    // under any partitioning (spec-proved). Re-pin if the fixture or SF
-    // changes.
+    // under any partitioning (spec-proved). The 500 Danish holdout docs
+    // (never trained on) all land on Swedish, the nearest trained
+    // neighbor — pinned unseen-language behavior. Re-pin if the fixture
+    // or SF changes.
     "d20_trained_lid" ->
       """SELECT lang, lang_pred_model, CAST(n_dec AS BIGINT) AS n FROM (VALUES
+           ('da', 'sv', 500),
            ('de', 'de', 63), ('en', 'en', 63), ('es', 'es', 63),
            ('fr', 'fr', 63), ('it', 'it', 62), ('nl', 'nl', 62),
            ('pt', 'pt', 62), ('sv', 'sv', 62)

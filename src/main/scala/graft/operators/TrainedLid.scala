@@ -68,6 +68,29 @@ object TrainedLid {
     ids.select(col(idCol), langTrue.as("lang"), synthText.as("text"))
   }
 
+  /** Danish wordlist for the unseen-language holdout: NOT in
+    * [[FixtureWordLists]], so a model trained on the 8 fixture languages
+    * has never seen the label. Danish shares "som"/"har"/"den"/"efter"
+    * and near-forms ("mellem"/"mellan", "at"/"att") with Swedish, so the
+    * expected nearest-trained-language behavior is `da -> sv`. */
+  val HoldoutWordList: (String, Seq[String]) =
+    "da" -> Seq("og", "at", "som", "det", "ikke", "har", "den", "efter",
+      "mellem", "være")
+
+  /** (doc_id) → (doc_id, lang="da", text): holdout docs synthesized the
+    * same way as [[synthFixture]] but from the unseen-language wordlist
+    * and a distinct hash salt (so holdout texts are not positionally
+    * correlated with any training doc). */
+  def synthHoldout(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val (lang, words) = HoldoutWordList
+    val text = concat_ws(" ",
+      transform(sequence(lit(1), lit(30)), i => element_at(
+        array(words.map(lit): _*),
+        (pmod(xxhash64(concat(col(idCol).cast("string"), lit("h"), i.cast("string"))),
+          lit(words.length)) + 1).cast("int"))))
+    ids.select(col(idCol), lit(lang).as("lang"), text.as("text"))
+  }
+
   /** langs sorted ascending; weights(li)(bucket) = smoothed log P(b|l). */
   case class LidModel(langs: Array[String], priors: Array[Double],
                       weights: Array[Array[Double]], buckets: Int,

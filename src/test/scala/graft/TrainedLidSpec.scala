@@ -44,6 +44,23 @@ class TrainedLidSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("unseen-language holdout maps to the nearest trained neighbor") {
+    import org.apache.spark.sql.functions._
+    // trains on the 8 fixture languages, predicts Danish it never saw:
+    // every holdout doc must land on sv (shared/near-form function
+    // words), under any partitioning — the d20 pinned-oracle premise
+    val ids = spark.range(0, 300).select(col("id").as("doc_id"))
+    val synth = TrainedLid.synthFixture(ids)
+    val m = TrainedLid.train(synth, "lang", "text")
+    def preds(parts: Int) = TrainedLid
+      .predict(TrainedLid.synthHoldout(ids).repartition(parts), "text", m)
+      .groupBy("lang_pred_model").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val p1 = preds(1)
+    assert(p1 == Map("sv" -> 300L), p1.toString)
+    assert(preds(7) == p1)
+  }
+
   test("predict survives an input column named like its internal helper") {
     import org.apache.spark.sql.functions._
     val m = TrainedLid.train(corpus, "lang", "text")
