@@ -148,6 +148,33 @@ class PipelineSpec extends SparkSpec {
     val manifest = Files.readString(shardDir.resolve("manifest.json"))
     assert(manifest.contains("\"tokens\":") && manifest.startsWith("["))
 
+    // manifest reader: the concat file is optional — a consumer gets
+    // identical bytes (and arbitrary token ranges) from the shards alone
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val shardsUri = shardDir.toString
+    val entries = graft.sources.ExportReader.readManifest(hconf, shardsUri)
+    assert(entries.map(_.name) == shardFiles.map(_.getFileName.toString))
+    assert(entries.map(_.tokens).sum == allIds.length.toLong)
+    assert(graft.sources.ExportReader.totalTokens(hconf, shardsUri) == allIds.length.toLong)
+    val streamed = {
+      val is = graft.sources.ExportReader.open(hconf, shardsUri)
+      try Iterator.continually(is.read()).takeWhile(_ >= 0).map(_.toByte).toSeq
+      finally is.close()
+    }
+    assert(streamed == bytes.toSeq, "manifest-ordered shard stream != concat file")
+    // a mid-stream slice crossing a shard boundary decodes the same ids
+    val bnd = entries.find(e => e.tokenOffset >= 3 && e.tokens > 0)
+      .map(_.tokenOffset.toInt).getOrElse(3)
+    val slice = graft.sources.ExportReader.tokenSlice(
+      hconf, shardsUri, "uint16", bnd - 3, 7)
+    assert(slice.toSeq == allIds.slice(bnd - 3, bnd + 4).toSeq)
+    assert(graft.sources.ExportReader.tokenSlice(hconf, shardsUri, "uint16",
+      0, allIds.length).toSeq == allIds.toSeq)
+    intercept[IllegalArgumentException] {
+      graft.sources.ExportReader.tokenSlice(hconf, shardsUri, "uint16",
+        allIds.length.toLong - 1, 2)
+    }
+
     // stats json checkpoint exists and is valid-ish
     val js = Files.readString(Path.of(s"$outBase/pipeline_stats.json"))
     assert(js.contains("\"step\": \"export\""))
@@ -164,6 +191,9 @@ class PipelineSpec extends SparkSpec {
     val decoded32 = bin32.grouped(4).map(b =>
       (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24)).toSeq
     assert(decoded32 == allIds.toSeq)
+    // manifest reader over the rewritten int32 shards
+    assert(graft.sources.ExportReader.tokenSlice(hconf, shardsUri, "int32",
+      0, allIds.length).toSeq == allIds.toSeq)
   }
 
   test("pii step with NER enabled redacts gated capitalized names") {
