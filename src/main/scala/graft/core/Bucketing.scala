@@ -1,0 +1,66 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table helpers: pre-shuffle a table ONCE at write time so
+  * every later equi-join or aggregation on the bucket key runs with no
+  * Exchange at all.
+  *
+  * This is the 100-TB join strategy the one-shot `repartition()` can't
+  * give you: a fact table that is joined on the same key by many
+  * queries (orders x lineitem, doc_id x signatures, user_id x events)
+  * pays its shuffle once, at ingest, and never again. Two tables
+  * bucketed into the SAME number of buckets on their join key sort-merge
+  * join with zero Exchange on either side; a groupBy on the bucket key
+  * needs no partial/final split. At 1000 executors the avoided
+  * cross-network shuffle of the large side is usually the single
+  * largest cost in the plan.
+  *
+  * Spark implements bucket pruning + shuffle-free scans only through
+  * the catalog (`saveAsTable`) — a plain parquet path write drops the
+  * bucket spec, which is why these helpers are table-name based.
+  * Semantics beyond placement are unchanged, so callers that lack a
+  * catalog simply keep the shuffled plan; nothing here is required for
+  * correctness.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed managed table, hash-bucketed AND sorted
+    * on `key` (+ optional secondary sort columns). The sort makes the
+    * later sort-merge join skip its per-task sort too: the scan is
+    * already in join order. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int, sortCols: Seq[String] = Nil): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key, sortCols: _*)
+      .saveAsTable(table)
+
+  /** Equi-join two same-bucket-count tables on `key`. With matching
+    * bucket specs Catalyst plans this as a sort-merge join whose both
+    * sides read bucket files directly — no ShuffleExchange. */
+  def coLocatedJoin(spark: SparkSession, left: String, right: String,
+                    key: String, joinType: String = "inner"): DataFrame =
+    spark.table(left).join(spark.table(right), Seq(key), joinType)
+
+  /** Count how many shuffle Exchanges the executed plan of `df` would
+    * run — the spec-side proof that a bucketed plan is shuffle-free.
+    * Descends into AQE wrapper nodes (AdaptiveSparkPlanExec,
+    * QueryStageExec), whose inner plans a plain `collect` over the top
+    * tree never visits. */
+  def shuffleExchanges(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def count(p: SparkPlan): Int = {
+      val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+        case s: QueryStageExec => count(s.plan)
+        case _ => 0
+      }
+      self + inner + p.children.map(count).sum
+    }
+    count(df.queryExecution.executedPlan)
+  }
+}

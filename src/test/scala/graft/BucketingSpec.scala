@@ -1,0 +1,58 @@
+package graft
+
+import graft.core.Bucketing
+import org.apache.spark.sql.functions._
+
+/** Proof-level spec for the bucketed co-located join path: the plans
+  * must contain ZERO shuffle Exchanges, and results must match the
+  * plain (shuffled) join bit-for-bit. */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withSmj[T](body: => T): T = {
+    // force sort-merge join so the Exchange count is about bucketing,
+    // not about a broadcast making the question moot
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("matching bucket specs join and aggregate with zero Exchange") {
+    val orders = (1 to 400).map(i => (i.toLong % 97, s"o$i", i * 10.0))
+      .toDF("cust_id", "order_id", "amount")
+    val custs = (0 to 96).map(i => (i.toLong, s"cust$i")).toDF("cust_id", "name")
+    Bucketing.writeBucketed(orders, "b_orders", "cust_id", 8)
+    Bucketing.writeBucketed(custs, "b_custs", "cust_id", 8)
+    try withSmj {
+      val joined = Bucketing.coLocatedJoin(spark, "b_orders", "b_custs", "cust_id")
+      assert(Bucketing.shuffleExchanges(joined) == 0,
+        joined.queryExecution.executedPlan.toString)
+      // same rows as the plain shuffled join of the raw frames
+      val expected = orders.join(custs, Seq("cust_id"))
+        .collect().map(_.toSeq).toSet
+      assert(joined.collect().map(_.toSeq).toSet == expected)
+
+      // aggregation on the bucket key: no Exchange either
+      val agg = spark.table("b_orders").groupBy("cust_id")
+        .agg(sum("amount").as("total"))
+      assert(Bucketing.shuffleExchanges(agg) == 0,
+        agg.queryExecution.executedPlan.toString)
+      val expAgg = orders.groupBy("cust_id").agg(sum("amount").as("total"))
+        .collect().map(_.toSeq).toSet
+      assert(agg.collect().map(_.toSeq).toSet == expAgg)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_custs")
+    }
+  }
+
+  test("unbucketed baseline of the same join does shuffle") {
+    val a = (1 to 100).map(i => (i.toLong, i)).toDF("k", "v")
+    val b = (1 to 100).map(i => (i.toLong, i * 2)).toDF("k", "w")
+    withSmj {
+      val plain = a.join(b, Seq("k"))
+      assert(Bucketing.shuffleExchanges(plain) > 0)
+    }
+  }
+}
