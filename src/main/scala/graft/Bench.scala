@@ -138,24 +138,34 @@ object Bench {
     // stopword-heuristic labeler, on a HELD-OUT 20% of the synthesized
     // 8-language fixture (train and eval docs share the wordlists but no
     // doc_ids, so this measures generalization, not memorization).
-    val fixture = graft.operators.TrainedLid
-      .synthFixture(docs.select(col("doc_id"))).cache()
-    val isEval = pmod(xxhash64(col("doc_id"), lit("lidsplit")), lit(5)) === 0
-    val lidModel = graft.operators.TrainedLid.train(
-      fixture.where(!isEval), "lang", "text")
-    val evalDf = fixture.where(isEval)
-    val trainedHits = graft.operators.TrainedLid
-      .predict(evalDf, "text", lidModel)
-      .select(when(col("lang_pred_model") === col("lang"), 1L).otherwise(0L).as("hit"))
-      .agg(sum("hit"), count(lit(1))).head()
-    val (lidHits, lidN) = (trainedHits.getLong(0), trainedHits.getLong(1))
-    val heurHits = evalDf
-      .select(when(graft.operators.TextAnalysis.langIdLabel(col("text")) === col("lang"), 1L)
-        .otherwise(0L).as("hit"))
-      .agg(sum("hit")).head().getLong(0)
-    val lidTrainedAcc = if (lidN > 0) lidHits.toDouble / lidN else 0.0
-    val lidHeuristicAcc = if (lidN > 0) heurHits.toDouble / lidN else 0.0
-    fixture.unpersist()
+    def lidAccuracies(fixture: org.apache.spark.sql.DataFrame): (Double, Double, Long) = {
+      val fx = fixture.cache()
+      val isEval = pmod(xxhash64(col("doc_id"), lit("lidsplit")), lit(5)) === 0
+      val lidModel = graft.operators.TrainedLid.train(fx.where(!isEval), "lang", "text")
+      val evalDf = fx.where(isEval)
+      val trainedHits = graft.operators.TrainedLid
+        .predict(evalDf, "text", lidModel)
+        .select(when(col("lang_pred_model") === col("lang"), 1L).otherwise(0L).as("hit"))
+        .agg(sum("hit"), count(lit(1))).head()
+      val (hits, n) = (trainedHits.getLong(0), trainedHits.getLong(1))
+      val heurHits = evalDf
+        .select(when(graft.operators.TextAnalysis.langIdLabel(col("text")) === col("lang"), 1L)
+          .otherwise(0L).as("hit"))
+        .agg(sum("hit")).head().getLong(0)
+      fx.unpersist()
+      (if (n > 0) hits.toDouble / n else 0.0,
+        if (n > 0) heurHits.toDouble / n else 0.0, n)
+    }
+    val ids = docs.select(col("doc_id"))
+    val (lidTrainedAcc, lidHeuristicAcc, lidN) =
+      lidAccuracies(graft.operators.TrainedLid.synthFixture(ids))
+    // the HARD fixture: stopword-free content vocabulary — the heuristic
+    // has zero evidence ("und" everywhere) while the char-3gram model
+    // still classifies; this pair is the separation the easy fixture
+    // (both 1.0) cannot show
+    val (lidHardTrainedAcc, lidHardHeuristicAcc, _) =
+      lidAccuracies(graft.operators.TrainedLid.synthFixture(ids,
+        wordLists = graft.operators.TrainedLid.HardFixtureWordLists, salt = "hw"))
 
     corpus.unpersist(); docs.unpersist()
 
@@ -172,7 +182,7 @@ object Bench {
     // summarized as other_sec.
     val detailQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val detailJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$detailQs,"sf":"$sfDir","failed":$failedJson,"tokenize_tokens":$totalTokens,"tokenize_sec":$tokSec,"tokens_per_sec":$tokensPerSec,"minhash_docs":$nSigs,"minhash_sec":$mhSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens":$bpeTokens,"bpe_sec":$bpeSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"compare_corpus_chars":$totalChars,"compare_bpe_per_word_ratio":$bpePerWordRatio,"compare_bpe_chars_per_token":$bpeCharsPerToken,"compare_word_chars_per_token":$wordCharsPerToken,"lid_eval_docs":$lidN,"lid_trained_acc":$lidTrainedAcc,"lid_heuristic_acc":$lidHeuristicAcc}"""
+    val detailJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$detailQs,"sf":"$sfDir","failed":$failedJson,"tokenize_tokens":$totalTokens,"tokenize_sec":$tokSec,"tokens_per_sec":$tokensPerSec,"minhash_docs":$nSigs,"minhash_sec":$mhSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens":$bpeTokens,"bpe_sec":$bpeSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"compare_corpus_chars":$totalChars,"compare_bpe_per_word_ratio":$bpePerWordRatio,"compare_bpe_chars_per_token":$bpeCharsPerToken,"compare_word_chars_per_token":$wordCharsPerToken,"lid_eval_docs":$lidN,"lid_trained_acc":$lidTrainedAcc,"lid_heuristic_acc":$lidHeuristicAcc,"lid_hard_trained_acc":$lidHardTrainedAcc,"lid_hard_heuristic_acc":$lidHardHeuristicAcc}"""
     try {
       val out = java.nio.file.Paths.get("target", "bench_detail.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -185,7 +195,7 @@ object Bench {
     val otherSec = bySlowest.drop(28).map(_._2).sum
     val compactQs = top.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfDir","failed":$failedJson,"n_queries":${results.size},"other_sec":${f3(otherSec)},"tokens_per_sec":$tokensPerSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"bpe_chars_per_token":${f3(bpeCharsPerToken)},"lid_eval_docs":$lidN,"lid_trained_acc":${f3(lidTrainedAcc)},"lid_heuristic_acc":${f3(lidHeuristicAcc)}}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfDir","failed":$failedJson,"n_queries":${results.size},"other_sec":${f3(otherSec)},"tokens_per_sec":$tokensPerSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"bpe_chars_per_token":${f3(bpeCharsPerToken)},"lid_eval_docs":$lidN,"lid_trained_acc":${f3(lidTrainedAcc)},"lid_heuristic_acc":${f3(lidHeuristicAcc)},"lid_hard_trained_acc":${f3(lidHardTrainedAcc)},"lid_hard_heuristic_acc":${f3(lidHardHeuristicAcc)}}""")
     spark.stop()
   }
 }

@@ -47,20 +47,51 @@ object TrainedLid {
     "pt" -> Seq("como", "mais", "dos", "ele", "isso", "muito", "sem", "pela", "seus", "onde"),
     "sv" -> Seq("och", "att", "som", "detta", "vilket", "inte", "har", "den", "efter", "mellan"))
 
+  /** Stopword-FREE per-language content vocabulary for the hard
+    * evaluation fixture: none of these words is in any
+    * `TextAnalysis.LangStopwords` list, so the stopword heuristic scores
+    * zero evidence ("und") on every doc while the char-3gram model still
+    * has orthographic signal. This is the fixture that separates the
+    * two labelers — on [[FixtureWordLists]] both are trivially perfect. */
+  val HardFixtureWordLists: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("geschwindigkeit", "wissenschaft", "krankenhaus", "bibliothek",
+      "zeitung", "flughafen", "schmetterling", "grundgesetz", "eigenschaft",
+      "verantwortung"),
+    "en" -> Seq("knowledge", "butterfly", "hospital", "library", "newspaper",
+      "airport", "constitution", "property", "responsibility", "science"),
+    "es" -> Seq("conocimiento", "mariposa", "hospital", "periodico",
+      "aeropuerto", "constitucion", "propiedad", "responsabilidad",
+      "ciencia", "velocidad"),
+    "fr" -> Seq("connaissance", "papillon", "bibliotheque", "journal",
+      "aeroport", "constitution", "propriete", "responsabilite",
+      "science", "vitesse"),
+    "it" -> Seq("conoscenza", "farfalla", "biblioteca", "giornale",
+      "aeroporto", "costituzione", "proprieta", "responsabilita",
+      "scienza", "velocita"),
+    "nl" -> Seq("kennis", "vlinder", "ziekenhuis", "bibliotheek", "krant",
+      "vliegveld", "grondwet", "eigenschap", "verantwoordelijkheid",
+      "wetenschap"),
+    "pt" -> Seq("conhecimento", "borboleta", "biblioteca", "jornal",
+      "aeroporto", "constituicao", "propriedade", "responsabilidade",
+      "ciencia", "velocidade"),
+    "sv" -> Seq("kunskap", "fjaril", "sjukhus", "bibliotek", "tidning",
+      "flygplats", "grundlag", "egenskap", "ansvar", "vetenskap"))
+
   /** (doc_id) → (doc_id, lang, text): each doc's language is
-    * doc_id % 8 and its text draws 30 words from that language's
-    * wordlist via xxhash64(doc_id, position). Pure Column expressions —
-    * exact and partitioning-invariant, so gate oracles over the fixture
-    * can pin constants. */
-  def synthFixture(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val wordLists = FixtureWordLists
+    * doc_id % |wordLists| and its text draws 30 words from that
+    * language's wordlist via xxhash64(doc_id, salt, position). Pure
+    * Column expressions — exact and partitioning-invariant, so gate
+    * oracles over the fixture can pin constants. */
+  def synthFixture(ids: DataFrame, idCol: String = "doc_id",
+                   wordLists: Seq[(String, Seq[String])] = FixtureWordLists,
+                   salt: String = "w"): DataFrame = {
     val langArr = array(wordLists.map(w => lit(w._1)): _*)
     val langTrue = element_at(langArr,
       (pmod(col(idCol), lit(wordLists.length)) + 1).cast("int"))
     def textFor(words: Seq[String]) = concat_ws(" ",
       transform(sequence(lit(1), lit(30)), i => element_at(
         array(words.map(lit): _*),
-        (pmod(xxhash64(concat(col(idCol).cast("string"), lit("w"), i.cast("string"))),
+        (pmod(xxhash64(concat(col(idCol).cast("string"), lit(salt), i.cast("string"))),
           lit(words.length)) + 1).cast("int"))))
     val synthText = wordLists.foldRight(lit(""): org.apache.spark.sql.Column) {
       case ((lang, ws), els) => when(langTrue === lang, textFor(ws)).otherwise(els)

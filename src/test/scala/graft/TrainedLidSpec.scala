@@ -44,6 +44,28 @@ class TrainedLidSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hard fixture separates the trained model from the stopword heuristic") {
+    import org.apache.spark.sql.functions._
+    // stopword-free content vocabulary: heuristic scores zero evidence
+    // ("und" on every doc) while the char-3gram model still classifies
+    val ids = spark.range(0, 400).select(col("id").as("doc_id"))
+    val hard = TrainedLid.synthFixture(ids,
+      wordLists = TrainedLid.HardFixtureWordLists, salt = "hw")
+    val m = TrainedLid.train(hard, "lang", "text")
+    val preds = TrainedLid.predict(hard, "text", m)
+      .withColumn("heur", graft.operators.TextAnalysis.langIdLabel(col("text")))
+      .select(
+        sum(when(col("lang_pred_model") === col("lang"), 1L).otherwise(0L)),
+        sum(when(col("heur") === col("lang"), 1L).otherwise(0L)),
+        sum(when(col("heur") === "und", 1L).otherwise(0L)),
+        count(lit(1))).head()
+    val (trained, heur, und, n) =
+      (preds.getLong(0), preds.getLong(1), preds.getLong(2), preds.getLong(3))
+    assert(trained.toDouble / n >= 0.95, s"trained $trained/$n")
+    assert(heur == 0L, s"heuristic hit $heur docs on a stopword-free fixture")
+    assert(und == n, s"expected und everywhere, got $und/$n")
+  }
+
   test("unseen-language holdout maps to the nearest trained neighbor") {
     import org.apache.spark.sql.functions._
     // trains on the 8 fixture languages, predicts Danish it never saw:
