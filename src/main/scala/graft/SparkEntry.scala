@@ -487,6 +487,24 @@ object SparkEntry {
         .orderBy("lang", "lang_pred_model")
     }),
 
+    "d21_hard_lid" -> ((s, d) => {
+      // the labeler-separation gate: on a stopword-FREE content
+      // vocabulary (TrainedLid.HardFixtureWordLists) the stopword
+      // heuristic has zero evidence — "und" on every doc — while the
+      // trained char-3gram NB model still classifies perfectly. Both
+      // labelers run in ONE pass; the grouped matrix is exact-count
+      // deterministic (pinned oracle, same convention as d20).
+      val ids = docs(s, d).select("doc_id")
+      val hard = TrainedLid.synthFixture(ids,
+        wordLists = TrainedLid.HardFixtureWordLists, salt = "hw")
+      val model = TrainedLid.train(hard, "lang", "text")
+      TrainedLid.predict(hard, "text", model)
+        .withColumn("lang_heur", TextAnalysis.langIdLabel(col("text")))
+        .groupBy(col("lang"), col("lang_pred_model"), col("lang_heur"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred_model", "lang_heur")
+    }),
+
     "x03_ngram_jaccard_dedup" -> ((s, d) =>
       // kept set after near-dedup; the oracle rebuilds the exact word-3gram
       // Jaccard graph and its transitive closure in SQL, so this asserts
@@ -1123,6 +1141,18 @@ object SparkEntry {
            ('pt', 'pt', 62), ('sv', 'sv', 62)
          ) AS t(lang, lang_pred_model, n_dec)
          ORDER BY lang, lang_pred_model""",
+
+    // Pinned at sf0.01 like d20: on the stopword-free hard fixture the
+    // trained model is all-diagonal while the heuristic is "und" on
+    // every doc — the pinned separation between the two labelers.
+    "d21_hard_lid" ->
+      """SELECT lang, lang_pred_model, lang_heur, CAST(n_dec AS BIGINT) AS n FROM (VALUES
+           ('de', 'de', 'und', 63), ('en', 'en', 'und', 63),
+           ('es', 'es', 'und', 63), ('fr', 'fr', 'und', 63),
+           ('it', 'it', 'und', 62), ('nl', 'nl', 'und', 62),
+           ('pt', 'pt', 'und', 62), ('sv', 'sv', 'und', 62)
+         ) AS t(lang, lang_pred_model, lang_heur, n_dec)
+         ORDER BY lang, lang_pred_model, lang_heur""",
 
     "d05_lang_confusion" -> langIdOracle(
       "SELECT lang, lang_pred, count(*) AS n FROM scored GROUP BY lang, lang_pred ORDER BY lang, lang_pred"),
