@@ -505,6 +505,16 @@ object SparkEntry {
         .orderBy("lang", "lang_pred_model", "lang_heur")
     }),
 
+    "d22_bm25" -> ((s, d) =>
+      // BM25 retrieval over the corpus for a 3-term query: one
+      // stats-row reduction broadcast back over the scoring scan (see
+      // TextAnalysis.bm25). Scores round to 6dp BEFORE the ordering so
+      // the top-50 cut is decided on the hash-compared value.
+      TextAnalysis.bm25(docs(s, d).select("doc_id", "text"), "text",
+          Seq("join", "hash", "data"))
+        .select(col("doc_id"), col("bm25"))
+        .orderBy(desc("bm25"), asc("doc_id")).limit(50)),
+
     "x03_ngram_jaccard_dedup" -> ((s, d) =>
       // kept set after near-dedup; the oracle rebuilds the exact word-3gram
       // Jaccard graph and its transitive closure in SQL, so this asserts
@@ -1153,6 +1163,38 @@ object SparkEntry {
            ('pt', 'pt', 'und', 62), ('sv', 'sv', 'und', 62)
          ) AS t(lang, lang_pred_model, lang_heur, n_dec)
          ORDER BY lang, lang_pred_model, lang_heur""",
+
+    // Expression tree mirrors TextAnalysis.bm25 op-for-op: exact-count
+    // corpus stats (N, avgdl over whole-number dl, df) are
+    // order-independent doubles, and the per-doc score is a fixed
+    // arithmetic tree on them — bit-stable across engines at 6dp.
+    "d22_bm25" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         d AS (
+           SELECT doc_id,
+                  CAST(len(toks) AS DOUBLE) AS dl,
+                  CAST(len(list_filter(toks, w -> w = 'join')) AS DOUBLE) AS tf_0,
+                  CAST(len(list_filter(toks, w -> w = 'hash')) AS DOUBLE) AS tf_1,
+                  CAST(len(list_filter(toks, w -> w = 'data')) AS DOUBLE) AS tf_2
+           FROM t),
+         s AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+                  sum(CASE WHEN tf_0 > 0 THEN 1.0 ELSE 0.0 END) AS df_0,
+                  sum(CASE WHEN tf_1 > 0 THEN 1.0 ELSE 0.0 END) AS df_1,
+                  sum(CASE WHEN tf_2 > 0 THEN 1.0 ELSE 0.0 END) AS df_2
+           FROM d)
+         SELECT doc_id, round(
+             ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
+               * (tf_0 * (1.2 + 1.0)) / (tf_0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))
+               * (tf_1 * (1.2 + 1.0)) / (tf_1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5))
+               * (tf_2 * (1.2 + 1.0)) / (tf_2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+         FROM d, s
+         ORDER BY bm25 DESC, doc_id LIMIT 50""",
 
     "d05_lang_confusion" -> langIdOracle(
       "SELECT lang, lang_pred, count(*) AS n FROM scored GROUP BY lang, lang_pred ORDER BY lang, lang_pred"),

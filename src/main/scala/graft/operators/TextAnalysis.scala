@@ -89,6 +89,45 @@ object TextAnalysis {
     round(best / greatest(total, lit(1.0)), 6)
   }
 
+  /** BM25 relevance of each document for a bag of query `terms`
+    * (Robertson/Spärck Jones; the Lucene-default formulation:
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    * w(t,d) = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))).
+    *
+    * Two scans, zero shuffles of the corpus: scan 1 reduces to ONE
+    * stats row (N, avgdl, per-term document frequencies — exact
+    * integer counts, so the doubles are order-independent under any
+    * partial-agg schedule); the row is broadcast back via crossJoin and
+    * scan 2 scores each doc with a fixed expression tree. At 100 TB
+    * that is a metadata-sized broadcast, never a join on the corpus.
+    * Output: input columns + `bm25` rounded to 6dp (round BEFORE any
+    * ordering so ranking ties are decided on the comparable value). */
+  def bm25(df: DataFrame, textCol: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val withTf = df.select(
+      df.columns.map(col).toSeq ++
+        Seq(size(toks).cast("double").as("dl")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, w => w === lit(t))).cast("double").as(s"tf_$i")
+        }: _*)
+    val stats = withTf.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (avg(col("dl")).as("avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1.0).otherwise(0.0)).as(s"df_$i"))): _*)
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i"); val dfT = col(s"df_$i")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .select(df.columns.map(col).toSeq :+ round(score, 6).as("bm25"): _*)
+  }
+
   /** documents → + (lang_pred, lang_score, quality_score, n_tokens,
     * mean_token_len, fingerprint) — the combined analysis projection. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {

@@ -63,6 +63,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(expr.eval(null).toString == "en")
   }
 
+  test("bm25 ranks term-dense docs higher and length-normalizes") {
+    val docs = Seq(
+      ("d1", "join join join hash"),             // dense in both terms
+      ("d2", "join scan scan scan"),             // one hit, diluted
+      ("d3", "join scan"),                       // one hit, short doc
+      ("d4", "scan merge filter sort")           // no hits
+    ).toDF("doc_id", "text")
+    val scored = TextAnalysis.bm25(docs, "text", Seq("join", "hash"))
+      .select("doc_id", "bm25")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(scored("d1") > scored("d3"), scored.toString)
+    assert(scored("d3") > scored("d2"), "shorter doc with same tf must score higher")
+    assert(scored("d4") == 0.0)
+    // output keeps the input columns + bm25 only
+    val cols = TextAnalysis.bm25(docs, "text", Seq("join")).columns.toSeq
+    assert(cols == Seq("doc_id", "text", "bm25"))
+  }
+
   test("no-evidence text maps to und") {
     val pred = Seq(("t1", "qqqq wwww zzzz 12345")).toDF("id", "text")
       .select(TextAnalysis.langIdLabel(col("text"))).head.getString(0)
