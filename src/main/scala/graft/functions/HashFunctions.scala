@@ -475,16 +475,22 @@ case class LangIdLabel(child: Expression, table: Seq[(String, Seq[String])],
         } else { i += 1; totalCp += 1 }
       } else {
         // multi-byte UTF-8 sequence: one code point, CJK check on 3-byte.
-        // A stray continuation byte in lead position (malformed UTF-8,
-        // b < 0xC0) advances ONE byte — skipping two would swallow a
-        // following ASCII word char and desync this tokenizer from
-        // StopwordLangHits, which always advances byte-at-a-time.
-        val seqLen = if (b >= 0xf0) 4 else if (b >= 0xe0) 3 else if (b >= 0xc0) 2 else 1
-        if (seqLen == 3 && i + 2 < bytes.length) {
+        // Malformed input must advance ONE byte: a stray continuation
+        // byte in lead position (b < 0xC0), or a lead whose following
+        // bytes are NOT continuations (truncated sequence), would
+        // otherwise swallow a following ASCII word char and desync this
+        // tokenizer from StopwordLangHits, which always advances
+        // byte-at-a-time over non-word bytes.
+        val declared = if (b >= 0xf0) 4 else if (b >= 0xe0) 3 else if (b >= 0xc0) 2 else 1
+        def isCont(k: Int): Boolean =
+          k < bytes.length && (bytes(k) & 0xc0) == 0x80
+        val valid = declared > 1 && (1 until declared).forall(j => isCont(i + j))
+        val seqLen = if (valid) declared else 1
+        if (seqLen == 3) {
           val cp = ((b & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) | (bytes(i + 2) & 0x3f)
           if (cp >= 0x4e00 && cp <= 0x9fff) cjkCp += 1
         }
-        i += math.min(seqLen, bytes.length - i)
+        i += seqLen
         totalCp += 1
       }
     }

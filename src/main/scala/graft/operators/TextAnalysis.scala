@@ -103,29 +103,47 @@ object TextAnalysis {
     * Output: input columns + `bm25` rounded to 6dp (round BEFORE any
     * ordering so ranking ties are decided on the comparable value). */
   def bm25(df: DataFrame, textCol: String, terms: Seq[String],
-           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+           k1: Double = 1.2, b: Double = 0.75,
+           outCol: String = "bm25"): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val toks = split(lower(trim(col(textCol))), "\\s+")
-    val withTf = df.select(
-      df.columns.map(col).toSeq ++
-        Seq(size(toks).cast("double").as("dl")) ++
+    // collision-free internal names (same discipline as
+    // TrainedLid.predict): withColumn/select resolve case-insensitively
+    // under the default session, so compare lowercased
+    val lowerCols = df.columns.map(_.toLowerCase).toSet
+    require(!lowerCols.contains(outCol.toLowerCase),
+      s"output column '$outCol' already exists; pass outCol=")
+    val p = Iterator.iterate("__bm25")(_ + "_")
+      .dropWhile(x => lowerCols.exists(_.startsWith(x))).next()
+    val inCols = df.columns.map(col).toSeq
+    // stage 1: tokenize ONCE per row into a projected column; the
+    // per-term counts then re-read the array value instead of
+    // re-running the split per term (interpreted-HOF lesson, d15/d04)
+    val toksDf = df.withColumn(s"${p}_toks",
+      split(lower(trim(col(textCol))), "\\s+"))
+    val toks = col(s"${p}_toks")
+    // NULL text propagates: split(NULL) -> NULL array -> size/filter
+    // NULL -> NULL dl/tf -> NULL score, while avg/df aggregates skip the
+    // row (exactly the DuckDB oracle's len(NULL)/avg semantics)
+    val withTf = toksDf.select(
+      inCols ++
+        Seq(size(toks).cast("double").as(s"${p}_dl")) ++
         terms.zipWithIndex.map { case (t, i) =>
-          size(filter(toks, w => w === lit(t))).cast("double").as(s"tf_$i")
+          size(filter(toks, w => w === lit(t))).cast("double").as(s"${p}_tf_$i")
         }: _*)
     val stats = withTf.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      (avg(col("dl")).as("avgdl") +:
+      count(lit(1)).cast("double").as(s"${p}_n"),
+      (avg(col(s"${p}_dl")).as(s"${p}_avgdl") +:
         terms.indices.map(i =>
-          sum(when(col(s"tf_$i") > 0, 1.0).otherwise(0.0)).as(s"df_$i"))): _*)
+          sum(when(col(s"${p}_tf_$i") > 0, 1.0).otherwise(0.0)).as(s"${p}_df_$i"))): _*)
     val score = terms.indices.map { i =>
-      val tf = col(s"tf_$i"); val dfT = col(s"df_$i")
+      val tf = col(s"${p}_tf_$i"); val dfT = col(s"${p}_df_$i")
       val idf = log(lit(1.0) +
-        (col("n_docs") - dfT + lit(0.5)) / (dfT + lit(0.5)))
+        (col(s"${p}_n") - dfT + lit(0.5)) / (dfT + lit(0.5)))
       idf * (tf * lit(k1 + 1.0)) /
-        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col(s"${p}_dl") / col(s"${p}_avgdl")))
     }.reduce(_ + _)
     withTf.crossJoin(broadcast(stats))
-      .select(df.columns.map(col).toSeq :+ round(score, 6).as("bm25"): _*)
+      .select(inCols :+ round(score, 6).as(outCol): _*)
   }
 
   /** documents → + (lang_pred, lang_score, quality_score, n_tokens,

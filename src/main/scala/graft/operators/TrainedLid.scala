@@ -182,9 +182,12 @@ object TrainedLid {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(model)
     // collision-free helper name: withColumn silently REPLACES an
-    // existing column, which would corrupt the caller's schema
+    // existing column, which would corrupt the caller's schema — and it
+    // resolves case-INSENSITIVELY under the default session, so the
+    // check must too
+    val lowerCols = df.columns.map(_.toLowerCase).toSet
     val gramsCol = Iterator.iterate("__lid_grams")(_ + "_")
-      .dropWhile(n => df.columns.contains(n)).next()
+      .dropWhile(n => lowerCols.contains(n.toLowerCase)).next()
     val withGrams = df.withColumn(gramsCol,
       HashFunctions.charShingleHashes(
         TextFunctions.normalizeForDedup(col(textCol)), model.ngram))

@@ -41,13 +41,18 @@ object ExportReader {
       finally in.close()
     var tokOff = 0L
     var byteOff = 0L
-    EntryRe.findAllMatchIn(text).map { m =>
+    val entries = EntryRe.findAllMatchIn(text).map { m =>
       val s = Shard(m.group(1), m.group(2).toLong, m.group(3).toLong,
         tokOff, byteOff)
       tokOff += s.tokens
       byteOff += s.bytes
       s
     }.toSeq
+    // fail loudly on format drift: a writer-side change to the manifest
+    // layout must not read as "empty export"
+    require(entries.nonEmpty || text.trim == "[]",
+      s"unparseable manifest at $shardsDir: ${text.take(120)}")
+    entries
   }
 
   /** One logical stream over all shards in manifest order —
@@ -78,16 +83,24 @@ object ExportReader {
     * shard-local offsets — the distributed-loader primitive: reader k
     * of N calls this with its own contiguous range and touches only the
     * shards (and byte ranges) it owns. uint16 decodes unsigned,
-    * mirroring the writer's wrap semantics. */
+    * mirroring the writer's wrap semantics. Convenience overload;
+    * loaders issuing many slices should parse the manifest once and use
+    * the `shards` overload below (one remote read per call otherwise). */
   def tokenSlice(conf: Configuration, shardsDir: String, dtype: String,
-                 from: Long, count: Int): Array[Int] = {
+                 from: Long, count: Int): Array[Int] =
+    tokenSlice(conf, shardsDir, readManifest(conf, shardsDir), dtype, from, count)
+
+  /** As above, against a pre-parsed manifest — O(1) remote metadata for
+    * a loader that slices repeatedly. */
+  def tokenSlice(conf: Configuration, shardsDir: String, shards: Seq[Shard],
+                 dtype: String, from: Long, count: Int): Array[Int] = {
     require(from >= 0 && count >= 0, s"range [$from, +$count)")
     val bpt = bytesPerToken(dtype)
     val dir = new HPath(shardsDir)
     val fs = dir.getFileSystem(conf)
     val out = new Array[Int](count)
     var filled = 0
-    val wanted = readManifest(conf, shardsDir).iterator
+    val wanted = shards.iterator
       .filter(s => s.tokenOffset + s.tokens > from && filled < count)
     while (wanted.hasNext && filled < count) {
       val s = wanted.next()
@@ -111,7 +124,7 @@ object ExportReader {
       }
     }
     require(filled == count,
-      s"range [$from, +$count) exceeds the ${from + filled}-token export")
+      s"range [$from, +$count) exceeds the ${shards.map(_.tokens).sum}-token export")
     out
   }
 }

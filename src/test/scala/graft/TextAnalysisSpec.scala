@@ -56,11 +56,15 @@ class TextAnalysisSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.unsafe.types.UTF8String
     val theBytes = "the ".getBytes("UTF-8")
-    val malformed = Array.fill(5)(0x80.toByte +: theBytes).flatten
-    val expr = graft.functions.LangIdLabel(
-      Literal(UTF8String.fromBytes(malformed), org.apache.spark.sql.types.StringType),
-      TextAnalysis.LangStopwords, 0.05)
-    assert(expr.eval(null).toString == "en")
+    def labelOf(bytes: Array[Byte]): String =
+      graft.functions.LangIdLabel(
+        Literal(UTF8String.fromBytes(bytes), org.apache.spark.sql.types.StringType),
+        TextAnalysis.LangStopwords, 0.05).eval(null).toString
+    assert(labelOf(Array.fill(5)(0x80.toByte +: theBytes).flatten) == "en")
+    // a TRUNCATED multi-byte lead (no continuation bytes follow) must
+    // also advance one byte, not its declared length
+    assert(labelOf(Array.fill(5)(0xc3.toByte +: theBytes).flatten) == "en")
+    assert(labelOf(Array.fill(5)(0xe4.toByte +: theBytes).flatten) == "en")
   }
 
   test("bm25 ranks term-dense docs higher and length-normalizes") {
@@ -79,6 +83,20 @@ class TextAnalysisSpec extends SparkSpec {
     // output keeps the input columns + bm25 only
     val cols = TextAnalysis.bm25(docs, "text", Seq("join")).columns.toSeq
     assert(cols == Seq("doc_id", "text", "bm25"))
+  }
+
+  test("bm25 propagates NULL text and rejects output-name collisions") {
+    val docs = Seq(("d1", "join hash join"), ("d2", null))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.bm25(docs, "text", Seq("join"))
+      .select("doc_id", "bm25").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows("d2").isEmpty, "null text must yield null score")
+    assert(rows("d1").exists(_ > 0.0))
+    // a caller column named like the output (any case) fails fast
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25(docs.withColumnRenamed("doc_id", "BM25"), "text", Seq("join"))
+    }
   }
 
   test("no-evidence text maps to und") {
