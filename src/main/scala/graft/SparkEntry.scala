@@ -515,6 +515,57 @@ object SparkEntry {
         .select(col("doc_id"), col("bm25"))
         .orderBy(desc("bm25"), asc("doc_id")).limit(50)),
 
+    "d23_decontaminate" -> ((s, d) => {
+      // benchmark decontamination: eval suite = every 97th doc (the
+      // leaked-verbatim scenario — eval docs ARE in the corpus, so the
+      // operator provably fires: each eval doc flags itself and any
+      // near-duplicate sharing a word-5gram). Both joins broadcast the
+      // small side; the corpus is never shuffled (see Decontamination).
+      val all = docs(s, d)
+      Decontamination.overlapReport(
+          all, all.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
+    "d24_repetition" -> ((s, d) =>
+      // Gopher-style repetition quality signals (Rae et al. 2021
+      // §A.1.1): duplicate word-3gram fraction and top word-2gram
+      // fraction, pure per-row exprs — zero shuffle at any scale. The
+      // synthetic vocabulary is small, so both signals take non-trivial
+      // values on nearly every doc.
+      Decontamination.repetitionSignals(
+          docs(s, d).select("doc_id", "text"), "text")
+        .select("doc_id", "dup_3gram_frac", "top_2gram_frac")
+        .orderBy("doc_id")),
+
+    "b01_bucketed_join" -> ((s, d) => {
+      // the pay-the-shuffle-once path END-TO-END in the gate: bucket
+      // orders and lineitem on the join key at write time, then join +
+      // aggregate on that key with ZERO shuffle Exchanges — asserted at
+      // plan time, so a bucketing regression fails the gate loudly, not
+      // just a spec. hint("merge") keeps the question about bucketing
+      // (a broadcast would dodge the Exchange some other way).
+      import graft.core.Bucketing
+      Seq("graft_b01_orders", "graft_b01_lineitem").foreach(t =>
+        Bucketing.dropTable(s, t))
+      Bucketing.writeBucketed(ord(s, d).select("o_orderkey"),
+        "graft_b01_orders", "o_orderkey", buckets = 8)
+      Bucketing.writeBucketed(
+        li(s, d).select(col("l_orderkey").as("o_orderkey"),
+          col("l_extendedprice"), col("l_discount")),
+        "graft_b01_lineitem", "o_orderkey", buckets = 8)
+      val joined = s.table("graft_b01_orders").hint("merge")
+        .join(s.table("graft_b01_lineitem"), Seq("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+      require(Bucketing.shuffleExchanges(joined) == 0,
+        "bucketed join+agg must plan with zero shuffle Exchanges:\n" +
+          joined.queryExecution.executedPlan)
+      joined.orderBy(desc("revenue"), asc("o_orderkey")).limit(20)
+    }),
+
     "x03_ngram_jaccard_dedup" -> ((s, d) =>
       // kept set after near-dedup; the oracle rebuilds the exact word-3gram
       // Jaccard graph and its transitive closure in SQL, so this asserts
@@ -1201,6 +1252,62 @@ object SparkEntry {
                * (tf_2 * (1.2 + 1.0)) / (tf_2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
          FROM d, s
          ORDER BY bm25 DESC, doc_id LIMIT 50""",
+
+    // Mirrors Decontamination.overlapReport: wordShingles(text, 5) with
+    // the <5-words whole-text fallback, distinct per doc, counted
+    // against the distinct eval-gram set (eval = doc_id % 97 = 0).
+    "d23_decontaminate" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+           FROM documents),
+         g AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) < 5
+             THEN [array_to_string(ws, ' ')]
+             ELSE list_transform(range(1, len(ws) - 3),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])
+           END) AS grams FROM w),
+         e AS (SELECT DISTINCT gram FROM
+           (SELECT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0)),
+         c AS (SELECT doc_id, count(*) AS n_overlap FROM
+             (SELECT doc_id, unnest(grams) AS gram FROM g) x
+           JOIN e USING (gram) GROUP BY doc_id)
+         SELECT g.doc_id, coalesce(c.n_overlap, 0) AS n_overlap,
+           coalesce(c.n_overlap, 0) > 0 AS contaminated
+         FROM g LEFT JOIN c USING (doc_id) ORDER BY g.doc_id""",
+
+    // Mirrors Decontamination.repetitionSignals: dup fraction from
+    // list_distinct on the 3-gram list; top fraction from the max
+    // multiplicity over the 2-gram list (unnest+groupBy here — the
+    // oracle needn't be shuffle-free, only the Spark side).
+    "d24_repetition" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+           FROM documents),
+         g AS (SELECT doc_id,
+             CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+               ELSE list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS g3,
+             CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+               ELSE list_transform(range(1, len(ws)),
+                 i -> ws[i] || ' ' || ws[i+1]) END AS g2
+           FROM w),
+         d AS (SELECT doc_id,
+             round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+               AS dup_3gram_frac
+           FROM g),
+         f AS (SELECT doc_id, gram, count(*) AS c FROM
+             (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY doc_id, gram),
+         m AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM f GROUP BY doc_id)
+         SELECT d.doc_id, d.dup_3gram_frac,
+           round(CAST(m.mx AS DOUBLE) / m.tot, 6) AS top_2gram_frac
+         FROM d JOIN m USING (doc_id) ORDER BY d.doc_id""",
+
+    "b01_bucketed_join" ->
+      """SELECT o_orderkey,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         GROUP BY o_orderkey
+         ORDER BY revenue DESC, o_orderkey LIMIT 20""",
 
     "d05_lang_confusion" -> langIdOracle(
       "SELECT lang, lang_pred, count(*) AS n FROM scored GROUP BY lang, lang_pred ORDER BY lang, lang_pred"),

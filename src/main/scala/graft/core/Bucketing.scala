@@ -43,6 +43,19 @@ object Bucketing {
                     key: String, joinType: String = "inner"): DataFrame =
     spark.table(left).join(spark.table(right), Seq(key), joinType)
 
+  /** Drop `table` from the catalog AND delete its default warehouse
+    * location. With the in-memory catalog a prior session's table files
+    * outlive the (forgotten) catalog entry, and a later CTAS onto the
+    * non-empty location fails — so physical cleanup is part of drop. */
+  def dropTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(loc, true)
+  }
+
   /** Count how many shuffle Exchanges the executed plan of `df` would
     * run — the spec-side proof that a bucketed plan is shuffle-free.
     * Descends into AQE wrapper nodes (AdaptiveSparkPlanExec,

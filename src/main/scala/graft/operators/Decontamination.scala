@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination + repetition-quality signals — two
+  * standard training-data hygiene operators a pre-training pipeline
+  * needs beyond the reference's own step list (the reference dedups the
+  * corpus against itself, dedup/minhash.py, but never against an eval
+  * suite; repetition filtering follows the Gopher rules of
+  * Rae et al. 2021, "Scaling Language Models", §A.1.1).
+  *
+  * Scale design (100 TB corpus, KB..GB eval suite):
+  *  - the eval n-gram set reduces to one DISTINCT projection of the
+  *    (small) eval side and is BROADCAST — the corpus is never
+  *    shuffled, not for matching and not for the report join;
+  *  - corpus-side n-grams are a codegen'd per-row projection
+  *    (explode → broadcast-hash-join); only MATCHED (id, gram) pairs —
+  *    contamination is rare by construction — reach the one tiny
+  *    aggregation shuffle;
+  *  - repetition signals are pure per-row Column expressions with zero
+  *    shuffle and no UDF.
+  */
+object Decontamination {
+
+  /** Distinct word n-grams of the eval/benchmark docs. Small by nature
+    * (eval suites are KBs..MBs); callers broadcast the result. */
+  def evalGrams(evalDocs: DataFrame, textCol: String, n: Int): DataFrame =
+    evalDocs.select(explode(TextFunctions.wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+
+  /** Per-document overlap report against an eval set: every corpus row
+    * with `n_overlap` = number of DISTINCT word n-grams it shares with
+    * the eval docs and a `contaminated` flag. Both joins keep the small
+    * side broadcast, so the corpus streams through without a shuffle;
+    * the groupBy aggregates only the matched pairs. */
+  def overlapReport(corpus: DataFrame, evalDocs: DataFrame,
+                    idCol: String, textCol: String, n: Int): DataFrame = {
+    val grams = broadcast(evalGrams(evalDocs, textCol, n))
+    val corpusGrams = corpus.select(col(idCol),
+      explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("gram"))
+    val counts = corpusGrams.join(grams, "gram")
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col(idCol))
+      .join(broadcast(counts), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Drop contaminated rows: broadcast anti-join of the corpus against
+    * the (small) contaminated-id set — the production-shaped output of
+    * decontamination. `minOverlap` sets how many shared n-grams convict. */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame,
+                    idCol: String, textCol: String, n: Int,
+                    minOverlap: Long = 1L): DataFrame = {
+    val bad = overlapReport(corpus, evalDocs, idCol, textCol, n)
+      .filter(col("n_overlap") >= minOverlap).select(idCol)
+    corpus.join(broadcast(bad), Seq(idCol), "left_anti")
+  }
+
+  /** Longest run length in an ALREADY-SORTED array — i.e. the highest
+    * multiplicity of any element. One `aggregate` fold, per-row, no
+    * shuffle. Empty/NULL array → 0/NULL. */
+  private def maxMultiplicitySorted(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x <=> acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Gopher-style repetition signals as per-row columns (zero shuffle):
+    *  - `dup_${n}gram_frac`: fraction of the doc's word n-grams that are
+    *    repeats of an earlier occurrence (1 − distinct/total);
+    *  - `top_${n}gram_frac`: fraction of the doc's word n-grams taken by
+    *    the single most frequent one.
+    * Both mirror Rae et al. 2021 §A.1.1 ("duplicate n-gram fraction",
+    * "top n-gram fraction"). The n-gram array is projected ONCE and both
+    * signals read the projected value (interpreted-HOF lesson: a
+    * `aggregate` lambda re-running the shingle split per reference would
+    * redo the tokenize work). Docs shorter than n words shingle to the
+    * single whole-text gram (wordShingles contract), so they score
+    * dup=0, top=1 — same CASE the SQL oracle takes. */
+  def repetitionSignals(df: DataFrame, textCol: String,
+                        dupN: Int = 3, topN: Int = 2): DataFrame = {
+    val lowerCols = df.columns.map(_.toLowerCase).toSet
+    val p = Iterator.iterate("__rep")(_ + "_")
+      .dropWhile(x => lowerCols.exists(_.startsWith(x))).next()
+    val staged = df
+      .withColumn(s"${p}_d", TextFunctions.wordShingles(col(textCol), dupN))
+      .withColumn(s"${p}_t", array_sort(TextFunctions.wordShingles(col(textCol), topN)))
+    val dGrams = col(s"${p}_d"); val tGrams = col(s"${p}_t")
+    staged
+      .withColumn(s"dup_${dupN}gram_frac", round(
+        lit(1.0) - size(array_distinct(dGrams)).cast("double")
+          / size(dGrams).cast("double"), 6))
+      .withColumn(s"top_${topN}gram_frac", round(
+        maxMultiplicitySorted(tGrams).cast("double")
+          / size(tGrams).cast("double"), 6))
+      .drop(s"${p}_d", s"${p}_t")
+  }
+}

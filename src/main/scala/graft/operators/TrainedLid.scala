@@ -84,12 +84,12 @@ object TrainedLid {
     * oracles over the fixture can pin constants. */
   def synthFixture(ids: DataFrame, idCol: String = "doc_id",
                    wordLists: Seq[(String, Seq[String])] = FixtureWordLists,
-                   salt: String = "w"): DataFrame = {
+                   salt: String = "w", wordsPerDoc: Int = 30): DataFrame = {
     val langArr = array(wordLists.map(w => lit(w._1)): _*)
     val langTrue = element_at(langArr,
       (pmod(col(idCol), lit(wordLists.length)) + 1).cast("int"))
     def textFor(words: Seq[String]) = concat_ws(" ",
-      transform(sequence(lit(1), lit(30)), i => element_at(
+      transform(sequence(lit(1), lit(wordsPerDoc)), i => element_at(
         array(words.map(lit): _*),
         (pmod(xxhash64(concat(col(idCol).cast("string"), lit(salt), i.cast("string"))),
           lit(words.length)) + 1).cast("int"))))
