@@ -505,6 +505,25 @@ object SparkEntry {
         .orderBy("lang", "lang_pred_model", "lang_heur")
     }),
 
+    "d25_cognate_confusion" -> ((s, d) => {
+      // the non-trivial error-surface gate: on the cognate fixture
+      // (7 of 10 words identical across es/it/pt, 8 words/doc) the
+      // trained model CANNOT be perfect — docs drawing only shared
+      // words are decided by exact-count weight asymmetries. The
+      // resulting off-diagonal is deterministic under any partitioning
+      // (same argument as d20, spec-probed) and pinned in the oracle:
+      // a feature-hashing / smoothing / tie-break regression moves it.
+      val ids = docs(s, d).select("doc_id")
+      val cog = TrainedLid.synthFixture(ids,
+        wordLists = TrainedLid.CognateFixtureWordLists,
+        salt = "cg", wordsPerDoc = 8)
+      val model = TrainedLid.train(cog, "lang", "text")
+      TrainedLid.predict(cog, "text", model)
+        .groupBy(col("lang"), col("lang_pred_model"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred_model")
+    }),
+
     "d22_bm25" -> ((s, d) =>
       // BM25 retrieval over the corpus for a 3-term query: one
       // stats-row reduction broadcast back over the scoring scan (see
@@ -537,6 +556,34 @@ object SparkEntry {
           docs(s, d).select("doc_id", "text"), "text")
         .select("doc_id", "dup_3gram_frac", "top_2gram_frac")
         .orderBy("doc_id")),
+
+    "d26_line_dedup" -> ((s, d) => {
+      // corpus-level line dedup over d19-style synthesized multi-line
+      // docs: within-doc repeats (even ids) AND cross-doc collisions
+      // (8-char slices recur across docs) both lose to the global
+      // (doc_id, pos)-first occurrence; docs reassemble from surviving
+      // lines, possibly to empty text.
+      def sl(i: Int) = substring(col("text"), 1 + (i - 1) * 8, 8)
+      val synth = when(col("doc_id") % 2 === 0,
+          concat_ws("\n", sl(1), sl(2), sl(1), sl(2), sl(1), sl(3)))
+        .otherwise(concat_ws("\n", sl(1), sl(2), sl(3), sl(4), sl(5), sl(6)))
+      Dedup.lineDedup(docs(s, d).select(col("doc_id"), synth.as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "d27_temperature_mixture" -> ((s, d) => {
+      // token-budgeted temperature mixture (T=0.5): the kept set is a
+      // pure per-row hash-threshold decision against per-source cutoffs
+      // derived from exact token totals — deterministic, window-free
+      // (no low-cardinality partition sort anywhere), and reproduced
+      // bit-for-bit by the oracle (sqrt + fixed-order reduction).
+      val withTok = docs(s, d).select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"))
+      Sampling.temperatureMixture(withTok, "source", col("n_tok"),
+          "doc_id", tokenBudget = 10000.0)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
 
     "b01_bucketed_join" -> ((s, d) => {
       // the pay-the-shuffle-once path END-TO-END in the gate: bucket
@@ -1221,6 +1268,20 @@ object SparkEntry {
          ) AS t(lang, lang_pred_model, lang_heur, n_dec)
          ORDER BY lang, lang_pred_model, lang_heur""",
 
+    // Pinned at sf0.01 like d20/d21: the cognate fixture (7/10 shared
+    // words, 8 words/doc) yields a REAL off-diagonal — 21 of 500 docs
+    // carry no distinctive word and fall to the exact-count weight
+    // asymmetries (pt loses most: its distinct words share char-3grams
+    // with es). Partitioning-invariant by the d20 argument; re-pin on
+    // fixture/SF change.
+    "d25_cognate_confusion" ->
+      """SELECT lang, lang_pred_model, CAST(n_dec AS BIGINT) AS n FROM (VALUES
+           ('es', 'es', 165), ('es', 'it', 2),
+           ('it', 'es', 6), ('it', 'it', 161),
+           ('pt', 'es', 8), ('pt', 'it', 5), ('pt', 'pt', 153)
+         ) AS t(lang, lang_pred_model, n_dec)
+         ORDER BY lang, lang_pred_model""",
+
     // Expression tree mirrors TextAnalysis.bm25 op-for-op: exact-count
     // corpus stats (N, avgdl over whole-number dl, df) are
     // order-independent doubles, and the per-doc score is a fixed
@@ -1300,6 +1361,57 @@ object SparkEntry {
          SELECT d.doc_id, d.dup_3gram_frac,
            round(CAST(m.mx AS DOUBLE) / m.tot, 6) AS top_2gram_frac
          FROM d JOIN m USING (doc_id) ORDER BY d.doc_id""",
+
+    // Mirrors Dedup.lineDedup over the d19-style synth: first
+    // occurrence = min (doc_id, pos) per md5(trim(line)); documents
+    // reassemble from surviving lines in position order (possibly to
+    // empty text). DuckDB zips the two unnests positionally.
+    "d26_line_dedup" ->
+      """WITH s AS (SELECT doc_id,
+             substr(text, 1, 8) AS a, substr(text, 9, 8) AS b,
+             substr(text, 17, 8) AS c, substr(text, 25, 8) AS d,
+             substr(text, 33, 8) AS e, substr(text, 41, 8) AS f
+           FROM documents),
+         synth AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+             THEN a || chr(10) || b || chr(10) || a || chr(10) || b || chr(10) || a || chr(10) || c
+             ELSE a || chr(10) || b || chr(10) || c || chr(10) || d || chr(10) || e || chr(10) || f
+           END AS t FROM s),
+         l AS (SELECT doc_id,
+             unnest(string_split(t, chr(10))) AS line,
+             unnest(range(0, len(string_split(t, chr(10))))) AS pos
+           FROM synth),
+         w AS (SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY md5(trim(line))
+               ORDER BY doc_id, pos) AS rn
+           FROM l),
+         k AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS kept_text,
+             count(*) AS n_kept FROM w WHERE rn = 1 GROUP BY doc_id)
+         SELECT synth.doc_id, coalesce(k.kept_text, '') AS text,
+           len(string_split(t, chr(10))) AS n_lines_orig,
+           coalesce(k.n_kept, 0) AS n_lines_kept
+         FROM synth LEFT JOIN k ON synth.doc_id = k.doc_id
+         ORDER BY synth.doc_id""",
+
+    // Mirrors Sampling.temperatureMixture bit-for-bit: sqrt is IEEE
+    // correctly-rounded (identical across engines), the normalizer sums
+    // sqrt(totals) in source-sorted order exactly like the operator's
+    // driver-side fold, and the md5-prefix cutoff compare is pure
+    // string ordering.
+    "d27_temperature_mixture" ->
+      """WITH tok AS (SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok
+           FROM documents),
+         t AS (SELECT source, CAST(sum(n_tok) AS DOUBLE) AS tt FROM tok GROUP BY source),
+         z AS (SELECT list_sum(list(sqrt(tt) ORDER BY source)) AS z FROM t),
+         c AS (SELECT source, CASE WHEN tt = 0.0
+               OR 10000.0 * sqrt(tt) / z / tt >= 1.0 THEN 'zzzzzzzz'
+             ELSE printf('%08x', CAST(floor(10000.0 * sqrt(tt) / z / tt * 4294967296.0) AS BIGINT))
+             END AS cut
+           FROM t, z)
+         SELECT doc_id, source FROM tok JOIN c USING (source)
+         WHERE cut = 'zzzzzzzz'
+           OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < cut
+         ORDER BY doc_id""",
 
     "b01_bucketed_join" ->
       """SELECT o_orderkey,

@@ -35,6 +35,44 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
+  /** Corpus-level LINE dedup (the RefinedWeb/CCNet construction: exact
+    * duplicate lines — boilerplate, nav bars, license blocks — are
+    * removed everywhere except their first occurrence, and documents are
+    * reassembled from their surviving lines in order).
+    *
+    * First occurrence = minimum (id, position) over the whole corpus per
+    * md5 of the trimmed line. Three bounded steps at 100 TB: the winner
+    * per line-hash is a min-of-struct aggregate (constant state per
+    * group — a line appearing a billion times still reduces map-side,
+    * no collect_list, no window over a hot key), the keep-test is a join
+    * back on the SAME line-hash key (partitioning reused, no extra
+    * shuffle), and reassembly groups by document id. Documents whose
+    * lines ALL lose come back with empty text, not dropped.
+    *
+    * Output: (idCol, textCol with surviving lines '\n'-joined,
+    * n_lines_orig, n_lines_kept). */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .toDF(idCol, "__pos", "__line")
+      .withColumn("__fp", md5(trim(col("__line"))))
+    val winners = lines.groupBy("__fp")
+      .agg(min(struct(col(idCol).as("d"), col("__pos").as("p"))).as("__w"))
+    val kept = lines.join(winners, "__fp")
+      .where(col(idCol) === col("__w.d") && col("__pos") === col("__w.p"))
+    val reassembled = kept.groupBy(idCol).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__line")))),
+        x => x.getField("__line")), "\n").as("__text"),
+      count(lit(1)).as("n_lines_kept"))
+    df.select(col(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines_orig"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__text"), lit("")).as(textCol),
+        col("n_lines_orig"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"))
+  }
+
   /** Configuration for MinHash-LSH near-dedup. Defaults mirror the
     * reference (k=128, char 5-grams, 4 rows/band → 32 bands;
     * reference: src/llm_data_pipeline/dedup/run_minhash.py:30,

@@ -40,6 +40,49 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Temperature-weighted mixture under a TOKEN budget — the standard
+    * pre-training recipe (sample source s with probability ∝ tokens(s)^T,
+    * T<1 flattening the natural distribution so small high-quality
+    * sources are not drowned; e.g. multilingual sampling in public LM
+    * papers). Selection is a pure hash-threshold map — NO per-source
+    * window, NO row_number — so unlike the window-based samplers above
+    * it has no low-cardinality-partition skew at 100 TB: per-source
+    * token totals reduce to one bounded aggregate (#sources rows,
+    * collected — source cardinality is small by construction), the
+    * keep-probability p_s = min(1, budget·w_s / tokens_s) becomes an
+    * 8-hex-digit md5 cutoff per source, and every row decides locally.
+    *
+    * The sampled token count per source is p_s·tokens_s in expectation
+    * (hash-Bernoulli, not exact-prefix) but fully DETERMINISTIC and
+    * engine-reproducible: md5 is bit-defined, and the cutoff arithmetic
+    * uses sqrt (IEEE correctly-rounded, hence bit-identical across
+    * engines) when T=0.5 plus a fixed left-to-right reduction over
+    * source-sorted totals — an external SQL engine reproduces the kept
+    * set bit-for-bit. Sources with zero tokens keep everything (their
+    * rows cost no budget). */
+  def temperatureMixture(df: DataFrame, sourceCol: String, tokensCol: Column,
+                         hashCol: String, tokenBudget: Double,
+                         temperature: Double = 0.5): DataFrame = {
+    require(tokenBudget > 0 && temperature > 0)
+    def powT(x: Double) =
+      if (temperature == 0.5) math.sqrt(x) else math.pow(x, temperature)
+    val totals = df.groupBy(col(sourceCol)).agg(sum(tokensCol).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val z = totals.foldLeft(0.0)((acc, st) => acc + powT(st._2.toDouble))
+    val cuts = totals.map { case (src, t) =>
+      val p = if (t == 0L) 1.0 else tokenBudget * powT(t.toDouble) / z / t.toDouble
+      // md5 hex is [0-9a-f]: 'z' sorts above every digest, so "zzzzzzzz"
+      // is the keep-everything cutoff (p >= 1)
+      val cut = if (p >= 1.0) "zzzzzzzz"
+        else f"${math.floor(p * 4294967296.0).toLong}%08x"
+      src -> cut
+    }
+    val cutCol = element_at(
+      map(cuts.flatMap { case (s, c) => Seq(lit(s), lit(c)) }: _*), col(sourceCol))
+    df.where(cutCol === "zzzzzzzz"
+      || substring(md5(col(hashCol).cast("string")), 1, 8) < cutCol)
+  }
+
   /** Weighted mixture: per-stratum fractions (e.g. lang → weight),
     * missing strata default to `defaultFrac`. */
   def mixture(df: DataFrame, strataCol: String, fractions: Map[String, Double],

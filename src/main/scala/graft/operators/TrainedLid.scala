@@ -99,6 +99,24 @@ object TrainedLid {
     ids.select(col(idCol), langTrue.as("lang"), synthText.as("text"))
   }
 
+  /** Cognate stress fixture: three Romance languages whose 10-word
+    * vocabularies share 7 identical "cognate" words — only 3 words per
+    * language are distinctive. Drawn at 8 words/doc, ~0.7^8 ≈ 5.8% of
+    * docs contain NO distinctive word at all, so the trained model's
+    * confusion matrix has a real off-diagonal: those all-shared docs
+    * are decided by the (deterministic, exact-count) training weight
+    * asymmetries, not by evidence. The d25 gate pins that structure —
+    * a measured, reproducible error surface rather than a trivially
+    * perfect diagonal. */
+  val CognateFixtureWordLists: Seq[(String, Seq[String])] = {
+    val shared = Seq("hospital", "animal", "central", "general", "idea",
+      "natural", "regional")
+    Seq(
+      "es" -> (shared ++ Seq("ciudad", "trabajo", "izquierda")),
+      "it" -> (shared ++ Seq("citta", "lavoro", "sinistra")),
+      "pt" -> (shared ++ Seq("cidade", "trabalho", "esquerda")))
+  }
+
   /** Danish wordlist for the unseen-language holdout: NOT in
     * [[FixtureWordLists]], so a model trained on the 8 fixture languages
     * has never seen the label. Danish shares "som"/"har"/"den"/"efter"

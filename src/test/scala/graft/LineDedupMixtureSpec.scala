@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.{Dedup, Sampling, TrainedLid}
+import org.apache.spark.sql.functions._
+
+class LineDedupMixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lineDedup keeps first (doc_id, pos) occurrence and reassembles in order") {
+    val df = Seq(
+      (1L, "alpha\nbeta\nalpha\ngamma"), // in-doc repeat of alpha loses
+      (2L, "beta\ndelta"),               // beta lost to doc 1
+      (3L, "  alpha  \nepsilon"),        // trimmed form matches doc 1's alpha
+      (4L, "alpha\nbeta")                // loses everything
+    ).toDF("doc_id", "text")
+    val r = Dedup.lineDedup(df, "doc_id", "text").orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    assert(r === Seq(
+      (1L, "alpha\nbeta\ngamma", 4L, 3L),
+      (2L, "delta", 2L, 1L),
+      (3L, "epsilon", 2L, 1L),
+      (4L, "", 2L, 0L)))
+  }
+
+  test("lineDedup result is invariant under input partitioning") {
+    val ids = (0L until 200L).toDF("doc_id")
+    val synth = TrainedLid.synthFixture(ids, wordsPerDoc = 12)
+      .withColumn("text", regexp_replace(col("text"), " ", "\n"))
+    val a = Dedup.lineDedup(synth, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = Dedup.lineDedup(synth.repartition(13), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("temperatureMixture hits budget in expectation and flattens the mixture") {
+    val docs = (0L until 4000L).map { i =>
+      val src = if (i % 10 == 0) "small" else "big" // 10:90 doc split
+      (i, src, 100L) // 100 tokens per doc
+    }.toDF("doc_id", "source", "n_tok")
+    val kept = Sampling.temperatureMixture(docs, "source", col("n_tok"),
+      "doc_id", tokenBudget = 80000.0, temperature = 0.5)
+    val bySrc = kept.groupBy("source").agg(sum("n_tok").as("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T=0.5 targets: z = sqrt(40k)+sqrt(360k); small gets 80k*sqrt(40k)/z ≈ 20k,
+    // big ≈ 60k — vs the natural 8k/72k split. Hash-Bernoulli: ±3σ ≈ ±5%.
+    assert(math.abs(bySrc("small") - 20000.0) < 3000.0, bySrc.toString)
+    assert(math.abs(bySrc("big") - 60000.0) < 6000.0, bySrc.toString)
+    // deterministic: same inputs, same kept set, any partitioning
+    val again = Sampling.temperatureMixture(docs.repartition(7), "source",
+        col("n_tok"), "doc_id", tokenBudget = 80000.0, temperature = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again === kept.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("temperatureMixture keeps everything when the budget covers the corpus") {
+    val docs = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("doc_id", "source", "n_tok")
+    val kept = Sampling.temperatureMixture(docs, "source", col("n_tok"),
+      "doc_id", tokenBudget = 1e9)
+    assert(kept.count() === 2L)
+  }
+
+  test("d25 cognate fixture confusion is partitioning-invariant and non-trivial") {
+    val ids = (0L until 500L).toDF("doc_id")
+    def matrix(parts: Int) = {
+      val cog = TrainedLid.synthFixture(
+        if (parts <= 0) ids else ids.repartition(parts),
+        wordLists = TrainedLid.CognateFixtureWordLists,
+        salt = "cg", wordsPerDoc = 8)
+      val m = TrainedLid.train(cog, "lang", "text")
+      TrainedLid.predict(cog, "text", m)
+        .groupBy("lang", "lang_pred_model").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred_model")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    }
+    val base = matrix(0)
+    assert(matrix(11) === base)
+    val offDiag = base.filter(x => x._1 != x._2).map(_._3).sum
+    assert(offDiag > 0L, s"cognate fixture should confuse some docs: $base")
+  }
+}
