@@ -73,6 +73,48 @@ object Dedup {
         coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"))
   }
 
+  /** Duplicate-PASSAGE detection (the token-window formulation of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better": repeated long substrings across documents, found
+    * here as exact matches of `window`-token windows sampled every
+    * `stride` tokens — the hash-window approximation of the paper's
+    * suffix array, which is the standard distributed substitute).
+    *
+    * Per document: tokenize once (codegen projection), build the
+    * distinct md5 window set per row, explode, count DOCUMENT frequency
+    * per window in one shuffle (bounded partial-agg state — a window
+    * shared by a million docs never materializes as a list), and join
+    * the df>=2 windows back to flag each doc's shared-window count.
+    * Shuffle volume ≈ tokens/stride rows of 32-hex keys — same order as
+    * MinHash banding; md5 keeps the key oracle-reproducible (a pure
+    * 64-bit hash would halve the payload at scale, same plan shape).
+    *
+    * Output: (idCol, n_windows, n_shared, shared_frac). Docs shorter
+    * than `window` tokens contribute their whole text as one window. */
+  def dupPassageReport(df: DataFrame, idCol: String, textCol: String,
+                       window: Int = 10, stride: Int = 5): DataFrame = {
+    require(window > 0 && stride > 0)
+    val toks = split(TextFunctions.normalizeForDedup(col(textCol)), " ")
+    val wins = when(size(toks) < window, array(md5(array_join(toks, " "))))
+      .otherwise(transform(
+        sequence(lit(0), ((size(toks) - window) / stride).cast("int")),
+        k => md5(array_join(slice(toks, k * stride + 1, lit(window)), " "))))
+    val perDoc = df.select(col(idCol), array_distinct(wins).as("__ws"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val exploded = perDoc.select(col(idCol), explode(col("__ws")).as("__h"))
+    val shared = exploded.groupBy("__h").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= 2).select("__h")
+    val counts = exploded.join(shared, "__h")
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+    val out = perDoc.select(col(idCol), size(col("__ws")).cast("long").as("n_windows"))
+      .join(counts, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double")
+          / col("n_windows"), 6).as("shared_frac"))
+    out
+  }
+
   /** Configuration for MinHash-LSH near-dedup. Defaults mirror the
     * reference (k=128, char 5-grams, 4 rows/band → 32 bands;
     * reference: src/llm_data_pipeline/dedup/run_minhash.py:30,

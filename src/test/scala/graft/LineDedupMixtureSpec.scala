@@ -60,6 +60,26 @@ class LineDedupMixtureSpec extends SparkSpec {
     assert(kept.count() === 2L)
   }
 
+  test("dupPassageReport flags cross-doc shared windows, not in-doc repeats") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, ten + " unique1 tail piece here now"), // shares window [w1..w10] with doc 2
+      (2L, ten + " other2 ending words go here"),
+      (3L, "all distinct tokens nothing shared at all in this one"),
+      (4L, "short doc"),                          // <10 tokens: whole-text window
+      (5L, "short doc")                           // identical short text: shared
+    ).toDF("doc_id", "text")
+    val r = Dedup.dupPassageReport(df, "doc_id", "text", window = 10, stride = 5)
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // docs 1/2: 15 tokens -> windows at offsets 0,5 (2 windows); offset-0 shared
+    assert(r(0) === ((1L, 2L, 1L)))
+    assert(r(1) === ((2L, 2L, 1L)))
+    assert(r(2)._3 === 0L)
+    assert(r(3) === ((4L, 1L, 1L)))
+    assert(r(4) === ((5L, 1L, 1L)))
+  }
+
   test("d25 cognate fixture confusion is partitioning-invariant and non-trivial") {
     val ids = (0L until 500L).toDF("doc_id")
     def matrix(parts: Int) = {
