@@ -632,6 +632,22 @@ object SparkEntry {
       Dedup.ngramJaccard(docs(s, d), "doc_id", "text", n = 3, threshold = 0.8)
         .select("doc_id").orderBy("doc_id")),
 
+    "x07_incremental_dedup" -> ((s, d) => {
+      // continuous-ingest dedup: docs >= 400 arrive as a new batch and
+      // dedupe against the band index of the first 400 — kept = no
+      // indexed doc with exact char-5gram Jaccard >= 0.8. The oracle
+      // recomputes that by brute force, so a hash match asserts the
+      // band collision had FULL RECALL and the verify stage dropped
+      // nothing it shouldn't (same convention as x01/x02).
+      val all = docs(s, d)
+      val corpus = all.filter(col("doc_id") < 400)
+      val newBatch = all.filter(col("doc_id") >= 400)
+      val idx = Dedup.bandIndex(corpus, "doc_id", "text")
+      Dedup.incrementalMinhash(newBatch, "doc_id", "text", corpus, idx,
+          threshold = 0.8)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "x04_embedding_neardup" -> ((s, d) =>
       Dedup.embeddingCosine(emb(s, d), "vec_id", "embedding", threshold = 0.97)
         .groupBy("label").agg(count(lit(1)).as("n_kept")).orderBy("label")),
@@ -1680,6 +1696,17 @@ object SparkEntry {
          WHERE len(list_intersect(a.gs, b.gs)) * 1.0
              / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.8
          ORDER BY src, dst""",
+
+    "x07_incremental_dedup" ->
+      """WITH n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+           FROM documents),
+         g AS (SELECT doc_id, list_distinct(CASE WHEN length(s) < 5 THEN [s]
+               ELSE list_transform(range(1, length(s)-3), i -> s[i:i+4]) END) AS gs FROM n)
+         SELECT a.doc_id FROM g a WHERE a.doc_id >= 400 AND NOT EXISTS (
+           SELECT 1 FROM g b WHERE b.doc_id < 400
+             AND len(list_intersect(a.gs, b.gs)) * 1.0
+               / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.8)
+         ORDER BY a.doc_id""",
 
     "x02_simhash_dedup" ->
       """WITH n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s

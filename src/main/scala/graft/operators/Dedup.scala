@@ -196,6 +196,56 @@ object Dedup {
     }
   }
 
+  /** The persistable band index of a corpus: (id, band_id, band_hash)
+    * rows. Written once at corpus-build time (ideally bucketed on
+    * (band_id, band_hash) — see [[graft.core.Bucketing]]), it lets
+    * every later ingest batch dedupe against the corpus WITHOUT
+    * re-reading or re-hashing corpus text. */
+  def bandIndex(df: DataFrame, idCol: String, textCol: String,
+                cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    bandRows(minhashSignatures(df, idCol, textCol, cfg), cfg)
+
+  /** Incremental near-dedup: drop rows of `newDf` that are near-dups
+    * (exact char-ngram Jaccard >= `threshold`) of an ALREADY-INDEXED
+    * corpus — the continuous-ingest face of MinHash-LSH, where the
+    * corpus is represented by its [[bandIndex]] and only candidates
+    * get verified.
+    *
+    * Scale shape: new-batch bands equi-join the index on
+    * (band_id, band_hash) — with a bucketed index that join is
+    * co-located; then BOTH gram-set scans are semi-join-pruned to the
+    * ids that actually collide before the verify join, so corpus text
+    * is re-shingled only for documents an LSH bucket actually hit
+    * (candidate sets are small relative to corpus by construction).
+    * In-batch duplicates among the survivors are a separate concern —
+    * compose with [[minhashLsh]]/[[minhashVerifiedPairs]] for that. */
+  def incrementalMinhash(newDf: DataFrame, idCol: String, textCol: String,
+                         corpus: DataFrame, indexBands: DataFrame,
+                         threshold: Double = 0.8,
+                         cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val newBands = bandIndex(newDf, idCol, textCol, cfg)
+    val collide = newBands
+      .join(indexBands.select(col("band_id"), col("band_hash"),
+        col("id").as("__idx_id")), Seq("band_id", "band_hash"))
+      .select(col("id").as("__new_id"), col("__idx_id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def gramsOf(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      HashFunctions.charShingleHashes(
+        TextFunctions.normalizeForDedup(col(textCol)), cfg.ngram).as(s"${as}_g"))
+    val gNew = gramsOf(newDf, "__new_id")
+      .join(collide.select("__new_id").distinct(), Seq("__new_id"), "left_semi")
+    val gIdx = gramsOf(corpus, "__idx_id")
+      .join(collide.select("__idx_id").distinct(), Seq("__idx_id"), "left_semi")
+    val dupIds = collide.join(gNew, "__new_id").join(gIdx, "__idx_id")
+      .where(size(array_intersect(col("__new_id_g"), col("__idx_id_g"))).cast("double")
+        / size(array_union(col("__new_id_g"), col("__idx_id_g"))) >= threshold)
+      .select(col("__new_id").as(idCol)).distinct()
+    // collide stays persisted (referenced by three downstream joins);
+    // session-scoped, LRU-evictable — same convention as
+    // simhashVerifiedPairs (no unpersist seam in a lazy return)
+    newDf.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Optional pair verification: estimated Jaccard = fraction of equal
     * signature positions; keeps pairs >= threshold.
     * (reference: src/llm_data_pipeline/dedup/minhash.py — the k-perm

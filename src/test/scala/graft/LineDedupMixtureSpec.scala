@@ -80,6 +80,30 @@ class LineDedupMixtureSpec extends SparkSpec {
     assert(r(4) === ((5L, 1L, 1L)))
   }
 
+  test("incrementalMinhash drops only verified near-dups of the indexed corpus") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val corpus = Seq(
+      (1L, base + "lambda mu nu xi"),
+      (2L, "completely different corpus content about other things entirely here")
+    ).toDF("doc_id", "text")
+    val newBatch = Seq(
+      (10L, base + "lambda mu nu XI CHANGED"),  // near-dup of 1 -> dropped
+      (11L, "fresh unseen text with nothing in common with anything indexed"),
+      (12L, "another novel document sharing no shingles with the corpus")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.bandIndex(corpus, "doc_id", "text")
+    val kept = Dedup.incrementalMinhash(newBatch, "doc_id", "text", corpus, idx,
+        threshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Seq(11L, 12L))
+    // an empty index keeps everything
+    val keptAll = Dedup.incrementalMinhash(newBatch, "doc_id", "text",
+        corpus.limit(0), Dedup.bandIndex(corpus.limit(0), "doc_id", "text"),
+        threshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptAll === Seq(10L, 11L, 12L))
+  }
+
   test("d25 cognate fixture confusion is partitioning-invariant and non-trivial") {
     val ids = (0L until 500L).toDF("doc_id")
     def matrix(parts: Int) = {
