@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.HashFunctions
-import graft.operators.{AsOfJoin, HeavyHitters}
+import graft.operators.{AsOfJoin, Decontamination, Dedup, HeavyHitters, Sampling}
 import graft.sources.WetSource
 import org.apache.spark.sql.functions._
 
@@ -99,5 +99,35 @@ class EdgeCaseSpec extends SparkSpec {
     val out = AsOfJoin.backward(l, r, "key", "ts", "qts", Seq("v"))
       .orderBy("ts").collect()
     assert(out.forall(_.getDouble(3) == 7.5))
+  }
+
+  test("lineDedup and dupPassageReport on empty input return empty, not crash") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.lineDedup(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.dupPassageReport(empty, "doc_id", "text").count() == 0)
+  }
+
+  test("lineDedup dedupes empty-text docs like any other line value") {
+    val df = Seq((1L, ""), (2L, "")).toDF("doc_id", "text")
+    val r = Dedup.lineDedup(df, "doc_id", "text").orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(3)))
+    // both docs are the single line "": doc 1 wins it, doc 2 keeps nothing
+    assert(r === Seq((1L, "", 1L), (2L, "", 0L)))
+  }
+
+  test("overlapReport with an empty eval set flags nothing") {
+    val corpus = Seq((1L, "some words here for this document to use")).toDF("doc_id", "text")
+    val r = Decontamination.overlapReport(corpus, corpus.limit(0), "doc_id", "text", 5)
+      .collect()
+    assert(r.length == 1 && r.head.getLong(1) == 0L && !r.head.getBoolean(2))
+  }
+
+  test("temperatureMixture keeps zero-token sources entirely") {
+    val df = Seq((1L, "empty", 0L), (2L, "empty", 0L), (3L, "full", 100L))
+      .toDF("doc_id", "source", "n_tok")
+    val kept = Sampling.temperatureMixture(df, "source", col("n_tok"),
+        "doc_id", tokenBudget = 1000.0)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.contains(1L) && kept.contains(2L))
   }
 }
