@@ -55,6 +55,31 @@ object SparkEntry {
     minChars = 100, maxChars = 450, minNonWs = 0.82, minAlphaCjk = 0.8,
     maxPunct = 0.05, maxDupLine = 0.3)
 
+  /** Shared multi-line synth for d19/d26 (the corpus has no newlines):
+    * even doc_ids repeat 8-char slices of their own text (dup lines
+    * fire), odd doc_ids get six distinct slices. One definition, two
+    * gates — the Spark Column and the SQL CTE prefix below must stay
+    * in lockstep. */
+  private def multiLineSynth: Column = {
+    def sl(i: Int) = substring(col("text"), 1 + (i - 1) * 8, 8)
+    when(col("doc_id") % 2 === 0,
+        concat_ws("\n", sl(1), sl(2), sl(1), sl(2), sl(1), sl(3)))
+      .otherwise(concat_ws("\n", sl(1), sl(2), sl(3), sl(4), sl(5), sl(6)))
+  }
+
+  /** SQL mirror of [[multiLineSynth]] as a CTE prefix: defines `s` and
+    * `synth(doc_id, t)`. */
+  private val multiLineSynthSql: String =
+    """s AS (SELECT doc_id,
+             substr(text, 1, 8) AS a, substr(text, 9, 8) AS b,
+             substr(text, 17, 8) AS c, substr(text, 25, 8) AS d,
+             substr(text, 33, 8) AS e, substr(text, 41, 8) AS f
+           FROM documents),
+         synth AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+             THEN a || chr(10) || b || chr(10) || a || chr(10) || b || chr(10) || a || chr(10) || c
+             ELSE a || chr(10) || b || chr(10) || c || chr(10) || d || chr(10) || e || chr(10) || f
+           END AS t FROM s)"""
+
   /** Synthetic PII text, reproducible in SQL, so redaction is executed
     * for real on a corpus that ships none. */
   private def piiSynth(d: Column, src: Column, text: Column): Column =
@@ -429,10 +454,7 @@ object SparkEntry {
       // neutralize every earlier branch so this query isolates F6/F7's
       // dup path; the oracle recomputes the same trim/drop-blank/count
       // semantics in SQL.
-      def sl(i: Int) = substring(col("text"), 1 + (i - 1) * 8, 8)
-      val synth = when(col("doc_id") % 2 === 0,
-          concat_ws("\n", sl(1), sl(2), sl(1), sl(2), sl(1), sl(3)))
-        .otherwise(concat_ws("\n", sl(1), sl(2), sl(3), sl(4), sl(5), sl(6)))
+      val synth = multiLineSynth
       val thr = TextFunctions.CleanThresholds(minChars = 10, maxChars = 100000,
         minNonWs = 0.0, minAlphaCjk = 0.0, maxPunct = 1.0, maxDupLine = 0.3)
       docs(s, d).select(col("doc_id"),
@@ -566,11 +588,7 @@ object SparkEntry {
       // (8-char slices recur across docs) both lose to the global
       // (doc_id, pos)-first occurrence; docs reassemble from surviving
       // lines, possibly to empty text.
-      def sl(i: Int) = substring(col("text"), 1 + (i - 1) * 8, 8)
-      val synth = when(col("doc_id") % 2 === 0,
-          concat_ws("\n", sl(1), sl(2), sl(1), sl(2), sl(1), sl(3)))
-        .otherwise(concat_ws("\n", sl(1), sl(2), sl(3), sl(4), sl(5), sl(6)))
-      Dedup.lineDedup(docs(s, d).select(col("doc_id"), synth.as("text")),
+      Dedup.lineDedup(docs(s, d).select(col("doc_id"), multiLineSynth.as("text")),
           "doc_id", "text")
         .orderBy("doc_id")
     }),
@@ -1424,15 +1442,7 @@ object SparkEntry {
     // reassemble from surviving lines in position order (possibly to
     // empty text). DuckDB zips the two unnests positionally.
     "d26_line_dedup" ->
-      """WITH s AS (SELECT doc_id,
-             substr(text, 1, 8) AS a, substr(text, 9, 8) AS b,
-             substr(text, 17, 8) AS c, substr(text, 25, 8) AS d,
-             substr(text, 33, 8) AS e, substr(text, 41, 8) AS f
-           FROM documents),
-         synth AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
-             THEN a || chr(10) || b || chr(10) || a || chr(10) || b || chr(10) || a || chr(10) || c
-             ELSE a || chr(10) || b || chr(10) || c || chr(10) || d || chr(10) || e || chr(10) || f
-           END AS t FROM s),
+      s"""WITH $multiLineSynthSql,
          l AS (SELECT doc_id,
              unnest(string_split(t, chr(10))) AS line,
              unnest(range(0, len(string_split(t, chr(10))))) AS pos
@@ -1477,13 +1487,14 @@ object SparkEntry {
     // string ordering.
     "d27_temperature_mixture" ->
       """WITH tok AS (SELECT doc_id, source,
-             len(string_split_regex(trim(text), '\s+')) AS n_tok
+             CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
            FROM documents),
          t AS (SELECT source, CAST(sum(n_tok) AS DOUBLE) AS tt FROM tok GROUP BY source),
          z AS (SELECT list_sum(list(sqrt(tt) ORDER BY source)) AS z FROM t),
          c AS (SELECT source, CASE WHEN tt = 0.0
                OR 10000.0 * sqrt(tt) / z / tt >= 1.0 THEN 'zzzzzzzz'
-             ELSE printf('%08x', CAST(floor(10000.0 * sqrt(tt) / z / tt * 4294967296.0) AS BIGINT))
+             ELSE printf('%08x', least(CAST(floor(10000.0 * sqrt(tt) / z / tt * 4294967296.0) AS BIGINT), 4294967295))
              END AS cut
            FROM t, z)
          SELECT doc_id, source FROM tok JOIN c USING (source)
@@ -1555,15 +1566,7 @@ object SparkEntry {
     // n<5 -> 0, else (#lines occurring >1)/n; earlier judge branches are
     // threshold-neutralized on the Spark side so only dup_lines/ok remain
     "d19_dup_lines" ->
-      """WITH s AS (SELECT doc_id,
-             substr(text, 1, 8) AS a, substr(text, 9, 8) AS b,
-             substr(text, 17, 8) AS c, substr(text, 25, 8) AS d,
-             substr(text, 33, 8) AS e, substr(text, 41, 8) AS f
-           FROM documents),
-         synth AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
-             THEN a || chr(10) || b || chr(10) || a || chr(10) || b || chr(10) || a || chr(10) || c
-             ELSE a || chr(10) || b || chr(10) || c || chr(10) || d || chr(10) || e || chr(10) || f
-           END AS t FROM s),
+      s"""WITH $multiLineSynthSql,
          lin AS (SELECT doc_id,
              list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
                x -> length(x) > 0) AS ls

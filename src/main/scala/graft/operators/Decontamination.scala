@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB corpus, KB..GB eval suite):
   *  - the eval n-gram set reduces to one DISTINCT projection of the
   *    (small) eval side and is BROADCAST — the corpus is never
-  *    shuffled, not for matching and not for the report join;
+  *    shuffled for the matching;
   *  - corpus-side n-grams are a codegen'd per-row projection
   *    (explode → broadcast-hash-join); only MATCHED (id, gram) pairs —
-  *    contamination is rare by construction — reach the one tiny
-  *    aggregation shuffle;
+  *    contamination is rare by construction — reach the aggregation
+  *    shuffle, and the report-back join is left to AQE (the match-count
+  *    side is bounded by contaminated docs, small in practice but
+  *    corpus-sized in the adversarial ubiquitous-gram case, so it must
+  *    not be force-broadcast);
   *  - repetition signals are pure per-row Column expressions with zero
   *    shuffle and no UDF.
   */
@@ -42,8 +45,12 @@ object Decontamination {
       explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("gram"))
     val counts = corpusGrams.join(grams, "gram")
       .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+    // counts is bounded by CONTAMINATED docs — typically tiny, but an
+    // eval doc holding a ubiquitous n-gram makes it corpus-sized, so
+    // the join strategy stays with AQE (no forced broadcast; it
+    // broadcasts the small side at runtime when it IS small)
     corpus.select(col(idCol))
-      .join(broadcast(counts), Seq(idCol), "left")
+      .join(counts, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
@@ -57,7 +64,7 @@ object Decontamination {
                     minOverlap: Long = 1L): DataFrame = {
     val bad = overlapReport(corpus, evalDocs, idCol, textCol, n)
       .filter(col("n_overlap") >= minOverlap).select(idCol)
-    corpus.join(broadcast(bad), Seq(idCol), "left_anti")
+    corpus.join(bad, Seq(idCol), "left_anti") // AQE broadcasts when small
   }
 
   /** Longest run length in an ALREADY-SORTED array — i.e. the highest

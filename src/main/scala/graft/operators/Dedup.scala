@@ -64,8 +64,11 @@ object Dedup {
         array_sort(collect_list(struct(col("__pos"), col("__line")))),
         x => x.getField("__line")), "\n").as("__text"),
       count(lit(1)).as("n_lines_kept"))
+    // NULL text explodes to no lines at all: report it as the empty doc
+    // (0 lines in, 0 kept) rather than a NULL count next to text ""
     df.select(col(idCol),
-        size(split(col(textCol), "\n")).cast("long").as("n_lines_orig"))
+        coalesce(size(split(col(textCol), "\n")).cast("long"), lit(0L))
+          .as("n_lines_orig"))
       .join(reassembled, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("__text"), lit("")).as(textCol),
@@ -99,6 +102,8 @@ object Dedup {
       .otherwise(transform(
         sequence(lit(0), ((size(toks) - window) / stride).cast("int")),
         k => md5(array_join(slice(toks, k * stride + 1, lit(window)), " "))))
+    // persisted with no unpersist seam (lazy return — same convention
+    // as simhashVerifiedPairs): session-scoped, LRU-evictable
     val perDoc = df.select(col(idCol), array_distinct(wins).as("__ws"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val exploded = perDoc.select(col(idCol), explode(col("__ws")).as("__h"))
@@ -224,9 +229,18 @@ object Dedup {
                          threshold: Double = 0.8,
                          cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     val newBands = bandIndex(newDf, idCol, textCol, cfg)
+    // skew guard, same contract as candidatePairs' clique mode: an index
+    // bucket holding > maxBucket docs is almost-certainly boilerplate
+    // collision; joining it would materialize |new-bucket| x |idx-bucket|
+    // pairs. Excluded keys are a documented recall trade.
+    val okIndex = indexBands.groupBy("band_id", "band_hash")
+      .agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") <= cfg.maxBucket)
+      .select("band_id", "band_hash")
     val collide = newBands
-      .join(indexBands.select(col("band_id"), col("band_hash"),
-        col("id").as("__idx_id")), Seq("band_id", "band_hash"))
+      .join(indexBands.join(okIndex, Seq("band_id", "band_hash"), "left_semi")
+        .select(col("band_id"), col("band_hash"),
+          col("id").as("__idx_id")), Seq("band_id", "band_hash"))
       .select(col("id").as("__new_id"), col("__idx_id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     def gramsOf(df: DataFrame, as: String) = df.select(col(idCol).as(as),

@@ -66,20 +66,29 @@ object Sampling {
     require(tokenBudget > 0 && temperature > 0)
     def powT(x: Double) =
       if (temperature == 0.5) math.sqrt(x) else math.pow(x, temperature)
-    val totals = df.groupBy(col(sourceCol)).agg(sum(tokensCol).as("__t"))
+    // totals cast to long (a double tokensCol truncates rather than
+    // throwing); NULL-source rows carry no budget accounting and are
+    // kept as-is (they can't be a map key — filter them from totals,
+    // pass them through below)
+    val totals = df.where(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).agg(sum(tokensCol.cast("long")).as("__t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     val z = totals.foldLeft(0.0)((acc, st) => acc + powT(st._2.toDouble))
     val cuts = totals.map { case (src, t) =>
       val p = if (t == 0L) 1.0 else tokenBudget * powT(t.toDouble) / z / t.toDouble
       // md5 hex is [0-9a-f]: 'z' sorts above every digest, so "zzzzzzzz"
-      // is the keep-everything cutoff (p >= 1)
+      // is the keep-everything cutoff (p >= 1). The floor is clamped to
+      // 0xFFFFFFFF: p just below 1.0 can round p*2^32 UP to exactly
+      // 2^32, whose hex is 9 chars and would lexicographically KEEP
+      // only '0'-prefixed digests (~6%) for a keep-nearly-all source.
       val cut = if (p >= 1.0) "zzzzzzzz"
-        else f"${math.floor(p * 4294967296.0).toLong}%08x"
+        else f"${math.min(math.floor(p * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
       src -> cut
     }
+    if (cuts.isEmpty) return df // no non-null sources: nothing to budget
     val cutCol = element_at(
       map(cuts.flatMap { case (s, c) => Seq(lit(s), lit(c)) }: _*), col(sourceCol))
-    df.where(cutCol === "zzzzzzzz"
+    df.where(col(sourceCol).isNull || cutCol === "zzzzzzzz"
       || substring(md5(col(hashCol).cast("string")), 1, 8) < cutCol)
   }
 
