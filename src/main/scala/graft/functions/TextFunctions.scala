@@ -172,6 +172,37 @@ object TextFunctions {
     when(size(toks) < n, array(normalizeForDedup(c))).otherwise(joined)
   }
 
+  /** Word shingles as 64-bit HASHES, never materializing the n-gram
+    * strings: each token is xxhash64'd once, then n shifted slices of
+    * the hash array fold pairwise through xxhash64(a, b) — an
+    * order-sensitive, codegen'd combiner (no raw long arithmetic: ANSI
+    * mode, Spark 4's default, throws on wrapping multiply) — the cheap
+    * path for per-row multiplicity/distinct statistics, where building
+    * concatenated strings dominates the interpreted-HOF cost. Counts
+    * over these
+    * hashes equal counts over the true shingles modulo 64-bit
+    * collisions (~n²/2⁶⁴ per doc — the x06 convention). Shorter-than-n
+    * docs yield the whole-text hash as the single element, mirroring
+    * [[wordShingles]]. */
+  def wordShingleHashes(c: Column, n: Int): Column =
+    wordShingleHashesFrom(tokenHashes(c), normalizeForDedup(c), n)
+
+  /** One xxhash64 per whitespace token of the normalized text — stage
+    * this ONCE when several shingle widths are needed from the same
+    * text (each [[wordShingleHashesFrom]] then reuses the pass). */
+  def tokenHashes(c: Column): Column =
+    transform(split(normalizeForDedup(c), " "), t => xxhash64(t))
+
+  /** [[wordShingleHashes]] over a pre-staged token-hash array;
+    * `normalized` supplies the shorter-than-n whole-text fallback. */
+  def wordShingleHashesFrom(tokHashes: Column, normalized: Column, n: Int): Column = {
+    val outLen = size(tokHashes) - (n - 1)
+    val shifted = (0 until n).map(i => slice(tokHashes, lit(i + 1), outLen))
+    val mixed = shifted.reduce((acc, next) =>
+      zip_with(acc, next, (a, b) => xxhash64(a, b)))
+    when(size(tokHashes) < n, array(xxhash64(normalized))).otherwise(mixed)
+  }
+
   /** Char n-gram shingles of an (already normalized) string as an array
     * column; strings shorter than n yield the whole string as the single
     * shingle. Used by the exact-Jaccard verification paths — semantics
