@@ -27,10 +27,14 @@ import org.apache.spark.sql.functions._
   */
 object Decontamination {
 
-  /** Distinct word n-grams of the eval/benchmark docs. Small by nature
-    * (eval suites are KBs..MBs); callers broadcast the result. */
+  /** Distinct word n-gram HASHES of the eval/benchmark docs (shingles
+    * travel as xxhash64-mixed longs — overlap counts are preserved
+    * modulo 64-bit collisions, the x06 convention, and the broadcast /
+    * shuffle payload is 8 bytes per gram instead of the string). Small
+    * by nature (eval suites are KBs..MBs); callers broadcast the
+    * result. */
   def evalGrams(evalDocs: DataFrame, textCol: String, n: Int): DataFrame =
-    evalDocs.select(explode(TextFunctions.wordShingles(col(textCol), n)).as("gram"))
+    evalDocs.select(explode(TextFunctions.wordShingleHashes(col(textCol), n)).as("gram"))
       .distinct()
 
   /** Per-document overlap report against an eval set: every corpus row
@@ -42,7 +46,7 @@ object Decontamination {
                     idCol: String, textCol: String, n: Int): DataFrame = {
     val grams = broadcast(evalGrams(evalDocs, textCol, n))
     val corpusGrams = corpus.select(col(idCol),
-      explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("gram"))
+      explode(array_distinct(TextFunctions.wordShingleHashes(col(textCol), n))).as("gram"))
     val counts = corpusGrams.join(grams, "gram")
       .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
     // counts is bounded by CONTAMINATED docs — typically tiny, but an

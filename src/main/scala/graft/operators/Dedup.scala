@@ -83,28 +83,32 @@ object Dedup {
     * `stride` tokens — the hash-window approximation of the paper's
     * suffix array, which is the standard distributed substitute).
     *
-    * Per document: tokenize once (codegen projection), build the
-    * distinct md5 window set per row, explode, count DOCUMENT frequency
-    * per window in one shuffle (bounded partial-agg state — a window
-    * shared by a million docs never materializes as a list), and join
-    * the df>=2 windows back to flag each doc's shared-window count.
-    * Shuffle volume ≈ tokens/stride rows of 32-hex keys — same order as
-    * MinHash banding; md5 keeps the key oracle-reproducible (a pure
-    * 64-bit hash would halve the payload at scale, same plan shape).
+    * Per document: tokenize and hash once (each window key is the
+    * xxhash64 fold of its token hashes — an 8-byte shuffle payload;
+    * document frequencies over the hashes equal those over the true
+    * window strings modulo 64-bit collisions, the x06 convention),
+    * take every `stride`-th of the stride-1 window-hash array, explode
+    * the distinct set, count DOCUMENT frequency per window in one
+    * shuffle (bounded partial-agg state — a window shared by a million
+    * docs never materializes as a list), and join the df>=2 windows
+    * back to flag each doc's shared-window count.
     *
     * Output: (idCol, n_windows, n_shared, shared_frac). Docs shorter
-    * than `window` tokens contribute their whole text as one window. */
+    * than `window` tokens contribute their whole text as one window
+    * (the single element [[TextFunctions.wordShingleHashes]] yields,
+    * which the stride sampler passes through unchanged). */
   def dupPassageReport(df: DataFrame, idCol: String, textCol: String,
                        window: Int = 10, stride: Int = 5): DataFrame = {
     require(window > 0 && stride > 0)
-    val toks = split(TextFunctions.normalizeForDedup(col(textCol)), " ")
-    val wins = when(size(toks) < window, array(md5(array_join(toks, " "))))
-      .otherwise(transform(
-        sequence(lit(0), ((size(toks) - window) / stride).cast("int")),
-        k => md5(array_join(slice(toks, k * stride + 1, lit(window)), " "))))
+    val staged = df.select(col(idCol),
+      TextFunctions.wordShingleHashes(col(textCol), window).as("__gh"))
+    val gh = col("__gh")
+    val wins = transform(
+      sequence(lit(0), ((size(gh) - 1) / stride).cast("int")),
+      k => element_at(gh, (k * stride + 1).cast("int")))
     // persisted with no unpersist seam (lazy return — same convention
     // as simhashVerifiedPairs): session-scoped, LRU-evictable
-    val perDoc = df.select(col(idCol), array_distinct(wins).as("__ws"))
+    val perDoc = staged.select(col(idCol), array_distinct(wins).as("__ws"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val exploded = perDoc.select(col(idCol), explode(col("__ws")).as("__h"))
     val shared = exploded.groupBy("__h").agg(count(lit(1)).as("__df"))
