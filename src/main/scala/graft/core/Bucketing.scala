@@ -36,6 +36,19 @@ object Bucketing {
       .sortBy(key, sortCols: _*)
       .saveAsTable(table)
 
+  /** Composite-key variant: bucket AND sort on `keys` (e.g. a MinHash
+    * band index on (band_id, band_hash)); the bucket spec is keys.head
+    * + keys.tail, sort covers all keys so same-spec joins skip their
+    * per-task sort too. */
+  def writeBucketedMulti(df: DataFrame, table: String, keys: Seq[String],
+                         buckets: Int): Unit = {
+    require(keys.nonEmpty)
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** Equi-join two same-bucket-count tables on `key`. With matching
     * bucket specs Catalyst plans this as a sort-merge join whose both
     * sides read bucket files directly — no ShuffleExchange. */

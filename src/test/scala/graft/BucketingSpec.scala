@@ -47,6 +47,28 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("bucketed band index: incremental join shuffles only the new batch side") {
+    // the continuous-ingest shape (Dedup.incrementalMinhash): corpus
+    // band index written ONCE bucketed on (band_id, band_hash); each
+    // arriving batch's bands then join it with a single Exchange — the
+    // (small) new side — while the corpus-sized index is read in place.
+    val idx = (0L until 1000L).map(i => (i % 32, i % 97, i))
+      .toDF("band_id", "band_hash", "id")
+    Bucketing.writeBucketedMulti(idx, "b_bandidx", Seq("band_id", "band_hash"), 8)
+    try withSmj {
+      val newBands = (0L until 100L).map(i => (i % 32, i % 97, 10000 + i))
+        .toDF("band_id", "band_hash", "id")
+      val joined = spark.table("b_bandidx").hint("merge")
+        .join(newBands, Seq("band_id", "band_hash"))
+      assert(Bucketing.shuffleExchanges(joined) == 1,
+        joined.queryExecution.executedPlan.toString)
+      // row-level sanity vs the plain shuffled join
+      val expected = idx.join(newBands.withColumnRenamed("id", "nid"),
+        Seq("band_id", "band_hash")).count()
+      assert(joined.count() == expected)
+    } finally Bucketing.dropTable(spark, "b_bandidx")
+  }
+
   test("unbucketed baseline of the same join does shuffle") {
     val a = (1 to 100).map(i => (i.toLong, i)).toDF("k", "v")
     val b = (1 to 100).map(i => (i.toLong, i * 2)).toDF("k", "w")
