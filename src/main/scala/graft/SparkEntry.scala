@@ -614,6 +614,17 @@ object SparkEntry {
         .select("doc_id", "source").orderBy("doc_id")
     }),
 
+    "d29_mixture_report" -> ((s, d) => {
+      // the mixture design sheet for d27's budget: per-source natural
+      // size, flattened keep probability, realized kept counts — all
+      // deterministic, so the oracle recomputes the whole sheet.
+      val withTok = docs(s, d).select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"))
+      Sampling.mixtureReport(withTok, "source", col("n_tok"),
+          "doc_id", tokenBudget = 10000.0)
+        .orderBy("source")
+    }),
+
     "b01_bucketed_join" -> ((s, d) => {
       // the pay-the-shuffle-once path END-TO-END in the gate: bucket
       // orders and lineitem on the join key at write time, then join +
@@ -1501,6 +1512,37 @@ object SparkEntry {
          WHERE cut = 'zzzzzzzz'
            OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < cut
          ORDER BY doc_id""",
+
+    // Mirrors Sampling.mixtureReport: same CTEs as d27 plus the
+    // realized kept aggregates; keep_prob = least(1, budget*sqrt/z/tt)
+    // rounded 6dp (HALF_UP on both sides).
+    "d29_mixture_report" ->
+      """WITH tok AS (SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+           FROM documents),
+         t AS (SELECT source, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS tokens,
+             CAST(sum(n_tok) AS DOUBLE) AS tt FROM tok GROUP BY source),
+         z AS (SELECT list_sum(list(sqrt(tt) ORDER BY source)) AS z FROM t),
+         c AS (SELECT source, n_docs, tokens,
+             CASE WHEN tt = 0.0 THEN 1.0
+               ELSE least(1.0, 10000.0 * sqrt(tt) / z / tt) END AS p,
+             CASE WHEN tt = 0.0
+               OR 10000.0 * sqrt(tt) / z / tt >= 1.0 THEN 'zzzzzzzz'
+             ELSE printf('%08x', least(CAST(floor(10000.0 * sqrt(tt) / z / tt * 4294967296.0) AS BIGINT), 4294967295))
+             END AS cut
+           FROM t, z),
+         k AS (SELECT source, count(*) AS kept_docs,
+             CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+           FROM tok JOIN c USING (source)
+           WHERE cut = 'zzzzzzzz'
+             OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < cut
+           GROUP BY source)
+         SELECT c.source, c.n_docs, c.tokens, round(c.p, 6) AS keep_prob,
+           coalesce(k.kept_docs, 0) AS kept_docs,
+           coalesce(k.kept_tokens, 0) AS kept_tokens
+         FROM c LEFT JOIN k USING (source) ORDER BY c.source""",
 
     "b01_bucketed_join" ->
       """SELECT o_orderkey,

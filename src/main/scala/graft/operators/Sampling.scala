@@ -60,22 +60,28 @@ object Sampling {
     * source-sorted totals — an external SQL engine reproduces the kept
     * set bit-for-bit. Sources with zero tokens keep everything (their
     * rows cost no budget). */
-  def temperatureMixture(df: DataFrame, sourceCol: String, tokensCol: Column,
-                         hashCol: String, tokenBudget: Double,
-                         temperature: Double = 0.5): DataFrame = {
+  /** Per-source budget accounting shared by [[temperatureMixture]] and
+    * [[mixtureReport]]: (source, n_docs, tokens, keep_prob, cutoff). */
+  private case class SourceBudget(source: String, nDocs: Long, tokens: Long,
+                                  p: Double, cut: String)
+
+  private def budgetCutoffs(df: DataFrame, sourceCol: String,
+                            tokensCol: Column, tokenBudget: Double,
+                            temperature: Double): Seq[SourceBudget] = {
     require(tokenBudget > 0 && temperature > 0)
     def powT(x: Double) =
       if (temperature == 0.5) math.sqrt(x) else math.pow(x, temperature)
     // totals cast to long (a double tokensCol truncates rather than
-    // throwing); NULL-source rows carry no budget accounting and are
-    // kept as-is (they can't be a map key — filter them from totals,
-    // pass them through below)
+    // throwing); NULL-source rows carry no budget accounting
     val totals = df.where(col(sourceCol).isNotNull)
-      .groupBy(col(sourceCol)).agg(sum(tokensCol.cast("long")).as("__t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      .groupBy(col(sourceCol))
+      .agg(sum(tokensCol.cast("long")).as("__t"), count(lit(1)).as("__n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
     val z = totals.foldLeft(0.0)((acc, st) => acc + powT(st._2.toDouble))
-    val cuts = totals.map { case (src, t) =>
-      val p = if (t == 0L) 1.0 else tokenBudget * powT(t.toDouble) / z / t.toDouble
+    totals.map { case (src, t, n) =>
+      val p = if (t == 0L) 1.0
+        else math.min(1.0, tokenBudget * powT(t.toDouble) / z / t.toDouble)
       // md5 hex is [0-9a-f]: 'z' sorts above every digest, so "zzzzzzzz"
       // is the keep-everything cutoff (p >= 1). The floor is clamped to
       // 0xFFFFFFFF: p just below 1.0 can round p*2^32 UP to exactly
@@ -83,13 +89,47 @@ object Sampling {
       // only '0'-prefixed digests (~6%) for a keep-nearly-all source.
       val cut = if (p >= 1.0) "zzzzzzzz"
         else f"${math.min(math.floor(p * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
-      src -> cut
+      SourceBudget(src, n, t, p, cut)
     }
+  }
+
+  def temperatureMixture(df: DataFrame, sourceCol: String, tokensCol: Column,
+                         hashCol: String, tokenBudget: Double,
+                         temperature: Double = 0.5): DataFrame = {
+    val cuts = budgetCutoffs(df, sourceCol, tokensCol, tokenBudget, temperature)
     if (cuts.isEmpty) return df // no non-null sources: nothing to budget
     val cutCol = element_at(
-      map(cuts.flatMap { case (s, c) => Seq(lit(s), lit(c)) }: _*), col(sourceCol))
+      map(cuts.flatMap(b => Seq(lit(b.source), lit(b.cut))): _*), col(sourceCol))
+    // NULL-source rows pass through unbudgeted (they can't be map keys)
     df.where(col(sourceCol).isNull || cutCol === "zzzzzzzz"
       || substring(md5(col(hashCol).cast("string")), 1, 8) < cutCol)
+  }
+
+  /** The mixture design sheet: one row per source with its natural
+    * share, the temperature-flattened keep probability, and the
+    * realized (deterministic) kept counts — what a data-mixture owner
+    * reviews before committing a budget. Same arithmetic as
+    * [[temperatureMixture]], so the report IS the sampler's contract:
+    * (source, n_docs, tokens, keep_prob, kept_docs, kept_tokens). */
+  def mixtureReport(df: DataFrame, sourceCol: String, tokensCol: Column,
+                    hashCol: String, tokenBudget: Double,
+                    temperature: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cuts = budgetCutoffs(df, sourceCol, tokensCol, tokenBudget, temperature)
+    // HALF_UP like Spark's/DuckDB's round(), not rint's half-even
+    val base = cuts.map(b => (b.source, b.nDocs, b.tokens,
+        BigDecimal(b.p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF(sourceCol, "n_docs", "tokens", "keep_prob")
+    val kept = temperatureMixture(df, sourceCol, tokensCol, hashCol,
+        tokenBudget, temperature)
+      .where(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__kd"), sum(tokensCol.cast("long")).as("__kt"))
+    base.join(kept, Seq(sourceCol), "left")
+      .select(col(sourceCol), col("n_docs"), col("tokens"), col("keep_prob"),
+        coalesce(col("__kd"), lit(0L)).as("kept_docs"),
+        coalesce(col("__kt"), lit(0L)).as("kept_tokens"))
   }
 
   /** Weighted mixture: per-stratum fractions (e.g. lang → weight),

@@ -53,6 +53,25 @@ class LineDedupMixtureSpec extends SparkSpec {
     assert(again === kept.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("mixtureReport is the sampler's own accounting") {
+    val docs = (0L until 1000L).map(i =>
+      (i, s"src${i % 4}", 50L + i % 7)).toDF("doc_id", "source", "n_tok")
+    val report = Sampling.mixtureReport(docs, "source", col("n_tok"),
+        "doc_id", tokenBudget = 20000.0)
+      .orderBy("source").collect()
+    val direct = Sampling.temperatureMixture(docs, "source", col("n_tok"),
+        "doc_id", tokenBudget = 20000.0)
+      .groupBy("source").agg(count(lit(1)).as("kd"), sum("n_tok").as("kt"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(report.length == 4)
+    report.foreach { r =>
+      val (src, p) = (r.getString(0), r.getDouble(3))
+      assert(p > 0.0 && p <= 1.0)
+      assert(r.getLong(4) === direct(src)._1, s"kept_docs mismatch for $src")
+      assert(r.getLong(5) === direct(src)._2, s"kept_tokens mismatch for $src")
+    }
+  }
+
   test("temperatureMixture keeps everything when the budget covers the corpus") {
     val docs = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("doc_id", "source", "n_tok")
     val kept = Sampling.temperatureMixture(docs, "source", col("n_tok"),
