@@ -549,6 +549,20 @@ object SparkEntry {
         .orderBy("lang", "lang_pred_model")
     }),
 
+    "d30_trained_ner" -> ((s, d) => {
+      // model NER (M3's trainable path): token-level NB over char-3grams
+      // of the token, classes {name, other}, trained and evaluated on
+      // the synthesized token fixture — exact-count confusion matrix,
+      // partitioning-invariant (d20 argument), pinned in the oracle.
+      val ids = docs(s, d).select("doc_id")
+      val toks = TrainedNer.synthTokenFixture(ids)
+      val model = TrainedNer.train(toks)
+      TrainedLid.predict(toks, "token", model, "ner_pred")
+        .groupBy(col("is_name"), col("ner_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("is_name", "ner_pred")
+    }),
+
     "d22_bm25" -> ((s, d) =>
       // BM25 retrieval over the corpus for a 3-term query: one
       // stats-row reduction broadcast back over the scoring scan (see
@@ -1367,6 +1381,16 @@ object SparkEntry {
            ('pt', 'es', 8), ('pt', 'it', 5), ('pt', 'pt', 153)
          ) AS t(lang, lang_pred_model, n_dec)
          ORDER BY lang, lang_pred_model""",
+
+    // Pinned at sf0.01 (d20 convention): 500 docs x 30 tokens, every
+    // 5th a name -> 3000 name / 12000 content tokens; the token-level
+    // NB separates the orthographically disjoint vocabularies
+    // perfectly. Re-pin on fixture/SF change.
+    "d30_trained_ner" ->
+      """SELECT CAST(isn AS BOOLEAN) AS is_name, ner_pred, CAST(n_dec AS BIGINT) AS n
+         FROM (VALUES (FALSE, 'other', 12000), (TRUE, 'name', 3000))
+           AS t(isn, ner_pred, n_dec)
+         ORDER BY is_name, ner_pred""",
 
     // Expression tree mirrors TextAnalysis.bm25 op-for-op: exact-count
     // corpus stats (N, avgdl over whole-number dl, df) are
