@@ -577,8 +577,9 @@ object SparkEntry {
       // benchmark decontamination: eval suite = every 97th doc (the
       // leaked-verbatim scenario — eval docs ARE in the corpus, so the
       // operator provably fires: each eval doc flags itself and any
-      // near-duplicate sharing a word-5gram). Both joins broadcast the
-      // small side; the corpus is never shuffled (see Decontamination).
+      // near-duplicate sharing a word-5gram). The eval-gram side is
+      // broadcast, so the corpus never shuffles for matching; the
+      // report-back join is AQE's call (see Decontamination).
       val all = docs(s, d)
       Decontamination.overlapReport(
           all, all.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 5)

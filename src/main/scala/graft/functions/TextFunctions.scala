@@ -191,7 +191,12 @@ object TextFunctions {
     * this ONCE when several shingle widths are needed from the same
     * text (each [[wordShingleHashesFrom]] then reuses the pass). */
   def tokenHashes(c: Column): Column =
-    transform(split(normalizeForDedup(c), " "), t => xxhash64(t))
+    tokenHashesFromNormalized(normalizeForDedup(c))
+
+  /** [[tokenHashes]] over an already-normalized column (stage the
+    * normalization once when several consumers share it). */
+  def tokenHashesFromNormalized(normalized: Column): Column =
+    transform(split(normalized, " "), t => xxhash64(t))
 
   /** [[wordShingleHashes]] over a pre-staged token-hash array;
     * `normalized` supplies the shorter-than-n whole-text fallback. */

@@ -107,7 +107,8 @@ object Decontamination {
       .dropWhile(x => lowerCols.exists(_.startsWith(x))).next()
     val staged = df
       .withColumn(s"${p}_nrm", TextFunctions.normalizeForDedup(col(textCol)))
-      .withColumn(s"${p}_th", transform(split(col(s"${p}_nrm"), " "), t => xxhash64(t)))
+      .withColumn(s"${p}_th",
+        TextFunctions.tokenHashesFromNormalized(col(s"${p}_nrm")))
       .withColumn(s"${p}_d", TextFunctions.wordShingleHashesFrom(
         col(s"${p}_th"), col(s"${p}_nrm"), dupN))
       .withColumn(s"${p}_t", array_sort(TextFunctions.wordShingleHashesFrom(

@@ -233,16 +233,24 @@ object Dedup {
                          threshold: Double = 0.8,
                          cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     val newBands = bandIndex(newDf, idCol, textCol, cfg)
+    // only index rows whose bucket the BATCH touches matter — for a
+    // small batch against a corpus-sized index this bounds both the
+    // skew-guard aggregate and the collide join to touched keys (and
+    // with a bucketed index, see Bucketing, neither shuffles the index)
+    val idxTouched = indexBands
+      .join(newBands.select("band_id", "band_hash").distinct(),
+        Seq("band_id", "band_hash"), "left_semi")
     // skew guard, same contract as candidatePairs' clique mode: an index
     // bucket holding > maxBucket docs is almost-certainly boilerplate
     // collision; joining it would materialize |new-bucket| x |idx-bucket|
-    // pairs. Excluded keys are a documented recall trade.
-    val okIndex = indexBands.groupBy("band_id", "band_hash")
+    // pairs. Excluded (hot) keys are a documented recall trade; the hot
+    // set is tiny, so the anti-join broadcasts.
+    val hot = idxTouched.groupBy("band_id", "band_hash")
       .agg(count(lit(1)).as("__bn"))
-      .where(col("__bn") <= cfg.maxBucket)
+      .where(col("__bn") > cfg.maxBucket)
       .select("band_id", "band_hash")
     val collide = newBands
-      .join(indexBands.join(okIndex, Seq("band_id", "band_hash"), "left_semi")
+      .join(idxTouched.join(hot, Seq("band_id", "band_hash"), "left_anti")
         .select(col("band_id"), col("band_hash"),
           col("id").as("__idx_id")), Seq("band_id", "band_hash"))
       .select(col("id").as("__new_id"), col("__idx_id")).distinct()

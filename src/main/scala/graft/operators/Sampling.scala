@@ -75,7 +75,10 @@ object Sampling {
     // throwing); NULL-source rows carry no budget accounting
     val totals = df.where(col(sourceCol).isNotNull)
       .groupBy(col(sourceCol))
-      .agg(sum(tokensCol.cast("long")).as("__t"), count(lit(1)).as("__n"))
+      // coalesce: a source whose every row has NULL tokens sums to NULL,
+      // which would NPE the driver-side getLong
+      .agg(coalesce(sum(tokensCol.cast("long")), lit(0L)).as("__t"),
+        count(lit(1)).as("__n"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     val z = totals.foldLeft(0.0)((acc, st) => acc + powT(st._2.toDouble))
@@ -93,10 +96,8 @@ object Sampling {
     }
   }
 
-  def temperatureMixture(df: DataFrame, sourceCol: String, tokensCol: Column,
-                         hashCol: String, tokenBudget: Double,
-                         temperature: Double = 0.5): DataFrame = {
-    val cuts = budgetCutoffs(df, sourceCol, tokensCol, tokenBudget, temperature)
+  private def applyCutoffs(df: DataFrame, sourceCol: String, hashCol: String,
+                           cuts: Seq[SourceBudget]): DataFrame = {
     if (cuts.isEmpty) return df // no non-null sources: nothing to budget
     val cutCol = element_at(
       map(cuts.flatMap(b => Seq(lit(b.source), lit(b.cut))): _*), col(sourceCol))
@@ -104,6 +105,12 @@ object Sampling {
     df.where(col(sourceCol).isNull || cutCol === "zzzzzzzz"
       || substring(md5(col(hashCol).cast("string")), 1, 8) < cutCol)
   }
+
+  def temperatureMixture(df: DataFrame, sourceCol: String, tokensCol: Column,
+                         hashCol: String, tokenBudget: Double,
+                         temperature: Double = 0.5): DataFrame =
+    applyCutoffs(df, sourceCol, hashCol,
+      budgetCutoffs(df, sourceCol, tokensCol, tokenBudget, temperature))
 
   /** The mixture design sheet: one row per source with its natural
     * share, the temperature-flattened keep probability, and the
@@ -116,20 +123,38 @@ object Sampling {
                     temperature: Double = 0.5): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // cutoffs computed ONCE and shared with the keep-filter below (a
+    // second budgetCutoffs call would re-aggregate the full corpus)
     val cuts = budgetCutoffs(df, sourceCol, tokensCol, tokenBudget, temperature)
+    // NULL-source rows pass the sampler unbudgeted — give the sheet an
+    // explicit NULL row (p = 1) so it reconciles with the sampler's
+    // output instead of silently omitting that slice
+    val nullRow = df.where(col(sourceCol).isNull)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(tokensCol.cast("long")), lit(0L)).as("t"))
+      .collect().head
+    val nullRows = if (nullRow.getLong(0) == 0L) Nil
+      else Seq((null: String, nullRow.getLong(0), nullRow.getLong(1), 1.0))
     // HALF_UP like Spark's/DuckDB's round(), not rint's half-even
-    val base = cuts.map(b => (b.source, b.nDocs, b.tokens,
+    val base = (cuts.map(b => (b.source, b.nDocs, b.tokens,
         BigDecimal(b.p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      ++ nullRows)
       .toDF(sourceCol, "n_docs", "tokens", "keep_prob")
-    val kept = temperatureMixture(df, sourceCol, tokensCol, hashCol,
-        tokenBudget, temperature)
+    val kept = applyCutoffs(df, sourceCol, hashCol, cuts)
       .where(col(sourceCol).isNotNull)
       .groupBy(col(sourceCol))
-      .agg(count(lit(1)).as("__kd"), sum(tokensCol.cast("long")).as("__kt"))
+      .agg(count(lit(1)).as("__kd"),
+        coalesce(sum(tokensCol.cast("long")), lit(0L)).as("__kt"))
     base.join(kept, Seq(sourceCol), "left")
       .select(col(sourceCol), col("n_docs"), col("tokens"), col("keep_prob"),
-        coalesce(col("__kd"), lit(0L)).as("kept_docs"),
-        coalesce(col("__kt"), lit(0L)).as("kept_tokens"))
+        // the NULL-source slice is kept in full by construction (an
+        // equi-join can't match NULL keys, so fill it from its totals)
+        coalesce(col("__kd"),
+          when(col(sourceCol).isNull, col("n_docs")).otherwise(lit(0L)))
+          .as("kept_docs"),
+        coalesce(col("__kt"),
+          when(col(sourceCol).isNull, col("tokens")).otherwise(lit(0L)))
+          .as("kept_tokens"))
   }
 
   /** Weighted mixture: per-stratum fractions (e.g. lang → weight),

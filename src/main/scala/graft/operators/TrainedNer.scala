@@ -72,6 +72,9 @@ object TrainedNer {
     val toks = df.select(col(idCol),
         posexplode(split(trim(col(textCol)), "\\s+")))
       .toDF(idCol, "__pos", "__tok")
+      // trim strips only spaces: leading \t/\n still yields a phantom
+      // empty first token — drop empties (positions keep their order)
+      .where(length(col("__tok")) > 0)
     val pred = TrainedLid.predict(toks, "__tok", model, "__ner")
     val redacted = pred.groupBy(idCol).agg(
       array_join(transform(

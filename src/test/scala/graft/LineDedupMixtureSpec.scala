@@ -72,6 +72,20 @@ class LineDedupMixtureSpec extends SparkSpec {
     }
   }
 
+  test("mixtureReport reconciles the NULL-source passthrough slice") {
+    val docs = Seq(
+      (1L, Option("a"), 10L), (2L, Option("a"), 10L),
+      (3L, None, 7L), (4L, None, 5L)
+    ).toDF("doc_id", "source", "n_tok")
+    val r = Sampling.mixtureReport(docs, "source", col("n_tok"),
+        "doc_id", tokenBudget = 1e6)
+      .collect().map(x => (Option(x.getString(0)), x.getLong(1), x.getLong(2),
+        x.getLong(4), x.getLong(5))).toSet
+    assert(r === Set(
+      (Some("a"), 2L, 20L, 2L, 20L),
+      (None, 2L, 12L, 2L, 12L)))
+  }
+
   test("temperatureMixture keeps everything when the budget covers the corpus") {
     val docs = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("doc_id", "source", "n_tok")
     val kept = Sampling.temperatureMixture(docs, "source", col("n_tok"),

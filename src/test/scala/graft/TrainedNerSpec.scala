@@ -38,6 +38,13 @@ class TrainedNerSpec extends SparkSpec {
     assert(r(2) === "[NAME] [NAME]")
   }
 
+  test("redact survives tabs/newlines without phantom empty tokens") {
+    val (_, model) = fixtureAndModel(100L)
+    val docs = Seq((1L, "\tcompile\njames  executor")).toDF("doc_id", "text")
+    val r = TrainedNer.redact(docs, "doc_id", "text", model).collect().head.getString(1)
+    assert(r === "compile [NAME] executor")
+  }
+
   test("model artifact roundtrips through the TrainedLid parquet format") {
     val (_, model) = fixtureAndModel(100L)
     val dir = java.nio.file.Files.createTempDirectory("ner_model").toString
