@@ -984,6 +984,43 @@ object SparkEntry {
       s.table("st04_tbl").orderBy("drop_reason")
     }),
 
+    "st05_stream_incremental_dedup" -> ((s, d) => {
+      // streaming twin of x07 (continuous-ingest near-dedup): new docs
+      // arrive as a file stream, their bands inner-join the STATIC
+      // hot-free corpus band index (stream-static joins are
+      // stateless), candidate pairs drain to a memory sink, and the
+      // batch exact-verify tail acquits band-only collisions. Every
+      // per-doc decision depends only on the static index — never on
+      // arrival order — so the kept set is deterministic and shares
+      // x07's brute-force NOT-EXISTS oracle verbatim.
+      val all = docs(s, d)
+      val corpus = all.filter(col("doc_id") < 400)
+      val newBatch = all.filter(col("doc_id") >= 400)
+      val stage = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_stream_newdocs_${math.abs(d.hashCode)}").toString
+      newBatch.coalesce(1).write.mode("overwrite").parquet(stage)
+      val cfg = Dedup.MinHashConfig()
+      val idxBands = Dedup.bandIndex(corpus, "doc_id", "text", cfg)
+      val hot = idxBands.groupBy("band_id", "band_hash")
+        .agg(count(lit(1)).as("__bn")).where(col("__bn") > cfg.maxBucket)
+        .select("band_id", "band_hash")
+      val idxOk = idxBands.join(hot, Seq("band_id", "band_hash"), "left_anti")
+        .select(col("band_id"), col("band_hash"), col("id").as("__idx_id"))
+      s.catalog.dropTempView("st05_tbl")
+      val stream = graft.streaming.Streaming.parquetStream(s, stage, all.schema)
+      val sBands = Dedup.bandRows(stream.select(col("doc_id").as("id"),
+        graft.functions.HashFunctions.minhash(
+          TextFunctions.normalizeForDedup(col("text")),
+          cfg.k, cfg.ngram, cfg.seed).as("signature")), cfg)
+      val cand = sBands.join(idxOk, Seq("band_id", "band_hash"))
+        .select(col("id").as("__new_id"), col("__idx_id"))
+      graft.streaming.Streaming.runToMemory(cand, "st05_tbl",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      Dedup.verifyCandidatesExact(newBatch, "doc_id", "text", corpus,
+          s.table("st05_tbl"), threshold = 0.8, ngram = cfg.ngram)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "st02_stream_dedup" -> ((s, d) => {
       // streaming exact dedup (watermark-bounded state) gated against the
       // batch DISTINCT: dedup on (user_id, event_type) across
@@ -1766,6 +1803,19 @@ object SparkEntry {
          WHERE len(list_intersect(a.gs, b.gs)) * 1.0
              / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.8
          ORDER BY src, dst""",
+
+    // identical semantics to x07 (the streaming path only moves the
+    // candidate generation into a stream-static join)
+    "st05_stream_incremental_dedup" ->
+      """WITH n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+           FROM documents),
+         g AS (SELECT doc_id, list_distinct(CASE WHEN length(s) < 5 THEN [s]
+               ELSE list_transform(range(1, length(s)-3), i -> s[i:i+4]) END) AS gs FROM n)
+         SELECT a.doc_id FROM g a WHERE a.doc_id >= 400 AND NOT EXISTS (
+           SELECT 1 FROM g b WHERE b.doc_id < 400
+             AND len(list_intersect(a.gs, b.gs)) * 1.0
+               / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.8)
+         ORDER BY a.doc_id""",
 
     "x07_incremental_dedup" ->
       """WITH n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s

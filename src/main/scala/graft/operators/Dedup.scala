@@ -253,11 +253,26 @@ object Dedup {
       .join(idxTouched.join(hot, Seq("band_id", "band_hash"), "left_anti")
         .select(col("band_id"), col("band_hash"),
           col("id").as("__idx_id")), Seq("band_id", "band_hash"))
-      .select(col("id").as("__new_id"), col("__idx_id")).distinct()
+      .select(col("id").as("__new_id"), col("__idx_id"))
+    verifyCandidatesExact(newDf, idCol, textCol, corpus, collide,
+      threshold, cfg.ngram)
+  }
+
+  /** Shared exact-verify tail of the batch AND streaming incremental
+    * paths: `collidePairs` holds candidate (__new_id, __idx_id) band
+    * collisions; both gram scans are semi-join-pruned to ids that
+    * actually collide, pairs below the exact char-ngram Jaccard
+    * `threshold` are acquitted, and convicted new ids anti-join out.
+    * Public: streaming callers generate `collidePairs` with a
+    * stream-static band join and hand the drained pairs here (st05). */
+  def verifyCandidatesExact(
+      newDf: DataFrame, idCol: String, textCol: String, corpus: DataFrame,
+      collidePairs: DataFrame, threshold: Double, ngram: Int): DataFrame = {
+    val collide = collidePairs.distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     def gramsOf(df: DataFrame, as: String) = df.select(col(idCol).as(as),
       HashFunctions.charShingleHashes(
-        TextFunctions.normalizeForDedup(col(textCol)), cfg.ngram).as(s"${as}_g"))
+        TextFunctions.normalizeForDedup(col(textCol)), ngram).as(s"${as}_g"))
     val gNew = gramsOf(newDf, "__new_id")
       .join(collide.select("__new_id").distinct(), Seq("__new_id"), "left_semi")
     val gIdx = gramsOf(corpus, "__idx_id")

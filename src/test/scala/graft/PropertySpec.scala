@@ -141,6 +141,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("hashed word shingles preserve the multiplicity profile of string shingles") {
+    import spark.implicits._
+    // the d24/d23/d28 hash-faithfulness contract: distinct counts and
+    // the sorted multiset of per-gram multiplicities must match the
+    // string-shingle ground truth (collisions would break equality)
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "longerword", "x")
+    val textGen = Gen.chooseNum(0, 25).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val texts = samples(textGen, 40).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("id", "text")
+    for (n <- Seq(2, 3, 5)) {
+      val rows = df.select(
+          TextFunctions.wordShingles(col("text"), n).as("s"),
+          TextFunctions.wordShingleHashes(col("text"), n).as("h"))
+        .collect()
+      rows.foreach { r =>
+        val s = r.getSeq[String](0); val h = r.getSeq[Long](1)
+        assert(s.length == h.length, s"n=$n")
+        val sProfile = s.groupBy(identity).values.map(_.size).toSeq.sorted
+        val hProfile = h.groupBy(identity).values.map(_.size).toSeq.sorted
+        assert(sProfile == hProfile, s"n=$n multiplicity profile diverged")
+      }
+    }
+  }
+
   test("Ranking row numbers with more partitions than rows") {
     import spark.implicits._
     val df = Seq((1L, "a", 2.0), (2L, "a", 1.0), (3L, "b", 5.0)).toDF("id", "g", "v")
