@@ -629,6 +629,25 @@ object SparkEntry {
         .select("doc_id", "source").orderBy("doc_id")
     }),
 
+    "d31_chunking" -> ((s, d) =>
+      // context-window chunking (20-token chunks, 5-token overlap):
+      // integer-only arithmetic, so the oracle reproduces every chunk
+      // boundary and the truncated final chunk exactly.
+      TextAnalysis.chunk(docs(s, d).select("doc_id", "text"), "text",
+          chunkTokens = 20, overlap = 5)
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("chunk_text"), col("chunk_tokens"))
+        .orderBy("doc_id", "chunk_id")),
+
+    "e07_quantize" -> ((s, d) =>
+      // int8 symmetric quantization of the embedding table: scale,
+      // reconstruction-error bound, and the code checksum are one fixed
+      // expression tree over exactly-cast floats — SQL-reproducible.
+      Similarity.quantizeInt8(emb(s, d).select("vec_id", "embedding"), "embedding")
+        .select(col("vec_id"), col("scale"), col("max_abs_err"),
+          aggregate(col("qvec"), lit(0L), (a, x) => a + x).as("q_sum"))
+        .orderBy("vec_id")),
+
     "d29_mixture_report" -> ((s, d) => {
       // the mixture design sheet for d27's budget: per-source natural
       // size, flattened keep probability, realized kept counts — all
@@ -1574,6 +1593,44 @@ object SparkEntry {
          WHERE cut = 'zzzzzzzz'
            OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < cut
          ORDER BY doc_id""",
+
+    // Mirrors TextAnalysis.chunk: stride 15 = 20 - 5; DuckDB list
+    // slices clamp at the end like Spark's slice, so the truncated
+    // final chunk matches; two unnests zip positionally.
+    "d31_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+         n AS (SELECT doc_id, w, CASE WHEN len(w) <= 20 THEN 1
+             ELSE (len(w) - 20 + 14) // 15 + 1 END AS nc FROM t),
+         c AS (SELECT doc_id,
+             unnest(range(0, nc)) AS chunk_id,
+             unnest(list_transform(range(0, nc),
+               k -> array_to_string(w[k*15+1:k*15+20], ' '))) AS chunk_text,
+             unnest(list_transform(range(0, nc),
+               k -> len(w[k*15+1:k*15+20]))) AS chunk_tokens
+           FROM n)
+         SELECT doc_id, chunk_id, chunk_text, chunk_tokens FROM c
+         ORDER BY doc_id, chunk_id""",
+
+    // Mirrors Similarity.quantizeInt8: unrounded scale feeds the codes
+    // and the error; only the emitted columns round to 6dp.
+    "e07_quantize" ->
+      """WITH v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         m AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS ma FROM v),
+         q AS (SELECT vec_id, v, ma, ma / 127.0 AS scale,
+             CASE WHEN ma = 0.0 THEN list_transform(v, x -> 0)
+               ELSE list_transform(v, x -> CAST(round(x / (ma / 127.0)) AS INTEGER))
+             END AS qv
+           FROM m)
+         SELECT vec_id, round(scale, 6) AS scale,
+           CASE WHEN ma = 0.0 THEN 0.0
+             ELSE round(list_max(list_transform(range(1, len(v) + 1),
+               i -> abs(qv[i] * scale - v[i]))), 6) END AS max_abs_err,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum
+         FROM q ORDER BY vec_id""",
 
     // Mirrors Sampling.mixtureReport: same CTEs as d27 plus the
     // realized kept aggregates; keep_prob = least(1, budget*sqrt/z/tt)

@@ -183,4 +183,29 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 4).as("score"))
   }
+
+  /** Symmetric int8 quantization of an embedding column — the 4×
+    * storage/bandwidth compression step of a vector-search pipeline.
+    * Per-row, zero shuffle: scale = max|v| / 127, q_i = round(v_i /
+    * scale) ∈ [-127, 127], and the reconstruction error max|q_i·scale −
+    * v_i| is emitted for quality auditing (bounded by scale/2 by
+    * construction). All-zero vectors quantize to zeros with scale 0.
+    * Float inputs cast to double exactly, and the arithmetic is one
+    * fixed expression tree — an external SQL engine reproduces scales,
+    * codes, and errors bit-for-bit. Appends (`qvec`, `scale`,
+    * `max_abs_err`). */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val scale = maxAbs / lit(127.0)
+    val q = when(maxAbs === 0.0,
+        transform(v, _ => lit(0).cast("int")))
+      .otherwise(transform(v, x => round(x / scale).cast("int")))
+    val err = when(maxAbs === 0.0, lit(0.0))
+      .otherwise(array_max(zip_with(q, v,
+        (qi, xi) => abs(qi.cast("double") * scale - xi))))
+    df.withColumn("qvec", q)
+      .withColumn("scale", round(scale, 6))
+      .withColumn("max_abs_err", round(err, 6))
+  }
 }

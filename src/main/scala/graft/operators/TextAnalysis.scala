@@ -146,6 +146,38 @@ object TextAnalysis {
       .select(inCols :+ round(score, 6).as(outCol): _*)
   }
 
+  /** Split documents into overlapping token-window CHUNKS — the
+    * context-window preparation step of an embedding/RAG pipeline
+    * (text-level counterpart of the Packer's id-level packing). One
+    * output row per chunk: (input columns, chunk_id, chunk_text,
+    * chunk_tokens). Pure per-row expressions + one explode; chunk
+    * count = 1 for docs of <= `chunkTokens` tokens, else
+    * ceil((n - chunkTokens)/stride) + 1 with stride = chunkTokens −
+    * overlap (the final chunk may be shorter — slice truncates).
+    * Integer arithmetic only, so an external SQL engine reproduces the
+    * chunking bit-for-bit. */
+  def chunk(df: DataFrame, textCol: String,
+            chunkTokens: Int = 20, overlap: Int = 5): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlap/$chunkTokens")
+    val stride = chunkTokens - overlap
+    val lowerCols = df.columns.map(_.toLowerCase).toSet
+    val p = Iterator.iterate("__chunk")(_ + "_")
+      .dropWhile(x => lowerCols.exists(_.startsWith(x))).next()
+    val staged = df.withColumn(s"${p}_t", split(trim(col(textCol)), "\\s+"))
+    val toks = col(s"${p}_t")
+    val nChunks = when(size(toks) <= chunkTokens, lit(1))
+      .otherwise(((size(toks) - chunkTokens + (stride - 1)) / stride).cast("int") + 1)
+    val chunks = transform(sequence(lit(0), nChunks - 1), k =>
+      struct(k.as("chunk_id"),
+        slice(toks, k * stride + 1, lit(chunkTokens)).as("ctoks")))
+    staged.select(df.columns.map(col) :+ explode(chunks).as(s"${p}_c"): _*)
+      .select(df.columns.map(col) ++ Seq(
+        col(s"${p}_c.chunk_id").as("chunk_id"),
+        array_join(col(s"${p}_c.ctoks"), " ").as("chunk_text"),
+        size(col(s"${p}_c.ctoks")).cast("long").as("chunk_tokens")): _*)
+  }
+
   /** documents → + (lang_pred, lang_score, quality_score, n_tokens,
     * mean_token_len, fingerprint) — the combined analysis projection. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {

@@ -1,4 +1,5 @@
 package graft
+// (chunking + quantization cases appended at the bottom of this suite)
 
 import graft.operators.TextAnalysis
 import org.apache.spark.sql.functions._
@@ -103,5 +104,40 @@ class TextAnalysisSpec extends SparkSpec {
     val pred = Seq(("t1", "qqqq wwww zzzz 12345")).toDF("id", "text")
       .select(TextAnalysis.langIdLabel(col("text"))).head.getString(0)
     assert(pred == "und")
+  }
+
+  test("chunk covers every token with the declared overlap; short docs are one chunk") {
+    val text = (1 to 37).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "tiny doc")).toDF("doc_id", "text")
+    val r = TextAnalysis.chunk(df, "text", chunkTokens = 10, overlap = 3)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(x => (x.getLong(0), x.getInt(2), x.getString(3), x.getLong(4)))
+    val doc1 = r.filter(_._1 == 1L)
+    // stride 7: chunks start at tokens 1,8,15,22,29,36 -> ceil((37-10)/7)+1 = 5? (37-10+6)/7+1 = 33/7+1 = 4+1 = 5
+    assert(doc1.length == 5)
+    assert(doc1.head._3.startsWith("w1 ") && doc1.head._4 == 10L)
+    // consecutive chunks overlap by exactly 3 tokens
+    val toks = doc1.map(_._3.split(" ").toSeq).toSeq
+    toks.sliding(2).foreach { w => assert(w(0).takeRight(3) == w(1).take(3)) }
+    // final chunk truncated: starts at token 29, covers 29..37 = 9 tokens
+    assert(doc1.last._4 == 9L && doc1.last._3.endsWith("w37"))
+    // every token appears in order across chunks (stride-deduped coverage)
+    val covered = toks.head ++ toks.tail.flatMap(_.drop(3))
+    assert(covered == text.split(" ").toSeq)
+    assert(r.filter(_._1 == 2L).toSeq == Seq((2L, 0, "tiny doc", 2L)))
+  }
+
+  test("quantizeInt8 codes stay in [-127,127] and reconstruct within scale/2") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)) // all-zero vector
+    ).toDF("vec_id", "embedding")
+    val r = graft.operators.Similarity.quantizeInt8(df, "embedding")
+      .orderBy("vec_id").collect()
+    val q1 = r(0).getSeq[Int](2)
+    assert(q1 == Seq(64, -127, 32, 0)) // scale = 1/127; 0.5/scale = 63.5 -> 64 (half-up)
+    assert(r(0).getDouble(4) <= (1.0 / 127.0) / 2 + 1e-9)
+    assert(r(1).getSeq[Int](2) == Seq(0, 0, 0, 0))
+    assert(r(1).getDouble(3) == 0.0 && r(1).getDouble(4) == 0.0)
   }
 }
