@@ -80,6 +80,21 @@ object SparkEntry {
              ELSE a || chr(10) || b || chr(10) || c || chr(10) || d || chr(10) || e || chr(10) || f
            END AS t FROM s)"""
 
+  /** Shared x07/st05 oracle: kept new-batch docs (>= 400) = those with
+    * NO indexed doc (< 400) at exact char-5gram Jaccard >= 0.8, by
+    * brute force — the batch and streaming incremental paths gate on
+    * the SAME semantics, so one string serves both keys. */
+  private val incrementalDedupOracle: String =
+    """WITH n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+         FROM documents),
+       g AS (SELECT doc_id, list_distinct(CASE WHEN length(s) < 5 THEN [s]
+             ELSE list_transform(range(1, length(s)-3), i -> s[i:i+4]) END) AS gs FROM n)
+       SELECT a.doc_id FROM g a WHERE a.doc_id >= 400 AND NOT EXISTS (
+         SELECT 1 FROM g b WHERE b.doc_id < 400
+           AND len(list_intersect(a.gs, b.gs)) * 1.0
+             / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.8)
+       ORDER BY a.doc_id"""
+
   /** Synthetic PII text, reproducible in SQL, so redaction is executed
     * for real on a corpus that ships none. */
   private def piiSynth(d: Column, src: Column, text: Column): Column =
@@ -1598,7 +1613,9 @@ object SparkEntry {
     // slices clamp at the end like Spark's slice, so the truncated
     // final chunk matches; two unnests zip positionally.
     "d31_chunking" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+               x -> length(x) > 0) AS w
            FROM documents),
          n AS (SELECT doc_id, w, CASE WHEN len(w) <= 20 THEN 1
              ELSE (len(w) - 20 + 14) // 15 + 1 END AS nc FROM t),
@@ -1634,7 +1651,10 @@ object SparkEntry {
 
     // Mirrors Sampling.mixtureReport: same CTEs as d27 plus the
     // realized kept aggregates; keep_prob = least(1, budget*sqrt/z/tt)
-    // rounded 6dp (HALF_UP on both sides).
+    // rounded 6dp (HALF_UP on both sides). Pinned fixture assumption:
+    // documents.source is never NULL (driver-generated) — the
+    // operator's explicit NULL-slice row has no SQL mirror here and
+    // would mismatch if the fixture ever gained NULL sources.
     "d29_mixture_report" ->
       """WITH tok AS (SELECT doc_id, source,
              CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1862,28 +1882,11 @@ object SparkEntry {
          ORDER BY src, dst""",
 
     // identical semantics to x07 (the streaming path only moves the
-    // candidate generation into a stream-static join)
-    "st05_stream_incremental_dedup" ->
-      """WITH n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
-           FROM documents),
-         g AS (SELECT doc_id, list_distinct(CASE WHEN length(s) < 5 THEN [s]
-               ELSE list_transform(range(1, length(s)-3), i -> s[i:i+4]) END) AS gs FROM n)
-         SELECT a.doc_id FROM g a WHERE a.doc_id >= 400 AND NOT EXISTS (
-           SELECT 1 FROM g b WHERE b.doc_id < 400
-             AND len(list_intersect(a.gs, b.gs)) * 1.0
-               / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.8)
-         ORDER BY a.doc_id""",
+    // candidate generation into a stream-static join) — ONE oracle
+    // string bound to both keys so the twins cannot desynchronize
+    "st05_stream_incremental_dedup" -> incrementalDedupOracle,
 
-    "x07_incremental_dedup" ->
-      """WITH n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
-           FROM documents),
-         g AS (SELECT doc_id, list_distinct(CASE WHEN length(s) < 5 THEN [s]
-               ELSE list_transform(range(1, length(s)-3), i -> s[i:i+4]) END) AS gs FROM n)
-         SELECT a.doc_id FROM g a WHERE a.doc_id >= 400 AND NOT EXISTS (
-           SELECT 1 FROM g b WHERE b.doc_id < 400
-             AND len(list_intersect(a.gs, b.gs)) * 1.0
-               / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.8)
-         ORDER BY a.doc_id""",
+    "x07_incremental_dedup" -> incrementalDedupOracle,
 
     "x02_simhash_dedup" ->
       """WITH n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s

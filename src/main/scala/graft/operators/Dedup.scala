@@ -232,7 +232,12 @@ object Dedup {
                          corpus: DataFrame, indexBands: DataFrame,
                          threshold: Double = 0.8,
                          cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    // persisted: referenced by the touched-key semi-join AND the
+    // collide join — without it each occurrence re-runs the k=128
+    // MinHash over the batch (session-scoped, LRU-evictable; same
+    // convention as simhashVerifiedPairs)
     val newBands = bandIndex(newDf, idCol, textCol, cfg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // only index rows whose bucket the BATCH touches matter — for a
     // small batch against a corpus-sized index this bounds both the
     // skew-guard aggregate and the collide join to touched keys (and

@@ -65,22 +65,27 @@ object Sampling {
   private case class SourceBudget(source: String, nDocs: Long, tokens: Long,
                                   p: Double, cut: String)
 
-  private def budgetCutoffs(df: DataFrame, sourceCol: String,
-                            tokensCol: Column, tokenBudget: Double,
-                            temperature: Double): Seq[SourceBudget] = {
+  /** One aggregate over the corpus: per-source budgets for the non-null
+    * sources, plus the (n_docs, tokens) of the NULL-source slice (which
+    * carries no budget accounting — it passes the sampler through). */
+  private def budgetCutoffsAndNull(df: DataFrame, sourceCol: String,
+                                   tokensCol: Column, tokenBudget: Double,
+                                   temperature: Double
+                                  ): (Seq[SourceBudget], (Long, Long)) = {
     require(tokenBudget > 0 && temperature > 0)
     def powT(x: Double) =
       if (temperature == 0.5) math.sqrt(x) else math.pow(x, temperature)
     // totals cast to long (a double tokensCol truncates rather than
-    // throwing); NULL-source rows carry no budget accounting
-    val totals = df.where(col(sourceCol).isNotNull)
-      .groupBy(col(sourceCol))
+    // throwing); ONE aggregate including the NULL-source group, split
+    // driver-side
+    val rows = df.groupBy(col(sourceCol))
       // coalesce: a source whose every row has NULL tokens sums to NULL,
       // which would NPE the driver-side getLong
       .agg(coalesce(sum(tokensCol.cast("long")), lit(0L)).as("__t"),
         count(lit(1)).as("__n"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+    val nullSlice = rows.collectFirst { case (None, t, n) => (n, t) }.getOrElse((0L, 0L))
+    val totals = rows.collect { case (Some(s), t, n) => (s, t, n) }.sortBy(_._1)
     val z = totals.foldLeft(0.0)((acc, st) => acc + powT(st._2.toDouble))
     totals.map { case (src, t, n) =>
       val p = if (t == 0L) 1.0
@@ -93,8 +98,13 @@ object Sampling {
       val cut = if (p >= 1.0) "zzzzzzzz"
         else f"${math.min(math.floor(p * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
       SourceBudget(src, n, t, p, cut)
-    }
+    }.toSeq -> nullSlice
   }
+
+  private def budgetCutoffs(df: DataFrame, sourceCol: String,
+                            tokensCol: Column, tokenBudget: Double,
+                            temperature: Double): Seq[SourceBudget] =
+    budgetCutoffsAndNull(df, sourceCol, tokensCol, tokenBudget, temperature)._1
 
   private def applyCutoffs(df: DataFrame, sourceCol: String, hashCol: String,
                            cuts: Seq[SourceBudget]): DataFrame = {
@@ -123,18 +133,14 @@ object Sampling {
                     temperature: Double = 0.5): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // cutoffs computed ONCE and shared with the keep-filter below (a
-    // second budgetCutoffs call would re-aggregate the full corpus)
-    val cuts = budgetCutoffs(df, sourceCol, tokensCol, tokenBudget, temperature)
-    // NULL-source rows pass the sampler unbudgeted — give the sheet an
-    // explicit NULL row (p = 1) so it reconciles with the sampler's
-    // output instead of silently omitting that slice
-    val nullRow = df.where(col(sourceCol).isNull)
-      .agg(count(lit(1)).as("n"),
-        coalesce(sum(tokensCol.cast("long")), lit(0L)).as("t"))
-      .collect().head
-    val nullRows = if (nullRow.getLong(0) == 0L) Nil
-      else Seq((null: String, nullRow.getLong(0), nullRow.getLong(1), 1.0))
+    // ONE corpus aggregate yields both the per-source cutoffs (shared
+    // with the keep-filter below) and the NULL-source slice — the sheet
+    // reports that unbudgeted passthrough slice as an explicit NULL row
+    // (p = 1) so it reconciles with the sampler's output
+    val (cuts, (nullDocs, nullToks)) =
+      budgetCutoffsAndNull(df, sourceCol, tokensCol, tokenBudget, temperature)
+    val nullRows = if (nullDocs == 0L) Nil
+      else Seq((null: String, nullDocs, nullToks, 1.0))
     // HALF_UP like Spark's/DuckDB's round(), not rint's half-even
     val base = (cuts.map(b => (b.source, b.nDocs, b.tokens,
         BigDecimal(b.p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))

@@ -164,18 +164,24 @@ object TextAnalysis {
     val lowerCols = df.columns.map(_.toLowerCase).toSet
     val p = Iterator.iterate("__chunk")(_ + "_")
       .dropWhile(x => lowerCols.exists(_.startsWith(x))).next()
-    val staged = df.withColumn(s"${p}_t", split(trim(col(textCol)), "\\s+"))
+    // filter empties: trim strips only spaces, so tab/newline-led text
+    // would otherwise yield a phantom first token (the TrainedNer
+    // lesson); empty text then tokenizes to [] -> one empty chunk
+    val staged = df.withColumn(s"${p}_t",
+      filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0))
     val toks = col(s"${p}_t")
     val nChunks = when(size(toks) <= chunkTokens, lit(1))
       .otherwise(((size(toks) - chunkTokens + (stride - 1)) / stride).cast("int") + 1)
     val chunks = transform(sequence(lit(0), nChunks - 1), k =>
       struct(k.as("chunk_id"),
         slice(toks, k * stride + 1, lit(chunkTokens)).as("ctoks")))
-    staged.select(df.columns.map(col) :+ explode(chunks).as(s"${p}_c"): _*)
+    // explode_outer + coalesce: a NULL-text doc stays in the output as
+    // one empty chunk instead of vanishing (lineDedup's convention)
+    staged.select(df.columns.map(col) :+ explode_outer(chunks).as(s"${p}_c"): _*)
       .select(df.columns.map(col) ++ Seq(
-        col(s"${p}_c.chunk_id").as("chunk_id"),
-        array_join(col(s"${p}_c.ctoks"), " ").as("chunk_text"),
-        size(col(s"${p}_c.ctoks")).cast("long").as("chunk_tokens")): _*)
+        coalesce(col(s"${p}_c.chunk_id"), lit(0)).as("chunk_id"),
+        coalesce(array_join(col(s"${p}_c.ctoks"), " "), lit("")).as("chunk_text"),
+        coalesce(size(col(s"${p}_c.ctoks")).cast("long"), lit(0L)).as("chunk_tokens")): _*)
   }
 
   /** documents → + (lang_pred, lang_score, quality_score, n_tokens,

@@ -82,6 +82,10 @@ object TrainedNer {
           when(col("__ner") === "name", lit(replacement))
             .otherwise(col("__tok")).as("__out")))),
         x => x.getField("__out")), " ").as(textCol))
+    // empty/whitespace-only/NULL docs have no tokens at all after the
+    // filter — report them as empty text, not NULL (lineDedup's
+    // convention for the all-lines-lost case)
     df.select(col(idCol)).join(redacted, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
 }
