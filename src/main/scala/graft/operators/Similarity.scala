@@ -195,17 +195,26 @@ object Similarity {
     * codes, and errors bit-for-bit. Appends (`qvec`, `scale`,
     * `max_abs_err`). */
   def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
-    val v = transform(col(vecCol), x => x.cast("double"))
-    val maxAbs = array_max(transform(v, x => abs(x)))
-    val scale = maxAbs / lit(127.0)
-    val q = when(maxAbs === 0.0,
-        transform(v, _ => lit(0).cast("int")))
-      .otherwise(transform(v, x => round(x / scale).cast("int")))
-    val err = when(maxAbs === 0.0, lit(0.0))
-      .otherwise(array_max(zip_with(q, v,
-        (qi, xi) => abs(qi.cast("double") * scale - xi))))
-    df.withColumn("qvec", q)
+    // stage each intermediate ONCE (interpreted-HOF lesson, d24/d15):
+    // inlined, the v/maxAbs subtrees would re-evaluate per reference
+    val lowerCols = df.columns.map(_.toLowerCase).toSet
+    val p = Iterator.iterate("__q8")(_ + "_")
+      .dropWhile(x => lowerCols.exists(_.startsWith(x))).next()
+    val v = col(s"${p}_v"); val maxAbs = col(s"${p}_m")
+    val scale = col(s"${p}_s")
+    val staged = df
+      .withColumn(s"${p}_v", transform(col(vecCol), x => x.cast("double")))
+      .withColumn(s"${p}_m", array_max(transform(v, x => abs(x))))
+      .withColumn(s"${p}_s", maxAbs / lit(127.0))
+      .withColumn("qvec", when(maxAbs === 0.0,
+          transform(v, _ => lit(0).cast("int")))
+        .otherwise(transform(v, x => round(x / scale).cast("int"))))
+    staged
       .withColumn("scale", round(scale, 6))
-      .withColumn("max_abs_err", round(err, 6))
+      .withColumn("max_abs_err", round(
+        when(maxAbs === 0.0, lit(0.0))
+          .otherwise(array_max(zip_with(col("qvec"), v,
+            (qi, xi) => abs(qi.cast("double") * scale - xi)))), 6))
+      .drop(s"${p}_v", s"${p}_m", s"${p}_s")
   }
 }
