@@ -663,6 +663,23 @@ object SparkEntry {
           aggregate(col("qvec"), lit(0L), (a, x) => a + x).as("q_sum"))
         .orderBy("vec_id")),
 
+    "q33_salted_skew_join" -> ((s, d) => {
+      // the explicit skew-join path under the gate: l_returnflag has
+      // cardinality 3 (every key is a hot key), the 3-row dim is
+      // salt-replicated 8x, and the salted result must equal the plain
+      // join bit-for-bit — salt values are nondeterministic but cannot
+      // affect the joined SET (the dim carries every salt). Products
+      // are integer-exact doubles, so the 2dp-rounded sum is stable
+      // under any partial-agg order.
+      val dim = li(s, d).select(col("l_returnflag")).distinct()
+        .withColumn("weight", ascii(col("l_returnflag")).cast("double"))
+      SkewJoin.saltedInnerJoin(li(s, d), dim, "l_returnflag", buckets = 8)
+        .groupBy("l_returnflag")
+        .agg(round(sum(col("l_quantity") * col("weight")), 2).as("weighted_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     "d29_mixture_report" -> ((s, d) => {
       // the mixture design sheet for d27's budget: per-source natural
       // size, flattened keep probability, realized kept counts — all
@@ -1682,6 +1699,16 @@ object SparkEntry {
            coalesce(k.kept_docs, 0) AS kept_docs,
            coalesce(k.kept_tokens, 0) AS kept_tokens
          FROM c LEFT JOIN k USING (source) ORDER BY c.source""",
+
+    // the plain join the salted path must reproduce exactly
+    "q33_salted_skew_join" ->
+      """WITH dim AS (SELECT DISTINCT l_returnflag,
+             CAST(ascii(l_returnflag) AS DOUBLE) AS weight FROM lineitem)
+         SELECT l.l_returnflag,
+           round(sum(l.l_quantity * d.weight), 2) AS weighted_qty,
+           count(*) AS n
+         FROM lineitem l JOIN dim d USING (l_returnflag)
+         GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
 
     "b01_bucketed_join" ->
       """SELECT o_orderkey,
