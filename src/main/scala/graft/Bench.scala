@@ -39,21 +39,21 @@ object Bench {
     }
 
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    // min of two runs per query: the second run reuses compiled codegen
-    // and warmed file listings, and min() is robust to machine noise.
+    // min of two runs (queries AND throughput windows below): the
+    // second run reuses compiled codegen and warmed file listings, and
+    // min() is robust to machine noise.
+    def bestOf2(run: () => Double): Double = math.min(run(), run())
     // Each run executes the FULL plan via a noop-sink write — a count()
     // here would let Catalyst prune deterministic projections and
     // eliminate the final sort, under-measuring map-shaped queries.
     val results = selected.map { case (name, fn) =>
-      def once(): Double = {
+      name -> bestOf2 { () =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         } catch { case _: Throwable => failed += name }
         (System.nanoTime() - t0) / 1e9
       }
-      val a = once(); val b = once()
-      name -> math.min(a, b)
     }
 
     if (only.isDefined) { // focused profiling: skip the throughput suites
@@ -80,9 +80,8 @@ object Bench {
     val corpus = docs.crossJoin(spark.range(repl)).select(col("text")).as[String]
       .repartition(cpus.toInt * 2).cache()
     corpus.count() // materialize before timing
-    // min-of-2 like the per-query timings: the first window on a cold
-    // JIT/page-cache has shown up to 3x run-to-run variance
-    def bestOf2(run: () => Double): Double = math.min(run(), run())
+    // bestOf2 (shared with the query loop): the first throughput window
+    // on a cold JIT/page-cache has shown up to 3x run-to-run variance
     var totalTokens = 0L
     val tokSec = bestOf2 { () =>
       val t0 = System.nanoTime()
@@ -107,7 +106,7 @@ object Bench {
     val nSigs = corpus.count() // known size; excluded from the timed window
     val mhSec = bestOf2 { () =>
       val t1 = System.nanoTime()
-      // sum over a signature element so Catalyst cannot prune the compute
+      // max over a signature element so Catalyst cannot prune the compute
       corpus.toDF("text").select(
           graft.functions.HashFunctions.minhash(
             graft.functions.TextFunctions.normalizeForDedup(org.apache.spark.sql.functions.col("text"))).as("sig"))
