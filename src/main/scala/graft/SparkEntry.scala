@@ -95,6 +95,29 @@ object SparkEntry {
              / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.8)
        ORDER BY a.doc_id"""
 
+  /** Shared d27/st06 oracle — mirrors Sampling.temperatureMixture
+    * bit-for-bit: sqrt is IEEE correctly-rounded (identical across
+    * engines), the normalizer sums sqrt(totals) in source-sorted order
+    * exactly like the operator's driver-side fold, and the md5-prefix
+    * cutoff compare is pure string ordering. One string, two keys:
+    * the streaming path applies the same batch-designed cutoffs. */
+  private val temperatureMixtureOracle: String =
+    """WITH tok AS (SELECT doc_id, source,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+         FROM documents),
+       t AS (SELECT source, CAST(sum(n_tok) AS DOUBLE) AS tt FROM tok GROUP BY source),
+       z AS (SELECT list_sum(list(sqrt(tt) ORDER BY source)) AS z FROM t),
+       c AS (SELECT source, CASE WHEN tt = 0.0
+             OR 10000.0 * sqrt(tt) / z / tt >= 1.0 THEN 'zzzzzzzz'
+           ELSE printf('%08x', least(CAST(floor(10000.0 * sqrt(tt) / z / tt * 4294967296.0) AS BIGINT), 4294967295))
+           END AS cut
+         FROM t, z)
+       SELECT doc_id, source FROM tok JOIN c USING (source)
+       WHERE cut = 'zzzzzzzz'
+         OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < cut
+       ORDER BY doc_id"""
+
   /** Synthetic PII text, reproducible in SQL, so redaction is executed
     * for real on a corpus that ships none. */
   private def piiSynth(d: Column, src: Column, text: Column): Column =
@@ -1035,6 +1058,28 @@ object SparkEntry {
       s.table("st04_tbl").orderBy("drop_reason")
     }),
 
+    "st06_stream_mixture" -> ((s, d) => {
+      // the design/apply split under streaming: cutoffs are computed
+      // ONCE from the static corpus (mixture design is a batch
+      // decision), and the keep-filter — a stateless per-row map
+      // against broadcast literals — runs on the document stream
+      // unchanged. Kept set identical to d27's batch run, so the
+      // oracle is shared verbatim.
+      val design = docs(s, d).select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"))
+      s.catalog.dropTempView("st06_tbl")
+      val stream = graft.streaming.Streaming
+        .parquetStream(s, stageTableDir(d, "documents"), docs(s, d).schema)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("n_tok"))
+      val kept = Sampling.temperatureMixtureFrom(design, stream,
+        "source", col("n_tok"), "doc_id", tokenBudget = 10000.0)
+      graft.streaming.Streaming.runToMemory(
+        kept.select("doc_id", "source"), "st06_tbl",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table("st06_tbl").orderBy("doc_id")
+    }),
+
     "st05_stream_incremental_dedup" -> ((s, d) => {
       // streaming twin of x07 (continuous-ingest near-dedup): new docs
       // arrive as a file stream, their bands inner-join the STATIC
@@ -1604,27 +1649,13 @@ object SparkEntry {
            round(CAST(coalesce(c.n_shared, 0) AS DOUBLE) / len(ws), 6) AS shared_frac
          FROM g LEFT JOIN c USING (doc_id) ORDER BY g.doc_id""",
 
-    // Mirrors Sampling.temperatureMixture bit-for-bit: sqrt is IEEE
-    // correctly-rounded (identical across engines), the normalizer sums
-    // sqrt(totals) in source-sorted order exactly like the operator's
-    // driver-side fold, and the md5-prefix cutoff compare is pure
-    // string ordering.
-    "d27_temperature_mixture" ->
-      """WITH tok AS (SELECT doc_id, source,
-             CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
-           FROM documents),
-         t AS (SELECT source, CAST(sum(n_tok) AS DOUBLE) AS tt FROM tok GROUP BY source),
-         z AS (SELECT list_sum(list(sqrt(tt) ORDER BY source)) AS z FROM t),
-         c AS (SELECT source, CASE WHEN tt = 0.0
-               OR 10000.0 * sqrt(tt) / z / tt >= 1.0 THEN 'zzzzzzzz'
-             ELSE printf('%08x', least(CAST(floor(10000.0 * sqrt(tt) / z / tt * 4294967296.0) AS BIGINT), 4294967295))
-             END AS cut
-           FROM t, z)
-         SELECT doc_id, source FROM tok JOIN c USING (source)
-         WHERE cut = 'zzzzzzzz'
-           OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < cut
-         ORDER BY doc_id""",
+    // Mirrors Sampling.temperatureMixture bit-for-bit (see
+    // temperatureMixtureOracle); st06 shares the same string.
+    "d27_temperature_mixture" -> temperatureMixtureOracle,
+
+    // the streaming path applies the identical batch-designed cutoffs,
+    // so the kept set — and the oracle — are d27's verbatim
+    "st06_stream_mixture" -> temperatureMixtureOracle,
 
     // Mirrors TextAnalysis.chunk: stride 15 = 20 - 5; DuckDB list
     // slices clamp at the end like Spark's slice, so the truncated

@@ -122,6 +122,19 @@ object Sampling {
     applyCutoffs(df, sourceCol, hashCol,
       budgetCutoffs(df, sourceCol, tokensCol, tokenBudget, temperature))
 
+  /** Design/apply split: cutoffs computed from the (batch) `design`
+    * corpus, keep-filter applied to `apply` — which may be a STREAMING
+    * DataFrame, since the filter is a stateless per-row map against
+    * broadcast literals (mixture design is a batch decision; applying
+    * it to arriving data is a map). Same kept set as
+    * [[temperatureMixture]] when design eq apply. */
+  def temperatureMixtureFrom(design: DataFrame, apply: DataFrame,
+                             sourceCol: String, tokensCol: Column,
+                             hashCol: String, tokenBudget: Double,
+                             temperature: Double = 0.5): DataFrame =
+    applyCutoffs(apply, sourceCol, hashCol,
+      budgetCutoffs(design, sourceCol, tokensCol, tokenBudget, temperature))
+
   /** The mixture design sheet: one row per source with its natural
     * share, the temperature-flattened keep probability, and the
     * realized (deterministic) kept counts — what a data-mixture owner
