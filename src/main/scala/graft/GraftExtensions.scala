@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharEntropy, CosineSim, MinHashSignature, NormalizeNfkc, RollingHash64, SimHash64, XxHash64String}
+import graft.functions.{CharEntropy, CosineSim, MaxMultiplicity, MinHashSignature, NormalizeNfkc, RollingHash64, SimHash64, XxHash64String}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -84,6 +84,12 @@ object GraftExtensions {
       args match {
         case Seq(c) => CharEntropy(c)
         case _ => throw new IllegalArgumentException("graft_char_entropy(text)")
+      }
+    },
+    "graft_max_multiplicity" -> { args =>
+      args match {
+        case Seq(c) => MaxMultiplicity(c)
+        case _ => throw new IllegalArgumentException("graft_max_multiplicity(array<bigint>)")
       }
     })
 

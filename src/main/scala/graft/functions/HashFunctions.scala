@@ -82,6 +82,13 @@ object HashFunctions {
   def charShingleHashes(c: Column, ngram: Int): Column =
     ExpressionUtils.column(CharShingleHashes(ExpressionUtils.expression(c), ngram))
 
+  /** Highest multiplicity of any element of an array<bigint> — one
+    * native sort + run scan per row, replacing the interpreted
+    * array_sort + `aggregate` struct-fold (the d24 top-gram signal).
+    * NULL elements count as one group; empty array → 0. */
+  def maxMultiplicity(c: Column): Column =
+    ExpressionUtils.column(MaxMultiplicity(ExpressionUtils.expression(c)))
+
   /** Cosine similarity of two numeric arrays in ONE pass (dot and both
     * norms together) as a codegen-bridged expression — the zip_with +
     * aggregate HOF formulation is interpreted (no codegen, no CSE) and
@@ -277,6 +284,46 @@ case class CosineSim(left: Expression, right: Expression)
   * over the decoded string with a primitive-count map. Summation order
   * differs from the grouped SQL (hash-map iteration vs per-char groups);
   * both are far inside the 6-dp rounding the consumers apply. */
+/** Max element multiplicity of an array<bigint> (see
+  * [[HashFunctions.maxMultiplicity]]). */
+case class MaxMultiplicity(child: Expression)
+    extends UnaryExpression with RefEvalCodegen {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def dataType: DataType = IntegerType
+  override protected def javaResultType: String = "Integer"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"max_multiplicity needs array<bigint>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    if (n == 0) 0
+    else {
+      val vals = new Array[Long](n)
+      var m = 0; var nulls = 0; var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) nulls += 1
+        else { vals(m) = arr.getLong(i); m += 1 }
+        i += 1
+      }
+      java.util.Arrays.sort(vals, 0, m)
+      var best = math.max(nulls, math.min(m, 1))
+      var run = 1
+      i = 1
+      while (i < m) {
+        if (vals(i) == vals(i - 1)) { run += 1; if (run > best) best = run }
+        else run = 1
+        i += 1
+      }
+      best
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): MaxMultiplicity = copy(child = c)
+  override def prettyName: String = "max_multiplicity"
+}
+
 case class CharEntropy(child: Expression)
     extends UnaryExpression with RefEvalCodegen {
   override def dataType: DataType = DoubleType

@@ -71,20 +71,6 @@ object Decontamination {
     corpus.join(bad, Seq(idCol), "left_anti") // AQE broadcasts when small
   }
 
-  /** Longest run length in an ALREADY-SORTED long array — i.e. the
-    * highest multiplicity of any element. One `aggregate` fold,
-    * per-row, no shuffle. Empty/NULL array → 0/NULL. */
-  private def maxMultiplicitySorted(sorted: Column): Column =
-    aggregate(sorted,
-      struct(lit(null).cast("long").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (acc, x) => {
-        val run = when(x <=> acc.getField("prev"), acc.getField("run") + 1)
-          .otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-
   /** Gopher-style repetition signals as per-row columns (zero shuffle):
     *  - `dup_${n}gram_frac`: fraction of the doc's word n-grams that are
     *    repeats of an earlier occurrence (1 − distinct/total);
@@ -111,15 +97,15 @@ object Decontamination {
         TextFunctions.tokenHashesFromNormalized(col(s"${p}_nrm")))
       .withColumn(s"${p}_d", TextFunctions.wordShingleHashesFrom(
         col(s"${p}_th"), col(s"${p}_nrm"), dupN))
-      .withColumn(s"${p}_t", array_sort(TextFunctions.wordShingleHashesFrom(
-        col(s"${p}_th"), col(s"${p}_nrm"), topN)))
+      .withColumn(s"${p}_t", TextFunctions.wordShingleHashesFrom(
+        col(s"${p}_th"), col(s"${p}_nrm"), topN))
     val dGrams = col(s"${p}_d"); val tGrams = col(s"${p}_t")
     staged
       .withColumn(s"dup_${dupN}gram_frac", round(
         lit(1.0) - size(array_distinct(dGrams)).cast("double")
           / size(dGrams).cast("double"), 6))
       .withColumn(s"top_${topN}gram_frac", round(
-        maxMultiplicitySorted(tGrams).cast("double")
+        graft.functions.HashFunctions.maxMultiplicity(tGrams).cast("double")
           / size(tGrams).cast("double"), 6))
       .drop(s"${p}_nrm", s"${p}_th", s"${p}_d", s"${p}_t")
   }

@@ -42,6 +42,7 @@ class GraftExtensionsSpec extends SparkSpec {
     val e = new GraftExtensions
     assert(GraftExtensions.builders.map(_._1).toSet ==
       Set("graft_minhash", "graft_simhash", "graft_xxhash64", "graft_rolling_hash",
-        "graft_nfkc", "graft_cosine_sim", "graft_char_entropy"))
+        "graft_nfkc", "graft_cosine_sim", "graft_char_entropy",
+        "graft_max_multiplicity"))
   }
 }
