@@ -703,6 +703,22 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "d32_expectations" -> ((s, d) =>
+      // the ingest-gate constraint report (Deequ/dbt-test shape): five
+      // row-level checks + a uniqueness check, ALL inside one
+      // aggregate pass. The synthetic corpus passes most and violates
+      // lang_in_set (the fixture carries more languages than the
+      // allowed list) — a report with both outcomes.
+      Expectations.report(docs(s, d),
+          Seq(Expectations.notNull("text"),
+            Expectations.notNull("source"),
+            Expectations.between("n_chars", 0, 400),
+            Expectations.isIn("lang", Seq("en", "de", "fr", "zh")),
+            Expectations.Check("n_chars_matches_text",
+              col("n_chars") === length(col("text")))),
+          uniqueCols = Seq("doc_id"))
+        .orderBy("check")),
+
     "d29_mixture_report" -> ((s, d) => {
       // the mixture design sheet for d27's budget: per-source natural
       // size, flattened keep probability, realized kept counts — all
@@ -1605,6 +1621,28 @@ object SparkEntry {
          SELECT d.doc_id, d.dup_3gram_frac,
            round(CAST(m.mx AS DOUBLE) / m.tot, 6) AS top_2gram_frac
          FROM d JOIN m USING (doc_id) ORDER BY d.doc_id""",
+
+    // Mirrors Expectations.report check-for-check (violation = predicate
+    // false OR NULL; uniqueness = count - count distinct).
+    "d32_expectations" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM documents),
+         v AS (
+           SELECT 'text_not_null' AS chk,
+             count(*) FILTER (WHERE text IS NULL) AS nv FROM documents
+           UNION ALL SELECT 'source_not_null',
+             count(*) FILTER (WHERE source IS NULL) FROM documents
+           UNION ALL SELECT 'n_chars_between',
+             count(*) FILTER (WHERE NOT coalesce(n_chars >= 0 AND n_chars <= 400, FALSE)) FROM documents
+           UNION ALL SELECT 'lang_in_set',
+             count(*) FILTER (WHERE NOT coalesce(lang IN ('en','de','fr','zh'), FALSE)) FROM documents
+           UNION ALL SELECT 'n_chars_matches_text',
+             count(*) FILTER (WHERE NOT coalesce(n_chars = length(text), FALSE)) FROM documents
+           UNION ALL SELECT 'doc_id_unique',
+             count(*) - count(DISTINCT doc_id) FROM documents)
+         SELECT v.chk AS "check", n.n_rows, v.nv AS n_violations,
+           round(CAST(v.nv AS DOUBLE) / greatest(n.n_rows, 1), 6) AS violation_frac,
+           v.nv = 0 AS passed
+         FROM v, n ORDER BY v.chk""",
 
     // Mirrors Dedup.lineDedup over the d19-style synth: first
     // occurrence = min (doc_id, pos) per md5(trim(line)); documents

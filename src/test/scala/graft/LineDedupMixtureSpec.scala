@@ -137,6 +137,25 @@ class LineDedupMixtureSpec extends SparkSpec {
     assert(keptAll === Seq(10L, 11L, 12L))
   }
 
+  test("expectations report: null-hostile predicates, uniqueness, empty input") {
+    import graft.operators.Expectations
+    val df = Seq(
+      (1L, Option("a"), 5L), (2L, None, 50L), (2L, Option("c"), -1L)
+    ).toDF("id", "s", "v")
+    val r = Expectations.report(df,
+        Seq(Expectations.notNull("s"), Expectations.between("v", 0, 10)),
+        uniqueCols = Seq("id"))
+      .orderBy("check").collect()
+      .map(x => (x.getString(0), x.getLong(2), x.getBoolean(4)))
+    // NULL s violates not_null; v=50 and v=-1 violate the range; id 2 dups
+    assert(r === Seq(("id_unique", 1L, false), ("s_not_null", 1L, false),
+      ("v_between", 2L, false)))
+    val empty = Expectations.report(df.limit(0),
+        Seq(Expectations.notNull("s")), uniqueCols = Seq("id"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getBoolean(4)))
+    assert(empty.toSet === Set(("s_not_null", 0L, 0L, true), ("id_unique", 0L, 0L, true)))
+  }
+
   test("d25 cognate fixture confusion is partitioning-invariant and non-trivial") {
     val ids = (0L until 500L).toDF("doc_id")
     def matrix(parts: Int) = {
