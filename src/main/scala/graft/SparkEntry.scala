@@ -686,6 +686,23 @@ object SparkEntry {
           aggregate(col("qvec"), lit(0L), (a, x) => a + x).as("q_sum"))
         .orderBy("vec_id")),
 
+    "e08_semantic_dedup" -> ((s, d) => {
+      // SemDeDup: kept set after cluster-scoped cosine dedup. Centroids
+      // are a deterministic modulo sample (16 of 500 at sf0.01) so the
+      // oracle can rebuild the identical coarse quantizer in SQL; the
+      // 0.42 threshold sits below the random-cosine ceiling of the
+      // synthetic fixture (max pairwise cosine ~0.51) so the merge path
+      // actually fires. The oracle recomputes assignment, the
+      // within-cell-only pair graph, and its transitive closure — so a
+      // cross-cell pair wrongly found, or a within-cell pair missed,
+      // both hash-mismatch.
+      val e = emb(s, d)
+      val cents = e.filter(pmod(col("vec_id"), lit(31)) === 7)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+      Dedup.semanticDedup(e, "vec_id", "embedding", cents, threshold = 0.42)
+        .select("vec_id", "label").orderBy("vec_id")
+    }),
+
     "q33_salted_skew_join" -> ((s, d) => {
       // the explicit skew-join path under the gate: l_returnflag has
       // cardinality 3 (every key is a hot key), the 3-row dim is
@@ -1734,6 +1751,40 @@ object SparkEntry {
                i -> abs(qv[i] * scale - v[i]))), 6) END AS max_abs_err,
            CAST(list_sum(qv) AS BIGINT) AS q_sum
          FROM q ORDER BY vec_id""",
+
+    // SemDeDup oracle: rebuilds the modulo-sampled coarse quantizer,
+    // the argmax-cosine cell assignment (sim DESC, centroid_id ASC —
+    // the engine's struct-max tie-break), the WITHIN-CELL-ONLY pair
+    // graph at 0.42, and its recursive closure; kept = ids with no
+    // smaller id reachable. Cosine is computed x04-style on
+    // exactly-cast doubles so both engines run the identical
+    // left-to-right fold.
+    "e08_semantic_dedup" ->
+      """WITH RECURSIVE
+         v AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         c AS (SELECT vec_id AS cid, emb AS cv FROM v WHERE vec_id % 31 = 7),
+         s AS (SELECT v.vec_id, v.emb, c.cid, row_number() OVER (
+             PARTITION BY v.vec_id ORDER BY
+               list_sum(list_transform(list_zip(v.emb, c.cv), z -> z[1]*z[2]))
+                 / (sqrt(list_sum(list_transform(v.emb, x -> x*x)))
+                    * sqrt(list_sum(list_transform(c.cv, x -> x*x)))) DESC,
+               c.cid) AS rn
+           FROM v CROSS JOIN c),
+         a AS (SELECT vec_id, emb, cid FROM s WHERE rn = 1),
+         e AS (SELECT x.vec_id AS u, y.vec_id AS w
+           FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+           WHERE list_sum(list_transform(list_zip(x.emb, y.emb), z -> z[1]*z[2]))
+             / (sqrt(list_sum(list_transform(x.emb, q -> q*q)))
+                * sqrt(list_sum(list_transform(y.emb, q -> q*q)))) >= 0.42),
+         ed AS (SELECT u, w FROM e UNION SELECT w, u FROM e),
+         reach AS (SELECT u, w FROM ed
+                   UNION SELECT r.u, ed.w FROM reach r JOIN ed ON r.w = ed.u WHERE ed.w != r.u),
+         comp AS (SELECT u AS vec_id, min(w) AS mn FROM reach GROUP BY u)
+         SELECT vec_id, label FROM embeddings
+         WHERE vec_id NOT IN (SELECT vec_id FROM comp WHERE mn < vec_id)
+         ORDER BY vec_id""",
 
     // Mirrors Sampling.mixtureReport: same CTEs as d27 plus the
     // realized kept aggregates; keep_prob = least(1, budget*sqrt/z/tt)

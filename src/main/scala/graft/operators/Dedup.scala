@@ -548,6 +548,69 @@ object Dedup {
     result
   }
 
+  /** SemDeDup — semantic near-dedup over an embedding column (Abbas et
+    * al. 2023, arXiv:2303.09540): the corpus is partitioned into cells
+    * around k coarse centroids, and near-duplicate components (cosine >=
+    * `threshold`) are resolved ONLY within a cell — the pair space
+    * shrinks from C(n,2) to Σ C(|cell|,2), the tractability trade the
+    * paper makes (cross-cell near-dups are deliberately not found).
+    * `centroids` is caller-supplied — a trained coarse quantizer or a
+    * deterministic sample — as (centroid_id: integral, vector: numeric
+    * array); ids must be unique.
+    *
+    * Scale shape: the centroid set is a bounded model, so it is
+    * collected once and shipped inside the cell-assignment expression —
+    * assignment is a single narrow map pass over the corpus (zero
+    * shuffle; contrast a window-over-crossjoin argmax, which shuffles
+    * k× the corpus). Pair generation shuffles once on the cell key;
+    * cells larger than `maxCell` are excluded from pair generation
+    * (members kept, not dropped — same skew guard and recall trade as
+    * [[embeddingCosine]]'s `maxBucket`). The reference has no semantic
+    * dedup stage; this extends its dedup family (reference:
+    * src/llm_data_pipeline/dedup/dedup.py:133-232) along the published
+    * SemDeDup construction. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, threshold: Double,
+                    maxCell: Int = 100000): DataFrame = {
+    val Array(cidCol, cvecCol) = centroids.columns.take(2)
+    val cents: Seq[(Long, Seq[Double])] = centroids
+      .select(col(cidCol).cast("long"),
+        transform(col(cvecCol), _.cast("double")))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "semanticDedup needs at least one centroid")
+    require(cents.map(_._1).distinct.size == cents.size,
+      "semanticDedup centroid ids must be unique")
+    // (cosine, -centroid_id) struct max == argmax by (sim DESC, id ASC):
+    // exact ties keep the smaller centroid id, matching a rank window
+    val centsLit = typedLit(cents)
+    val scored = transform(centsLit, c => struct(
+      HashFunctions.cosineSim(col("__vecd"), c.getField("_2")).as("s"),
+      (-c.getField("_1")).as("ncid")))
+    val assigned = df
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("__vecd"))
+      .withColumn("cell", -array_max(scored).getField("ncid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // one count per cell — bounded by the centroid count (model-sized,
+    // not corpus-sized), so the broadcast is safe by construction
+    val okCells = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("__cn"))
+      .where(col("__cn") > 1 && col("__cn") <= maxCell)
+      .select("cell")
+    val a = assigned.join(broadcast(okCells), "cell")
+      .select(col("cell"), col("id").as("src"), col("__vecd").as("v1"))
+    val b = assigned.select(col("cell"), col("id").as("dst"), col("__vecd").as("v2"))
+    val pairs = a.join(b, "cell")
+      .where(col("src") < col("dst"))
+      .where(HashFunctions.cosineSim(col("v1"), col("v2")) >= threshold)
+      .select("src", "dst")
+    val result = removeNonCanonical(df, idCol, pairs)
+    assigned.unpersist()
+    result
+  }
+
   /** Shared tail: pairs → connected components → drop every row whose id
     * maps to a component it is not the minimum of. The keep-filter is a
     * `left_anti` join against only the *losing* ids (small), so Catalyst

@@ -138,6 +138,49 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() == 1) // all collapse to the canonical min id
   }
 
+  test("semantic dedup merges within a cell, not across cells") {
+    // two obvious cells around the axis centroids; 1/2 are near-dups in
+    // cell 10, 5/6 in cell 20; 4 leans to cell 20 but is no near-dup of
+    // its cellmates. 2 and 4 are NOT compared (different cells) even
+    // though that pair's cosine exceeds nothing — and crucially the
+    // near-identical pair (2, 5) across cells would stay un-merged too.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.02f, 0.0f)),  // near-dup of 1, cell 10
+      (5L, Array(0.0f, 1.0f, 0.0f)),
+      (6L, Array(0.01f, 0.999f, 0.0f)),  // near-dup of 5, cell 20
+      (4L, Array(0.4f, 0.8f, 0.0f))      // cell 20, distinct
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((10L, Array(1.0f, 0.0f, 0.0f)), (20L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("centroid_id", "centv")
+    val kept = Dedup.semanticDedup(vecs, "vec_id", "embedding", cents, 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L))
+  }
+
+  test("semantic dedup: cross-cell near-dups survive (documented recall trade)") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 1.0f)),    // equidistant tie → earlier centroid (cell 1)
+      (2L, Array(1.0f, 1.001f))   // leans to cell 2; near-identical to 1
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("centroid_id", "centv")
+    val kept = Dedup.semanticDedup(vecs, "vec_id", "embedding", cents, 0.9)
+    assert(kept.count() == 2) // different cells → never compared
+  }
+
+  test("semantic dedup skew guard: oversized cells generate no pairs") {
+    val vecs = (1L to 20L).map(i => (i, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 0.0f))).toDF("centroid_id", "centv")
+    val capped = Dedup.semanticDedup(vecs, "vec_id", "embedding", cents,
+      threshold = 0.95, maxCell = 10)
+    assert(capped.count() == 20)
+    val uncapped = Dedup.semanticDedup(vecs, "vec_id", "embedding", cents,
+      threshold = 0.95)
+    assert(uncapped.count() == 1)
+  }
+
   test("brute-force knn returns exact neighbors in cosine order") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
