@@ -624,6 +624,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d33_bloom_decontaminate" -> ((s, d) => {
+      // the bloom-prefiltered twin of d23 on a different eval split:
+      // eval grams collapse to ONE bounded sketch, corpus grams die
+      // map-side at might_contain, and only bloom survivors reach the
+      // exact-verify join. The report is exact (verify kills false
+      // positives; false negatives can't happen), so the oracle is the
+      // same plain SQL as d23's — the bloom must be invisible in the
+      // output or this row hash-fails.
+      val all = docs(s, d)
+      Decontamination.bloomOverlapReport(
+          all, all.filter(col("doc_id") % 89 === 3), "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
     "d24_repetition" -> ((s, d) =>
       // Gopher-style repetition quality signals (Rae et al. 2021
       // §A.1.1): duplicate word-3gram fraction and top word-2gram
@@ -1605,6 +1619,26 @@ object SparkEntry {
            END) AS grams FROM w),
          e AS (SELECT DISTINCT gram FROM
            (SELECT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0)),
+         c AS (SELECT doc_id, count(*) AS n_overlap FROM
+             (SELECT doc_id, unnest(grams) AS gram FROM g) x
+           JOIN e USING (gram) GROUP BY doc_id)
+         SELECT g.doc_id, coalesce(c.n_overlap, 0) AS n_overlap,
+           coalesce(c.n_overlap, 0) > 0 AS contaminated
+         FROM g LEFT JOIN c USING (doc_id) ORDER BY g.doc_id""",
+
+    // d23's oracle on the % 89 = 3 eval split — the bloom prefilter is
+    // an execution detail the output must not show.
+    "d33_bloom_decontaminate" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+           FROM documents),
+         g AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) < 5
+             THEN [array_to_string(ws, ' ')]
+             ELSE list_transform(range(1, len(ws) - 3),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])
+           END) AS grams FROM w),
+         e AS (SELECT DISTINCT gram FROM
+           (SELECT unnest(grams) AS gram FROM g WHERE doc_id % 89 = 3)),
          c AS (SELECT doc_id, count(*) AS n_overlap FROM
              (SELECT doc_id, unnest(grams) AS gram FROM g) x
            JOIN e USING (gram) GROUP BY doc_id)

@@ -2,7 +2,11 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.types.BinaryType
 
 /** Benchmark decontamination + repetition-quality signals — two
   * standard training-data hygiene operators a pre-training pipeline
@@ -53,6 +57,72 @@ object Decontamination {
     // eval doc holding a ubiquitous n-gram makes it corpus-sized, so
     // the join strategy stays with AQE (no forced broadcast; it
     // broadcasts the small side at runtime when it IS small)
+    corpus.select(col(idCol))
+      .join(counts, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Bloom sketch of a long-hash column: Spark's native
+    * [[BloomFilterAggregate]] (the runtime-row-level-filter machinery,
+    * exposed here as a first-class operator) — partial sketches are
+    * built map-side and OR-merged, so exactly one `numBits`-sized
+    * object ever leaves the executors regardless of input size.
+    * Returns null iff `grams` is empty. */
+  def gramBloom(grams: DataFrame, gramCol: String,
+                expectedItems: Long, numBits: Long): Array[Byte] =
+    grams.select(ExpressionUtils.column(
+        new BloomFilterAggregate(
+          ExpressionUtils.expression(col(gramCol)),
+          Literal(expectedItems), Literal(numBits)).toAggregateExpression()))
+      .head.getAs[Array[Byte]](0)
+
+  /** `might_contain(bloom, hash)` as a Column — Spark's native
+    * [[BloomFilterMightContain]] over a literal sketch (codegen'd; no
+    * UDF). False negatives are impossible; false-positive rate follows
+    * from numBits/items. */
+  def mightContainHash(bloom: Array[Byte], hash: Column): Column =
+    ExpressionUtils.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType), ExpressionUtils.expression(hash)))
+
+  /** [[overlapReport]] via a Bloom prefilter — identical output, built
+    * for the regime where the eval side is too big to broadcast as an
+    * exact hash relation (decontaminating against a full held-out
+    * corpus, not a KB-sized benchmark). Three stages:
+    *
+    *  1. the eval grams reduce to ONE bounded bloom sketch
+    *     (~`numBits/8` bytes however many grams go in — vs ~16-32
+    *     bytes/key for a broadcast HashedRelation, an order of
+    *     magnitude more eval grams per MB shipped);
+    *  2. corpus grams are prefiltered MAP-SIDE by `might_contain` —
+    *     zero shuffle, zero join; everything that cannot match dies at
+    *     the scan;
+    *  3. the tiny survivor stream (true overlaps + the fpp fraction)
+    *     is exact-verified against the true gram set — a join whose
+    *     left side is no longer the corpus, and whose strategy is left
+    *     to AQE.
+    *
+    * Bloom false positives are removed by stage 3 and false negatives
+    * don't exist, so the report is bit-identical to [[overlapReport]];
+    * only the shuffle/broadcast geometry differs. */
+  def bloomOverlapReport(corpus: DataFrame, evalDocs: DataFrame,
+                         idCol: String, textCol: String, n: Int,
+                         expectedItems: Long = 1000000L,
+                         numBits: Long = 8000000L): DataFrame = {
+    val evalG = evalGrams(evalDocs, textCol, n)
+    val bloom = gramBloom(evalG, "gram", expectedItems, numBits)
+    val corpusGrams = corpus.select(col(idCol),
+      explode(array_distinct(
+        TextFunctions.wordShingleHashes(col(textCol), n))).as("gram"))
+    val counts =
+      if (bloom == null) { // empty eval set: nothing can overlap
+        corpusGrams.limit(0).groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+      } else {
+        corpusGrams.where(mightContainHash(bloom, col("gram")))
+          .join(evalG, "gram") // exact verify; strategy is AQE's call
+          .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+      }
     corpus.select(col(idCol))
       .join(counts, Seq(idCol), "left")
       .select(col(idCol),

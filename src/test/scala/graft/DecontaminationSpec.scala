@@ -39,6 +39,37 @@ class DecontaminationSpec extends SparkSpec {
     assert(lenient === Seq(2L, 3L))
   }
 
+  test("bloomOverlapReport is bit-identical to overlapReport") {
+    val exact = Decontamination.overlapReport(corpus, evalSet, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect().toSeq
+    val bloomed = Decontamination
+      .bloomOverlapReport(corpus, evalSet, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(bloomed === exact)
+  }
+
+  test("bloom sketch has no false negatives; prefilter prunes non-members") {
+    import graft.functions.TextFunctions
+    val g = Decontamination.evalGrams(evalSet, "text", 5)
+    val bloom = Decontamination.gramBloom(g, "gram", 1000L, 8000L)
+    // every inserted gram must pass might_contain
+    val misses = g.where(!Decontamination.mightContainHash(bloom, col("gram"))).count()
+    assert(misses === 0L)
+    // a stream of fresh grams should mostly die at the prefilter
+    // (8000 bits / 3 items → fpp is tiny; allow a generous margin)
+    val fresh = spark.range(0, 1000).select(xxhash64(col("id")).as("gram"))
+    val passed = fresh.where(Decontamination.mightContainHash(bloom, col("gram"))).count()
+    assert(passed < 50, s"bloom prefilter passed $passed of 1000 non-members")
+  }
+
+  test("bloomOverlapReport with an empty eval set reports all-clean") {
+    val r = Decontamination.bloomOverlapReport(
+        corpus, evalSet.limit(0), "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2)))
+    assert(r === Seq((1L, 0L, false), (2L, 0L, false), (3L, 0L, false), (4L, 0L, false)))
+  }
+
   test("repetitionSignals matches hand-computed Gopher fractions") {
     val df = Seq(
       (1L, "a b a b a b"), // 2-grams: ab,ba,ab,ba,ab -> top 3/5; 3-grams: 4 total 2 distinct -> dup 0.5
