@@ -638,6 +638,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d34_bigram_ppl" -> ((s, d) => {
+      // CCNet-shaped quality scoring: train a top-64-vocab bigram LM on
+      // the corpus (bounded artifact), then score every doc in one
+      // zero-shuffle map pass. The per-doc log-prob sum folds in
+      // position order on BOTH engines, so no float depends on
+      // aggregation order anywhere in the query.
+      val all = docs(s, d)
+      val lm = TextAnalysis.trainBigramLm(all, "text", vocabSize = 64)
+      TextAnalysis.bigramPerplexity(all.select("doc_id", "text"), "text", lm)
+        .select("doc_id", "n_bigrams", "avg_logp", "ppl")
+        .orderBy("doc_id")
+    }),
+
     "d24_repetition" -> ((s, d) =>
       // Gopher-style repetition quality signals (Rae et al. 2021
       // §A.1.1): duplicate word-3gram fraction and top word-2gram
@@ -1645,6 +1658,46 @@ object SparkEntry {
          SELECT g.doc_id, coalesce(c.n_overlap, 0) AS n_overlap,
            coalesce(c.n_overlap, 0) > 0 AS contaminated
          FROM g LEFT JOIN c USING (doc_id) ORDER BY g.doc_id""",
+
+    // Mirrors trainBigramLm + bigramPerplexity: top-64 vocab by
+    // (count DESC, word ASC), chr(1) as <unk>, add-one smoothing
+    // p = (C(w1 w2)+1)/(C(w1)+V+1), and the log-prob sum as a
+    // list_reduce left fold in position order — the exact fold the
+    // Spark `aggregate` HOF runs (0.0 + l1 == l1, so the seeded and
+    // unseeded folds agree bit-for-bit).
+    "d34_bigram_ppl" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         uni AS (SELECT w, count(*) AS c
+           FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         vocab AS (SELECT w, c FROM uni ORDER BY c DESC, w LIMIT 64),
+         stats AS (SELECT (SELECT sum(c) FROM uni) - (SELECT sum(c) FROM vocab) AS unk_c,
+                          (SELECT count(*) FROM vocab) AS v),
+         vm AS (SELECT map_from_entries(list({'k': w, 'v': c} ORDER BY w)) AS m FROM vocab),
+         tm AS (SELECT doc_id,
+             list_transform(toks, x -> CASE WHEN len(map_extract(m, x)) > 0
+               THEN x ELSE chr(1) END) AS tu
+           FROM t, vm),
+         big AS (SELECT bg, count(*) AS c FROM
+             (SELECT unnest(list_transform(range(1, len(tu)),
+                i -> tu[i] || ' ' || tu[i+1])) AS bg FROM tm)
+           GROUP BY bg),
+         bm AS (SELECT map_from_entries(list({'k': bg, 'v': c} ORDER BY bg)) AS bmap FROM big),
+         scored AS (
+           SELECT doc_id, len(tu) AS n,
+             CASE WHEN len(tu) >= 2 THEN
+               list_reduce(list_transform(range(1, len(tu)), i ->
+                 ln( (coalesce(map_extract(bmap, tu[i] || ' ' || tu[i+1])[1], 0) + 1.0)
+                   / ((CASE WHEN tu[i] = chr(1) THEN unk_c
+                       ELSE map_extract(m, tu[i])[1] END) + v + 1.0) )),
+                 (a, b) -> a + b)
+             ELSE NULL END AS lsum
+           FROM tm, vm, bm, stats)
+         SELECT doc_id, CAST(n - 1 AS BIGINT) AS n_bigrams,
+           round(lsum / (n - 1), 6) AS avg_logp,
+           round(exp(-(lsum / (n - 1))), 4) AS ppl
+         FROM scored ORDER BY doc_id""",
 
     // Mirrors Decontamination.repetitionSignals: dup fraction from
     // list_distinct on the 3-gram list; top fraction from the max

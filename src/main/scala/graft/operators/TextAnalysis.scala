@@ -184,6 +184,106 @@ object TextAnalysis {
         coalesce(size(col(s"${p}_c.ctoks")).cast("long"), lit(0L)).as("chunk_tokens")): _*)
   }
 
+  /** Out-of-vocabulary token marker for the bigram LM — a control char
+    * no whitespace-split token can contain after normalization of real
+    * text, so it cannot collide with a vocabulary word. */
+  val UnkToken: String = "\u0001"
+
+  /** Bigram language model: top-V vocabulary with unigram counts, the
+    * aggregated `<unk>` mass, and bigram counts over unk-mapped token
+    * pairs (key = "w1 w2"). Bounded by construction: `vocab.size <= V`
+    * and `bigrams.size <= (V+1)^2` — a model artifact, never
+    * corpus-sized, so it ships to executors whole. */
+  final case class BigramLmModel(vocab: Map[String, Long], unkCount: Long,
+                                 bigrams: Map[String, Long]) {
+    def vocabSize: Int = vocab.size
+  }
+
+  private def toksExpr(textCol: Column): Column =
+    split(lower(trim(textCol)), "\\s+")
+
+  private def unkMapExpr(toks: Column, vocabLit: Column): Column =
+    transform(toks, x =>
+      when(element_at(vocabLit, x).isNotNull, x).otherwise(lit(UnkToken)))
+
+  /** Train a [[BigramLmModel]] on a corpus — the CCNet-style quality
+    * scorer's model-build pass (Wenzek et al. 2020 score documents with
+    * an n-gram LM; the reference's quality step uses a pretrained
+    * classifier instead, reference: src/llm_data_pipeline/quality/
+    * model.py:267-340 — same interface, self-trained here).
+    *
+    * `vocabSize` is the scale lever: the unigram pass is a classic
+    * word-count (map-side combine collapses each partition to its
+    * distinct words before the shuffle), top-V is a TakeOrdered (never
+    * a full sort), and the bigram pass counts over ALREADY unk-mapped
+    * tokens, so its shuffle key space is collapsed to <= (V+1)^2
+    * regardless of corpus size. */
+  def trainBigramLm(df: DataFrame, textCol: String,
+                    vocabSize: Int): BigramLmModel = {
+    val toks = df.select(toksExpr(col(textCol)).as("toks"))
+      .where(col("toks").isNotNull)
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = uni.orderBy(desc("c"), asc("w")).limit(vocabSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = uni.agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0)
+    uni.unpersist()
+    val vocabLit = typedLit(vocab)
+    val bigrams = toks
+      .select(unkMapExpr(col("toks"), vocabLit).as("tu"))
+      .where(size(col("tu")) >= 2) // guard BEFORE sequence: seq(1,0) descends
+      .select(explode(transform(sequence(lit(1), size(col("tu")) - 1), i =>
+        concat(element_at(col("tu"), i), lit(" "),
+          element_at(col("tu"), i + 1)))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    BigramLmModel(vocab, total - vocab.values.sum, bigrams)
+  }
+
+  /** Score documents with a trained [[BigramLmModel]]: appends
+    * `n_bigrams`, `avg_logp`, and `ppl` (perplexity, `exp(-avg_logp)`).
+    * Add-one smoothing over the unk-mapped pair: `p(w2|w1) =
+    * (C(w1 w2) + 1) / (C(w1) + V + 1)`.
+    *
+    * The model travels as map LITERALS inside one per-row projection —
+    * scoring is a zero-shuffle map pass, the CCNet deployment shape.
+    * The per-doc log-prob sum is a strict left fold in POSITION order
+    * on both engines (Spark `aggregate` HOF / SQL `list_reduce` over
+    * the position-indexed list), so partial-agg reordering can never
+    * touch it — float determinism by construction, not by tolerance.
+    * Docs with fewer than two tokens have no bigrams: n_bigrams 0 and
+    * null score. Note: `element_at` on a map literal is a linear scan,
+    * fine at model V's (64..1k); for a 100k-word vocab, ship the model
+    * via the executor-singleton pattern (TokenizeStep) instead. */
+  def bigramPerplexity(df: DataFrame, textCol: String,
+                       model: BigramLmModel): DataFrame = {
+    val lowerCols = df.columns.map(_.toLowerCase).toSet
+    val p = Iterator.iterate("__lm")(_ + "_")
+      .dropWhile(x => lowerCols.exists(_.startsWith(x))).next()
+    val vocabLit = typedLit(model.vocab)
+    val biLit = typedLit(model.bigrams)
+    val vp1 = lit(model.vocabSize.toDouble + 1.0)
+    val tu = col(s"${p}_tu")
+    def uniCount(w: Column): Column =
+      when(w === lit(UnkToken), lit(model.unkCount))
+        .otherwise(element_at(vocabLit, w)).cast("double")
+    val logps = transform(sequence(lit(1), size(tu) - 1), i =>
+      log((coalesce(element_at(biLit,
+          concat(element_at(tu, i), lit(" "), element_at(tu, i + 1))), lit(0L))
+        .cast("double") + lit(1.0)) / (uniCount(element_at(tu, i)) + vp1)))
+    val staged = df
+      .withColumn(s"${p}_tu", unkMapExpr(toksExpr(col(textCol)), vocabLit))
+      .withColumn(s"${p}_ls", when(size(tu) >= 2,
+        aggregate(logps, lit(0.0), (a, x) => a + x)))
+    val avg = col(s"${p}_ls") / (size(tu) - 1).cast("double")
+    staged
+      .withColumn("n_bigrams", (size(tu) - 1).cast("long"))
+      .withColumn("avg_logp", round(avg, 6))
+      .withColumn("ppl", round(exp(-avg), 4))
+      .drop(s"${p}_tu", s"${p}_ls")
+  }
+
   /** documents → + (lang_pred, lang_score, quality_score, n_tokens,
     * mean_token_len, fingerprint) — the combined analysis projection. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {

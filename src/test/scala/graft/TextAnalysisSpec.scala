@@ -127,6 +127,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.filter(_._1 == 2L).toSeq == Seq((2L, 0, "tiny doc", 2L)))
   }
 
+  test("bigram LM training: top-V vocab, unk mass, unk-mapped bigram counts") {
+    val corpus = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val lm = TextAnalysis.trainBigramLm(corpus, "text", vocabSize = 2)
+    // unigrams a:3 b:1 c:1; top-2 by (count desc, word asc) -> a, b; c is unk
+    assert(lm.vocab == Map("a" -> 3L, "b" -> 1L))
+    assert(lm.unkCount == 1L)
+    val U = TextAnalysis.UnkToken
+    assert(lm.bigrams == Map("a b" -> 1L, "b a" -> 1L, s"a $U" -> 1L))
+  }
+
+  test("bigram perplexity matches hand-computed add-one smoothing") {
+    val corpus = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val lm = TextAnalysis.trainBigramLm(corpus, "text", vocabSize = 2)
+    val r = TextAnalysis.bigramPerplexity(corpus, "text", lm)
+      .orderBy("doc_id")
+      .select("n_bigrams", "avg_logp", "ppl").collect()
+    // doc 1: p(b|a)=(1+1)/(3+3)=1/3, p(a|b)=(1+1)/(1+3)=1/2
+    //   avg = -ln(6)/2, ppl = sqrt(6)
+    assert(r(0).getLong(0) == 2L)
+    assert(r(0).getDouble(1) == math.rint(-math.log(6.0) / 2 * 1e6) / 1e6)
+    assert(r(0).getDouble(2) == math.rint(math.sqrt(6.0) * 1e4) / 1e4)
+    // doc 2: p(unk|a)=(1+1)/(3+3)=1/3 -> ppl 3
+    assert(r(1).getLong(0) == 1L)
+    assert(r(1).getDouble(2) == 3.0)
+  }
+
+  test("bigram perplexity edge cases: single token, unseen bigram") {
+    val corpus = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val lm = TextAnalysis.trainBigramLm(corpus, "text", vocabSize = 2)
+    val r = TextAnalysis.bigramPerplexity(
+        Seq((1L, "solo"), (2L, "b b")).toDF("doc_id", "text"), "text", lm)
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(2) == 0L && r(0).isNullAt(3) && r(0).isNullAt(4))
+    // "b b": unseen pair -> (0+1)/(1+3) = 1/4 -> ppl 4
+    assert(r(1).getLong(2) == 1L && r(1).getDouble(4) == 4.0)
+  }
+
   test("quantizeInt8 codes stay in [-127,127] and reconstruct within scale/2") {
     val df = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
