@@ -1140,6 +1140,42 @@ object SparkEntry {
       s.table("st06_tbl").orderBy("doc_id")
     }),
 
+    "st07_stream_online_dedup" -> ((s, d) => {
+      // stream-vs-ITSELF near-dedup with cross-batch keyed state: docs
+      // arrive in 4 deterministic micro-batches (batch = doc_id % 4,
+      // MemoryStream fed batch-by-batch with processAllAvailable between
+      // adds), each LSH band bucket remembers its members in
+      // flatMapGroupsWithState state, and every arrival emits collision
+      // evidence against everything that arrived BEFORE it — across
+      // batches — never against later arrivals. The batch exact-verify
+      // tail acquits band-only collisions, so kept = docs with no
+      // verified earlier near-dup. Arrival order IS the (batch, doc_id)
+      // lexicographic order by construction, which makes
+      // first-arrival-wins checkable in plain SQL.
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val all = docs(s, d)
+      val mem = MemoryStream[(Long, Int, String)]
+      val evidence = graft.streaming.Streaming.onlineCollisionEvidence(
+        mem.toDF().toDF("id", "batch", "text"))
+      s.catalog.dropTempView("st07_tbl")
+      val q = evidence.toDF().writeStream.format("memory")
+        .queryName("st07_tbl").outputMode("append").start()
+      try {
+        val rows = all
+          .select(col("doc_id"), pmod(col("doc_id"), lit(4)).cast("int"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        (0 until 4).foreach { b => // fixture harness: 500 rows at gate SF
+          mem.addData(rows.filter(_._2 == b).sortBy(_._1).toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      Dedup.verifyCandidatesExact(all, "doc_id", "text", all,
+          s.table("st07_tbl"), threshold = 0.8, ngram = Dedup.MinHashConfig().ngram)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "st05_stream_incremental_dedup" -> ((s, d) => {
       // streaming twin of x07 (continuous-ingest near-dedup): new docs
       // arrive as a file stream, their bands inner-join the STATIC
@@ -2119,6 +2155,25 @@ object SparkEntry {
     // candidate generation into a stream-static join) — ONE oracle
     // string bound to both keys so the twins cannot desynchronize
     "st05_stream_incremental_dedup" -> incrementalDedupOracle,
+
+    // First-arrival-wins online dedup: kept = docs with no exact
+    // ground-truth near-dup (char-5gram Jaccard >= 0.8, x07's gram
+    // construction) that arrived strictly earlier in (batch, doc_id)
+    // order. Assumes the band index catches every >= 0.8 pair on the
+    // fixture (the x01/x07 oracles already pin this recall property);
+    // band-only collisions are acquitted by the exact-verify tail.
+    "st07_stream_online_dedup" ->
+      """WITH n AS (SELECT doc_id, doc_id % 4 AS b,
+             lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+           FROM documents),
+         g AS (SELECT doc_id, b, list_distinct(CASE WHEN length(s) < 5 THEN [s]
+               ELSE list_transform(range(1, length(s)-3), i -> s[i:i+4]) END) AS gs
+           FROM n)
+         SELECT a.doc_id FROM g a WHERE NOT EXISTS (
+           SELECT 1 FROM g e WHERE (e.b < a.b OR (e.b = a.b AND e.doc_id < a.doc_id))
+             AND len(list_intersect(a.gs, e.gs)) * 1.0
+               / len(list_distinct(list_concat(a.gs, e.gs))) >= 0.8)
+         ORDER BY a.doc_id""",
 
     "x07_incremental_dedup" -> incrementalDedupOracle,
 

@@ -155,15 +155,18 @@ object Dedup {
     * banding step (reference: src/llm_data_pipeline/dedup/dedup.py:27-70).
     * Band hash = builtin xxhash64 over (band_id, the band's slice), so
     * the whole step stays in codegen. */
-  def bandRows(sigs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+  def bandRows(sigs: DataFrame, cfg: MinHashConfig = MinHashConfig(),
+               carryCols: Seq[String] = Nil): DataFrame = {
     val b = bands(cfg)
     val r = cfg.rowsPerBand
     val bandStructs = array((0 until b).map { i =>
       struct(lit(i).as("band_id"),
         xxhash64(lit(i), slice(col("signature"), i * r + 1, r)).as("band_hash"))
     }: _*)
-    sigs.select(col("id"), explode(bandStructs).as("band"))
-      .select(col("id"), col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
+    val keep = col("id") +: carryCols.map(col)
+    sigs.select(keep :+ explode(bandStructs).as("band"): _*)
+      .select(keep ++ Seq(col("band.band_id").as("band_id"),
+        col("band.band_hash").as("band_hash")): _*)
   }
 
   /** Candidate duplicate pairs (u < v) from LSH buckets: one shuffle on

@@ -91,6 +91,62 @@ object Streaming {
       .drop(r(key))
   }
 
+  /** One arriving (band, doc) row of the online dedup index. */
+  case class BandArrival(band_id: Int, band_hash: Long, id: Long, batch: Int)
+
+  /** `__new_id` shares an LSH band bucket with the earlier-arrived
+    * `__idx_id` — column names match
+    * [[graft.operators.Dedup.verifyCandidatesExact]]'s contract. */
+  case class CollisionEvidence(__new_id: Long, __idx_id: Long)
+
+  /** Stream-vs-ITSELF online near-dedup index: cross-batch keyed state
+    * via `flatMapGroupsWithState`. Input is a streaming DataFrame of
+    * `(id: long, batch: int, text: string)`; each LSH band bucket keeps
+    * the ids that have arrived in it (in arrival order), and every new
+    * arrival emits one [[CollisionEvidence]] row per already-present
+    * member — so a document collides against everything BEFORE it
+    * (including earlier rows of its own micro-batch, which the group
+    * iterator visits in (batch, id) order) and never against later
+    * arrivals. First-arrival-wins, the online-index semantics; the
+    * caller exact-verifies evidence downstream (st05's tail) because
+    * per-row shingle verification inside the stream would hold full
+    * texts in state.
+    *
+    * Scale shape: state is per-bucket and capped at `maxState` members
+    * (hot degenerate buckets — boilerplate, empty docs — stop indexing
+    * at the cap but keep emitting evidence against the stored members:
+    * bounded state, documented recall trade, same contract as the batch
+    * path's `maxBucket`). The shuffle key is the band bucket, exactly
+    * the batch LSH join's key. */
+  def onlineCollisionEvidence(docs: DataFrame,
+                              cfg: graft.operators.Dedup.MinHashConfig =
+                                graft.operators.Dedup.MinHashConfig(),
+                              maxState: Int = 128): Dataset[CollisionEvidence] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs.select(col("id"), col("batch"),
+      graft.functions.HashFunctions.minhash(
+        graft.functions.TextFunctions.normalizeForDedup(col("text")),
+        cfg.k, cfg.ngram, cfg.seed).as("signature"))
+    val bandDs = graft.operators.Dedup.bandRows(sigs, cfg, carryCols = Seq("batch"))
+      .select(col("band_id").cast("int").as("band_id"), col("band_hash"),
+        col("id").cast("long").as("id"), col("batch").cast("int").as("batch"))
+      .as[BandArrival]
+    bandDs.groupByKey(r => (r.band_id, r.band_hash))
+      .flatMapGroupsWithState[Seq[Long], CollisionEvidence](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Seq[Long]]) =>
+          var members = state.getOption.getOrElse(Seq.empty[Long]).toVector
+          val out = Vector.newBuilder[CollisionEvidence]
+          rows.toVector.sortBy(r => (r.batch, r.id)).foreach { a =>
+            members.foreach(m => out += CollisionEvidence(a.id, m))
+            if (members.size < maxState) members = members :+ a.id
+          }
+          state.update(members)
+          out.result().iterator
+      }
+  }
+
   /** Drain a stream to an in-memory table with AvailableNow (process
     * everything currently present, then stop). Returns the table name. */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Update()): String = {

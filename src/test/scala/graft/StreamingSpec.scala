@@ -88,6 +88,52 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(("p1", "c1"), ("p2", "c2")))
   }
 
+  test("online near-dedup evidence is cross-batch and first-arrival-ordered") {
+    implicit val sq = spark.sqlContext
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 60).map(i => s"alt$i").mkString(" ")
+    val mem = MemoryStream[(Long, Int, String)]
+    val evidence = Streaming.onlineCollisionEvidence(
+      mem.toDF().toDF("id", "batch", "text"))
+    spark.catalog.dropTempView("online_ev")
+    val q = evidence.toDF().writeStream.format("memory")
+      .queryName("online_ev").outputMode("append").start()
+    try {
+      // batch 0: 1 and its in-batch near-dup 2; 3 distinct
+      mem.addData((1L, 0, base), (2L, 0, base + " tail"), (3L, 0, other))
+      q.processAllAvailable()
+      // batch 1: 4 is a cross-batch near-dup of 1/2; 5 distinct
+      mem.addData((4L, 1, base + " suffix"), (5L, 1, "wholly unrelated words"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("online_ev").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // evidence always points later -> earlier in arrival order
+    assert(pairs.contains((2L, 1L)) && pairs.contains((4L, 1L)) && pairs.contains((4L, 2L)))
+    assert(!pairs.exists { case (n, e) => n <= e }) // no forward/self edges
+    assert(!pairs.exists { case (n, e) => n == 3L || e == 3L || n == 5L || e == 5L })
+  }
+
+  test("online dedup state cap bounds bucket membership but keeps emitting") {
+    implicit val sq = spark.sqlContext
+    val txt = (1 to 60).map(i => s"same$i").mkString(" ")
+    val mem = MemoryStream[(Long, Int, String)]
+    val evidence = Streaming.onlineCollisionEvidence(
+      mem.toDF().toDF("id", "batch", "text"), maxState = 2)
+    spark.catalog.dropTempView("online_cap")
+    val q = evidence.toDF().writeStream.format("memory")
+      .queryName("online_cap").outputMode("append").start()
+    try {
+      mem.addData((1L, 0, txt), (2L, 0, txt), (3L, 0, txt))
+      q.processAllAvailable()
+      mem.addData((4L, 1, txt)) // bucket full: 4 still collides vs stored 1,2
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("online_cap").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 1L), (3L, 1L), (3L, 2L), (4L, 1L), (4L, 2L)))
+  }
+
   test("incremental parquet stream processes a directory exactly once") {
     val dir = Files.createTempDirectory("stream_in").toString
     val out = Files.createTempDirectory("stream_out").toString
