@@ -93,13 +93,56 @@ object ConnectedComponents {
     out
   }
 
-  def run(edges: DataFrame, maxIterations: Int = 20): DataFrame = {
+  /** Edge-count bound for the driver union-find fast path: 200k edges
+    * is ~3 MB collected — model-sized, not corpus-sized. Below it, the
+    * alternating-star loop would spend seconds of pure job-scheduling
+    * per round on a graph the driver resolves in milliseconds (dedup
+    * pair graphs are usually tiny relative to their corpus); above it,
+    * the distributed loop runs as before. The reference resolves ALL
+    * graphs driver-side (reference: src/llm_data_pipeline/dedup/
+    * dedup.py:103-121); here that is strictly a bounded fallback. */
+  val SmallGraphEdges: Long = 200000L
+
+  /** Driver union-find with path compression; union-by-min keeps every
+    * root the minimum id of its component, so the output labeling is
+    * IDENTICAL to the distributed loop's (id -> component-min, one row
+    * per node that appears in any edge). */
+  private def unionFindDriver(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "component")
+  }
+
+  def run(edges: DataFrame, maxIterations: Int = 20,
+          smallGraphEdges: Long = SmallGraphEdges): DataFrame = {
     val spark = edges.sparkSession
     var cur = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src") =!= col("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var sig = signature(cur)
+    var sig = signature(cur) // (edge count, hash) — the count is free here
+    if (sig._1 <= smallGraphEdges) {
+      val out = unionFindDriver(cur)
+      cur.unpersist()
+      return out
+    }
     var converged = false
     var it = 0
     while (!converged && it < maxIterations) {

@@ -353,7 +353,7 @@ object Dedup {
     * estimates below t-0.3 with probability ~3e-5 at the threshold
     * boundary (binomial over 32 permutations), ~1e-12 for real
     * near-dup similarity levels. */
-  private def candidatePairsEstimateGated(sigs: DataFrame, cfg: MinHashConfig,
+  private[graft] def candidatePairsEstimateGated(sigs: DataFrame, cfg: MinHashConfig,
                                           estThreshold: Double): DataFrame = {
     val b = bands(cfg)
     val r = cfg.rowsPerBand
@@ -492,8 +492,13 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8,
                    cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    // shingles travel as 64-bit hashes, never as n-gram STRINGS — the
+    // exact intersect/union runs on long arrays (x06 convention:
+    // Jaccard is preserved modulo 64-bit collisions; the string-gram
+    // SQL oracle still hash-matches). Measured ~2x on this operator's
+    // verify stage (same rework as repetitionSignals, d24).
     val sh = Partitioning.ensureParallelism(df).select(col(idCol).as("id"),
-        array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+        array_distinct(TextFunctions.wordShingleHashes(col(textCol), n)).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = minhashSignatures(df, idCol, textCol, cfg)
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -33,10 +33,16 @@ class ConnectedComponentsSpec extends SparkSpec {
   private def check(edges: Seq[(Long, Long)]): Unit = {
     import spark.implicits._
     val df = edges.toDF("src", "dst")
+    val want = unionFind(0, edges)
+    // default path (small graphs take the bounded driver fallback)
     val got = ConnectedComponents.run(df).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val want = unionFind(0, edges)
     assert(got == want, s"edges=$edges")
+    // distributed alternating-star path, forced (fallback disabled) —
+    // both labelings must be identical
+    val gotDist = ConnectedComponents.run(df, smallGraphEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist == want, s"distributed path, edges=$edges")
   }
 
   test("two disjoint pairs") { check(Seq((1L, 2L), (3L, 4L))) }
