@@ -730,6 +730,21 @@ object SparkEntry {
         .select("vec_id", "label").orderBy("vec_id")
     }),
 
+    "e09_pq_knn" -> ((s, d) => {
+      // product-quantization ANN: corpus encoded against modulo-sampled
+      // codebooks (16 entries x 8 subspaces of 8 dims), queries score
+      // exact squared-L2 against the reconstructions (the ADC value).
+      // The oracle rebuilds codebooks, per-subspace argmin encoding,
+      // reconstruction, and every distance in plain SQL — a single
+      // wrongly-snapped subvector anywhere hash-fails the row.
+      val e = emb(s, d)
+      val cents = e.filter(pmod(col("vec_id"), lit(31)) === 7)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+      Similarity.pqTopK(e.filter(col("vec_id") < 10), e,
+          "vec_id", "vec_id", "embedding", cents, m = 8, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     "q33_salted_skew_join" -> ((s, d) => {
       // the explicit skew-join path under the gate: l_returnflag has
       // cardinality 3 (every key is a hot key), the 3-row dim is
@@ -1908,6 +1923,39 @@ object SparkEntry {
          SELECT vec_id, label FROM embeddings
          WHERE vec_id NOT IN (SELECT vec_id FROM comp WHERE mn < vec_id)
          ORDER BY vec_id""",
+
+    // PQ oracle: codebooks = subvectors of the % 31 = 7 rows; encoding
+    // = per-(vector, subspace) rank window on the 8-dim squared L2
+    // (ties to smaller entry id — the engine's struct-min order);
+    // reconstruction = chosen entries concatenated in subspace order;
+    // ADC = one flat 64-dim fold, the same left-to-right grouping the
+    // L2SqDist expression accumulates.
+    "e09_pq_knn" ->
+      """WITH v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         cb AS (SELECT vec_id AS cid, emb AS cv FROM v WHERE vec_id % 31 = 7),
+         sub AS (SELECT v.vec_id, jj.j, c.cid,
+             c.cv[jj.j*8+1 : jj.j*8+8] AS ent,
+             row_number() OVER (PARTITION BY v.vec_id, jj.j ORDER BY
+               list_sum(list_transform(range(1, 9),
+                 i -> (v.emb[jj.j*8+i] - c.cv[jj.j*8+i])
+                    * (v.emb[jj.j*8+i] - c.cv[jj.j*8+i]))),
+               c.cid) AS rn
+           FROM v CROSS JOIN range(0, 8) jj(j) CROSS JOIN cb c),
+         recon AS (SELECT vec_id, flatten(list(ent ORDER BY j)) AS rc
+           FROM sub WHERE rn = 1 GROUP BY vec_id),
+         q AS (SELECT vec_id AS query_id, emb AS qv FROM v WHERE vec_id < 10),
+         s AS (SELECT query_id, r.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65),
+               i -> (qv[i]-rc[i])*(qv[i]-rc[i]))) AS adc
+           FROM q CROSS JOIN recon r WHERE r.vec_id != query_id)
+         SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id,
+           round(adc, 6) AS adc_dist
+         FROM (SELECT query_id, neighbor_id, adc,
+             row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+           FROM s)
+         WHERE rn <= 5 ORDER BY query_id, rank""",
 
     // Mirrors Sampling.mixtureReport: same CTEs as d27 plus the
     // realized kept aggregates; keep_prob = least(1, budget*sqrt/z/tt)

@@ -97,6 +97,14 @@ object HashFunctions {
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Squared L2 distance of two numeric arrays in one pass — same
+    * codegen-bridged shape and null semantics as [[cosineSim]]
+    * (length mismatch or null element → null). Accumulates
+    * `(x−y)²` left-to-right in index order, the fold an external SQL
+    * engine's `list_sum(list_transform(...))` reproduces exactly. */
+  def l2Sq(a: Column, b: Column): Column =
+    ExpressionUtils.column(L2SqDist(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** Shannon entropy (nats) of the string's code-point distribution —
     * one pass, no per-char array materialization (the array_sort
     * construction allocated one String per character and compared them
@@ -276,6 +284,68 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
   override def prettyName: String = "cosine_sim"
+}
+
+/** Squared L2 distance of two numeric arrays (see
+  * [[HashFunctions.l2Sq]]) — one pass, left-to-right `(x−y)²`
+  * accumulation in a double. */
+case class L2SqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType | ShortType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"l2_sq requires numeric arrays, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  private def getter(e: Expression): (org.apache.spark.sql.catalyst.util.ArrayData, Int) => Double =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType   => (a, i) => a.getFloat(i).toDouble
+      case DoubleType  => (a, i) => a.getDouble(i)
+      case IntegerType => (a, i) => a.getInt(i).toDouble
+      case LongType    => (a, i) => a.getLong(i).toDouble
+      case ShortType   => (a, i) => a.getShort(i).toDouble
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+  @transient private lazy val getL = getter(left)
+  @transient private lazy val getR = getter(right)
+
+  override def nullSafeEval(av: Any, bv: Any): Any = {
+    val a = av.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = bv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0d
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = getL(a, i) - getR(b, i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this, getClass.getName)
+    val res = ctx.freshName("l2Res")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      Object $res = $ref.nullSafeEval($a, $b);
+      if ($res == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((Double) $res).doubleValue(); }""")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2SqDist =
+    copy(left = l, right = r)
+  override def prettyName: String = "l2_sq"
 }
 
 /** Shannon entropy in nats over the code-point frequency distribution:

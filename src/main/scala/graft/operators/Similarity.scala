@@ -184,6 +184,92 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 4).as("score"))
   }
 
+  /** Collect a bounded centroid table as (id, double-cast vector),
+    * sorted by id — shared by the PQ codebooks here and callers that
+    * ship centroids into expressions. */
+  private[operators] def collectCentroids(centroids: DataFrame): Seq[(Long, Seq[Double])] = {
+    val Array(cidCol, cvecCol) = centroids.columns.take(2)
+    val out = centroids
+      .select(col(cidCol).cast("long"), transform(col(cvecCol), _.cast("double")))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(out.nonEmpty, "need at least one centroid")
+    require(out.map(_._1).distinct.size == out.size, "centroid ids must be unique")
+    out
+  }
+
+  /** Product-quantization encode (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the vector is split
+    * into `m` contiguous subvectors and each is snapped to its nearest
+    * codebook entry (squared L2, ties to the smaller entry id). Emits
+    * `code` (the m chosen entry ids — the 8-bytes-per-vector
+    * compression PQ exists for) and `recon` (the decoded
+    * reconstruction, concatenated chosen entries).
+    *
+    * `centroids` supplies the codebooks: entry j of subspace s is the
+    * s-th subvector of sampled/trained row j — a bounded model shipped
+    * inside the encoding expression, so encoding is one narrow map
+    * pass (zero shuffle), the [[graft.operators.Dedup.semanticDedup]]
+    * convention. Per subspace the argmin is a struct-min over
+    * (distance, entry id) — exact ties keep the smaller id, the
+    * ordering a rank window would produce. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               centroids: DataFrame, m: Int): DataFrame = {
+    require(m > 0, "need m > 0 subspaces")
+    val cents = collectCentroids(centroids)
+    val dim = cents.head._2.size
+    require(cents.forall(_._2.size == dim), "centroid dims must agree")
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val ds = dim / m
+    val v = col("__pq_v")
+    val staged0 = df.select(col(idCol).as("id"),
+      transform(col(vecCol), _.cast("double")).as("__pq_v"))
+    // one staged struct-min column per subspace: each is read twice
+    // (code id + recon slice) but evaluated once
+    val staged = (0 until m).foldLeft(staged0) { (acc, j) =>
+      val entries = typedLit(cents.map { case (cid, cv) =>
+        (cid, cv.slice(j * ds, (j + 1) * ds))
+      })
+      acc.withColumn(s"__pq_c$j", array_min(transform(entries, e => struct(
+        graft.functions.HashFunctions.l2Sq(
+          slice(v, j * ds + 1, ds), e.getField("_2")).as("d"),
+        e.getField("_1").as("cid"),
+        e.getField("_2").as("cv")))))
+    }
+    staged.select(col("id"),
+        array((0 until m).map(j => col(s"__pq_c$j").getField("cid")): _*).as("code"),
+        flatten(array((0 until m).map(j => col(s"__pq_c$j").getField("cv")): _*)).as("recon"))
+  }
+
+  /** PQ approximate top-k: corpus vectors are PQ-encoded once, queries
+    * score against the RECONSTRUCTIONS with exact squared L2 — the
+    * asymmetric distance (ADC) of the PQ paper, written as one
+    * 64-dim fold so an external SQL engine reproduces every distance
+    * bit-for-bit (production ADC evaluates the same sum via per-query
+    * 16-entry lookup tables over the stored codes; the VALUE is
+    * identical, only the evaluation order of the table trick would
+    * change the floats, so the oracle-facing form keeps the flat
+    * fold). Query side broadcast, corpus scanned once, two-phase
+    * top-k window — the e01 plan shape with compressed candidates. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             queryId: String, corpusId: String, vecCol: String,
+             centroids: DataFrame, m: Int, k: Int): DataFrame = {
+    val enc = pqEncode(corpus, corpusId, vecCol, centroids, m)
+      .select(col("id").as("neighbor_id"), col("recon"))
+    val q = queries.select(col(queryId).as("query_id"),
+      transform(col(vecCol), _.cast("double")).as("qv"))
+    val scored = enc.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist",
+        graft.functions.HashFunctions.l2Sq(col("qv"), col("recon")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), round(col("adc_dist"), 6).as("adc_dist"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the 4×
     * storage/bandwidth compression step of a vector-search pipeline.
     * Per-row, zero shuffle: scale = max|v| / 127, q_i = round(v_i /

@@ -181,6 +181,42 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() == 1)
   }
 
+  test("pq encode snaps each subvector to its nearest codebook entry") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 1.0f)),   // == centroid 10: exact recon
+      (2L, Array(0.9f, 0.1f, 0.9f, 0.1f))    // sub0 -> 10, sub1 -> 20
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (20L, Array(0.0f, 1.0f, 1.0f, 0.0f))
+    ).toDF("centroid_id", "centv")
+    val r = Similarity.pqEncode(vecs, "vec_id", "embedding", cents, m = 2)
+      .orderBy("id").collect()
+    assert(r(0).getSeq[Long](1) == Seq(10L, 10L))
+    assert(r(0).getSeq[Double](2) == Seq(1.0, 0.0, 0.0, 1.0)) // centroid row: exact
+    assert(r(1).getSeq[Long](1) == Seq(10L, 20L))
+    assert(r(1).getSeq[Double](2) == Seq(1.0, 0.0, 1.0, 0.0))
+  }
+
+  test("pq topk ranks by ADC distance to the reconstruction") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f, 0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (20L, Array(0.0f, 1.0f, 1.0f, 0.0f))
+    ).toDF("centroid_id", "centv")
+    val q = corpus.filter(col("vec_id") === 1L)
+    val r = Similarity.pqTopK(q, corpus, "vec_id", "vec_id", "embedding",
+        cents, m = 2, k = 2)
+      .orderBy("rank").collect()
+      .map(x => (x.getInt(1), x.getLong(2), x.getDouble(3)))
+    // recon(2) = [1,0,1,0]: dist to q = 0+0+1+1 = 2; recon(3) = [0,1,1,0]: 1+1+1+1 = 4
+    assert(r.toSeq == Seq((1, 2L, 2.0), (2, 3L, 4.0)))
+  }
+
   test("brute-force knn returns exact neighbors in cosine order") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
