@@ -994,6 +994,24 @@ object SparkEntry {
           PiiFunctions.hasPhone(col("synth")).as("has_phone"))
         .orderBy("doc_id")),
 
+    "p04_card_luhn" -> ((s, d) => {
+      // payment-card detection with Luhn checksum confirmation: card
+      // digits synthesized from doc_id (p02's convention — the corpus
+      // has no digits), so validity varies naturally (~10% pass) and
+      // the checksum column actually discriminates. Extraction, the
+      // integer checksum fold, and the conservative redaction are all
+      // recomputed verbatim by the SQL oracle.
+      docs(s, d)
+        .select(col("doc_id"), concat(lit("order ref 4"),
+          lpad(((col("doc_id") * 7919) % 99999999999999L).cast("string"), 14, "0"),
+          lit(" thank you")).as("synth"))
+        .withColumn("card_digits", PiiFunctions.firstCardDigits(col("synth")))
+        .select(col("doc_id"), col("card_digits"),
+          PiiFunctions.luhnValid(col("card_digits")).as("luhn_ok"),
+          PiiFunctions.redactCards(col("synth")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- set operations / grouping sets ----------------
     "q27_intersect_custkeys" -> ((s, d) => {
       val o = ord(s, d)
@@ -2309,6 +2327,29 @@ object SparkEntry {
            FROM documents)
          ORDER BY doc_id""",
 
+    // Mirrors PiiFunctions.firstCardDigits/luhnValid/redactCards: same
+    // synth, same RE2-safe pattern, and the Luhn fold as an integer
+    // list_transform — exact in both engines.
+    "p04_card_luhn" ->
+      s"""WITH s AS (SELECT doc_id,
+             'order ref 4' || lpad(CAST((doc_id * 7919) % 99999999999999 AS VARCHAR), 14, '0')
+               || ' thank you' AS synth
+           FROM documents),
+         c AS (SELECT doc_id, synth,
+             regexp_replace(regexp_extract(synth, '$CardSql', 0), '[^0-9]', '', 'g') AS card_digits
+           FROM s),
+         l AS (SELECT doc_id, synth, card_digits, reverse(card_digits) AS ds FROM c)
+         SELECT doc_id, card_digits,
+           CASE WHEN length(ds) = 0 THEN false
+             ELSE list_sum(list_transform(range(1, length(ds) + 1), i ->
+               CASE WHEN i % 2 = 0 THEN
+                 CASE WHEN (ascii(ds[i]) - 48) * 2 > 9
+                   THEN (ascii(ds[i]) - 48) * 2 - 9
+                   ELSE (ascii(ds[i]) - 48) * 2 END
+               ELSE ascii(ds[i]) - 48 END)) % 10 = 0 END AS luhn_ok,
+           regexp_replace(synth, '$CardSql', '<CARD>', 'g') AS redacted
+         FROM l ORDER BY doc_id""",
+
     "q27_intersect_custkeys" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 200000
          INTERSECT
@@ -2437,6 +2478,7 @@ object SparkEntry {
   // the patterns themselves, so escaping is a no-op; kept as vals for a
   // single source of truth with PiiFunctions).
   private def EmailSql = PiiFunctions.EmailPattern
+  private def CardSql = PiiFunctions.CardPattern
   private def SsnSql = PiiFunctions.SsnPattern
   private def Ipv4Sql = PiiFunctions.Ipv4Pattern
   private def Ipv6Sql = PiiFunctions.Ipv6Pattern

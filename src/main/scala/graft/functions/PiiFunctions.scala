@@ -38,6 +38,40 @@ object PiiFunctions {
     regexp_replace(s4, PhonePattern, "<PHONE>")
   }
 
+  /** Payment-card candidate: 13-19 digits, optional single space/dash
+    * between digit groups. Lookaround-free and bounded-repeat, so Java
+    * regex and RE2 match identically. */
+  val CardPattern = "[0-9](?:[ -]?[0-9]){11,17}[0-9]"
+
+  /** Luhn checksum over the digits of `c` (separators stripped):
+    * doubling every second digit from the RIGHT, subtracting 9 from
+    * two-digit products, sum divisible by 10. Pure integer expression
+    * tree (sequence/transform/aggregate) — an external SQL engine
+    * reproduces it exactly. Empty/digit-free input is false; NULL
+    * propagates. */
+  def luhnValid(c: Column): Column = {
+    val ds = reverse(regexp_replace(c, "[^0-9]", ""))
+    val terms = transform(sequence(lit(1), length(ds)), i => {
+      val d = ascii(ds.substr(i, lit(1))) - 48
+      when(i % 2 === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    when(length(ds) === 0, lit(false))
+      .otherwise(aggregate(terms, lit(0), (a, x) => a + x) % 10 === 0)
+  }
+
+  /** First payment-card candidate of the text as its bare digits, or
+    * empty string when none — pair with [[luhnValid]] for the
+    * checksum-confirmed flag. */
+  def firstCardDigits(c: Column): Column =
+    regexp_replace(regexp_extract(c, CardPattern, 0), "[ -]", "")
+
+  /** Redact card-shaped digit runs (conservative: candidates redact
+    * whether or not the checksum passes — a transposed digit is still
+    * someone's card number). */
+  def redactCards(c: Column): Column =
+    regexp_replace(c, CardPattern, "<CARD>")
+
   /** Lang-column normalize: first two chars lowercased when present,
     * else CJK-presence heuristic zh/en
     * (reference: src/llm_data_pipeline/pii/run.py:148-167). */

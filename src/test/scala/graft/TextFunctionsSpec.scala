@@ -81,6 +81,31 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.toSeq == Seq(false, true))
   }
 
+  test("luhn checksum accepts valid cards and rejects a transposed digit") {
+    // 4539148803436467 is a standard Luhn-valid test number
+    val r = Seq(
+      "4539148803436467",        // valid, bare
+      "4539 1488 0343 6467",     // valid, spaced
+      "4539-1488-0343-6467",     // valid, dashed
+      "4539148803436476",        // last two digits transposed -> invalid
+      "",                        // no digits -> false
+      "79927398713"              // classic Luhn example, valid
+    ).toDF("t").select(PiiFunctions.luhnValid(col("t"))).collect().map(_.getBoolean(0))
+    assert(r.toSeq == Seq(true, true, true, false, false, true))
+  }
+
+  test("card extraction and redaction") {
+    val txt = "pay with 4539 1488 0343 6467 or call me"
+    val row = Seq(txt).toDF("t").select(
+      PiiFunctions.firstCardDigits(col("t")),
+      PiiFunctions.redactCards(col("t"))).head()
+    assert(row.getString(0) == "4539148803436467")
+    assert(row.getString(1) == "pay with <CARD> or call me")
+    val none = Seq("no digits here").toDF("t")
+      .select(PiiFunctions.firstCardDigits(col("t"))).head().getString(0)
+    assert(none == "")
+  }
+
   test("lang normalize falls back to cjk heuristic") {
     val df = Seq(("EN-us", "hello"), (null, "hello"), (null, "你好世界")).toDF("lang", "text")
     val got = df.select(PiiFunctions.normalizeLang(col("lang"), col("text"))).collect().map(_.getString(0))
