@@ -994,6 +994,23 @@ object SparkEntry {
           PiiFunctions.hasPhone(col("synth")).as("has_phone"))
         .orderBy("doc_id")),
 
+    "w02_html_extract" -> ((s, d) => {
+      // raw-HTML ingest extraction (the stage WET files arrive with
+      // already done): docs wrapped in synthetic markup — script/style
+      // subtrees, comments, block structure, escaped entities — must
+      // come back as clean text. One zero-shuffle regexp chain; the
+      // oracle replays the identical chain, so extraction is checked
+      // byte-for-byte.
+      docs(s, d).select(col("doc_id"), concat(
+          lit("<html><head><script>var x = 1;</script><style>p { }</style></head><body><h1>"),
+          col("source"), lit("</h1><!-- hidden --><p>"),
+          substring(col("text"), 1, 80),
+          lit(" &amp; more</p><ul><li>a</li><li>b</li></ul></body></html>")).as("html"))
+        .select(col("doc_id"),
+          TextFunctions.htmlToText(col("html")).as("extracted"))
+        .orderBy("doc_id")
+    }),
+
     "p04_card_luhn" -> ((s, d) => {
       // payment-card detection with Luhn checksum confirmation: card
       // digits synthesized from doc_id (p02's convention — the corpus
@@ -2326,6 +2343,32 @@ object SparkEntry {
                || ' ssn 123-45-6789 call +1 555 123 4567 ' || substr(text, 1, 40) AS synth
            FROM documents)
          ORDER BY doc_id""",
+
+    // Mirrors TextFunctions.htmlToText stage by stage (comments,
+    // script/style, block closers -> newline, tag strip, entity
+    // decode with &amp; last, whitespace collapse). Replacements use
+    // chr(10) — a backslash-n in a replacement string is not portable.
+    "w02_html_extract" ->
+      """WITH s AS (SELECT doc_id,
+             '<html><head><script>var x = 1;</script><style>p { }</style></head><body><h1>'
+               || source || '</h1><!-- hidden --><p>' || substr(text, 1, 80)
+               || ' &amp; more</p><ul><li>a</li><li>b</li></ul></body></html>' AS html
+           FROM documents),
+         x1 AS (SELECT doc_id, regexp_replace(html, '(?s)<!--.*?-->', '', 'g') AS t FROM s),
+         x2 AS (SELECT doc_id, regexp_replace(t,
+             '(?is)<(script|style)\b[^>]*>.*?</(script|style)\s*>', '', 'g') AS t FROM x1),
+         x3 AS (SELECT doc_id, regexp_replace(t,
+             '(?i)<(br\s*/?|/p|/div|/h[1-6]|/li|/tr|/table|/blockquote)\s*>', chr(10), 'g') AS t FROM x2),
+         x4 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', '', 'g') AS t FROM x3),
+         x5 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t,
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+             '&nbsp;', ' '), '&amp;', '&') AS t FROM x4),
+         x6 AS (SELECT doc_id, regexp_replace(regexp_replace(t,
+             '[ \t\x0B\f\r]+', ' ', 'g'), ' ?\n ?', chr(10), 'g') AS t FROM x5),
+         x7 AS (SELECT doc_id, regexp_replace(regexp_replace(t,
+             '^\s+', ''), '\s+$', '') AS t FROM x6)
+         SELECT doc_id, regexp_replace(t, '\n{3,}', chr(10) || chr(10), 'g') AS extracted
+         FROM x7 ORDER BY doc_id""",
 
     // Mirrors PiiFunctions.firstCardDigits/luhnValid/redactCards: same
     // synth, same RE2-safe pattern, and the Luhn fold as an integer

@@ -30,6 +30,40 @@ object TextFunctions {
   def normalizeForDedup(c: Column): Column =
     lower(flattenWhitespace(c))
 
+  /** HTML → text extraction — the raw-crawl ingest stage the
+    * reference's WET path never needs (WET records arrive
+    * pre-extracted, reference: src/llm_data_pipeline/ingest/
+    * step.py:41-98); a pipeline fed WARC/HTML does. One fixed chain of
+    * codegen'd regexp/replace passes, zero shuffle, and every pattern
+    * is RE2-safe (inline (?is)/(?i) flags, lazy quantifiers, no
+    * lookaround) so an external SQL engine reproduces the extraction
+    * byte-for-byte:
+    * comments and script/style subtrees drop (content AND markup),
+    * block-level closers become newlines, remaining tags drop, the
+    * five core entities unescape, then per-line whitespace collapses
+    * and 3+ blank lines fold (the F1/F2 conventions). */
+  def htmlToText(c: Column): Column = {
+    val noComment = regexp_replace(c, "(?s)<!--.*?-->", "")
+    val noScript = regexp_replace(noComment,
+      "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", "")
+    val blocksToNl = regexp_replace(noScript,
+      "(?i)<(br\\s*/?|/p|/div|/h[1-6]|/li|/tr|/table|/blockquote)\\s*>", "\n")
+    val noTags = regexp_replace(blocksToNl, "(?s)<[^>]*>", "")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    // &amp; LAST so "&amp;lt;" decodes to the literal "&lt;", not "<"
+    val unescaped = entities.foldLeft(noTags) { case (acc, (e, r)) =>
+      regexp_replace(acc, e, r)
+    }
+    val lineCollapsed = regexp_replace(
+      regexp_replace(unescaped, "[ \\t\\x0B\\f\\r]+", " "),
+      " ?\n ?", "\n")
+    // \s-aware edge strip — plain trim() leaves newlines in place
+    val stripped = regexp_replace(
+      regexp_replace(lineCollapsed, "^\\s+", ""), "\\s+$", "")
+    regexp_replace(stripped, "\n{3,}", "\n\n")
+  }
+
   /** F3 — non-whitespace ratio: count(\S)/len; empty -> 0.0.
     * (reference: src/llm_data_pipeline/clean/rules.py:12,66) */
   def nonWsRatio(c: Column): Column =

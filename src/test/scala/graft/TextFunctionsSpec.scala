@@ -81,6 +81,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.toSeq == Seq(false, true))
   }
 
+  test("html extraction strips structure and decodes entities") {
+    val html = "<html><head><title>T</title><script>if (a < b) { x(); }</script>" +
+      "<style>p { color: red; }</style></head><body>" +
+      "<h1>Head</h1><!-- secret --><p>one &amp; two &lt;tag&gt; &amp;lt;kept&amp;gt;</p>" +
+      "<ul><li>a</li><li>b</li></ul><p>after<br>break</p></body></html>"
+    val got = Seq(html).toDF("t")
+      .select(TextFunctions.htmlToText(col("t"))).head().getString(0)
+    assert(got == "THead\none & two <tag> &lt;kept&gt;\na\nb\nafter\nbreak", got)
+    assert(!got.contains("secret") && !got.contains("color") && !got.contains("x()"))
+  }
+
+  test("html extraction collapses whitespace and blank-line runs") {
+    val html = "<div><p>a   b</p>\n\n\n\n<p>c\t d</p></div>"
+    val got = Seq(html).toDF("t")
+      .select(TextFunctions.htmlToText(col("t"))).head().getString(0)
+    assert(got == "a b\n\nc d", got)
+  }
+
   test("luhn checksum accepts valid cards and rejects a transposed digit") {
     // 4539148803436467 is a standard Luhn-valid test number
     val r = Seq(
