@@ -638,6 +638,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d35_gopher_gate" -> ((s, d) =>
+      // the full published Gopher rule set as one ordered judge: the
+      // fixture spreads verdicts across several rules (short docs fail
+      // word count, non-English docs fail the stopword rule, ~half
+      // pass), so the chain order itself is under the hash.
+      // minStopHits = 1: the synthetic vocabulary carries only 'the'
+      // from the published list, and the paper's >= 2 would blank the
+      // pass branch entirely.
+      Decontamination.gopherGate(docs(s, d).select("doc_id", "text"), "text",
+          minStopHits = 1)
+        .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+          "frac_alpha_words", "frac_bullet_lines", "frac_ellipsis_lines",
+          "stop_hits", "dup_3gram_frac", "top_2gram_frac",
+          "gopher_reason", "gopher_keep")
+        .orderBy("doc_id")),
+
     "d34_bigram_ppl" -> ((s, d) => {
       // CCNet-shaped quality scoring: train a top-64-vocab bigram LM on
       // the corpus (bounded artifact), then score every doc in one
@@ -1789,6 +1805,81 @@ object SparkEntry {
     // list_distinct on the 3-gram list; top fraction from the max
     // multiplicity over the 2-gram list (unnest+groupBy here — the
     // oracle needn't be shuffle-free, only the Spark side).
+    // Mirrors Decontamination.gopherGate: d24's repetition CTEs plus
+    // the count-ratio signals, then the same when-chain order. All
+    // ratios are integer counts over greatest(n,1) — exact in both
+    // engines.
+    "d35_gopher_gate" ->
+      """WITH w AS (SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS toks,
+             string_split(text, chr(10)) AS lines,
+             string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+           FROM documents),
+         g AS (SELECT doc_id,
+             CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+               ELSE list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS g3,
+             CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+               ELSE list_transform(range(1, len(ws)),
+                 i -> ws[i] || ' ' || ws[i+1]) END AS g2
+           FROM w),
+         rep AS (SELECT d.doc_id, d.dup_3gram_frac,
+             round(CAST(m.mx AS DOUBLE) / m.tot, 6) AS top_2gram_frac
+           FROM (SELECT doc_id,
+               round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+                 AS dup_3gram_frac FROM g) d
+           JOIN (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM
+               (SELECT doc_id, gram, count(*) AS c FROM
+                 (SELECT doc_id, unnest(g2) AS gram FROM g)
+               GROUP BY doc_id, gram)
+             GROUP BY doc_id) m USING (doc_id)),
+         sig AS (SELECT doc_id, text,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             round(CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+               / greatest(len(toks), 1), 4) AS mean_word_len,
+             round(CAST(((length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3
+               + (length(text) - length(replace(text, '…', '')))) AS DOUBLE)
+               / greatest(len(toks), 1), 6) AS symbol_ratio,
+             round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+               / greatest(len(toks), 1), 6) AS frac_alpha_words,
+             round(CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)
+               / greatest(len(lines), 1), 6) AS frac_bullet_lines,
+             round(CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+               / greatest(len(lines), 1), 6) AS frac_ellipsis_lines,
+             CAST((CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+               + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+               + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+               + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+               + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+               + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+               + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+               + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END) AS BIGINT)
+               AS stop_hits
+           FROM w),
+         j AS (SELECT s.doc_id, s.n_words, s.mean_word_len, s.symbol_ratio,
+             s.frac_alpha_words, s.frac_bullet_lines, s.frac_ellipsis_lines,
+             s.stop_hits, r.dup_3gram_frac, r.top_2gram_frac,
+             CASE
+               WHEN s.n_words IS NULL THEN NULL
+               WHEN s.n_words < 50 THEN 'too_few_words'
+               WHEN s.n_words > 100000 THEN 'too_many_words'
+               WHEN s.mean_word_len < 3.0 OR s.mean_word_len > 10.0 THEN 'bad_mean_word_len'
+               WHEN s.symbol_ratio > 0.1 THEN 'too_many_symbols'
+               WHEN s.frac_bullet_lines > 0.9 THEN 'too_many_bullets'
+               WHEN s.frac_ellipsis_lines > 0.3 THEN 'too_many_ellipsis'
+               WHEN s.frac_alpha_words < 0.8 THEN 'low_alpha_ratio'
+               WHEN s.stop_hits < 1 THEN 'few_stopwords'
+               WHEN r.dup_3gram_frac > 0.2 THEN 'dup_ngrams'
+               WHEN r.top_2gram_frac > 0.2 THEN 'top_ngram_heavy'
+               ELSE 'ok' END AS gopher_reason
+           FROM sig s JOIN rep r USING (doc_id))
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+           frac_alpha_words, frac_bullet_lines, frac_ellipsis_lines,
+           stop_hits, dup_3gram_frac, top_2gram_frac,
+           gopher_reason, gopher_reason = 'ok' AS gopher_keep
+         FROM j ORDER BY doc_id""",
+
     "d24_repetition" ->
       """WITH w AS (SELECT doc_id,
              string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws

@@ -141,6 +141,85 @@ object Decontamination {
     corpus.join(bad, Seq(idCol), "left_anti") // AQE broadcasts when small
   }
 
+  /** The full Gopher document-quality gate (Rae et al. 2021 §A.1.1),
+    * composing the published rule set into per-row signal columns and
+    * one ordered short-circuit judge — the same judge shape as the
+    * reference's clean rules (reference: src/llm_data_pipeline/clean/
+    * rules.py:84-113), extended to the Gopher signals. Zero shuffle,
+    * no UDF; every signal is an integer-count ratio, so an external
+    * SQL engine reproduces all of them exactly.
+    *
+    * Signals + default thresholds (first failing rule names the
+    * reason): word count in [minWords, maxWords]; mean word length in
+    * [3, 10]; '#'/ellipsis symbol-to-word ratio <= 0.1; bullet-led
+    * lines <= 0.9; ellipsis-ended lines <= 0.3; words containing an
+    * alphabetic char >= 0.8; >= 2 distinct Gopher stopwords; and the
+    * [[repetitionSignals]] duplicate/top n-gram fractions <= 0.2
+    * (adapted: the paper grades n = 2..4 / 5..10 individually, this
+    * gate carries its two representative signals). `minWords` default
+    * 50 per the paper. */
+  def gopherGate(df: DataFrame, textCol: String,
+                 minWords: Long = 50L, maxWords: Long = 100000L,
+                 maxDupFrac: Double = 0.2, maxTopFrac: Double = 0.2,
+                 minStopHits: Int = 2): DataFrame = {
+    val lowerCols = df.columns.map(_.toLowerCase).toSet
+    val p = Iterator.iterate("__gq")(_ + "_")
+      .dropWhile(x => lowerCols.exists(_.startsWith(x))).next()
+    val t = col(textCol)
+    val staged = repetitionSignals(df, textCol)
+      .withColumn(s"${p}_toks",
+        filter(split(trim(t), "\\s+"), w => length(w) > 0))
+      .withColumn(s"${p}_lines", split(t, "\n"))
+    val toks = col(s"${p}_toks"); val lines = col(s"${p}_lines")
+    val nW = size(toks).cast("long")
+    val nWSafe = greatest(nW, lit(1L)).cast("double")
+    val nLSafe = greatest(size(lines), lit(1)).cast("double")
+    // occurrences via non-overlapping literal replace — identical
+    // left-to-right scan in both engines
+    def occurrences(src: Column, lit_ : String): Column =
+      ((length(src) - length(regexp_replace(src,
+        java.util.regex.Pattern.quote(lit_), ""))) / lit_.length).cast("long")
+    val symbolCount = occurrences(t, "#") + occurrences(t, "...") + occurrences(t, "…")
+    val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
+    val bulletLines = size(filter(lines,
+      l => l.rlike("^\\s*[-*•]"))).cast("long")
+    val ellipsisLines = size(filter(lines,
+      l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
+    val stopHits = GopherStopwords.map(w =>
+      when(lower(t).rlike(s"\\b$w\\b"), 1).otherwise(0)).reduce(_ + _)
+    val sigd = staged
+      .withColumn("n_words", nW)
+      .withColumn("mean_word_len", round(
+        aggregate(toks, lit(0L), (a, w) => a + length(w)).cast("double") / nWSafe, 4))
+      .withColumn("symbol_ratio", round(symbolCount.cast("double") / nWSafe, 6))
+      .withColumn("frac_alpha_words", round(alphaWords.cast("double") / nWSafe, 6))
+      .withColumn("frac_bullet_lines", round(bulletLines.cast("double") / nLSafe, 6))
+      .withColumn("frac_ellipsis_lines", round(ellipsisLines.cast("double") / nLSafe, 6))
+      .withColumn("stop_hits", stopHits.cast("long"))
+    // NULL text propagates a NULL verdict — a null condition in a
+    // when-chain reads as false and would otherwise fall through to "ok"
+    val reason = when(t.isNull, lit(null).cast("string"))
+      .when(col("n_words") < minWords, "too_few_words")
+      .when(col("n_words") > maxWords, "too_many_words")
+      .when(col("mean_word_len") < 3.0 || col("mean_word_len") > 10.0, "bad_mean_word_len")
+      .when(col("symbol_ratio") > 0.1, "too_many_symbols")
+      .when(col("frac_bullet_lines") > 0.9, "too_many_bullets")
+      .when(col("frac_ellipsis_lines") > 0.3, "too_many_ellipsis")
+      .when(col("frac_alpha_words") < 0.8, "low_alpha_ratio")
+      .when(col("stop_hits") < minStopHits, "few_stopwords")
+      .when(col("dup_3gram_frac") > maxDupFrac, "dup_ngrams")
+      .when(col("top_2gram_frac") > maxTopFrac, "top_ngram_heavy")
+      .otherwise("ok")
+    sigd
+      .withColumn("gopher_reason", reason)
+      .withColumn("gopher_keep", reason === "ok")
+      .drop(s"${p}_toks", s"${p}_lines")
+  }
+
+  /** The Gopher stopword-presence list (Rae et al. 2021 §A.1.1). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Gopher-style repetition signals as per-row columns (zero shuffle):
     *  - `dup_${n}gram_frac`: fraction of the doc's word n-grams that are
     *    repeats of an earlier occurrence (1 − distinct/total);

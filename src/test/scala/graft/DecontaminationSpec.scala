@@ -70,6 +70,50 @@ class DecontaminationSpec extends SparkSpec {
     assert(r === Seq((1L, 0L, false), (2L, 0L, false), (3L, 0L, false), (4L, 0L, false)))
   }
 
+  test("gopherGate: each rule fires on its crafted document, in chain order") {
+    val many = (1 to 60).map(i => s"word$i").mkString(" ") +
+      " the cat and that dog have fun with all of them to be sure"
+    val docs = Seq(
+      (1L, many),                                              // passes everything
+      (2L, "too short to pass the word count and that is it"), // too_few_words
+      (3L, (1 to 60).map(_ => "a").mkString(" ") + " the of"), // mean len < 3
+      (4L, (1 to 60).map(i => s"w$i###").mkString(" ")),       // symbols (after len ok? w1###=5 chars)
+      (5L, ("- bullet line\n" * 4) + (1 to 60).map(i => s"word$i").mkString(" ") + " the of and"),
+      (6L, (1 to 60).map(i => s"word$i").mkString(" ") + " 123 456 the of and"),
+      (7L, (1 to 70).map(i => s"mot$i").mkString(" "))          // no stopwords
+    ).toDF("doc_id", "text")
+    val r = Decontamination.gopherGate(docs, "text")
+      .orderBy("doc_id")
+      .select("doc_id", "gopher_reason", "gopher_keep").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getBoolean(2)))
+    assert(r(0) === ((1L, "ok", true)))
+    assert(r(1) === ((2L, "too_few_words", false)))
+    assert(r(2) === ((3L, "bad_mean_word_len", false)))
+    assert(r(3)._2 == "too_many_symbols")
+    // doc 5: 4 of 5 lines are bullets (0.8 <= 0.9) -> bullet rule does
+    // NOT fire; it passes through to ok
+    assert(r(4) === ((5L, "ok", true)))
+    assert(r(5)._2 == "ok") // 2 numeric words of 65 -> alpha frac fine
+    assert(r(6) === ((7L, "few_stopwords", false)))
+  }
+
+  test("gopherGate boundary: bullet and alpha rules fire when exceeded") {
+    val base = (1 to 60).map(i => s"word$i").mkString(" ") + " the of and"
+    val docs = Seq(
+      (1L, (1 to 10).map(_ => "- b").mkString("\n")),          // all lines bullets
+      (2L, (1 to 60).map(_ => "1234").mkString(" ") + " the of and that be")
+    ).toDF("doc_id", "text")
+    val r = Decontamination.gopherGate(docs, "text")
+      .orderBy("doc_id").select("gopher_reason").collect().map(_.getString(0))
+    // doc 1 fails word count first (10 words) — chain order matters
+    assert(r(0) == "too_few_words")
+    assert(r(1) == "low_alpha_ratio")
+    val keepAll = Decontamination.gopherGate(
+        Seq((3L, base)).toDF("doc_id", "text"), "text")
+      .select("gopher_keep").head().getBoolean(0)
+    assert(keepAll)
+  }
+
   test("repetitionSignals matches hand-computed Gopher fractions") {
     val df = Seq(
       (1L, "a b a b a b"), // 2-grams: ab,ba,ab,ba,ab -> top 3/5; 3-grams: 4 total 2 distinct -> dup 0.5
