@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharEntropy, CosineSim, MaxMultiplicity, MinHashSignature, NormalizeNfkc, RollingHash64, SimHash64, XxHash64String}
+import graft.functions.{CharEntropy, CosineSim, L2SqDist, MaxMultiplicity, MinHashSignature, NormalizeNfkc, RollingHash64, SimHash64, XxHash64String}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -78,6 +78,12 @@ object GraftExtensions {
       args match {
         case Seq(a, b) => CosineSim(a, b)
         case _ => throw new IllegalArgumentException("graft_cosine_sim(vec, vec)")
+      }
+    },
+    "graft_l2_sq" -> { args =>
+      args match {
+        case Seq(a, b) => L2SqDist(a, b)
+        case _ => throw new IllegalArgumentException("graft_l2_sq(vec, vec)")
       }
     },
     "graft_char_entropy" -> { args =>

@@ -30,6 +30,10 @@ class GraftExtensionsSpec extends SparkSpec {
     val cosApi = spark.table("gx_vecs")
       .select(HashFunctions.cosineSim(col("a"), col("b"))).head().getDouble(0)
     assert(cosSql == cosApi)
+    val l2Sql = spark.sql("SELECT graft_l2_sq(a, b) FROM gx_vecs").head().getDouble(0)
+    val l2Api = spark.table("gx_vecs")
+      .select(HashFunctions.l2Sq(col("a"), col("b"))).head().getDouble(0)
+    assert(l2Sql == l2Api && l2Sql == 8.0) // (1-3)^2 + 0 + (3-1)^2
     val entSql = spark.sql("SELECT graft_char_entropy(text) FROM gx_docs").head().getDouble(0)
     val entApi = spark.table("gx_docs")
       .select(HashFunctions.charEntropy(col("text"))).head().getDouble(0)
@@ -42,7 +46,7 @@ class GraftExtensionsSpec extends SparkSpec {
     val e = new GraftExtensions
     assert(GraftExtensions.builders.map(_._1).toSet ==
       Set("graft_minhash", "graft_simhash", "graft_xxhash64", "graft_rolling_hash",
-        "graft_nfkc", "graft_cosine_sim", "graft_char_entropy",
+        "graft_nfkc", "graft_cosine_sim", "graft_l2_sq", "graft_char_entropy",
         "graft_max_multiplicity"))
   }
 }
