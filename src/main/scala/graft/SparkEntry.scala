@@ -1010,6 +1010,25 @@ object SparkEntry {
           PiiFunctions.hasPhone(col("synth")).as("has_phone"))
         .orderBy("doc_id")),
 
+    "w03_mojibake_repair" -> ((s, d) =>
+      // UTF-8-as-cp1252 double-encoding repair (ftfy's core case):
+      // every repairable char is appended to each doc, the damage
+      // direction garbles them, and the repair chain must restore the
+      // exact clean string. The oracle replays BOTH directions from
+      // the same generated table, so corrupted, repaired, and the
+      // roundtrip flag are all compared byte-for-byte.
+      docs(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(MojibakeSuffix)).as("clean"))
+        .withColumn("corrupted", TextFunctions.corruptMojibake(col("clean")))
+        .select(col("doc_id"), col("corrupted"),
+          TextFunctions.fixMojibake(col("corrupted")).as("repaired"),
+          col("clean"))
+        .select(col("doc_id"), col("corrupted"), col("repaired"),
+          (col("corrupted") =!= col("repaired")).as("was_mojibake"),
+          (col("repaired") === col("clean")).as("roundtrip_ok"))
+        .orderBy("doc_id")),
+
     "w02_html_extract" -> ((s, d) => {
       // raw-HTML ingest extraction (the stage WET files arrive with
       // already done): docs wrapped in synthetic markup — script/style
@@ -2435,6 +2454,8 @@ object SparkEntry {
            FROM documents)
          ORDER BY doc_id""",
 
+    "w03_mojibake_repair" -> mojibakeOracleSql,
+
     // Mirrors TextFunctions.htmlToText stage by stage (comments,
     // script/style, block closers -> newline, tag strip, entity
     // decode with &amp; last, whitespace collapse). Replacements use
@@ -2613,6 +2634,32 @@ object SparkEntry {
   // single source of truth with PiiFunctions).
   private def EmailSql = PiiFunctions.EmailPattern
   private def CardSql = PiiFunctions.CardPattern
+
+  /** Every repairable char once — appended to each doc by w03 so the
+    * whole mojibake table is under the hash. */
+  private val MojibakeSuffix: String =
+    " café naïve “x‘y’ – — … 5° è ê á à ä ö ü ñ ç í ó ú"
+
+  private def sqlQuote(s: String) = "'" + s.replace("'", "''") + "'"
+
+  /** The w03 oracle is GENERATED from the same table the operator
+    * folds, in the same order — a hand-transcribed copy would drift. */
+  private def mojibakeOracleSql: String = {
+    def chain(base: String, pairs: Seq[(String, String)]) =
+      pairs.foldLeft(base) { case (acc, (from, to)) =>
+        s"replace($acc, ${sqlQuote(from)}, ${sqlQuote(to)})"
+      }
+    val corrupt = chain("clean",
+      TextFunctions.MojibakeTable.map { case (m, c) => (c, m) })
+    val repair = chain("corrupted", TextFunctions.MojibakeTable)
+    s"""WITH c1 AS (SELECT doc_id, text || ${sqlQuote(MojibakeSuffix)} AS clean FROM documents),
+       c2 AS (SELECT doc_id, clean, $corrupt AS corrupted FROM c1),
+       c3 AS (SELECT doc_id, clean, corrupted, $repair AS repaired FROM c2)
+       SELECT doc_id, corrupted, repaired,
+         corrupted != repaired AS was_mojibake,
+         repaired = clean AS roundtrip_ok
+       FROM c3 ORDER BY doc_id"""
+  }
   private def SsnSql = PiiFunctions.SsnPattern
   private def Ipv4Sql = PiiFunctions.Ipv4Pattern
   private def Ipv6Sql = PiiFunctions.Ipv6Pattern

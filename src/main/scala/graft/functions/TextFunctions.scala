@@ -30,6 +30,43 @@ object TextFunctions {
   def normalizeForDedup(c: Column): Column =
     lower(flattenWhitespace(c))
 
+  /** Characters the mojibake repairer knows how to un-garble: common
+    * Latin-1 accents plus smart punctuation. U+201D (”) is excluded —
+    * its UTF-8 tail byte 0x9D is undefined in cp1252, so real-world
+    * garbling of it is not byte-stable. */
+  private val MojibakeChars: Seq[String] = Seq(
+    "é", "è", "ê", "á", "à", "ä", "ö", "ü", "ñ", "ç", "í", "ó", "ú",
+    "“", "‘", "’", "–", "—", "…", "°")
+
+  /** (garbled, clean) pairs, longest garbled form first — derived, not
+    * hand-typed: the garbled form IS the character's UTF-8 bytes
+    * re-decoded as windows-1252, the classic double-encoding accident
+    * (ftfy's core case). Correct by construction on both sides of the
+    * oracle, since the SQL chain is generated from this same table. */
+  val MojibakeTable: Seq[(String, String)] = MojibakeChars
+    .map { c =>
+      (new String(c.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.Charset.forName("windows-1252")), c)
+    }
+    .sortBy { case (m, _) => (-m.length, m) }
+
+  /** Repair UTF-8-as-cp1252 double-encoding damage ("Ã©" → "é",
+    * "â€™" → "’") — a fixed chain of literal replaces, longest pattern
+    * first so 3-byte garbles never half-match behind 2-byte ones.
+    * Zero shuffle, no UDF. */
+  def fixMojibake(c: Column): Column =
+    MojibakeTable.foldLeft(c) { case (acc, (m, clean)) =>
+      replace(acc, lit(m), lit(clean))
+    }
+
+  /** The damage direction, for fixtures and the gate's synthesis:
+    * clean chars → their garbled forms (distinct single-char targets,
+    * so application order cannot matter). */
+  private[graft] def corruptMojibake(c: Column): Column =
+    MojibakeTable.foldLeft(c) { case (acc, (m, clean)) =>
+      replace(acc, lit(clean), lit(m))
+    }
+
   /** HTML → text extraction — the raw-crawl ingest stage the
     * reference's WET path never needs (WET records arrive
     * pre-extracted, reference: src/llm_data_pipeline/ingest/

@@ -81,6 +81,33 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.toSeq == Seq(false, true))
   }
 
+  test("mojibake repair fixes classic double-encoding and roundtrips") {
+    val clean = "café “quote” naïve ’s – dash … 5°"
+    // real-world garble: UTF-8 bytes of the clean string, decoded cp1252
+    val garbled = new String(
+      clean.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.Charset.forName("windows-1252"))
+    val repaired = Seq(garbled).toDF("t")
+      .select(TextFunctions.fixMojibake(col("t"))).head().getString(0)
+    // ” (0x9D tail, undefined in cp1252) is deliberately out of scope;
+    // every other char must come back exactly
+    assert(repaired.startsWith("café “quote"), repaired)
+    assert(repaired.contains("’s – dash … 5°"), repaired)
+    // full roundtrip over the supported table
+    val all = TextFunctions.MojibakeTable.map(_._2).mkString(" ")
+    val rt = Seq(all).toDF("t")
+      .select(TextFunctions.fixMojibake(
+        graft.functions.TextFunctions.corruptMojibake(col("t")))).head().getString(0)
+    assert(rt == all)
+  }
+
+  test("mojibake repair leaves clean ascii and cjk text untouched") {
+    val texts = Seq("plain ascii text!", "你好世界 中文 文本")
+    val out = texts.toDF("t")
+      .select(TextFunctions.fixMojibake(col("t"))).collect().map(_.getString(0))
+    assert(out.toSeq == texts)
+  }
+
   test("html extraction strips structure and decodes entities") {
     val html = "<html><head><title>T</title><script>if (a < b) { x(); }</script>" +
       "<style>p { color: red; }</style></head><body>" +
