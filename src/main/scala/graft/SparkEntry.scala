@@ -654,6 +654,20 @@ object SparkEntry {
           "gopher_reason", "gopher_keep")
         .orderBy("doc_id")),
 
+    "d36_dsir" -> ((s, d) =>
+      // DSIR importance resampling (Xie et al. 2023) toward a French
+      // target domain: raw and target unigram+bigram LMs share one
+      // top-64 vocabulary and ride the SAME two count shuffles (the
+      // target counts are a count-if on the raw pass); scoring is a
+      // zero-shuffle position-order fold, and the top-100 selection
+      // threshold is a bounded 1-row collect — no unpartitioned
+      // window anywhere. The lang mix (en/fr/es/de/zh) makes the
+      // log-ratio genuinely separate: French-vocab grams dominate
+      // the selected set.
+      TextAnalysis.dsirResample(docs(s, d), "text",
+          col("lang") === "fr", vocabSize = 64, nSelect = 100)
+        .orderBy("doc_id")),
+
     "d34_bigram_ppl" -> ((s, d) => {
       // CCNet-shaped quality scoring: train a top-64-vocab bigram LM on
       // the corpus (bounded artifact), then score every doc in one
@@ -1779,6 +1793,68 @@ object SparkEntry {
          SELECT g.doc_id, coalesce(c.n_overlap, 0) AS n_overlap,
            coalesce(c.n_overlap, 0) > 0 AS contaminated
          FROM g LEFT JOIN c USING (doc_id) ORDER BY g.doc_id""",
+
+    // Mirrors TextAnalysis.dsirResample feature-for-feature: shared
+    // top-64 vocab (count DESC, word ASC), chr(1) as <unk>, add-one
+    // smoothed unigram (V+1 categories) and bigram ((V+1)^2) models
+    // for raw vs target (lang='fr'), per-doc log-ratio as position-
+    // order list_reduce folds (uni fold + bigram fold, bigram term
+    // 0.0 when < 2 tokens — the exact double the Spark aggregate HOF
+    // produces), and the top-100 threshold via the rounded weight
+    // with doc_id tiebreak.
+    "d36_dsir" ->
+      """WITH t AS (SELECT doc_id, lang = 'fr' AS is_t,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         uni AS (SELECT w, count(*) AS cr, count(*) FILTER (WHERE is_t) AS ct
+           FROM (SELECT is_t, unnest(toks) AS w FROM t) GROUP BY w),
+         vocab AS (SELECT w, cr, ct FROM uni ORDER BY cr DESC, w LIMIT 64),
+         stats AS (SELECT
+           (SELECT sum(cr) FROM uni) AS nr, (SELECT sum(ct) FROM uni) AS nt,
+           (SELECT sum(cr) FROM vocab) AS vr, (SELECT sum(ct) FROM vocab) AS vt,
+           (SELECT count(*) FROM vocab) AS v),
+         vm AS (SELECT
+             map_from_entries(list({'k': w, 'v': cr} ORDER BY w)) AS mr,
+             map_from_entries(list({'k': w, 'v': ct} ORDER BY w)) AS mt
+           FROM vocab),
+         tm AS (SELECT doc_id, is_t,
+             list_transform(toks, x -> CASE WHEN len(map_extract(mr, x)) > 0
+               THEN x ELSE chr(1) END) AS tu
+           FROM t, vm),
+         big AS (SELECT bg, count(*) AS cr, count(*) FILTER (WHERE is_t) AS ct FROM
+             (SELECT is_t, unnest(list_transform(range(1, len(tu)),
+                i -> tu[i] || ' ' || tu[i+1])) AS bg FROM tm)
+           GROUP BY bg),
+         bstats AS (SELECT coalesce(sum(cr), 0) AS nrb,
+             coalesce(sum(ct), 0) AS ntb FROM big),
+         bm AS (SELECT
+             map_from_entries(list({'k': bg, 'v': cr} ORDER BY bg)) AS bmr,
+             map_from_entries(list({'k': bg, 'v': ct} ORDER BY bg)) AS bmt
+           FROM big),
+         scored AS (SELECT doc_id,
+             CAST(len(tu) + greatest(len(tu) - 1, 0) AS BIGINT) AS n_feats,
+             round(
+               list_reduce(list_transform(tu, x ->
+                 ln(((CASE WHEN x = chr(1) THEN nt - vt
+                      ELSE map_extract(mt, x)[1] END) + 1.0) / (nt + v + 1.0))
+               - ln(((CASE WHEN x = chr(1) THEN nr - vr
+                      ELSE map_extract(mr, x)[1] END) + 1.0) / (nr + v + 1.0))),
+                 (a, b) -> a + b)
+               + CASE WHEN len(tu) >= 2 THEN
+                   list_reduce(list_transform(range(1, len(tu)), i ->
+                     ln((coalesce(map_extract(bmt, tu[i] || ' ' || tu[i+1])[1], 0) + 1.0)
+                        / (ntb + (v + 1) * (v + 1) + 0.0))
+                   - ln((coalesce(map_extract(bmr, tu[i] || ' ' || tu[i+1])[1], 0) + 1.0)
+                        / (nrb + (v + 1) * (v + 1) + 0.0))),
+                     (a, b) -> a + b)
+                 ELSE 0.0 END, 6) AS dsir_logw
+           FROM tm, vm, bm, stats, bstats),
+         thr AS (SELECT dsir_logw AS tw, doc_id AS td FROM scored
+           ORDER BY dsir_logw DESC, doc_id LIMIT 1 OFFSET 99)
+         SELECT s.doc_id, s.n_feats, s.dsir_logw,
+           (s.dsir_logw > t.tw OR (s.dsir_logw = t.tw AND s.doc_id <= t.td))
+             AS selected
+         FROM scored s, thr t ORDER BY s.doc_id""",
 
     // Mirrors trainBigramLm + bigramPerplexity: top-64 vocab by
     // (count DESC, word ASC), chr(1) as <unk>, add-one smoothing

@@ -284,6 +284,110 @@ object TextAnalysis {
       .drop(s"${p}_tu", s"${p}_ls")
   }
 
+  /** DSIR-style importance weights for target-domain data selection
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): score every document by how much more
+    * likely its features are under a target-domain LM than under the
+    * raw-corpus LM — `log w(x) = Σ_f log p_t(f) − log p_r(f)` — with
+    * bag-of-feature unigram + bigram models over a SHARED top-V
+    * vocabulary (the paper hashes n-grams into one shared bucket
+    * space; a shared vocab plays that role portably across engines).
+    * Add-one smoothing over the feature space: V+1 unigram categories
+    * (vocab + unk), (V+1)² bigram categories.
+    *
+    * Scale shape: ONE shuffle each for the unigram and the bigram
+    * count pass — the target-LM counts ride the same aggregation as
+    * the raw counts via a count-if flag, so the second LM is free; both
+    * models are bounded by V (≤ V + (V+1)² entries) regardless of
+    * corpus size and travel as map literals; scoring is a zero-shuffle
+    * map pass whose per-doc log sum folds in POSITION order on both
+    * engines (Spark `aggregate` HOF / DuckDB `list_reduce` — the d34
+    * cross-engine pattern). Selecting the `nSelect` highest-weight docs
+    * needs no unpartitioned window: the threshold (weight, id) pair is
+    * two TakeOrdereds and a 1-row collect — a bounded, model-sized
+    * driver value, never corpus-sized.
+    *
+    * `targetPred` must select a SUBSET of `df` (the paper's target
+    * sample lives inside the raw pool here), so every target feature is
+    * present in the raw maps. Output: idCol, `n_feats` (unigram +
+    * bigram positions), `dsir_logw` (rounded 6dp — the rounded value is
+    * what the threshold compares, so selection is reproducible
+    * cross-engine), `selected`. */
+  def dsirResample(df: DataFrame, textCol: String, targetPred: Column,
+                   vocabSize: Int, nSelect: Int,
+                   idCol: String = "doc_id"): DataFrame = {
+    val toksAll = df.select(col(idCol), targetPred.as("is_t"),
+      toksExpr(col(textCol)).as("toks"))
+      .where(col("toks").isNotNull)
+    val uni = toksAll.select(col("is_t"), explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cr"),
+        count(when(col("is_t"), lit(1))).as("ct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocabRows = uni.orderBy(desc("cr"), asc("w")).limit(vocabSize).collect()
+    val vocabR = vocabRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocabT = vocabRows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val tot = uni.agg(coalesce(sum(col("cr")), lit(0L)),
+      coalesce(sum(col("ct")), lit(0L))).head
+    val (nR, nT) = (tot.getLong(0), tot.getLong(1))
+    uni.unpersist()
+    val (unkR, unkT) = (nR - vocabR.values.sum, nT - vocabT.values.sum)
+    val vocabRLit = typedLit(vocabR)
+    val biRows = toksAll
+      .select(col("is_t"), unkMapExpr(col("toks"), vocabRLit).as("tu"))
+      .where(size(col("tu")) >= 2) // guard BEFORE sequence: seq(1,0) descends
+      .select(col("is_t"),
+        explode(transform(sequence(lit(1), size(col("tu")) - 1), i =>
+          concat(element_at(col("tu"), i), lit(" "),
+            element_at(col("tu"), i + 1)))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cr"),
+        count(when(col("is_t"), lit(1))).as("ct"))
+      .collect()
+    val biR = biRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val biT = biRows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val (nRb, nTb) = (biR.values.sum, biT.values.sum)
+    // denominators: integer-exact sums first, +1.0 last — the same
+    // evaluation order the SQL oracle uses, so the doubles agree.
+    // Smoothing categories come from the ACTUAL vocab size (the corpus
+    // can have fewer distinct words than `vocabSize` — same convention
+    // as BigramLmModel.vocabSize = vocab.size).
+    val vA = vocabR.size
+    val bCat = (vA + 1).toLong * (vA + 1)
+    val (dUr, dUt) = (lit(nR + vA + 1.0), lit(nT + vA + 1.0))
+    val (dBr, dBt) = (lit((nRb + bCat).toDouble), lit((nTb + bCat).toDouble))
+    val vocabTLit = typedLit(vocabT)
+    val (biRLit, biTLit) = (typedLit(biR), typedLit(biT))
+    def uniC(m: Column, unk: Long)(w: Column): Column =
+      when(w === lit(UnkToken), lit(unk)).otherwise(element_at(m, w))
+    def biC(m: Column, tu: Column)(i: Column): Column =
+      coalesce(element_at(m,
+        concat(element_at(tu, i), lit(" "), element_at(tu, i + 1))), lit(0L))
+    val p = "__dsir"
+    val tu = col(s"${p}_tu")
+    val luni = aggregate(transform(tu, x =>
+      log((uniC(vocabTLit, unkT)(x) + lit(1.0)) / dUt) -
+        log((uniC(vocabRLit, unkR)(x) + lit(1.0)) / dUr)),
+      lit(0.0), (a, x) => a + x)
+    val lbi = when(size(tu) >= 2,
+      aggregate(transform(sequence(lit(1), size(tu) - 1), i =>
+        log((biC(biTLit, tu)(i) + lit(1.0)) / dBt) -
+          log((biC(biRLit, tu)(i) + lit(1.0)) / dBr)),
+        lit(0.0), (a, x) => a + x)).otherwise(lit(0.0))
+    val scored = df
+      .withColumn(s"${p}_tu", unkMapExpr(toksExpr(col(textCol)), vocabRLit))
+      .select(col(idCol),
+        (size(tu) + greatest(size(tu) - 1, lit(0))).cast("long").as("n_feats"),
+        round(luni + lbi, 6).as("dsir_logw"))
+    val thr = scored.orderBy(desc("dsir_logw"), asc(idCol)).limit(nSelect)
+      .orderBy(asc("dsir_logw"), desc(idCol)).limit(1).collect()
+    val selected = if (thr.isEmpty) lit(true) else {
+      val tw = thr(0).getDouble(thr(0).fieldIndex("dsir_logw"))
+      val td = thr(0).getLong(thr(0).fieldIndex(idCol))
+      (col("dsir_logw") > tw) ||
+        (col("dsir_logw") === tw && col(idCol) <= td)
+    }
+    scored.withColumn("selected", selected)
+  }
+
   /** documents → + (lang_pred, lang_score, quality_score, n_tokens,
     * mean_token_len, fingerprint) — the combined analysis projection. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {

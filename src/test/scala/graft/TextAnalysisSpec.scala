@@ -164,6 +164,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1).getLong(2) == 1L && r(1).getDouble(4) == 4.0)
   }
 
+  test("dsirResample upweights the target domain and selects exactly N") {
+    // corpus: 30 "english" docs + 10 "target" docs with a distinct
+    // vocabulary; target = the distinct-vocab docs. DSIR must rank
+    // every target doc above every background doc and select N=12:
+    // all 10 target docs + 2 background by the doc_id tiebreak.
+    val docs = (0 until 30).map(i =>
+        (i.toLong, "the cat sat on the mat and looked fine", false)) ++
+      (30 until 40).map(i =>
+        (i.toLong, "le chien dort dans la maison verte", true))
+    val df = docs.toDF("doc_id", "text", "is_fr")
+    val r = TextAnalysis.dsirResample(df, "text", col("is_fr"),
+      vocabSize = 16, nSelect = 12).orderBy("doc_id").collect()
+    assert(r.length == 40)
+    val w = r.map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    val minTarget = (30L until 40L).map(w).min
+    val maxBg = (0L until 30L).map(w).max
+    assert(minTarget > maxBg, s"target $minTarget !> background $maxBg")
+    val sel = r.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(sel.size == 12)
+    assert((30L until 40L).forall(sel)) // every target doc survives
+    // identical docs tie -> lowest doc_ids win the remaining 2 slots
+    assert(sel.contains(0L) && sel.contains(1L) && !sel.contains(2L))
+    // n_feats = tokens + bigrams (9 + 8 for the background docs)
+    assert(r(0).getLong(1) == 17L)
+  }
+
+  test("dsirResample selects everything when nSelect exceeds the corpus") {
+    val df = Seq((1L, "a b c", true), (2L, "d e f", false))
+      .toDF("doc_id", "text", "t")
+    val r = TextAnalysis.dsirResample(df, "text", col("t"),
+      vocabSize = 8, nSelect = 10).collect()
+    assert(r.forall(_.getBoolean(3)))
+  }
+
   test("quantizeInt8 codes stay in [-127,127] and reconstruct within scale/2") {
     val df = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
