@@ -1024,6 +1024,24 @@ object SparkEntry {
           PiiFunctions.hasPhone(col("synth")).as("has_phone"))
         .orderBy("doc_id")),
 
+    "w04_jsonl_roundtrip" -> ((s, d) => {
+      // JSONL sink + source roundtrip — the HF-datasets interchange
+      // format the parquet path doesn't cover. The multi-line synth
+      // docs (embedded newlines; CJK in the zh rows) are written one
+      // JSON object per line by the DISTRIBUTED writer (executor-side,
+      // one shard per partition — no driver funnel) and read back with
+      // an EXPLICIT schema (at 100 TB you pin the schema; inference is
+      // a second full scan). The oracle is the identity projection:
+      // the escape/unescape trip must be byte-invisible.
+      val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_jsonl_${math.abs(d.hashCode)}")
+      docs(s, d).select(col("doc_id"), col("lang"), multiLineSynth.as("text"))
+        .write.mode("overwrite").json(tmp.toString)
+      s.read.schema("doc_id LONG, lang STRING, text STRING")
+        .json(tmp.toString)
+        .orderBy("doc_id")
+    }),
+
     "w03_mojibake_repair" -> ((s, d) =>
       // UTF-8-as-cp1252 double-encoding repair (ftfy's core case):
       // every repairable char is appended to each doc, the damage
@@ -2531,6 +2549,13 @@ object SparkEntry {
          ORDER BY doc_id""",
 
     "w03_mojibake_repair" -> mojibakeOracleSql,
+
+    // The roundtrip must be invisible: the oracle is the synth
+    // projection itself, straight off the parquet table.
+    "w04_jsonl_roundtrip" ->
+      s"""WITH $multiLineSynthSql
+         SELECT d.doc_id, d.lang, synth.t AS text
+         FROM documents d JOIN synth USING (doc_id) ORDER BY d.doc_id""",
 
     // Mirrors TextFunctions.htmlToText stage by stage (comments,
     // script/style, block closers -> newline, tag strip, entity
