@@ -262,16 +262,28 @@ object TextAnalysis {
     val p = Iterator.iterate("__lm")(_ + "_")
       .dropWhile(x => lowerCols.exists(_.startsWith(x))).next()
     val vocabLit = typedLit(model.vocab)
-    val biLit = typedLit(model.bigrams)
-    val vp1 = lit(model.vocabSize.toDouble + 1.0)
+    val vp1 = model.vocabSize.toDouble + 1.0
     val tu = col(s"${p}_tu")
-    def uniCount(w: Column): Column =
-      when(w === lit(UnkToken), lit(model.unkCount))
-        .otherwise(element_at(vocabLit, w)).cast("double")
+    // Per-feature log-probs precomputed at the driver with
+    // StrictMath.log (the function Spark's `log` applies — bit-equal
+    // doubles): observed bigrams carry their full term; the per-word
+    // default map covers unseen pairs (numerator 1); the unk default
+    // covers unseen pairs starting at <unk>. One literal-map scan per
+    // position instead of two plus a runtime log.
+    def uc(w: String): Double =
+      (if (w == UnkToken) model.unkCount else model.vocab(w)).toDouble
+    val biLogMap = model.bigrams.map { case (bg, c) =>
+      bg -> StrictMath.log((c.toDouble + 1.0) / (uc(bg.substring(0, bg.indexOf(' '))) + vp1))
+    }
+    val defLogMap = model.vocab.map { case (w, c) =>
+      w -> StrictMath.log(1.0 / (c.toDouble + vp1))
+    }
+    val unkDefLog = StrictMath.log(1.0 / (model.unkCount.toDouble + vp1))
+    val (biLogLit, defLogLit) = (typedLit(biLogMap), typedLit(defLogMap))
     val logps = transform(sequence(lit(1), size(tu) - 1), i =>
-      log((coalesce(element_at(biLit,
-          concat(element_at(tu, i), lit(" "), element_at(tu, i + 1))), lit(0L))
-        .cast("double") + lit(1.0)) / (uniCount(element_at(tu, i)) + vp1)))
+      coalesce(element_at(biLogLit,
+          concat(element_at(tu, i), lit(" "), element_at(tu, i + 1))),
+        element_at(defLogLit, element_at(tu, i)), lit(unkDefLog)))
     val staged = df
       .withColumn(s"${p}_tu", unkMapExpr(toksExpr(col(textCol)), vocabLit))
       .withColumn(s"${p}_ls", when(size(tu) >= 2,
@@ -352,31 +364,42 @@ object TextAnalysis {
     // as BigramLmModel.vocabSize = vocab.size).
     val vA = vocabR.size
     val bCat = (vA + 1).toLong * (vA + 1)
-    val (dUr, dUt) = (lit(nR + vA + 1.0), lit(nT + vA + 1.0))
-    val (dBr, dBt) = (lit((nRb + bCat).toDouble), lit((nTb + bCat).toDouble))
-    val vocabTLit = typedLit(vocabT)
-    val (biRLit, biTLit) = (typedLit(biR), typedLit(biT))
-    def uniC(m: Column, unk: Long)(w: Column): Column =
-      when(w === lit(UnkToken), lit(unk)).otherwise(element_at(m, w))
-    def biC(m: Column, tu: Column)(i: Column): Column =
-      coalesce(element_at(m,
-        concat(element_at(tu, i), lit(" "), element_at(tu, i + 1))), lit(0L))
+    // Each feature's log-ratio is precomputed ONCE at the driver
+    // (model-sized work) with StrictMath.log — the exact function
+    // Spark's `log` expression applies, so every double is unchanged —
+    // turning the per-position cost from four literal-map scans plus
+    // two runtime logs into ONE map scan. On a few-M-token corpus this
+    // is the difference between the scan dominating and the fold
+    // disappearing into it.
+    def ratio(ctc: Long, crc: Long, dt: Double, dr: Double): Double =
+      StrictMath.log((ctc + 1.0) / dt) - StrictMath.log((crc + 1.0) / dr)
+    val (dUrD, dUtD) = (nR + vA + 1.0, nT + vA + 1.0)
+    val (dBrD, dBtD) = ((nRb + bCat).toDouble, (nTb + bCat).toDouble)
+    val uniLog = vocabR.map { case (w, c) => w -> ratio(vocabT(w), c, dUtD, dUrD) }
+    val unkLog = ratio(unkT, unkR, dUtD, dUrD)
+    val biLog = biR.map { case (bg, c) => bg -> ratio(biT(bg), c, dBtD, dBrD) }
+    val biDef = ratio(0L, 0L, dBtD, dBrD)
+    val (uniLogLit, biLogLit) = (typedLit(uniLog), typedLit(biLog))
     val p = "__dsir"
     val tu = col(s"${p}_tu")
     val luni = aggregate(transform(tu, x =>
-      log((uniC(vocabTLit, unkT)(x) + lit(1.0)) / dUt) -
-        log((uniC(vocabRLit, unkR)(x) + lit(1.0)) / dUr)),
+      coalesce(element_at(uniLogLit, x), lit(unkLog))),
       lit(0.0), (a, x) => a + x)
     val lbi = when(size(tu) >= 2,
       aggregate(transform(sequence(lit(1), size(tu) - 1), i =>
-        log((biC(biTLit, tu)(i) + lit(1.0)) / dBt) -
-          log((biC(biRLit, tu)(i) + lit(1.0)) / dBr)),
+        coalesce(element_at(biLogLit,
+          concat(element_at(tu, i), lit(" "), element_at(tu, i + 1))),
+          lit(biDef))),
         lit(0.0), (a, x) => a + x)).otherwise(lit(0.0))
+    // persisted: the threshold collect below and the returned frame
+    // both read it — one scoring pass, and the cache is (id, long,
+    // double) per doc, never corpus-text-sized.
     val scored = df
       .withColumn(s"${p}_tu", unkMapExpr(toksExpr(col(textCol)), vocabRLit))
       .select(col(idCol),
         (size(tu) + greatest(size(tu) - 1, lit(0))).cast("long").as("n_feats"),
         round(luni + lbi, 6).as("dsir_logw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thr = scored.orderBy(desc("dsir_logw"), asc(idCol)).limit(nSelect)
       .orderBy(asc("dsir_logw"), desc(idCol)).limit(1).collect()
     val selected = if (thr.isEmpty) lit(true) else {
