@@ -1277,17 +1277,19 @@ object SparkEntry {
       val evidence = graft.streaming.Streaming.onlineCollisionEvidence(
         mem.toDF().toDF("id", "batch", "text"))
       s.catalog.dropTempView("st07_tbl")
-      val q = evidence.toDF().writeStream.format("memory")
-        .queryName("st07_tbl").outputMode("append").start()
-      try {
-        val rows = all
-          .select(col("doc_id"), pmod(col("doc_id"), lit(4)).cast("int"), col("text"))
-          .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
-        (0 until 4).foreach { b => // fixture harness: 500 rows at gate SF
-          mem.addData(rows.filter(_._2 == b).sortBy(_._1).toIndexedSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      graft.streaming.Streaming.withShufflePartitions(s, 8) {
+        val q = evidence.toDF().writeStream.format("memory")
+          .queryName("st07_tbl").outputMode("append").start()
+        try {
+          val rows = all
+            .select(col("doc_id"), pmod(col("doc_id"), lit(4)).cast("int"), col("text"))
+            .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+          (0 until 4).foreach { b => // fixture harness: 500 rows at gate SF
+            mem.addData(rows.filter(_._2 == b).sortBy(_._1).toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
       Dedup.verifyCandidatesExact(all, "doc_id", "text", all,
           s.table("st07_tbl"), threshold = 0.8, ngram = Dedup.MinHashConfig().ngram)
         .select("doc_id").orderBy("doc_id")

@@ -147,18 +147,35 @@ object Streaming {
       }
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`, restoring the previous value after. Streaming queries
+    * snapshot the setting at `start()`, and stateful operators open one
+    * state-store instance PER shuffle partition PER micro-batch — on a
+    * fixture-sized stream that fixed cost dwarfs the data, so the
+    * drains below run at a lower width than the batch default. Sizing,
+    * not semantics: state keys hash to fewer partitions but every
+    * grouped/joined row still meets its state; at production stream
+    * volumes pick the width the key cardinality needs. */
+  def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Drain a stream to an in-memory table with AvailableNow (process
     * everything currently present, then stop). Returns the table name. */
-  def runToMemory(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Update()): String = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    name
-  }
+  def runToMemory(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Update()): String =
+    withShufflePartitions(df.sparkSession, 8) {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      name
+    }
 
   /** Stream → parquet sink with checkpointing (exactly-once file sink). */
   def runToParquet(df: DataFrame, dir: String, checkpoint: String): Unit = {
