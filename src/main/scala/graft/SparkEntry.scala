@@ -654,6 +654,26 @@ object SparkEntry {
           "gopher_reason", "gopher_keep")
         .orderBy("doc_id")),
 
+    "d37_split_assign" -> ((s, d) => {
+      // deterministic, content-stable train/val/test assignment: the
+      // split is a pure function of md5(doc id) — any engine, run, or
+      // partitioning reproduces it, the leakage-proof way to cut a
+      // training corpus. Hex buckets 205/25/26 of 256 ≈ 80/10/10
+      // (hex strings sort numerically, so two chars are enough).
+      // Zero shuffle for the assignment itself; the gate aggregates
+      // the per-(split, lang) accounting a mixture design would read.
+      val h2 = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+      docs(s, d)
+        .select(col("lang"),
+          when(h2 < "cd", "train").when(h2 < "e6", "val")
+            .otherwise("test").as("split"),
+          TextFunctions.tokenCount(col("text")).as("n_tok"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens"))
+        .orderBy("split", "lang")
+    }),
+
     "d36_dsir" -> ((s, d) =>
       // DSIR importance resampling (Xie et al. 2023) toward a French
       // target domain: raw and target unigram+bigram LMs share one
@@ -1813,6 +1833,20 @@ object SparkEntry {
          SELECT g.doc_id, coalesce(c.n_overlap, 0) AS n_overlap,
            coalesce(c.n_overlap, 0) > 0 AS contaminated
          FROM g LEFT JOIN c USING (doc_id) ORDER BY g.doc_id""",
+
+    // Same md5-prefix bucketing; hex sorts numerically so the CASE
+    // thresholds are plain string compares on both engines.
+    "d37_split_assign" ->
+      """WITH a AS (SELECT doc_id, lang,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok
+           FROM documents),
+         b AS (SELECT lang, CASE WHEN bucket < 'cd' THEN 'train'
+             WHEN bucket < 'e6' THEN 'val' ELSE 'test' END AS split,
+             n_tok FROM a)
+         SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         FROM b GROUP BY split, lang ORDER BY split, lang""",
 
     // Mirrors TextAnalysis.dsirResample feature-for-feature: shared
     // top-64 vocab (count DESC, word ASC), chr(1) as <unk>, add-one
