@@ -723,6 +723,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d38_passage_trim" -> ((s, d) =>
+      // duplicate-passage EXCISION (Lee et al. remove the spans, not
+      // the docs): consecutive 10-token blocks, global first
+      // occurrence survives, docs reassemble from surviving blocks —
+      // the planted near-dup clusters lose their shared spans while
+      // their unique tails survive, so n_blocks_kept < n_blocks
+      // exactly where d28 reports sharing.
+      Dedup.passageTrim(docs(s, d).select("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "d28_dup_passages" -> ((s, d) =>
       // duplicate-passage report (Lee et al. token-window form): at
       // sf0.01 the planted near-dup clusters share 418 aligned 10-token
@@ -2097,6 +2107,36 @@ object SparkEntry {
          ORDER BY synth.doc_id""",
 
     // Mirrors Dedup.dupPassageReport: distinct md5 10-token windows at
+    // Mirrors Dedup.passageTrim: flatten, 10-token blocks (DuckDB list
+    // slice is 1-based inclusive and clamps, same as Spark's slice),
+    // global first occurrence via the two-step exact min (doc then
+    // pos), ordered reassembly; all-blocks-removed docs come back as
+    // the empty string.
+    "d38_passage_trim" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS ws
+           FROM documents),
+         blocks AS (SELECT doc_id, i AS bpos,
+             array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS btxt
+           FROM (SELECT doc_id, ws,
+               unnest(range(0, CAST(ceil(len(ws)/10.0) AS BIGINT))) AS i
+             FROM w)),
+         fb AS (SELECT doc_id, bpos, btxt, md5(btxt) AS fp FROM blocks),
+         w1 AS (SELECT fp, min(doc_id) AS d0 FROM fb GROUP BY fp),
+         w2 AS (SELECT b.fp, w1.d0 AS d0, min(b.bpos) AS p0
+           FROM fb b JOIN w1 ON b.fp = w1.fp AND b.doc_id = w1.d0
+           GROUP BY b.fp, w1.d0),
+         kept AS (SELECT b.doc_id, b.bpos, b.btxt FROM fb b
+           JOIN w2 ON b.fp = w2.fp AND b.doc_id = w2.d0 AND b.bpos = w2.p0),
+         re AS (SELECT doc_id,
+             array_to_string(list(btxt ORDER BY bpos), ' ') AS text2,
+             count(*) AS nk
+           FROM kept GROUP BY doc_id)
+         SELECT w.doc_id, coalesce(re.text2, '') AS text,
+           CAST(ceil(len(w.ws)/10.0) AS BIGINT) AS n_blocks,
+           CAST(coalesce(re.nk, 0) AS BIGINT) AS n_blocks_kept
+         FROM w LEFT JOIN re ON w.doc_id = re.doc_id ORDER BY w.doc_id""",
+
     // stride 5 per doc (whole text when shorter), document frequency
     // per window, df>=2 counts as shared.
     "d28_dup_passages" ->

@@ -76,6 +76,49 @@ object Dedup {
         coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"))
   }
 
+  /** Duplicate-passage REMOVAL — the excision counterpart of
+    * [[dupPassageReport]]: Lee et al. 2022 (ExactSubstr) cut the
+    * repeated spans OUT of the surviving documents rather than
+    * dropping whole documents. The whitespace-flattened doc is split
+    * into consecutive non-overlapping `window`-token blocks (the
+    * block-aligned approximation of the paper's suffix-array spans —
+    * the standard distributed substitute), one GLOBAL first occurrence
+    * of each distinct block survives (min (doc, pos), the [[lineDedup]]
+    * winner rule), and every doc reassembles from its surviving blocks
+    * in order — possibly to the empty string.
+    *
+    * Scale shape: block fingerprints are the only shuffle keys (md5 —
+    * 16 bytes, never the block text); the winner aggregation is a
+    * struct-min with map-side partials (a block repeated a million
+    * times collapses before the shuffle); reassembly state is bounded
+    * by blocks-per-document. Same cost family as [[lineDedup]]. */
+  def passageTrim(df: DataFrame, idCol: String, textCol: String,
+                  window: Int = 10): DataFrame = {
+    val ws = split(regexp_replace(trim(col(textCol)), "\\s+", " "), " ")
+    val nb = ceil(size(col("__ws")) / lit(window.toDouble)).cast("int")
+    val blocks = df.select(col(idCol), ws.as("__ws"))
+      .select(col(idCol), posexplode(transform(sequence(lit(0), nb - 1), i =>
+        array_join(slice(col("__ws"), i * window + 1, lit(window)), " "))))
+      .toDF(idCol, "__pos", "__block")
+      .withColumn("__fp", md5(col("__block")))
+    val winners = blocks.groupBy("__fp")
+      .agg(min(struct(col(idCol).as("d"), col("__pos").as("p"))).as("__w"))
+    val kept = blocks.join(winners, "__fp")
+      .where(col(idCol) === col("__w.d") && col("__pos") === col("__w.p"))
+    val reassembled = kept.groupBy(idCol).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__block")))),
+        x => x.getField("__block")), " ").as("__text"),
+      count(lit(1)).as("n_blocks_kept"))
+    df.select(col(idCol),
+        ceil(size(ws) / lit(window.toDouble)).cast("long").as("n_blocks"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__text"), lit("")).as(textCol),
+        col("n_blocks"),
+        coalesce(col("n_blocks_kept"), lit(0L)).as("n_blocks_kept"))
+  }
+
   /** Duplicate-PASSAGE detection (the token-window formulation of
     * Lee et al. 2022, "Deduplicating Training Data Makes Language
     * Models Better": repeated long substrings across documents, found

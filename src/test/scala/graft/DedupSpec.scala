@@ -217,6 +217,31 @@ class DedupSpec extends SparkSpec {
     assert(r.toSeq == Seq((1, 2L, 2.0), (2, 3L, 4.0)))
   }
 
+  test("passageTrim excises repeated blocks, keeps first occurrence, reassembles") {
+    // window=2: doc 1 owns "a b" and "c d"; doc 2 repeats "a b" (cut)
+    // but keeps its unique tail; doc 3 is doc 1 verbatim (cut to empty)
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "a b c d")
+    ).toDF("doc_id", "text")
+    val r = Dedup.passageTrim(df, "doc_id", "text", window = 2)
+      .orderBy("doc_id").collect()
+    assert(r(0).getString(1) == "a b c d" && r(0).getLong(3) == 2L)
+    assert(r(1).getString(1) == "x y" && r(1).getLong(3) == 1L)
+    assert(r(2).getString(1) == "" && r(2).getLong(3) == 0L)
+    assert(r.forall(_.getLong(2) == 2L))
+  }
+
+  test("passageTrim removes within-doc repeats and handles short tails") {
+    // 5 tokens at window=2 -> blocks "p q","p q","r": the second "p q"
+    // is a within-doc repeat (cut), the 1-token tail survives
+    val df = Seq((7L, "p q p q r")).toDF("doc_id", "text")
+    val r = Dedup.passageTrim(df, "doc_id", "text", window = 2).collect()
+    assert(r(0).getString(1) == "p q r")
+    assert(r(0).getLong(2) == 3L && r(0).getLong(3) == 2L)
+  }
+
   test("brute-force knn returns exact neighbors in cosine order") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
