@@ -654,6 +654,26 @@ object SparkEntry {
           "gopher_reason", "gopher_keep")
         .orderBy("doc_id")),
 
+    "x08_pipeline_e2e" -> ((s, d) => {
+      // the ingest gate as ONE composed plan — quality judge → exact
+      // dedup canonical → train-split cut → per-lang accounting. Every
+      // stage is an already-oracled operator (d03, d07, d37); what
+      // this row checks is the COMPOSITION: the judge filter runs in
+      // the scan projection, the dedup window partitions by the
+      // fingerprint of the survivors only, the split cut is another
+      // scan-level predicate, and the final aggregation is the only
+      // other shuffle.
+      val h2 = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+      val ok = docs(s, d)
+        .where(TextFunctions.judgeReason(col("text"), judgeT) === "ok")
+      Dedup.exact(ok, "doc_id", "text")
+        .where(h2 < "cd")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text"))).cast("long").as("n_tokens"))
+        .orderBy("lang")
+    }),
+
     "d37_split_assign" -> ((s, d) => {
       // deterministic, content-stable train/val/test assignment: the
       // split is a pure function of md5(doc id) — any engine, run, or
@@ -1843,6 +1863,28 @@ object SparkEntry {
          SELECT g.doc_id, coalesce(c.n_overlap, 0) AS n_overlap,
            coalesce(c.n_overlap, 0) > 0 AS contaminated
          FROM g LEFT JOIN c USING (doc_id) ORDER BY g.doc_id""",
+
+    // d03's judge CASE → d07's canonical rule → d37's split cut →
+    // the accounting projection, chained as CTEs.
+    "x08_pipeline_e2e" ->
+      """WITH ok AS (SELECT doc_id, lang, text FROM (
+           SELECT doc_id, lang, text,
+             CASE WHEN length(text) < 100 THEN 'too_short'
+                  WHEN length(text) > 450 THEN 'too_long'
+                  WHEN CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / length(text) < 0.82 THEN 'too_sparse'
+                  WHEN CAST(length(text) - length(regexp_replace(text, '[A-Za-z一-鿿]', '', 'g')) AS DOUBLE) / length(text) < 0.8 THEN 'low_language_signal'
+                  WHEN CAST(length(text) - length(regexp_replace(text, '[^\w\s一-鿿]', '', 'g')) AS DOUBLE) / length(text) > 0.05 THEN 'too_much_punct'
+                  ELSE 'ok' END AS dr
+           FROM documents) WHERE dr = 'ok'),
+         canon AS (SELECT doc_id, lang, text FROM (
+           SELECT doc_id, lang, text, row_number() OVER (
+             PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+             ORDER BY doc_id) AS rn FROM ok) WHERE rn = 1),
+         tr AS (SELECT lang, text FROM canon
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd')
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+         FROM tr GROUP BY lang ORDER BY lang""",
 
     // Same md5-prefix bucketing; hex sorts numerically so the CASE
     // thresholds are plain string compares on both engines.
