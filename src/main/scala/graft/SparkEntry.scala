@@ -674,6 +674,24 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "d39_soft_quality_sample" -> ((s, d) => {
+      // soft quality-weighted sampling (the DCLM/CCNet move: don't
+      // hard-cut on a quality threshold, keep each doc with
+      // probability = its quality score): the per-doc "coin" is a
+      // Knuth multiplicative hash of the id — pure 64-bit integer
+      // arithmetic, so any engine/run/partitioning flips the same
+      // coin, and m/2^32 is a dyadic-exact double. Zero shuffle;
+      // deterministic where rand() would be unreproducible.
+      val m = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      val u = m.cast("double") / lit(4294967296.0)
+      docs(s, d)
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality_score"),
+          round(u, 6).as("coin"),
+          (u < TextFunctions.qualityScore(col("text"))).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     "d37_split_assign" -> ((s, d) => {
       // deterministic, content-stable train/val/test assignment: the
       // split is a pure function of md5(doc id) — any engine, run, or
@@ -1885,6 +1903,22 @@ object SparkEntry {
          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
          FROM tr GROUP BY lang ORDER BY lang""",
+
+    // Same Knuth coin (integer-exact), same d06 score expression; the
+    // kept compare runs on the UNrounded coin on both sides.
+    "d39_soft_quality_sample" ->
+      """WITH q AS (SELECT doc_id,
+             round(greatest(0.0,
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+               + (CAST(length(text) - length(regexp_replace(text, '[A-Za-z一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 0.35
+               + (CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / length(text)) * 0.25
+               + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w\s一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 2.0, 1.0)) * 0.15), 6)
+               AS quality_score,
+             CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS u
+           FROM documents)
+         SELECT doc_id, quality_score, round(u, 6) AS coin,
+           u < quality_score AS kept
+         FROM q ORDER BY doc_id""",
 
     // Same md5-prefix bucketing; hex sorts numerically so the CASE
     // thresholds are plain string compares on both engines.

@@ -220,8 +220,13 @@ object TextAnalysis {
     * regardless of corpus size. */
   def trainBigramLm(df: DataFrame, textCol: String,
                     vocabSize: Int): BigramLmModel = {
+    // cached between the two count passes: the bigram pass re-reads
+    // token ARRAYS instead of re-scanning and re-splitting the source
+    // (MEMORY_AND_DISK — spills rather than recomputes at corpus
+    // scale; CCNet-style deployments train the LM on a sample anyway)
     val toks = df.select(toksExpr(col(textCol)).as("toks"))
       .where(col("toks").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = toks.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -238,6 +243,7 @@ object TextAnalysis {
           element_at(col("tu"), i + 1)))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    toks.unpersist()
     BigramLmModel(vocab, total - vocab.values.sum, bigrams)
   }
 
@@ -331,6 +337,7 @@ object TextAnalysis {
     val toksAll = df.select(col(idCol), targetPred.as("is_t"),
       toksExpr(col(textCol)).as("toks"))
       .where(col("toks").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = toksAll.select(col("is_t"), explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cr"),
         count(when(col("is_t"), lit(1))).as("ct"))
@@ -354,6 +361,7 @@ object TextAnalysis {
       .groupBy("bg").agg(count(lit(1)).as("cr"),
         count(when(col("is_t"), lit(1))).as("ct"))
       .collect()
+    toksAll.unpersist()
     val biR = biRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val biT = biRows.map(r => r.getString(0) -> r.getLong(2)).toMap
     val (nRb, nTb) = (biR.values.sum, biT.values.sum)
