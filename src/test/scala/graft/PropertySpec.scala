@@ -166,6 +166,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("passageTrim output is partition-invariant") {
+    import spark.implicits._
+    // random docs over a tiny vocabulary so cross-doc block collisions
+    // are common; the surviving text must not depend on layout
+    val docGen = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d"))
+      .map(_.mkString(" "))
+    val docs = samples(docGen, 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    def run(parts: Int) = graft.operators.Dedup.passageTrim(
+        docs.toDF("doc_id", "text").repartition(parts), "doc_id", "text",
+        window = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val one = run(1)
+    assert(one == run(7) && one == run(32))
+    // and the global rule really fired: some doc lost a block
+    assert(one.exists(r => r._4 < r._3))
+  }
+
+  test("dsirResample weights and selection are partition-invariant") {
+    import spark.implicits._
+    val docGen = Gen.listOfN(8, Gen.oneOf("x", "y", "z", "w", "v")).map(_.mkString(" "))
+    val docs = samples(docGen, 30).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, i % 5 == 0) }
+    def run(parts: Int) = graft.operators.TextAnalysis.dsirResample(
+        docs.toDF("doc_id", "text", "t").repartition(parts), "text", col("t"),
+        vocabSize = 6, nSelect = 10)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    val one = run(1)
+    assert(one == run(5) && one == run(32))
+    assert(one.count(_._4) == 10)
+  }
+
   test("Ranking row numbers with more partitions than rows") {
     import spark.implicits._
     val df = Seq((1L, "a", 2.0), (2L, "a", 1.0), (3L, "b", 5.0)).toDF("id", "g", "v")
