@@ -1479,6 +1479,38 @@ object SparkEntry {
     }),
 
     // ---------------- BPE tokenizer roundtrip (byte fallback + NFKC) ----------------
+    "k03_tokenizer_fertility" -> ((s, d) => {
+      // per-language tokenizer comparison — the reference's compare.py
+      // report (reference: src/llm_data_pipeline/tokenizer/
+      // compare.py:38-141) as a gate row: BPE fertility (subword
+      // tokens per whitespace word) and compression (normalized chars
+      // per token) per language, integer-exact sums then one rounded
+      // division. CJK fertility towers over Latin (no whitespace
+      // words to merge). Values depend on the trained merges — not
+      // SQL-replayable — so the oracle pins the sf0.01 measurement
+      // (d20 convention).
+      val t = docs(s, d)
+      // vocab 300 = 260 fixed + ~40 learnable merges: small enough
+      // that words stay SPLIT (fertility > 1 everywhere) — at 2000 the
+      // synthetic 31-word vocabulary collapses every word to one token
+      // and the metric degenerates to 1.0
+      val model = BpeTrainer.trainFromCorpus(t, "text", vocabSize = 300)
+      BpeTrainer.tokenize(t.select("doc_id", "lang", "text"), "text", model)
+        .select(col("lang"),
+          size(col("ids")).cast("long").as("nb"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("nw"),
+          length(BpeTrainer.normalizeForTokenize(col("text"))).cast("long").as("nc"))
+        .groupBy("lang")
+        .agg(sum("nb").as("bpe_tokens"), sum("nw").as("words"),
+          sum("nc").as("chars"))
+        .select(col("lang"), col("bpe_tokens"),
+          round(col("bpe_tokens").cast("double") / col("words").cast("double"), 4)
+            .as("fertility"),
+          round(col("chars").cast("double") / col("bpe_tokens").cast("double"), 4)
+            .as("chars_per_token"))
+        .orderBy("lang")
+    }),
+
     "k02_bpe_roundtrip" -> ((s, d) => {
       // decode(encode(t)) must equal the NFKC+flatten normalization of t
       // for EVERY document (including CJK), and no id may be unk — the
@@ -1764,6 +1796,20 @@ object SparkEntry {
     // (never trained on) all land on Swedish, the nearest trained
     // neighbor — pinned unseen-language behavior. Re-pin if the fixture
     // or SF changes.
+    // Pinned at sf0.01 (d20 convention): fertility/compression are
+    // functions of the trained merge table — deterministic (ordered
+    // count collect + lexicographic tie-breaks) but not SQL-replayable.
+    "k03_tokenizer_fertility" ->
+      """SELECT lang, CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+           fertility, chars_per_token FROM (VALUES
+           ('de', 14586, 4.1099, 1.3386),
+           ('en', 48137, 4.0943, 1.3386),
+           ('es', 16269, 4.1104, 1.3373),
+           ('fr', 15349, 4.0844, 1.3436),
+           ('zh', 17125, 4.1335, 1.3333)
+         ) AS t(lang, bpe_tokens, fertility, chars_per_token)
+         ORDER BY lang""",
+
     "d20_trained_lid" ->
       """SELECT lang, lang_pred_model, CAST(n_dec AS BIGINT) AS n FROM (VALUES
            ('da', 'sv', 500),
