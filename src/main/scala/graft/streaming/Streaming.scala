@@ -163,10 +163,32 @@ object Streaming {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Run `body` with the given state-store provider (snapshot at query
+    * start, like the partition width). RocksDB keeps keyed state off
+    * the executor heap — the production choice once per-partition state
+    * stops fitting in memory (the HDFS-backed default holds the whole
+    * map on-heap). */
+  def withStateProvider[T](s: SparkSession, provider: String)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, provider)
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** Drain a stream to an in-memory table with AvailableNow (process
     * everything currently present, then stop). Returns the table name. */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Update()): String =
     withShufflePartitions(df.sparkSession, 8) {
+      // default (HDFS-backed, on-heap) provider: measured FASTER than
+      // RocksDB on fixture-sized state (native-lib + snapshot overhead
+      // dominates when per-partition state is a few MB); flip to
+      // withStateProvider(RocksDbProvider) when state outgrows heap
       val q = df.writeStream
         .format("memory")
         .queryName(name)
