@@ -1075,6 +1075,23 @@ object SparkEntry {
         .orderBy("kind")
     }),
 
+    "m02_audio_features" -> ((s, d) => {
+      // per-asset audio features hash-checked against a from-scratch
+      // SQL recomputation: the synth waveform is a closed-form
+      // function of the id, so the oracle rebuilds the samples with
+      // sin/trunc and replays RMS / zero-crossing rate / mean as
+      // position-order folds — the row only matches if the WAV
+      // encode→decode roundtrip is byte-exact AND the feature math is
+      // bit-equal (double folds, float quantization, then 6dp).
+      val assets = Multimodal.synthesizeAssets(docs(s, d).select("doc_id"), "doc_id")
+      Multimodal.extractFeatures(assets.filter(col("kind") === "audio"))
+        .select(col("asset_id"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("rms"),
+          round(element_at(col("features"), 2).cast("double"), 6).as("zcr"),
+          round(element_at(col("features"), 3).cast("double"), 6).as("mean_s"))
+        .orderBy("asset_id")
+    }),
+
     // ---------------- PII redaction ----------------
     "p01_pii_redact" -> ((s, d) =>
       docs(s, d)
@@ -2724,6 +2741,28 @@ object SparkEntry {
                            WHEN 1 THEN 'audio' ELSE 'video' END AS kind
                FROM documents)
          GROUP BY kind ORDER BY kind""",
+
+    // From-scratch replay of the audio synth + feature math: samples
+    // are trunc(sin((i+id)*0.1)*16000)/32768 (the PCM16 short over the
+    // full-scale divisor), folds run in position order, and each
+    // feature passes through REAL (float) before the 6dp round — the
+    // exact quantization the Scala path applies.
+    "m02_audio_features" ->
+      """WITH a AS (SELECT doc_id AS asset_id FROM documents WHERE doc_id % 3 = 1),
+         s AS (SELECT asset_id,
+             list_transform(range(0, 256), i ->
+               trunc(sin((i + asset_id) * 0.1) * 16000) / 32768.0) AS sm
+           FROM a),
+         agg AS (SELECT asset_id,
+             list_reduce(list_transform(sm, x -> x * x), (p, q) -> p + q) AS sumsq,
+             list_reduce(sm, (p, q) -> p + q) AS ssum,
+             len(list_filter(range(1, 256), i -> (sm[i+1] >= 0) != (sm[i] >= 0))) AS zc
+           FROM s)
+         SELECT asset_id,
+           round(CAST(CAST(sqrt(sumsq / 256.0) AS REAL) AS DOUBLE), 6) AS rms,
+           round(CAST(CAST(CAST(zc AS DOUBLE) / 256.0 AS REAL) AS DOUBLE), 6) AS zcr,
+           round(CAST(CAST(ssum / 256.0 AS REAL) AS DOUBLE), 6) AS mean_s
+         FROM agg ORDER BY asset_id""",
 
     "p01_pii_redact" ->
       s"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
