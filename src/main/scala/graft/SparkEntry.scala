@@ -1092,6 +1092,21 @@ object SparkEntry {
         .orderBy("asset_id")
     }),
 
+    "m03_image_features" -> ((s, d) => {
+      // the image twin of m02: per-asset channel means checked against
+      // a from-scratch SQL replay of the 8x8 gradient formula — PPM
+      // encode→decode must be byte-exact and the mean's float-division
+      // chain bit-equal (DuckDB FLOAT/FLOAT division stays FLOAT, the
+      // same IEEE single op the Scala path runs).
+      val assets = Multimodal.synthesizeAssets(docs(s, d).select("doc_id"), "doc_id")
+      Multimodal.extractFeatures(assets.filter(col("kind") === "image"))
+        .select(col("asset_id"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("r_mean"),
+          round(element_at(col("features"), 2).cast("double"), 6).as("g_mean"),
+          round(element_at(col("features"), 3).cast("double"), 6).as("b_mean"))
+        .orderBy("asset_id")
+    }),
+
     // ---------------- PII redaction ----------------
     "p01_pii_redact" -> ((s, d) =>
       docs(s, d)
@@ -2763,6 +2778,22 @@ object SparkEntry {
            round(CAST(CAST(CAST(zc AS DOUBLE) / 256.0 AS REAL) AS DOUBLE), 6) AS zcr,
            round(CAST(CAST(ssum / 256.0 AS REAL) AS DOUBLE), 6) AS mean_s
          FROM agg ORDER BY asset_id""",
+
+    // Channel sums replay the gradient formula ((i*4+id)%256 etc.)
+    // as integer folds; the mean chain divides in REAL twice — the
+    // exact float ops the Scala path applies — before the 6dp round.
+    "m03_image_features" ->
+      """WITH a AS (SELECT doc_id AS asset_id FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT asset_id,
+             list_reduce(list_transform(range(0, 64), i -> (i*4 + asset_id) % 256), (p, q) -> p + q) AS rs,
+             list_reduce(list_transform(range(0, 64), i -> (i*2 + asset_id*3) % 256), (p, q) -> p + q) AS gs,
+             list_reduce(list_transform(range(0, 64), i -> (i + asset_id*7) % 256), (p, q) -> p + q) AS bs
+           FROM a)
+         SELECT asset_id,
+           round(CAST(CAST(rs AS REAL) / 64 / 255 AS DOUBLE), 6) AS r_mean,
+           round(CAST(CAST(gs AS REAL) / 64 / 255 AS DOUBLE), 6) AS g_mean,
+           round(CAST(CAST(bs AS REAL) / 64 / 255 AS DOUBLE), 6) AS b_mean
+         FROM px ORDER BY asset_id""",
 
     "p01_pii_redact" ->
       s"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
