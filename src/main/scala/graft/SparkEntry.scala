@@ -1107,6 +1107,21 @@ object SparkEntry {
         .orderBy("asset_id")
     }),
 
+    "m04_video_features" -> ((s, d) => {
+      // completes the codec trio (WAV m02, PPM m03): per-asset Y4M
+      // frame luma means vs the SQL replay of the saturating
+      // brighten-per-frame formula min(255, i*3 + f*20 + id%16) — the
+      // C420 header/frame layout must decode byte-exactly.
+      val assets = Multimodal.synthesizeAssets(docs(s, d).select("doc_id"), "doc_id")
+      Multimodal.extractFeatures(assets.filter(col("kind") === "video"))
+        .select(col("asset_id"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0_luma"),
+          round(element_at(col("features"), 2).cast("double"), 6).as("f1_luma"),
+          round(element_at(col("features"), 3).cast("double"), 6).as("f2_luma"),
+          round(element_at(col("features"), 4).cast("double"), 6).as("f3_luma"))
+        .orderBy("asset_id")
+    }),
+
     // ---------------- PII redaction ----------------
     "p01_pii_redact" -> ((s, d) =>
       docs(s, d)
@@ -2778,6 +2793,25 @@ object SparkEntry {
            round(CAST(CAST(CAST(zc AS DOUBLE) / 256.0 AS REAL) AS DOUBLE), 6) AS zcr,
            round(CAST(CAST(ssum / 256.0 AS REAL) AS DOUBLE), 6) AS mean_s
          FROM agg ORDER BY asset_id""",
+
+    "m04_video_features" ->
+      """WITH a AS (SELECT doc_id AS asset_id FROM documents WHERE doc_id % 3 = 2),
+         fr AS (SELECT asset_id, f,
+             list_reduce(list_transform(range(0, 64), i ->
+               least(255, i*3 + f*20 + asset_id % 16)), (p, q) -> p + q) AS ls
+           FROM a, (SELECT unnest(range(0, 4)) AS f)),
+         pv AS (SELECT asset_id,
+             max(CASE WHEN f = 0 THEN ls END) AS l0,
+             max(CASE WHEN f = 1 THEN ls END) AS l1,
+             max(CASE WHEN f = 2 THEN ls END) AS l2,
+             max(CASE WHEN f = 3 THEN ls END) AS l3
+           FROM fr GROUP BY asset_id)
+         SELECT asset_id,
+           round(CAST(CAST(l0 AS REAL) / 64 / 255 AS DOUBLE), 6) AS f0_luma,
+           round(CAST(CAST(l1 AS REAL) / 64 / 255 AS DOUBLE), 6) AS f1_luma,
+           round(CAST(CAST(l2 AS REAL) / 64 / 255 AS DOUBLE), 6) AS f2_luma,
+           round(CAST(CAST(l3 AS REAL) / 64 / 255 AS DOUBLE), 6) AS f3_luma
+         FROM pv ORDER BY asset_id""",
 
     // Channel sums replay the gradient formula ((i*4+id)%256 etc.)
     // as integer folds; the mean chain divides in REAL twice — the
