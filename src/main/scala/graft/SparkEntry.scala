@@ -1372,6 +1372,26 @@ object SparkEntry {
       s.table("st06_tbl").orderBy("doc_id")
     }),
 
+    "st08_stream_dsir" -> ((s, d) => {
+      // DSIR model deployment on a stream (the st06 design/apply
+      // split): the raw+target LMs are trained ONCE on the static
+      // corpus — a batch decision — and the scoring pass, a stateless
+      // zero-shuffle projection, runs on the document stream
+      // unchanged. Per-doc weights must land on the batch values
+      // exactly, so the oracle is d36's SQL minus the selection tail.
+      val model = TextAnalysis.trainDsirModel(
+        docs(s, d), "text", col("lang") === "fr", vocabSize = 64)
+      s.catalog.dropTempView("st08_tbl")
+      val stream = graft.streaming.Streaming
+        .parquetStream(s, stageTableDir(d, "documents"), docs(s, d).schema)
+        .select("doc_id", "text")
+      graft.streaming.Streaming.runToMemory(
+        TextAnalysis.dsirScore(stream, "text", model)
+          .select("doc_id", "n_feats", "dsir_logw"),
+        "st08_tbl", org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table("st08_tbl").orderBy("doc_id")
+    }),
+
     "st07_stream_online_dedup" -> ((s, d) => {
       // stream-vs-ITSELF near-dedup with cross-batch keyed state: docs
       // arrive in 4 deterministic micro-batches (batch = doc_id % 4,
@@ -2036,58 +2056,19 @@ object SparkEntry {
     // produces), and the top-100 threshold via the rounded weight
     // with doc_id tiebreak.
     "d36_dsir" ->
-      """WITH t AS (SELECT doc_id, lang = 'fr' AS is_t,
-             string_split_regex(lower(trim(text)), '\s+') AS toks
-           FROM documents),
-         uni AS (SELECT w, count(*) AS cr, count(*) FILTER (WHERE is_t) AS ct
-           FROM (SELECT is_t, unnest(toks) AS w FROM t) GROUP BY w),
-         vocab AS (SELECT w, cr, ct FROM uni ORDER BY cr DESC, w LIMIT 64),
-         stats AS (SELECT
-           (SELECT sum(cr) FROM uni) AS nr, (SELECT sum(ct) FROM uni) AS nt,
-           (SELECT sum(cr) FROM vocab) AS vr, (SELECT sum(ct) FROM vocab) AS vt,
-           (SELECT count(*) FROM vocab) AS v),
-         vm AS (SELECT
-             map_from_entries(list({'k': w, 'v': cr} ORDER BY w)) AS mr,
-             map_from_entries(list({'k': w, 'v': ct} ORDER BY w)) AS mt
-           FROM vocab),
-         tm AS (SELECT doc_id, is_t,
-             list_transform(toks, x -> CASE WHEN len(map_extract(mr, x)) > 0
-               THEN x ELSE chr(1) END) AS tu
-           FROM t, vm),
-         big AS (SELECT bg, count(*) AS cr, count(*) FILTER (WHERE is_t) AS ct FROM
-             (SELECT is_t, unnest(list_transform(range(1, len(tu)),
-                i -> tu[i] || ' ' || tu[i+1])) AS bg FROM tm)
-           GROUP BY bg),
-         bstats AS (SELECT coalesce(sum(cr), 0) AS nrb,
-             coalesce(sum(ct), 0) AS ntb FROM big),
-         bm AS (SELECT
-             map_from_entries(list({'k': bg, 'v': cr} ORDER BY bg)) AS bmr,
-             map_from_entries(list({'k': bg, 'v': ct} ORDER BY bg)) AS bmt
-           FROM big),
-         scored AS (SELECT doc_id,
-             CAST(len(tu) + greatest(len(tu) - 1, 0) AS BIGINT) AS n_feats,
-             round(
-               list_reduce(list_transform(tu, x ->
-                 ln(((CASE WHEN x = chr(1) THEN nt - vt
-                      ELSE map_extract(mt, x)[1] END) + 1.0) / (nt + v + 1.0))
-               - ln(((CASE WHEN x = chr(1) THEN nr - vr
-                      ELSE map_extract(mr, x)[1] END) + 1.0) / (nr + v + 1.0))),
-                 (a, b) -> a + b)
-               + CASE WHEN len(tu) >= 2 THEN
-                   list_reduce(list_transform(range(1, len(tu)), i ->
-                     ln((coalesce(map_extract(bmt, tu[i] || ' ' || tu[i+1])[1], 0) + 1.0)
-                        / (ntb + (v + 1) * (v + 1) + 0.0))
-                   - ln((coalesce(map_extract(bmr, tu[i] || ' ' || tu[i+1])[1], 0) + 1.0)
-                        / (nrb + (v + 1) * (v + 1) + 0.0))),
-                     (a, b) -> a + b)
-                 ELSE 0.0 END, 6) AS dsir_logw
-           FROM tm, vm, bm, stats, bstats),
+      s"""WITH $dsirScoredCtes,
          thr AS (SELECT dsir_logw AS tw, doc_id AS td FROM scored
            ORDER BY dsir_logw DESC, doc_id LIMIT 1 OFFSET 99)
          SELECT s.doc_id, s.n_feats, s.dsir_logw,
            (s.dsir_logw > t.tw OR (s.dsir_logw = t.tw AND s.doc_id <= t.td))
              AS selected
          FROM scored s, thr t ORDER BY s.doc_id""",
+
+    // The stream scores must land on the batch weights exactly: same
+    // CTE chain, no selection tail.
+    "st08_stream_dsir" ->
+      s"""WITH $dsirScoredCtes
+         SELECT doc_id, n_feats, dsir_logw FROM scored ORDER BY doc_id""",
 
     // Mirrors trainBigramLm + bigramPerplexity: top-64 vocab by
     // (count DESC, word ASC), chr(1) as <unk>, add-one smoothing
@@ -3037,6 +3018,56 @@ object SparkEntry {
   // single source of truth with PiiFunctions).
   private def EmailSql = PiiFunctions.EmailPattern
   private def CardSql = PiiFunctions.CardPattern
+
+  /** d36/st08 shared oracle: the DSIR scoring CTE chain (both the
+    * batch gate and the streaming deployment must produce these exact
+    * per-doc weights; d36 adds the selection tail on top). */
+  private val dsirScoredCtes: String = """t AS (SELECT doc_id, lang = 'fr' AS is_t,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         uni AS (SELECT w, count(*) AS cr, count(*) FILTER (WHERE is_t) AS ct
+           FROM (SELECT is_t, unnest(toks) AS w FROM t) GROUP BY w),
+         vocab AS (SELECT w, cr, ct FROM uni ORDER BY cr DESC, w LIMIT 64),
+         stats AS (SELECT
+           (SELECT sum(cr) FROM uni) AS nr, (SELECT sum(ct) FROM uni) AS nt,
+           (SELECT sum(cr) FROM vocab) AS vr, (SELECT sum(ct) FROM vocab) AS vt,
+           (SELECT count(*) FROM vocab) AS v),
+         vm AS (SELECT
+             map_from_entries(list({'k': w, 'v': cr} ORDER BY w)) AS mr,
+             map_from_entries(list({'k': w, 'v': ct} ORDER BY w)) AS mt
+           FROM vocab),
+         tm AS (SELECT doc_id, is_t,
+             list_transform(toks, x -> CASE WHEN len(map_extract(mr, x)) > 0
+               THEN x ELSE chr(1) END) AS tu
+           FROM t, vm),
+         big AS (SELECT bg, count(*) AS cr, count(*) FILTER (WHERE is_t) AS ct FROM
+             (SELECT is_t, unnest(list_transform(range(1, len(tu)),
+                i -> tu[i] || ' ' || tu[i+1])) AS bg FROM tm)
+           GROUP BY bg),
+         bstats AS (SELECT coalesce(sum(cr), 0) AS nrb,
+             coalesce(sum(ct), 0) AS ntb FROM big),
+         bm AS (SELECT
+             map_from_entries(list({'k': bg, 'v': cr} ORDER BY bg)) AS bmr,
+             map_from_entries(list({'k': bg, 'v': ct} ORDER BY bg)) AS bmt
+           FROM big),
+         scored AS (SELECT doc_id,
+             CAST(len(tu) + greatest(len(tu) - 1, 0) AS BIGINT) AS n_feats,
+             round(
+               list_reduce(list_transform(tu, x ->
+                 ln(((CASE WHEN x = chr(1) THEN nt - vt
+                      ELSE map_extract(mt, x)[1] END) + 1.0) / (nt + v + 1.0))
+               - ln(((CASE WHEN x = chr(1) THEN nr - vr
+                      ELSE map_extract(mr, x)[1] END) + 1.0) / (nr + v + 1.0))),
+                 (a, b) -> a + b)
+               + CASE WHEN len(tu) >= 2 THEN
+                   list_reduce(list_transform(range(1, len(tu)), i ->
+                     ln((coalesce(map_extract(bmt, tu[i] || ' ' || tu[i+1])[1], 0) + 1.0)
+                        / (ntb + (v + 1) * (v + 1) + 0.0))
+                   - ln((coalesce(map_extract(bmr, tu[i] || ' ' || tu[i+1])[1], 0) + 1.0)
+                        / (nrb + (v + 1) * (v + 1) + 0.0))),
+                     (a, b) -> a + b)
+                 ELSE 0.0 END, 6) AS dsir_logw
+           FROM tm, vm, bm, stats, bstats)"""
 
   /** Every repairable char once — appended to each doc by w03 so the
     * whole mojibake table is under the hash. */

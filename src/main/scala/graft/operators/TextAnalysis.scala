@@ -331,10 +331,24 @@ object TextAnalysis {
     * bigram positions), `dsir_logw` (rounded 6dp — the rounded value is
     * what the threshold compares, so selection is reproducible
     * cross-engine), `selected`. */
-  def dsirResample(df: DataFrame, textCol: String, targetPred: Column,
-                   vocabSize: Int, nSelect: Int,
-                   idCol: String = "doc_id"): DataFrame = {
-    val toksAll = df.select(col(idCol), targetPred.as("is_t"),
+  /** Bounded DSIR model artifact: per-feature PRECOMPUTED log-ratio
+    * tables (vocab membership = `uniLog` keySet; `unkLog`/`biDef`
+    * cover out-of-vocab words and unseen bigrams). At most
+    * V + (V+1)² entries — model-sized by construction, so it ships
+    * whole into a batch projection or a structured stream. */
+  final case class DsirModel(uniLog: Map[String, Double], unkLog: Double,
+                             biLog: Map[String, Double], biDef: Double)
+
+  /** Train the raw + target DSIR LMs (see [[dsirResample]] for the
+    * full construction discussion). ONE shuffle each for the unigram
+    * and bigram count passes — the target counts ride the raw
+    * aggregations as a count-if; the tokenized corpus is cached
+    * between the two passes. Log-ratios are precomputed here with
+    * StrictMath.log (the exact function Spark's `log` expression
+    * applies), so scoring later emits bit-identical doubles. */
+  def trainDsirModel(df: DataFrame, textCol: String, targetPred: Column,
+                     vocabSize: Int): DsirModel = {
+    val toksAll = df.select(targetPred.as("is_t"),
       toksExpr(col(textCol)).as("toks"))
       .where(col("toks").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -372,41 +386,53 @@ object TextAnalysis {
     // as BigramLmModel.vocabSize = vocab.size).
     val vA = vocabR.size
     val bCat = (vA + 1).toLong * (vA + 1)
-    // Each feature's log-ratio is precomputed ONCE at the driver
-    // (model-sized work) with StrictMath.log — the exact function
-    // Spark's `log` expression applies, so every double is unchanged —
-    // turning the per-position cost from four literal-map scans plus
-    // two runtime logs into ONE map scan. On a few-M-token corpus this
-    // is the difference between the scan dominating and the fold
-    // disappearing into it.
     def ratio(ctc: Long, crc: Long, dt: Double, dr: Double): Double =
       StrictMath.log((ctc + 1.0) / dt) - StrictMath.log((crc + 1.0) / dr)
     val (dUrD, dUtD) = (nR + vA + 1.0, nT + vA + 1.0)
     val (dBrD, dBtD) = ((nRb + bCat).toDouble, (nTb + bCat).toDouble)
-    val uniLog = vocabR.map { case (w, c) => w -> ratio(vocabT(w), c, dUtD, dUrD) }
-    val unkLog = ratio(unkT, unkR, dUtD, dUrD)
-    val biLog = biR.map { case (bg, c) => bg -> ratio(biT(bg), c, dBtD, dBrD) }
-    val biDef = ratio(0L, 0L, dBtD, dBrD)
-    val (uniLogLit, biLogLit) = (typedLit(uniLog), typedLit(biLog))
-    val p = "__dsir"
+    DsirModel(
+      uniLog = vocabR.map { case (w, c) => w -> ratio(vocabT(w), c, dUtD, dUrD) },
+      unkLog = ratio(unkT, unkR, dUtD, dUrD),
+      biLog = biR.map { case (bg, c) => bg -> ratio(biT(bg), c, dBtD, dBrD) },
+      biDef = ratio(0L, 0L, dBtD, dBrD))
+  }
+
+  /** Score with a trained [[DsirModel]]: appends `n_feats` and
+    * `dsir_logw` (6dp). A pure zero-shuffle, stateless projection —
+    * ONE literal-map scan per feature position — so the SAME call
+    * works on a static frame or a structured stream (st08 runs it on
+    * the document stream unchanged, the st06 design/apply split). */
+  def dsirScore(df: DataFrame, textCol: String, model: DsirModel): DataFrame = {
+    val lowerCols = df.columns.map(_.toLowerCase).toSet
+    val p = Iterator.iterate("__dsir")(_ + "_")
+      .dropWhile(x => lowerCols.exists(_.startsWith(x))).next()
+    val (uniLogLit, biLogLit) = (typedLit(model.uniLog), typedLit(model.biLog))
     val tu = col(s"${p}_tu")
     val luni = aggregate(transform(tu, x =>
-      coalesce(element_at(uniLogLit, x), lit(unkLog))),
+      coalesce(element_at(uniLogLit, x), lit(model.unkLog))),
       lit(0.0), (a, x) => a + x)
     val lbi = when(size(tu) >= 2,
       aggregate(transform(sequence(lit(1), size(tu) - 1), i =>
         coalesce(element_at(biLogLit,
           concat(element_at(tu, i), lit(" "), element_at(tu, i + 1))),
-          lit(biDef))),
+          lit(model.biDef))),
         lit(0.0), (a, x) => a + x)).otherwise(lit(0.0))
+    df.withColumn(s"${p}_tu", unkMapExpr(toksExpr(col(textCol)), uniLogLit))
+      .withColumn("n_feats",
+        (size(tu) + greatest(size(tu) - 1, lit(0))).cast("long"))
+      .withColumn("dsir_logw", round(luni + lbi, 6))
+      .drop(s"${p}_tu")
+  }
+
+  def dsirResample(df: DataFrame, textCol: String, targetPred: Column,
+                   vocabSize: Int, nSelect: Int,
+                   idCol: String = "doc_id"): DataFrame = {
+    val model = trainDsirModel(df, textCol, targetPred, vocabSize)
     // persisted: the threshold collect below and the returned frame
     // both read it — one scoring pass, and the cache is (id, long,
     // double) per doc, never corpus-text-sized.
-    val scored = df
-      .withColumn(s"${p}_tu", unkMapExpr(toksExpr(col(textCol)), vocabRLit))
-      .select(col(idCol),
-        (size(tu) + greatest(size(tu) - 1, lit(0))).cast("long").as("n_feats"),
-        round(luni + lbi, 6).as("dsir_logw"))
+    val scored = dsirScore(df, textCol, model)
+      .select(col(idCol), col("n_feats"), col("dsir_logw"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thr = scored.orderBy(desc("dsir_logw"), asc(idCol)).limit(nSelect)
       .orderBy(asc("dsir_logw"), desc(idCol)).limit(1).collect()
