@@ -130,4 +130,40 @@ class EdgeCaseSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(kept.contains(1L) && kept.contains(2L))
   }
+
+  test("dsirResample with an empty target domain still scores and selects") {
+    // nT = 0: every target count is 0, weights are finite (add-one
+    // smoothing), selection still picks nSelect docs deterministically
+    val df = Seq((1L, "a b c"), (2L, "a b"), (3L, "c d e f"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.dsirResample(
+        df, "text", lit(false), vocabSize = 8, nSelect = 2)
+      .orderBy("doc_id").collect()
+    assert(r.length == 3)
+    assert(r.forall(x => !x.isNullAt(2) && !x.getDouble(2).isNaN))
+    assert(r.count(_.getBoolean(3)) == 2)
+  }
+
+  test("dsirResample on an empty corpus returns empty, not a crash") {
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    val r = graft.operators.TextAnalysis.dsirResample(
+      empty, "text", lit(true), vocabSize = 8, nSelect = 5).collect()
+    assert(r.isEmpty)
+  }
+
+  test("passageTrim: null and empty text rows survive with zero blocks kept") {
+    val df = Seq((1L, "a b c d"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = graft.operators.Dedup.passageTrim(df, "doc_id", "text", window = 2)
+      .orderBy("doc_id").collect()
+    assert(r(0).getString(1) == "a b c d")
+    // empty text: one block containing "", kept (it is globally first)
+    assert(r(1).getString(1) == "" && r(1).getLong(2) == 1L)
+    // null text: explodes to nothing -> reported as empty with 0 blocks
+    assert(r(2).getString(1) == "" && r(2).getLong(3) == 0L)
+  }
 }
