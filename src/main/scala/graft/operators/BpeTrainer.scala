@@ -282,4 +282,31 @@ object BpeTrainer {
       }
     }(enc)
   }
+
+  /** Persist a trained model as a parquet artifact — the deployment
+    * seam the reference's `tokenizer.model` file plays (reference:
+    * src/llm_data_pipeline/tokenizer/train.py:111-134): train once,
+    * ship the artifact, and any job tokenizes identically. Merge ORDER
+    * is the model (rank = priority), so it's stored explicitly —
+    * parquet row order is not a contract. */
+  def writeModel(spark: org.apache.spark.sql.SparkSession, path: String,
+                 m: BpeModel): Unit = {
+    import spark.implicits._
+    val merges = m.merges.zipWithIndex
+      .map { case ((a, b), r) => ("merge", r, a, b, -1) }
+    val vocab = m.vocab.toSeq.map { case (sym, id) => ("vocab", -1, sym, "", id) }
+    (merges ++ vocab).toDF("kind", "rank", "a", "b", "id")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): BpeModel = {
+    val rows = spark.read.parquet(path)
+      .select("kind", "rank", "a", "b", "id").collect()
+    val merges = rows.filter(_.getString(0) == "merge")
+      .sortBy(_.getInt(1)).map(r => (r.getString(2), r.getString(3))).toSeq
+    val vocab = rows.filter(_.getString(0) == "vocab")
+      .map(r => r.getString(2) -> r.getInt(4)).toMap
+    BpeModel(merges, vocab)
+  }
 }

@@ -150,6 +150,21 @@ class BpeTrainerSpec extends SparkSpec {
     assert(packed.selectExpr("size(input_ids)").collect().forall(_.getInt(0) == 32))
   }
 
+  test("model artifact roundtrip: write + load preserves merges, vocab, encoding") {
+    import java.nio.file.Files
+    val df = (1 to 30).map(i => (i.toLong, s"shared words number$i shared words"))
+      .toDF("doc_id", "text")
+    val m = BpeTrainer.trainFromCorpus(df, "text", vocabSize = 350)
+    val path = Files.createTempDirectory("bpe_artifact").toString + "/model"
+    BpeTrainer.writeModel(spark, path, m)
+    val loaded = BpeTrainer.loadModel(spark, path)
+    assert(loaded.merges == m.merges) // ORDER is the model
+    assert(loaded.vocab == m.vocab)
+    val texts = Seq("shared words number7", "unseen zebra text 新词")
+    texts.foreach(t =>
+      assert(loaded.encodeText(t).toSeq == m.encodeText(t).toSeq))
+  }
+
   test("distributed tokenize appends subword ids per row") {
     val df = Seq((1L, "aa ab aa"), (2L, "ab aa")).toDF("doc_id", "text")
     val m = BpeTrainer.trainFromCorpus(df, "text", vocabSize = 270)
