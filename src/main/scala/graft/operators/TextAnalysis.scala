@@ -397,6 +397,29 @@ object TextAnalysis {
       biDef = ratio(0L, 0L, dBtD, dBrD))
   }
 
+  /** Persist a [[DsirModel]] as a parquet artifact (the TrainedLid /
+    * BpeTrainer deployment seam): the production shape of st08 trains
+    * the model in a batch job, ships the artifact, and the streaming
+    * scorer loads it — never retrains in-stream. */
+  def writeDsirModel(spark: org.apache.spark.sql.SparkSession, path: String,
+                     m: DsirModel): Unit = {
+    import spark.implicits._
+    val rows = m.uniLog.toSeq.map { case (w, v) => ("uni", w, v) } ++
+      m.biLog.toSeq.map { case (bg, v) => ("bi", bg, v) } ++
+      Seq(("unk", "", m.unkLog), ("bidef", "", m.biDef))
+    rows.toDF("kind", "feature", "logw")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadDsirModel(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DsirModel = {
+    val rows = spark.read.parquet(path).select("kind", "feature", "logw")
+      .collect()
+    def of(k: String) = rows.filter(_.getString(0) == k)
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
+    DsirModel(of("uni"), of("unk")(""), of("bi"), of("bidef")(""))
+  }
+
   /** Score with a trained [[DsirModel]]: appends `n_feats` and
     * `dsir_logw` (6dp). A pure zero-shuffle, stateless projection —
     * ONE literal-map scan per feature position — so the SAME call

@@ -190,6 +190,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(0).getLong(1) == 17L)
   }
 
+  test("dsir model artifact roundtrip preserves every table and the scores") {
+    import java.nio.file.Files
+    val df = Seq((1L, "le chien dort", true), (2L, "the cat sat on it", false),
+      (3L, "le chat sat", true)).toDF("doc_id", "text", "t")
+    val m = TextAnalysis.trainDsirModel(df, "text", col("t"), vocabSize = 8)
+    val path = Files.createTempDirectory("dsir_artifact").toString + "/model"
+    TextAnalysis.writeDsirModel(spark, path, m)
+    val loaded = TextAnalysis.loadDsirModel(spark, path)
+    assert(loaded == m) // case-class equality: all four tables bit-equal
+    val a = TextAnalysis.dsirScore(df, "text", m)
+      .select("doc_id", "dsir_logw").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = TextAnalysis.dsirScore(df, "text", loaded)
+      .select("doc_id", "dsir_logw").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+  }
+
   test("dsirResample selects everything when nSelect exceeds the corpus") {
     val df = Seq((1L, "a b c", true), (2L, "d e f", false))
       .toDF("doc_id", "text", "t")
