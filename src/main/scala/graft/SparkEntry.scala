@@ -674,6 +674,33 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "d40_corpus_card" -> ((s, d) => {
+      // the "dataset card" reduction — the one row a data release
+      // ships with (scale, composition, dedup and quality rates) —
+      // computed in a single aggregation pass. mean_quality sums the
+      // 6dp scores as exact integers (q * 1e6) so the partial-agg
+      // order can never flip the rounded mean.
+      val q6 = round(TextFunctions.qualityScore(col("text")) * 1000000.0)
+        .cast("long")
+      docs(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+          length(col("text")).cast("long").as("n_chars"),
+          TextFunctions.fingerprintMd5(col("text")).as("fp"),
+          (TextFunctions.judgeReason(col("text"), judgeT) === "ok").as("ok"),
+          q6.as("q6"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("exact_dup_docs"),
+          round(sum(col("q6")).cast("double") / lit(1000000.0) /
+            count(lit(1)).cast("double"), 6).as("mean_quality"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("judge_ok_docs"))
+    }),
+
     "d39_soft_quality_sample" -> ((s, d) => {
       // soft quality-weighted sampling (the DCLM/CCNet move: don't
       // hard-cut on a quality threshold, keep each doc with
@@ -2016,6 +2043,36 @@ object SparkEntry {
          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
          FROM tr GROUP BY lang ORDER BY lang""",
+
+    // One aggregation over the d06 score (as exact q*1e6 integers),
+    // the d03 judge CASE, and the d07 fingerprint.
+    "d40_corpus_card" ->
+      """WITH b AS (SELECT doc_id, lang, source,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok,
+             length(text) AS n_chars,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+             (CASE WHEN length(text) < 100 THEN 'too_short'
+                  WHEN length(text) > 450 THEN 'too_long'
+                  WHEN CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / length(text) < 0.82 THEN 'too_sparse'
+                  WHEN CAST(length(text) - length(regexp_replace(text, '[A-Za-z一-鿿]', '', 'g')) AS DOUBLE) / length(text) < 0.8 THEN 'low_language_signal'
+                  WHEN CAST(length(text) - length(regexp_replace(text, '[^\w\s一-鿿]', '', 'g')) AS DOUBLE) / length(text) > 0.05 THEN 'too_much_punct'
+                  ELSE 'ok' END) = 'ok' AS ok,
+             CAST(round(round(greatest(0.0,
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+               + (CAST(length(text) - length(regexp_replace(text, '[A-Za-z一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 0.35
+               + (CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / length(text)) * 0.25
+               + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w\s一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 2.0, 1.0)) * 0.15), 6)
+               * 1000000.0) AS BIGINT) AS q6
+           FROM documents)
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS exact_dup_docs,
+           round(CAST(sum(q6) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE), 6) AS mean_quality,
+           CAST(count(*) FILTER (WHERE ok) AS BIGINT) AS judge_ok_docs
+         FROM b""",
 
     // Same Knuth coin (integer-exact), same d06 score expression; the
     // kept compare runs on the UNrounded coin on both sides.
