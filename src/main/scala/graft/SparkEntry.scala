@@ -519,6 +519,24 @@ object SparkEntry {
         .select(col("src"), col("dst"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("src", "dst")),
 
+    "x09_source_dup_matrix" -> ((s, d) => {
+      // which sources leak into each other — the curation report that
+      // catches mirrored feeds: x01's verified near-dup pairs joined
+      // back to both sides' sources (two id-keyed joins of a
+      // pair-sized frame against a two-column projection), counted
+      // per unordered source pair.
+      val t = docs(s, d)
+      val pairs = Dedup.minhashVerifiedPairs(t, "doc_id", "text", threshold = 0.8)
+        .select("src", "dst")
+      pairs
+        .join(t.select(col("doc_id").as("src"), col("source").as("sa0")), "src")
+        .join(t.select(col("doc_id").as("dst"), col("source").as("sb0")), "dst")
+        .select(least(col("sa0"), col("sb0")).as("sa"),
+          greatest(col("sa0"), col("sb0")).as("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("sa", "sb")
+    }),
+
     "x02_simhash_dedup" -> ((s, d) =>
       // maxHamming=8: the measured Hamming ceiling of the exact-Jaccard
       // >=0.8 pairs on this corpus (smaller budgets miss real near-dups,
@@ -2707,6 +2725,24 @@ object SparkEntry {
     // pair graph. The length prefilter is lossless: J(A,B) >= t implies
     // |A|/|B| >= t and |B|/|A| >= t. A hash match asserts the Spark-side
     // banding had full recall at the threshold on this corpus.
+    // x01's brute-force pair set, rolled up per unordered source pair.
+    "x09_source_dup_matrix" ->
+      """WITH n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+           FROM documents),
+         g AS (SELECT doc_id, list_distinct(CASE WHEN length(s) < 5 THEN [s]
+               ELSE list_transform(range(1, length(s)-3), i -> s[i:i+4]) END) AS gs FROM n),
+         p AS (SELECT a.doc_id AS s1, b.doc_id AS s2
+           FROM g a JOIN g b ON a.doc_id < b.doc_id
+             AND len(a.gs) >= 0.8 * len(b.gs) AND len(b.gs) >= 0.8 * len(a.gs)
+           WHERE len(list_intersect(a.gs, b.gs)) * 1.0
+               / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.8),
+         m AS (SELECT least(da.source, db.source) AS sa,
+             greatest(da.source, db.source) AS sb
+           FROM p JOIN documents da ON p.s1 = da.doc_id
+             JOIN documents db ON p.s2 = db.doc_id)
+         SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM m GROUP BY sa, sb ORDER BY sa, sb""",
+
     "x01_minhash_dedup" ->
       """WITH n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
            FROM documents),
