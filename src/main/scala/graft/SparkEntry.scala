@@ -309,6 +309,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
         .orderBy("hr", "event_type")),
 
+    "ev09_funnel" -> ((s, d) => {
+      // ordered conversion funnel with a 6-hour window per stage
+      // (view → click within 6h → purchase within 6h of that click),
+      // strict event-time ordering per user in MICROSECONDS (the ev02
+      // cross-engine ts convention). Three user-partitioned window
+      // passes — high-cardinality partitions, each a shuffle-once
+      // analytic — then one bounded reduction. The window is what
+      // makes the funnel discriminate: without it every fixture user
+      // eventually converts.
+      val hours6 = 21600000000L // µs
+      val w = Window.partitionBy("user_id")
+      ev(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("t"))
+        .withColumn("fv",
+          min(when(col("event_type") === "view", col("t"))).over(w))
+        .withColumn("fc",
+          min(when(col("event_type") === "click" && col("t") > col("fv")
+            && col("t") - col("fv") <= hours6, col("t"))).over(w))
+        .withColumn("fp",
+          min(when(col("event_type") === "purchase" && col("t") > col("fc")
+            && col("t") - col("fc") <= hours6, col("t"))).over(w))
+        .groupBy("user_id")
+        .agg(max("fv").as("fv"), max("fc").as("fc"), max("fp").as("fp"))
+        .agg(count(lit(1)).as("n_users"),
+          count(col("fv")).as("n_view"),
+          count(col("fc")).as("n_view_click"),
+          count(col("fp")).as("n_full_funnel"))
+    }),
+
     "ev02_sessionize" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       ev(s, d)
@@ -1789,6 +1819,25 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
          round(sum(value), 4) AS sum_value
          FROM events GROUP BY hr, event_type ORDER BY hr, event_type""",
+
+    // Join-chain formulation of the same strict ordering: users
+    // without the previous stage drop out of the next CTE, exactly as
+    // the ts > NULL window predicate nulls them out on the Spark side.
+    "ev09_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+           WHERE user_id IS NOT NULL),
+         v AS (SELECT user_id, min(t) AS fv FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.t) AS fc FROM e JOIN v USING (user_id)
+           WHERE e.event_type = 'click' AND e.t > v.fv
+             AND e.t - v.fv <= 21600000000 GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.t) AS fp FROM e JOIN c USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.t > c.fc
+             AND e.t - c.fc <= 21600000000 GROUP BY e.user_id)
+         SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM e) AS n_users,
+           (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel""",
 
     "ev02_sessionize" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions FROM (
