@@ -1467,6 +1467,48 @@ object SparkEntry {
       s.table("st08_tbl").orderBy("doc_id")
     }),
 
+    "st09_stream_funnel" -> ((s, d) => {
+      // ev09's funnel as CROSS-BATCH keyed state: per-user set-once
+      // (fv, fc, fp) updated over 4 deterministic event-time-ordered
+      // MemoryStream batches (global ts sort → per-user time order →
+      // greedy first-match == the batch min definition). State is
+      // three optional longs per user — bounded by users, not stream
+      // length. Final counts must land on ev09's exact numbers: the
+      // oracle string is SHARED.
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val mem = MemoryStream[(Long, String, Long, Int)]
+      val funnel = graft.streaming.Streaming.streamingFunnel(
+        mem.toDF().toDF("user_id", "event_type", "t", "batch"),
+        windowUs = 21600000000L)
+      s.catalog.dropTempView("st09_tbl")
+      graft.streaming.Streaming.withShufflePartitions(s, 8) {
+        val q = funnel.toDF().writeStream.format("memory")
+          .queryName("st09_tbl").outputMode("append").start()
+        try {
+          val rows = ev(s, d).where(col("user_id").isNotNull)
+            .select(col("user_id"), col("event_type"), expr("ts div 1000"))
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+            .sortBy(r => (r._3, r._1, r._2)) // global event-time order
+          val n = rows.length
+          (0 until 4).foreach { b => // fixture harness: ts-quartile batches
+            val chunk = rows.slice(b * n / 4, (b + 1) * n / 4)
+              .map { case (u, e, t) => (u, e, t, b) }
+            mem.addData(chunk.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      s.table("st09_tbl")
+        .groupBy("user_id")
+        .agg(max("fv").as("fv"), max("fc").as("fc"), max("fp").as("fp"))
+        .agg(count(lit(1)).as("n_users"),
+          count(col("fv")).as("n_view"),
+          count(col("fc")).as("n_view_click"),
+          count(col("fp")).as("n_full_funnel"))
+    }),
+
     "st07_stream_online_dedup" -> ((s, d) => {
       // stream-vs-ITSELF near-dedup with cross-batch keyed state: docs
       // arrive in 4 deterministic micro-batches (batch = doc_id % 4,
@@ -1823,21 +1865,9 @@ object SparkEntry {
     // Join-chain formulation of the same strict ordering: users
     // without the previous stage drop out of the next CTE, exactly as
     // the ts > NULL window predicate nulls them out on the Spark side.
-    "ev09_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
-           WHERE user_id IS NOT NULL),
-         v AS (SELECT user_id, min(t) AS fv FROM e
-           WHERE event_type = 'view' GROUP BY user_id),
-         c AS (SELECT e.user_id, min(e.t) AS fc FROM e JOIN v USING (user_id)
-           WHERE e.event_type = 'click' AND e.t > v.fv
-             AND e.t - v.fv <= 21600000000 GROUP BY e.user_id),
-         p AS (SELECT e.user_id, min(e.t) AS fp FROM e JOIN c USING (user_id)
-           WHERE e.event_type = 'purchase' AND e.t > c.fc
-             AND e.t - c.fc <= 21600000000 GROUP BY e.user_id)
-         SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM e) AS n_users,
-           (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
-           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
-           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel""",
+    "ev09_funnel" -> funnelOracleSql,
+
+    "st09_stream_funnel" -> funnelOracleSql,
 
     "ev02_sessionize" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions FROM (
@@ -3160,6 +3190,24 @@ object SparkEntry {
   // single source of truth with PiiFunctions).
   private def EmailSql = PiiFunctions.EmailPattern
   private def CardSql = PiiFunctions.CardPattern
+
+  /** ev09/st09 shared oracle (the x07/st05 convention): batch
+    * window-chain and streaming keyed-state funnel must land on the
+    * SAME counts, so one string serves both keys. */
+  private val funnelOracleSql: String = """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+           WHERE user_id IS NOT NULL),
+         v AS (SELECT user_id, min(t) AS fv FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.t) AS fc FROM e JOIN v USING (user_id)
+           WHERE e.event_type = 'click' AND e.t > v.fv
+             AND e.t - v.fv <= 21600000000 GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.t) AS fp FROM e JOIN c USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.t > c.fc
+             AND e.t - c.fc <= 21600000000 GROUP BY e.user_id)
+         SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM e) AS n_users,
+           (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel"""
 
   /** d36/st08 shared oracle: the DSIR scoring CTE chain (both the
     * batch gate and the streaming deployment must produce these exact

@@ -147,6 +147,53 @@ object Streaming {
       }
   }
 
+  /** One user's funnel progress: first view, first click inside the
+    * window after it, first purchase inside the window after that.
+    * Every field is SET-ONCE — under event-time-ordered feeds the
+    * greedy first-match update equals the batch min-based definition
+    * (the first qualifying event IS the minimum). */
+  case class FunnelState(fv: Option[Long], fc: Option[Long], fp: Option[Long])
+  case class FunnelEvent(user_id: Long, event_type: String, t: Long, batch: Int)
+  case class FunnelRow(user_id: Long, fv: Option[Long], fc: Option[Long],
+                       fp: Option[Long])
+
+  /** Stateful streaming funnel (the ev09 semantics on a stream): one
+    * keyed state record per user — three optional longs, bounded
+    * regardless of stream length — updated across micro-batches.
+    * Requires per-user event-time-ordered arrival (the deterministic
+    * harness feeds global ts-ordered batches; production would insert
+    * a watermark + sort-within-batch stage). Emits the user's current
+    * state each batch; fields are monotone None→Some, so the final
+    * value per user is a max over emissions. */
+  def streamingFunnel(events: DataFrame, windowUs: Long): Dataset[FunnelRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long").as("user_id"),
+        col("event_type"), col("t").cast("long").as("t"),
+        col("batch").cast("int").as("batch"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(None, None, None))
+          rows.toVector.sortBy(r => (r.batch, r.t)).foreach { e =>
+            e.event_type match {
+              case "view" if s.fv.isEmpty => s = s.copy(fv = Some(e.t))
+              case "click" if s.fc.isEmpty &&
+                s.fv.exists(v => e.t > v && e.t - v <= windowUs) =>
+                s = s.copy(fc = Some(e.t))
+              case "purchase" if s.fp.isEmpty &&
+                s.fc.exists(c => e.t > c && e.t - c <= windowUs) =>
+                s = s.copy(fp = Some(e.t))
+              case _ =>
+            }
+          }
+          state.update(s)
+          Iterator(FunnelRow(uid, s.fv, s.fc, s.fp))
+      }
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
     * `n`, restoring the previous value after. Streaming queries
     * snapshot the setting at `start()`, and stateful operators open one
