@@ -49,6 +49,13 @@ object SparkEntry {
 
   private def stageEventsDir(d: String): String = stageTableDir(d, "events")
 
+  /** md5(doc id) hex-prefix bucket — the d37/x08 SHARED split rule
+    * (one definition: changing the boundary in one gate cannot
+    * desynchronize the other). Hex sorts numerically, so the 80/10/10
+    * cut is a two-char string compare against 'cd'/'e6'. */
+  private def splitBucket: Column =
+    substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+
   // Judge thresholds tuned so every reason except punct/dup actually
   // fires on the synthetic docs table (48..553 chars, no newlines).
   private val judgeT = TextFunctions.CleanThresholds(
@@ -711,7 +718,7 @@ object SparkEntry {
       // fingerprint of the survivors only, the split cut is another
       // scan-level predicate, and the final aggregation is the only
       // other shuffle.
-      val h2 = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+      val h2 = splitBucket
       val ok = docs(s, d)
         .where(TextFunctions.judgeReason(col("text"), judgeT) === "ok")
       Dedup.exact(ok, "doc_id", "text")
@@ -775,7 +782,7 @@ object SparkEntry {
       // (hex strings sort numerically, so two chars are enough).
       // Zero shuffle for the assignment itself; the gate aggregates
       // the per-(split, lang) accounting a mixture design would read.
-      val h2 = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+      val h2 = splitBucket
       docs(s, d)
         .select(col("lang"),
           when(h2 < "cd", "train").when(h2 < "e6", "val")
@@ -2211,8 +2218,10 @@ object SparkEntry {
     // with doc_id tiebreak.
     "d36_dsir" ->
       s"""WITH $dsirScoredCtes,
-         thr AS (SELECT dsir_logw AS tw, doc_id AS td FROM scored
-           ORDER BY dsir_logw DESC, doc_id LIMIT 1 OFFSET 99)
+         top AS (SELECT dsir_logw, doc_id FROM scored
+           ORDER BY dsir_logw DESC, doc_id LIMIT 100),
+         thr AS (SELECT dsir_logw AS tw, doc_id AS td FROM top
+           ORDER BY dsir_logw ASC, doc_id DESC LIMIT 1)
          SELECT s.doc_id, s.n_feats, s.dsir_logw,
            (s.dsir_logw > t.tw OR (s.dsir_logw = t.tw AND s.doc_id <= t.td))
              AS selected

@@ -60,12 +60,32 @@ object TextFunctions {
     }
 
   /** The damage direction, for fixtures and the gate's synthesis:
-    * clean chars → their garbled forms (distinct single-char targets,
-    * so application order cannot matter). */
+    * clean chars → their garbled forms. Application order DOES matter —
+    * a garbled form can embed another entry's clean char (corrupting
+    * '–' emits a '“'), so the table order must corrupt the embedded
+    * char first. That property is asserted at load below, not assumed. */
   private[graft] def corruptMojibake(c: Column): Column =
     MojibakeTable.foldLeft(c) { case (acc, (m, clean)) =>
       replace(acc, lit(clean), lit(m))
     }
+
+  // Ordering safety is CHECKED once at class load over the whole table
+  // (plain-String replace has the same replace-all left-to-right
+  // semantics as the Column `replace` the operators fold): if a future
+  // table entry's garbled form embeds a clean char that corrupts after
+  // it, this require fails the build's first test instead of silently
+  // breaking the w03 roundtrip gate.
+  locally {
+    val clean = MojibakeChars.mkString(" ")
+    val corrupted = MojibakeTable.foldLeft(clean) {
+      case (acc, (m, c)) => acc.replace(c, m)
+    }
+    val repaired = MojibakeTable.foldLeft(corrupted) {
+      case (acc, (m, c)) => acc.replace(m, c)
+    }
+    require(repaired == clean,
+      "mojibake table ordering does not roundtrip; reorder or drop the new char")
+  }
 
   /** HTML → text extraction — the raw-crawl ingest stage the
     * reference's WET path never needs (WET records arrive

@@ -230,20 +230,23 @@ object TextAnalysis {
     val uni = toks.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vocab = uni.orderBy(desc("c"), asc("w")).limit(vocabSize)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val total = uni.agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0)
-    uni.unpersist()
+    val (vocab, total) =
+      try {
+        val v = uni.orderBy(desc("c"), asc("w")).limit(vocabSize)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        (v, uni.agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0))
+      } finally uni.unpersist()
     val vocabLit = typedLit(vocab)
-    val bigrams = toks
-      .select(unkMapExpr(col("toks"), vocabLit).as("tu"))
-      .where(size(col("tu")) >= 2) // guard BEFORE sequence: seq(1,0) descends
-      .select(explode(transform(sequence(lit(1), size(col("tu")) - 1), i =>
-        concat(element_at(col("tu"), i), lit(" "),
-          element_at(col("tu"), i + 1)))).as("bg"))
-      .groupBy("bg").agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    toks.unpersist()
+    val bigrams =
+      try toks
+        .select(unkMapExpr(col("toks"), vocabLit).as("tu"))
+        .where(size(col("tu")) >= 2) // guard BEFORE sequence: seq(1,0) descends
+        .select(explode(transform(sequence(lit(1), size(col("tu")) - 1), i =>
+          concat(element_at(col("tu"), i), lit(" "),
+            element_at(col("tu"), i + 1)))).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      finally toks.unpersist()
     BigramLmModel(vocab, total - vocab.values.sum, bigrams)
   }
 
@@ -356,26 +359,29 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("cr"),
         count(when(col("is_t"), lit(1))).as("ct"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vocabRows = uni.orderBy(desc("cr"), asc("w")).limit(vocabSize).collect()
+    val (vocabRows, nR, nT) =
+      try {
+        val rows = uni.orderBy(desc("cr"), asc("w")).limit(vocabSize).collect()
+        val tot = uni.agg(coalesce(sum(col("cr")), lit(0L)),
+          coalesce(sum(col("ct")), lit(0L))).head
+        (rows, tot.getLong(0), tot.getLong(1))
+      } finally uni.unpersist()
     val vocabR = vocabRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val vocabT = vocabRows.map(r => r.getString(0) -> r.getLong(2)).toMap
-    val tot = uni.agg(coalesce(sum(col("cr")), lit(0L)),
-      coalesce(sum(col("ct")), lit(0L))).head
-    val (nR, nT) = (tot.getLong(0), tot.getLong(1))
-    uni.unpersist()
     val (unkR, unkT) = (nR - vocabR.values.sum, nT - vocabT.values.sum)
     val vocabRLit = typedLit(vocabR)
-    val biRows = toksAll
-      .select(col("is_t"), unkMapExpr(col("toks"), vocabRLit).as("tu"))
-      .where(size(col("tu")) >= 2) // guard BEFORE sequence: seq(1,0) descends
-      .select(col("is_t"),
-        explode(transform(sequence(lit(1), size(col("tu")) - 1), i =>
-          concat(element_at(col("tu"), i), lit(" "),
-            element_at(col("tu"), i + 1)))).as("bg"))
-      .groupBy("bg").agg(count(lit(1)).as("cr"),
-        count(when(col("is_t"), lit(1))).as("ct"))
-      .collect()
-    toksAll.unpersist()
+    val biRows =
+      try toksAll
+        .select(col("is_t"), unkMapExpr(col("toks"), vocabRLit).as("tu"))
+        .where(size(col("tu")) >= 2) // guard BEFORE sequence: seq(1,0) descends
+        .select(col("is_t"),
+          explode(transform(sequence(lit(1), size(col("tu")) - 1), i =>
+            concat(element_at(col("tu"), i), lit(" "),
+              element_at(col("tu"), i + 1)))).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("cr"),
+          count(when(col("is_t"), lit(1))).as("ct"))
+        .collect()
+      finally toksAll.unpersist()
     val biR = biRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val biT = biRows.map(r => r.getString(0) -> r.getLong(2)).toMap
     val (nRb, nTb) = (biR.values.sum, biT.values.sum)
@@ -451,21 +457,26 @@ object TextAnalysis {
                    vocabSize: Int, nSelect: Int,
                    idCol: String = "doc_id"): DataFrame = {
     val model = trainDsirModel(df, textCol, targetPred, vocabSize)
-    // persisted: the threshold collect below and the returned frame
-    // both read it — one scoring pass, and the cache is (id, long,
-    // double) per doc, never corpus-text-sized.
+    // persisted across the threshold collect so scoring runs once for
+    // it; released immediately after — the returned frame recomputes
+    // the (cheap, precomputed-map) projection rather than pinning a
+    // cache nothing ever unpersists.
     val scored = dsirScore(df, textCol, model)
       .select(col(idCol), col("n_feats"), col("dsir_logw"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val thr = scored.orderBy(desc("dsir_logw"), asc(idCol)).limit(nSelect)
-      .orderBy(asc("dsir_logw"), desc(idCol)).limit(1).collect()
+    val cached = scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thr =
+      try cached.where(col("dsir_logw").isNotNull) // null text scores null — never a threshold
+        .orderBy(desc("dsir_logw"), asc(idCol)).limit(nSelect)
+        .orderBy(asc("dsir_logw"), desc(idCol)).limit(1).collect()
+      finally cached.unpersist()
     val selected = if (thr.isEmpty) lit(true) else {
       val tw = thr(0).getDouble(thr(0).fieldIndex("dsir_logw"))
-      val td = thr(0).getLong(thr(0).fieldIndex(idCol))
+      val td = thr(0).get(thr(0).fieldIndex(idCol)) // id type stays generic
       (col("dsir_logw") > tw) ||
-        (col("dsir_logw") === tw && col(idCol) <= td)
+        (col("dsir_logw") === tw && col(idCol) <= lit(td))
     }
-    scored.withColumn("selected", selected)
+    scored.withColumn("selected",
+      when(col("dsir_logw").isNull, lit(false)).otherwise(selected))
   }
 
   /** documents → + (lang_pred, lang_score, quality_score, n_tokens,
