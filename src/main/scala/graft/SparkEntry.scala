@@ -729,6 +729,27 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "d41_source_card" -> ((s, d) => {
+      // d40 per source — the curator's triage view (which feed is
+      // short, low-quality, or judge-failing). Same exact-integer
+      // mean trick, one groupBy on the bounded source key.
+      val q6 = round(TextFunctions.qualityScore(col("text")) * 1000000.0)
+        .cast("long")
+      docs(s, d)
+        .select(col("source"), col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+          (TextFunctions.judgeReason(col("text"), judgeT) === "ok").as("ok"),
+          q6.as("q6"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_tok")).as("total_tokens"),
+          round(sum(col("q6")).cast("double") / lit(1000000.0) /
+            count(lit(1)).cast("double"), 6).as("mean_quality"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("judge_ok_docs"))
+        .orderBy("source")
+    }),
+
     "d40_corpus_card" -> ((s, d) => {
       // the "dataset card" reduction — the one row a data release
       // ships with (scale, composition, dedup and quality rates) —
@@ -2147,6 +2168,30 @@ object SparkEntry {
          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
          FROM tr GROUP BY lang ORDER BY lang""",
+
+    // d40's expressions grouped by source.
+    "d41_source_card" ->
+      """WITH b AS (SELECT source, lang,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok,
+             (CASE WHEN length(text) < 100 THEN 'too_short'
+                  WHEN length(text) > 450 THEN 'too_long'
+                  WHEN CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / length(text) < 0.82 THEN 'too_sparse'
+                  WHEN CAST(length(text) - length(regexp_replace(text, '[A-Za-z一-鿿]', '', 'g')) AS DOUBLE) / length(text) < 0.8 THEN 'low_language_signal'
+                  WHEN CAST(length(text) - length(regexp_replace(text, '[^\w\s一-鿿]', '', 'g')) AS DOUBLE) / length(text) > 0.05 THEN 'too_much_punct'
+                  ELSE 'ok' END) = 'ok' AS ok,
+             CAST(round(round(greatest(0.0,
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+               + (CAST(length(text) - length(regexp_replace(text, '[A-Za-z一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 0.35
+               + (CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / length(text)) * 0.25
+               + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w\s一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 2.0, 1.0)) * 0.15), 6)
+               * 1000000.0) AS BIGINT) AS q6
+           FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           round(CAST(sum(q6) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE), 6) AS mean_quality,
+           CAST(count(*) FILTER (WHERE ok) AS BIGINT) AS judge_ok_docs
+         FROM b GROUP BY source ORDER BY source""",
 
     // One aggregation over the d06 score (as exact q*1e6 integers),
     // the d03 judge CASE, and the d07 fingerprint.
