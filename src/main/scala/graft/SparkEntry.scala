@@ -316,6 +316,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
         .orderBy("hr", "event_type")),
 
+    "q34_banded_range_join" -> ((s, d) => {
+      // the banded range-join pattern: purchases matched to the same
+      // user's clicks in the preceding 30 minutes. Naive shape is an
+      // equi-join on user_id with the range as a post-filter — per-user
+      // nested loops that melt under heavy users. Banding makes the
+      // range an EQUI key: clicks replicate to their 30-min bucket and
+      // the next (exactly 2 copies), purchases probe their own bucket,
+      // so every qualifying pair matches exactly once and the join is
+      // a plain hash join on (user, bucket). st03 runs the same
+      // semantics as a stream-stream join.
+      val W = 1800000000L // 30 min in µs
+      val e = ev(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("t"))
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("t").as("pt"),
+          floor(col("t") / W).as("bk"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("t").as("ct"),
+          floor(col("t") / W).as("bk0"))
+      val cDup = c.select(col("user_id"), col("ct"), col("bk0").as("bk"))
+        .unionAll(c.select(col("user_id"), col("ct"),
+          (col("bk0") + 1).as("bk")))
+      p.join(cDup, Seq("user_id", "bk"))
+        .where(col("ct") < col("pt") && col("pt") - col("ct") <= W)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("pt") - col("ct")).cast("long").as("sum_gap_us"))
+    }),
+
     "ev09_funnel" -> ((s, d) => {
       // ordered conversion funnel with a 6-hour window per stage
       // (view → click within 6h → purchase within 6h of that click),
@@ -1893,6 +1921,18 @@ object SparkEntry {
     // Join-chain formulation of the same strict ordering: users
     // without the previous stage drop out of the next CTE, exactly as
     // the ts > NULL window predicate nulls them out on the Spark side.
+    // The oracle states the range join directly — banding is an
+    // execution detail that must be invisible in the pair set.
+    "q34_banded_range_join" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+           WHERE user_id IS NOT NULL)
+         SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(p.t - c.t) AS BIGINT) AS sum_gap_us
+         FROM (SELECT user_id, t FROM e WHERE event_type = 'purchase') p
+         JOIN (SELECT user_id, t FROM e WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+           AND c.t < p.t AND p.t - c.t <= 1800000000""",
+
     "ev09_funnel" -> funnelOracleSql,
 
     "st09_stream_funnel" -> funnelOracleSql,
