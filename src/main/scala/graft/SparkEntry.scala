@@ -344,6 +344,18 @@ object SparkEntry {
           sum(col("pt") - col("ct")).cast("long").as("sum_gap_us"))
     }),
 
+    "ev10_approx_users" -> ((s, d) =>
+      // sketch-based distinct counts next to the exact ones: at 100 TB
+      // approx_count_distinct (HLL++, rsd 2%) is the one-pass answer —
+      // register-max merges are order- and partition-invariant, so the
+      // estimate is deterministic and PINNABLE (d20 convention; DuckDB's
+      // own approx sketch differs by construction).
+      ev(s, d).where(col("user_id").isNotNull)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy("event_type")),
+
     "ev09_funnel" -> ((s, d) => {
       // ordered conversion funnel with a 6-hour window per stage
       // (view → click within 6h → purchase within 6h of that click),
@@ -1932,6 +1944,19 @@ object SparkEntry {
          JOIN (SELECT user_id, t FROM e WHERE event_type = 'click') c
            ON p.user_id = c.user_id
            AND c.t < p.t AND p.t - c.t <= 1800000000""",
+
+    // Pinned at sf0.01 (d20 convention): the exact side is plain SQL,
+    // but the approx side is Spark's HLL++ estimate — deterministic
+    // (register-max merges) yet not replayable by DuckDB's sketch.
+    // 150 users hit every event type at this SF and the 2%-rsd sketch
+    // is exact at that cardinality.
+    "ev10_approx_users" ->
+      """SELECT event_type, CAST(exact_users AS BIGINT) AS exact_users,
+           CAST(approx_users AS BIGINT) AS approx_users FROM (VALUES
+           ('click', 150, 150), ('error', 150, 150), ('purchase', 150, 150),
+           ('signup', 150, 150), ('view', 150, 150)
+         ) AS t(event_type, exact_users, approx_users)
+         ORDER BY event_type""",
 
     "ev09_funnel" -> funnelOracleSql,
 
