@@ -1792,6 +1792,131 @@ object SparkEntry {
       val packed = Packer.packExact(toks, "doc_id", "ids", seqLen = 512, eosId = 0,
         numPartitions = 8)
       packed.agg(count(lit(1)).cast("long").as("n_chunks"))
+    }),
+
+    // ---------------- corpus curation battery (beyond-reference:
+    // C4 page rules, per-domain caps, MERGE maintenance, Zipf health,
+    // embedding outliers) ----------------
+    "d42_c4_filters" -> ((s, d) => {
+      // C4 cleaning battery (Raffel et al. 2020 §2.2): terminal-
+      // punctuation + min-words line rule, brace / lorem-ipsum page
+      // rules. The corpus has no newlines or punctuation, so lines are
+      // synthesized the d19/d26 way: 24-char slices; line i of doc d
+      // ends in '.' when (d+i)%3 != 0; every 11th doc hides a brace in
+      // a line-rule-PASSING line 2 (the brace must be caught by the
+      // page rule, not the line rule); every 13th doc carries a
+      // boilerplate lorem-ipsum line. Zero shuffle — one projection.
+      def sl(i: Int) = substring(col("text"), 1 + (i - 1) * 24, 24)
+      def mk(i: Int): Column = {
+        val base = when((col("doc_id") + lit(i)) % 3 =!= 0,
+          concat(sl(i), lit("."))).otherwise(sl(i))
+        if (i == 2) when(col("doc_id") % 11 === 0,
+          concat(sl(i), lit(" {x}."))).otherwise(base)
+        else if (i == 3) when(col("doc_id") % 13 === 0,
+          lit("lorem ipsum dolor sit.")).otherwise(base)
+        else base
+      }
+      val lines = array((1 to 6).map(mk): _*)
+      val kept = TextFunctions.c4KeptLines(lines)
+      val flags = TextFunctions.c4DocFlags(lines)
+      docs(s, d)
+        .select(col("doc_id"), kept.as("kept"), flags.as("fl"))
+        .select(col("doc_id"),
+          size(col("kept")).as("kept_lines"),
+          col("fl.has_brace").as("has_brace"),
+          col("fl.has_lorem").as("has_lorem"),
+          (!col("fl.has_brace") && !col("fl.has_lorem") &&
+            size(col("kept")) >= 3).as("doc_kept"),
+          array_join(col("kept"), "\n").as("cleaned"))
+        .orderBy("doc_id")
+    }),
+
+    "d43_domain_cap" -> ((s, d) => {
+      // RefinedWeb-style per-domain curation: within each source, rank
+      // docs by quality (doc_id tiebreak = total order), keep at most
+      // 10 docs AND at most a 700-token running budget. row_number
+      // plans as two-phase WindowGroupLimit (map-side top-k before the
+      // shuffle); the running sum rides the SAME window sort. Domain
+      // cardinality grows WITH the data while each group stays
+      // cap-sized — the safe direction for a window (unlike the
+      // cardinality-3 partitions q30 replaced).
+      val w = Window.partitionBy("source").orderBy(col("qs").desc, col("doc_id"))
+      val wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("qs"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cum_tok", sum("n_tok").over(wsum))
+        .where(col("rk") <= 10 && col("cum_tok") <= 700)
+        .select(col("doc_id"), col("source"), col("qs").as("quality_score"),
+          col("rk"), col("cum_tok"))
+        .orderBy("source", "rk")
+    }),
+
+    "d44_merge_upsert" -> ((s, d) => {
+      // incremental snapshot maintenance (the Delta-MERGE shape on
+      // plain parquet): the change batch re-crawls every 7th doc
+      // (upsert, ' v2' suffix), takes down every 13th (delete), and
+      // adds one new doc per 17th (insert under doc_id+100000). One
+      // full-outer sort-merge join applies all three; the gate hashes
+      // the md5 of every surviving row's final text, so wrong
+      // precedence anywhere (a doc both re-crawled and taken down must
+      // die — the batch excludes deleted keys from upserts) hash-fails.
+      val base = docs(s, d).select("doc_id", "text")
+      val dels = base.where(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit("D").as("op"))
+      val upds = base.where(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+          lit("U").as("op"))
+      val ins = base.where(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("new "), col("text")).as("text"), lit("U").as("op"))
+      val changes = dels.unionByName(upds).unionByName(ins)
+      MergeUpsert.applyChanges(base, changes, "doc_id", Seq("text"))
+        .select(col("doc_id"), col("action"), md5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    "d45_zipf_report" -> ((s, d) => {
+      // corpus-health Zipf report: global rank of every vocabulary term
+      // by (freq DESC, term). A global row_number is the prefix-sum
+      // problem at scale, so the rank uses the range-partition +
+      // driver-offset construction (Ranking.withRowNumber — q30/q31's
+      // machinery), NOT a single-partition window. Log columns are
+      // per-row only; no cross-row float sums (those hash-differ under
+      // partial-agg order).
+      val words = docs(s, d)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+        .withColumn("__all", lit(1))
+      Ranking.withRowNumber(words, Seq("__all"),
+          Seq(col("freq").desc, col("term")), "rank")
+        .select(col("rank"), col("term"), col("freq"),
+          round(log10(col("rank")), 6).as("log_rank"),
+          round(log10(col("freq")), 6).as("log_freq"),
+          (col("rank") * col("freq")).as("zipf_product"))
+        .orderBy("rank")
+    }),
+
+    "e10_centroid_outliers" -> ((s, d) => {
+      // embedding-space outlier filter: cosine to the assigned
+      // (nearest) coarse centroid; rows whose best-cell cosine sits
+      // below threshold are flagged — the "far from every cluster"
+      // curation signal next to SemDeDup's "too close inside a
+      // cluster". Assignment is e08's zero-shuffle broadcast-literal
+      // argmax with the winning cosine kept; the oracle rebuilds the
+      // cell AND the value, so either being wrong hash-fails.
+      val e = emb(s, d)
+      val cents = e.filter(pmod(col("vec_id"), lit(31)) === 7)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+      Similarity.centroidAssign(e, "vec_id", "embedding", cents)
+        .select(col("vec_id"), col("cell"),
+          round(col("csim"), 6).as("centroid_sim"),
+          (col("csim") < 0.18).as("is_outlier"))
+        .orderBy("vec_id")
     })
   )
 
@@ -3301,7 +3426,112 @@ object SparkEntry {
     // document — byte fallback must cover the full corpus alphabet.
     "k02_bpe_roundtrip" ->
       """SELECT doc_id, CAST(1 AS BOOLEAN) AS roundtrip_ok, CAST(0 AS BIGINT) AS n_unk
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    // Same 24-char-slice line synth as the Spark side (CASE precedence:
+    // brace line 2 / lorem line 3 override the %3 punctuation rule);
+    // the C4 battery itself is the filter + the two page flags.
+    "d42_c4_filters" ->
+      """WITH l AS (SELECT doc_id,
+             list_transform(range(1, 7), i ->
+               CASE WHEN i = 2 AND doc_id % 11 = 0
+                      THEN substr(text, 25, 24) || ' {x}.'
+                    WHEN i = 3 AND doc_id % 13 = 0
+                      THEN 'lorem ipsum dolor sit.'
+                    WHEN (doc_id + i) % 3 != 0
+                      THEN substr(text, 1 + (i-1)*24, 24) || '.'
+                    ELSE substr(text, 1 + (i-1)*24, 24) END) AS ls
+           FROM documents),
+         k AS (SELECT doc_id, ls,
+             list_filter(ls, x -> regexp_matches(x, '[.!?"'']$')
+               AND len(string_split_regex(trim(x), '\s+')) >= 3) AS kept
+           FROM l)
+         SELECT doc_id, CAST(len(kept) AS INTEGER) AS kept_lines,
+           len(list_filter(ls, x -> strpos(x, '{') > 0)) > 0 AS has_brace,
+           contains(lower(array_to_string(ls, chr(10))), 'lorem ipsum') AS has_lorem,
+           (NOT len(list_filter(ls, x -> strpos(x, '{') > 0)) > 0)
+             AND (NOT contains(lower(array_to_string(ls, chr(10))), 'lorem ipsum'))
+             AND len(kept) >= 3 AS doc_kept,
+           array_to_string(kept, chr(10)) AS cleaned
+         FROM k ORDER BY doc_id""",
+
+    // Same quality-score formula as d39's oracle; the window order
+    // (qs DESC, doc_id) is a total order, so rank and running sum are
+    // engine-independent.
+    "d43_domain_cap" ->
+      """WITH q AS (SELECT doc_id, source,
+             round(greatest(0.0,
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+               + (CAST(length(text) - length(regexp_replace(text, '[A-Za-z一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 0.35
+               + (CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / length(text)) * 0.25
+               + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w\s一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 2.0, 1.0)) * 0.15), 6) AS qs,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+           FROM documents),
+         r AS (SELECT doc_id, source, qs, n_tok,
+             row_number() OVER (PARTITION BY source ORDER BY qs DESC, doc_id) AS rk,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY qs DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tok
+           FROM q)
+         SELECT doc_id, source, qs AS quality_score, CAST(rk AS INTEGER) AS rk,
+           CAST(cum_tok AS BIGINT) AS cum_tok
+         FROM r WHERE rk <= 10 AND cum_tok <= 700 ORDER BY source, rk""",
+
+    // MERGE mirror: same change batch, one FULL JOIN, same precedence
+    // (deletes excluded from upserts by construction).
+    "d44_merge_upsert" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+         ch AS (
+           SELECT doc_id, CAST(NULL AS VARCHAR) AS ntext, 'D' AS op
+             FROM base WHERE doc_id % 13 = 0
+           UNION ALL
+           SELECT doc_id, text || ' v2', 'U'
+             FROM base WHERE doc_id % 7 = 0 AND doc_id % 13 != 0
+           UNION ALL
+           SELECT doc_id + 100000, 'new ' || text, 'U'
+             FROM base WHERE doc_id % 17 = 0),
+         m AS (SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+             b.text AS btext, c.ntext, c.op, b.doc_id IS NOT NULL AS in_base
+           FROM base b FULL JOIN ch c ON b.doc_id = c.doc_id)
+         SELECT doc_id,
+           CASE WHEN op = 'U' AND in_base THEN 'update'
+                WHEN op = 'U' THEN 'insert' ELSE 'keep' END AS action,
+           md5(coalesce(ntext, btext)) AS fp
+         FROM m WHERE op IS NULL OR op != 'D' ORDER BY doc_id""",
+
+    "d45_zipf_report" ->
+      """WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         f AS (SELECT term, count(*) AS freq FROM w
+           WHERE length(term) > 0 GROUP BY term),
+         r AS (SELECT term, freq,
+             row_number() OVER (ORDER BY freq DESC, term) AS rank FROM f)
+         SELECT CAST(rank AS BIGINT) AS rank, term, CAST(freq AS BIGINT) AS freq,
+           round(log10(rank), 6) AS log_rank, round(log10(freq), 6) AS log_freq,
+           CAST(rank * freq AS BIGINT) AS zipf_product
+         FROM r ORDER BY rank""",
+
+    // e08's quantizer CTEs with the winning cosine carried through; the
+    // outlier compare runs on the UNROUNDED double (both engines fold
+    // the dot product left-to-right, so the bits agree).
+    "e10_centroid_outliers" ->
+      """WITH v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         c AS (SELECT vec_id AS cid, emb AS cv FROM v WHERE vec_id % 31 = 7),
+         s AS (SELECT v.vec_id, c.cid,
+             list_sum(list_transform(list_zip(v.emb, c.cv), z -> z[1]*z[2]))
+               / (sqrt(list_sum(list_transform(v.emb, x -> x*x)))
+                  * sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS sim,
+             row_number() OVER (PARTITION BY v.vec_id ORDER BY
+               list_sum(list_transform(list_zip(v.emb, c.cv), z -> z[1]*z[2]))
+                 / (sqrt(list_sum(list_transform(v.emb, x -> x*x)))
+                    * sqrt(list_sum(list_transform(c.cv, x -> x*x)))) DESC,
+               c.cid) AS rn
+           FROM v CROSS JOIN c)
+         SELECT vec_id, CAST(cid AS BIGINT) AS cell,
+           round(sim, 6) AS centroid_sim, sim < 0.18 AS is_outlier
+         FROM s WHERE rn = 1 ORDER BY vec_id"""
   )
 
   // Escaped-for-SQL-single-quoted-literal pattern strings (no quotes in

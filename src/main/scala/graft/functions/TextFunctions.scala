@@ -307,4 +307,22 @@ object TextFunctions {
     when(length(c) < n, array(c))
       .otherwise(transform(sequence(lit(1), length(c) - lit(n - 1)),
         i => c.substr(i, lit(n))))
+
+  /** C4 line-keep rule (Raffel et al. 2020 §2.2 — the public "C4"
+    * cleaning battery; beyond-reference operator): a line survives iff
+    * it ends in terminal punctuation AND carries at least `minWords`
+    * whitespace-separated words. Input is an array of lines; output is
+    * the surviving sub-array, order preserved. Zero shuffle — a pure
+    * projection over the line array. */
+  def c4KeptLines(lines: Column, minWords: Int = 3): Column =
+    filter(lines, l =>
+      l.rlike("[.!?\"']$") && (size(split(trim(l), "\\s+")) >= minWords))
+
+  /** C4 document-level flags over a line array: brace pages (code, not
+    * prose) and boilerplate "lorem ipsum" pages are dropped wholesale.
+    * Returns (has_brace, has_lorem) as a two-field struct so both flags
+    * ride one pass over the array. */
+  def c4DocFlags(lines: Column): Column = struct(
+    exists(lines, l => instr(l, "{") > 0).as("has_brace"),
+    lower(array_join(lines, "\n")).contains("lorem ipsum").as("has_lorem"))
 }

@@ -198,6 +198,30 @@ object Similarity {
     out
   }
 
+  /** Nearest-centroid cell assignment with the winning cosine kept:
+    * each row gets (`cell`, `csim`) — the id of its best centroid
+    * (cosine DESC, centroid id ASC on exact ties, the rank-window
+    * order) and the cosine itself. The centroid table is bounded
+    * (model-sized) and ships inside the projection as a literal, so
+    * assignment is ZERO shuffle — the
+    * [[graft.operators.Dedup.semanticDedup]] coarse-quantizer move,
+    * exposed standalone for outlier filtering and cluster reporting.
+    * Argmax is a struct-max over (sim, -id): one array pass, no
+    * explode, no join. */
+  def centroidAssign(df: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame): DataFrame = {
+    val cents = collectCentroids(centroids)
+    val centsLit = typedLit(cents)
+    val vecd = transform(col(vecCol), _.cast("double"))
+    val scored = transform(centsLit, c => struct(
+      graft.functions.HashFunctions.cosineSim(vecd, c.getField("_2")).as("s"),
+      (-c.getField("_1")).as("ncid")))
+    val best = array_max(scored)
+    df.select(col(idCol),
+      (-best.getField("ncid")).as("cell"),
+      best.getField("s").as("csim"))
+  }
+
   /** Product-quantization encode (Jégou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search"): the vector is split
     * into `m` contiguous subvectors and each is snapped to its nearest
