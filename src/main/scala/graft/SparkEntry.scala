@@ -1615,6 +1615,54 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    "st10_stream_merge" -> ((s, d) => {
+      // streaming twin of d44: the same change log folds into keyed
+      // state across two deterministic micro-batches (batch 0 = the
+      // base load, batch 1 = the re-crawl/takedown/insert batch); the
+      // last emission per key is the compacted snapshot, which must
+      // equal the batch MERGE bit-for-bit — both paths share ONE
+      // oracle string (the x07/st05 convention). The final per-key
+      // argmax window partitions on doc_id (cardinality = corpus, the
+      // safe direction).
+      import s.implicits._
+      import graft.streaming.Streaming.UpsertEvent
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val base = docs(s, d).select("doc_id", "text")
+      val mem = MemoryStream[UpsertEvent]
+      val emits = graft.streaming.Streaming.upsertCompaction(mem.toDS())
+      s.catalog.dropTempView("st10_tbl")
+      graft.streaming.Streaming.withShufflePartitions(s, 8) {
+        val q = emits.toDF().writeStream.format("memory")
+          .queryName("st10_tbl").outputMode("append").start()
+        try {
+          // fixture harness: 500 base rows at gate SF
+          val baseRows = base.collect().map(r =>
+            UpsertEvent(r.getLong(0), 0, "U", Option(r.getString(1))))
+          mem.addData(baseRows.sortBy(_.id).toIndexedSeq)
+          q.processAllAvailable()
+          val ch = baseRows.flatMap { e =>
+            val del = if (e.id % 13 == 0)
+              Some(UpsertEvent(e.id, 1, "D", None)) else None
+            val upd = if (e.id % 7 == 0 && e.id % 13 != 0)
+              Some(UpsertEvent(e.id, 1, "U", e.text.map(_ + " v2"))) else None
+            val ins = if (e.id % 17 == 0)
+              Some(UpsertEvent(e.id + 100000, 1, "U", e.text.map("new " + _)))
+            else None
+            del ++ upd ++ ins
+          }
+          mem.addData(ch.sortBy(_.id).toIndexedSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      val w = Window.partitionBy("id").orderBy(col("batch").desc)
+      s.table("st10_tbl")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1 && col("alive"))
+        .select(col("id").as("doc_id"), col("action"), md5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     "st05_stream_incremental_dedup" -> ((s, d) => {
       // streaming twin of x07 (continuous-ingest near-dedup): new docs
       // arrive as a file stream, their bands inner-join the STATIC
@@ -3478,26 +3526,11 @@ object SparkEntry {
          FROM r WHERE rk <= 10 AND cum_tok <= 700 ORDER BY source, rk""",
 
     // MERGE mirror: same change batch, one FULL JOIN, same precedence
-    // (deletes excluded from upserts by construction).
-    "d44_merge_upsert" ->
-      """WITH base AS (SELECT doc_id, text FROM documents),
-         ch AS (
-           SELECT doc_id, CAST(NULL AS VARCHAR) AS ntext, 'D' AS op
-             FROM base WHERE doc_id % 13 = 0
-           UNION ALL
-           SELECT doc_id, text || ' v2', 'U'
-             FROM base WHERE doc_id % 7 = 0 AND doc_id % 13 != 0
-           UNION ALL
-           SELECT doc_id + 100000, 'new ' || text, 'U'
-             FROM base WHERE doc_id % 17 = 0),
-         m AS (SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
-             b.text AS btext, c.ntext, c.op, b.doc_id IS NOT NULL AS in_base
-           FROM base b FULL JOIN ch c ON b.doc_id = c.doc_id)
-         SELECT doc_id,
-           CASE WHEN op = 'U' AND in_base THEN 'update'
-                WHEN op = 'U' THEN 'insert' ELSE 'keep' END AS action,
-           md5(coalesce(ntext, btext)) AS fp
-         FROM m WHERE op IS NULL OR op != 'D' ORDER BY doc_id""",
+    // (deletes excluded from upserts by construction). st10 is the
+    // streaming compaction of the same change log — one oracle string
+    // gates both paths (the x07/st05 convention).
+    "d44_merge_upsert" -> mergeUpsertOracleSql,
+    "st10_stream_merge" -> mergeUpsertOracleSql,
 
     "d45_zipf_report" ->
       """WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
@@ -3539,6 +3572,29 @@ object SparkEntry {
   // single source of truth with PiiFunctions).
   private def EmailSql = PiiFunctions.EmailPattern
   private def CardSql = PiiFunctions.CardPattern
+
+  /** d44/st10 shared oracle: batch FULL-JOIN MERGE and streaming
+    * keyed-state compaction must produce the SAME snapshot (doc_id,
+    * action, text-md5), so one string serves both keys. */
+  private def mergeUpsertOracleSql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+       ch AS (
+         SELECT doc_id, CAST(NULL AS VARCHAR) AS ntext, 'D' AS op
+           FROM base WHERE doc_id % 13 = 0
+         UNION ALL
+         SELECT doc_id, text || ' v2', 'U'
+           FROM base WHERE doc_id % 7 = 0 AND doc_id % 13 != 0
+         UNION ALL
+         SELECT doc_id + 100000, 'new ' || text, 'U'
+           FROM base WHERE doc_id % 17 = 0),
+       m AS (SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+           b.text AS btext, c.ntext, c.op, b.doc_id IS NOT NULL AS in_base
+         FROM base b FULL JOIN ch c ON b.doc_id = c.doc_id)
+       SELECT doc_id,
+         CASE WHEN op = 'U' AND in_base THEN 'update'
+              WHEN op = 'U' THEN 'insert' ELSE 'keep' END AS action,
+         md5(coalesce(ntext, btext)) AS fp
+       FROM m WHERE op IS NULL OR op != 'D' ORDER BY doc_id"""
 
   /** ev09/st09 shared oracle (the x07/st05 convention): batch
     * window-chain and streaming keyed-state funnel must land on the

@@ -147,6 +147,57 @@ object Streaming {
       }
   }
 
+  case class UpsertEvent(id: Long, batch: Int, op: String, text: Option[String])
+  case class SnapshotEmit(id: Long, batch: Int, action: String,
+                          text: Option[String], alive: Boolean)
+
+  /** Streaming MERGE compaction — the continuous version of
+    * [[graft.operators.MergeUpsert.applyChanges]]: a keyed change log
+    * (`op` = "U" upsert / "D" delete) folds into per-key state across
+    * micro-batches; each arrival emits the key's post-event state, so
+    * the LAST emission per key (max batch) IS the compacted snapshot
+    * row. Batch 0 is the base load by convention — its arrivals emit
+    * `action = "keep"`, later batches emit "update"/"insert" depending
+    * on whether live state existed, matching the batch MERGE's action
+    * column exactly. A null upsert payload keeps the prior text
+    * (partial update), also matching the batch operator.
+    *
+    * Scale shape: state per key is one (text, alive) record — bounded
+    * by the live key set like any keyed store; the shuffle key is the
+    * document id, identical to the batch MERGE's join key. Within a
+    * trigger a key's events fold in (batch, op) order — deterministic
+    * because the harness feeds deterministic micro-batches. */
+  def upsertCompaction(changes: Dataset[UpsertEvent]): Dataset[SnapshotEmit] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes.groupByKey(_.id)
+      .flatMapGroupsWithState[(Option[String], Boolean), SnapshotEmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (id, rows, state: GroupState[(Option[String], Boolean)]) =>
+          var (cur, alive) = state.getOption.getOrElse((Option.empty[String], false))
+          val out = Vector.newBuilder[SnapshotEmit]
+          rows.toVector.sortBy(r => (r.batch, r.op)).foreach { e =>
+            e.op match {
+              case "D" =>
+                cur = None; alive = false
+                out += SnapshotEmit(id, e.batch, "delete", None, alive = false)
+              case "U" =>
+                val action =
+                  if (alive) "update"
+                  else if (e.batch == 0) "keep"
+                  else "insert"
+                cur = e.text.orElse(cur); alive = true
+                out += SnapshotEmit(id, e.batch, action, cur, alive = true)
+              case other =>
+                throw new IllegalArgumentException(
+                  s"upsertCompaction: unknown op $other for key $id")
+            }
+          }
+          state.update((cur, alive))
+          out.result().iterator
+      }
+  }
+
   /** One user's funnel progress: first view, first click inside the
     * window after it, first purchase inside the window after that.
     * Every field is SET-ONCE — under event-time-ordered feeds the

@@ -153,4 +153,41 @@ class StreamingSpec extends SparkSpec {
     assert(all.count() == 3)
     assert(all.filter(col("doc_id") === 3).head().getInt(2) == 4)
   }
+
+  test("upsertCompaction folds a keyed change log into the batch-MERGE snapshot") {
+    import Streaming.{SnapshotEmit, UpsertEvent}
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[UpsertEvent]
+    spark.catalog.dropTempView("upsert_tbl")
+    val q = Streaming.upsertCompaction(mem.toDS()).toDF().writeStream
+      .format("memory").queryName("upsert_tbl").outputMode("append").start()
+    try {
+      // batch 0: base load
+      mem.addData(
+        UpsertEvent(1L, 0, "U", Some("a")),
+        UpsertEvent(2L, 0, "U", Some("b")),
+        UpsertEvent(3L, 0, "U", Some("c")))
+      q.processAllAvailable()
+      // batch 1: update 1, delete 2, insert 9, partial-update 3 (null text)
+      mem.addData(
+        UpsertEvent(1L, 1, "U", Some("a2")),
+        UpsertEvent(2L, 1, "D", None),
+        UpsertEvent(9L, 1, "U", Some("i")),
+        UpsertEvent(3L, 1, "U", None))
+      q.processAllAvailable()
+      // batch 2: re-insert the deleted key — state must treat it as insert
+      mem.addData(UpsertEvent(2L, 2, "U", Some("b2")))
+      q.processAllAvailable()
+    } finally q.stop()
+    import spark.implicits._
+    val last = spark.table("upsert_tbl").as[SnapshotEmit].collect()
+      .groupBy(_.id).map { case (_, es) => es.maxBy(_.batch) }.toSeq
+      .filter(_.alive).sortBy(_.id)
+      .map(e => (e.id, e.action, e.text.orNull))
+    assert(last === Seq(
+      (1L, "update", "a2"),
+      (2L, "insert", "b2"),  // delete then re-insert
+      (3L, "update", "c"),   // partial update keeps base text
+      (9L, "insert", "i")))
+  }
 }
