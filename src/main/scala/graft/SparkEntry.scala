@@ -1842,6 +1842,50 @@ object SparkEntry {
       packed.agg(count(lit(1)).cast("long").as("n_chunks"))
     }),
 
+    "k04_pack_efficiency" -> ((s, d) => {
+      // seq_len design sweep: the REAL packer (packExact — k01's
+      // operator) runs at 128/512/2048 and each chunk count is gated
+      // against the conservation formula sum(n_tok+1) div L, plus the
+      // tail waste and utilization a training-data engineer reads off
+      // before committing a context length. Three bounded passes over
+      // the tokenized docs; every figure integer-exact (utilization's
+      // division happens on integer-exact doubles, rounded 6dp).
+      val toks = docs(s, d).select(col("doc_id"),
+        expr("transform(sequence(1, size(split(trim(text), '\\\\s+'))), i -> i)")
+          .as("ids"))
+      val total = toks.agg(sum(size(col("ids")) + 1).cast("long").as("total"))
+      val perL = Seq(128, 512, 2048).map { l =>
+        Packer.packExact(toks, "doc_id", "ids", seqLen = l, eosId = 0,
+            numPartitions = 8)
+          .agg(count(lit(1)).cast("long").as("n_chunks"))
+          .select(lit(l).as("seq_len"), col("n_chunks"))
+      }.reduce(_ unionByName _)
+      perL.crossJoin(total)
+        .select(col("seq_len"), col("n_chunks"),
+          (col("total") - col("n_chunks") * col("seq_len")).as("tail_tokens"),
+          round((col("n_chunks") * col("seq_len")).cast("double") / col("total"), 6)
+            .as("utilization"))
+        .orderBy("seq_len")
+    }),
+
+    "d46_train_order" -> ((s, d) => {
+      // deterministic global training-order shuffle + shard layout (the
+      // write plan for the sharded sinks): order key = md5(doc_id), the
+      // content-stable coin d37 uses; shard = first hex char (16-way);
+      // within-shard position = the scale-safe range-partition +
+      // driver-offset rank (Ranking.withRowNumber), NOT a per-shard
+      // single-task window. Any engine/run/partitioning reproduces the
+      // exact (shard, pos) layout — reshuffling training data must not
+      // depend on cluster shape.
+      val h = md5(col("doc_id").cast("string").cast("binary"))
+      val keyed = docs(s, d)
+        .select(col("doc_id"), substring(h, 1, 1).as("shard"), h.as("hk"))
+      Ranking.withRowNumber(keyed, Seq("shard"),
+          Seq(col("hk"), col("doc_id")), "pos")
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy("shard", "pos")
+    }),
+
     // ---------------- corpus curation battery (beyond-reference:
     // C4 page rules, per-domain caps, MERGE maintenance, Zipf health,
     // embedding outliers) ----------------
@@ -3531,6 +3575,30 @@ object SparkEntry {
     // gates both paths (the x07/st05 convention).
     "d44_merge_upsert" -> mergeUpsertOracleSql,
     "st10_stream_merge" -> mergeUpsertOracleSql,
+
+    // Conservation formula: the exact packer's chunk count IS
+    // sum(n_tok+1) div L at any partition count (k01 gates L=512; this
+    // sweeps the design space).
+    "k04_pack_efficiency" ->
+      """WITH t AS (SELECT CAST(sum(len(string_split_regex(trim(text), '\s+')) + 1) AS BIGINT) AS total
+           FROM documents),
+         l AS (SELECT unnest([128, 512, 2048]) AS seq_len)
+         SELECT l.seq_len, CAST(t.total // l.seq_len AS BIGINT) AS n_chunks,
+           CAST(t.total - (t.total // l.seq_len) * l.seq_len AS BIGINT) AS tail_tokens,
+           round(CAST((t.total // l.seq_len) * l.seq_len AS DOUBLE) / t.total, 6)
+             AS utilization
+         FROM l, t ORDER BY l.seq_len""",
+
+    // Same md5 order key as d37's split coin; shard = first hex char,
+    // position = rank within shard under (md5, doc_id) total order.
+    "d46_train_order" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk
+           FROM documents)
+         SELECT substr(hk, 1, 1) AS shard,
+           CAST(row_number() OVER (PARTITION BY substr(hk, 1, 1)
+             ORDER BY hk, doc_id) AS BIGINT) AS pos,
+           doc_id
+         FROM h ORDER BY shard, pos""",
 
     "d45_zipf_report" ->
       """WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
