@@ -1058,6 +1058,53 @@ object SparkEntry {
       joined.orderBy(desc("revenue"), asc("o_orderkey")).limit(20)
     }),
 
+    "b02_partition_pruning" -> ((s, d) => {
+      // partition pruning END-TO-END in the gate: docs written
+      // partitionBy(lang), read back filtered to ONE lang — the plan
+      // must show a pushed partition filter selecting exactly one
+      // directory (asserted at plan time, b01's convention). At 100 TB
+      // hive-style partition dirs on coarse keys are the first scan
+      // saver: the filter never touches the other partitions' files,
+      // not even their footers.
+      import graft.core.Bucketing
+      val stage = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_part_docs_${math.abs(d.hashCode)}").toString
+      docs(s, d).write.mode("overwrite").partitionBy("lang").parquet(stage)
+      val pruned = s.read.parquet(stage).where(col("lang") === "fr")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val (nDirs, pushed) = Bucketing.scannedPartitions(pruned)
+      require(pushed && nDirs == 1,
+        s"lang=fr read must prune to 1 partition dir (got $nDirs, pushed=$pushed):\n" +
+          pruned.queryExecution.executedPlan)
+      pruned.orderBy("source")
+    }),
+
+    "ev11_zorder_layout" -> ((s, d) => {
+      // Z-order (Morton) layout planner: interleave 8 bits of user_id
+      // with 8 bits of the event's day index, bucket rows by z-prefix
+      // (z >> 10), and report per-bucket extents in BOTH dimensions.
+      // Every bucket covering a narrow user range AND a narrow day
+      // range is the data-skipping property a z-sorted file layout
+      // buys at 100 TB: min-max footer pruning then works for queries
+      // filtering on either column, where a single-column sort helps
+      // only one. Pure integer projection + one bounded agg; the
+      // oracle recomputes the interleave arithmetic bit for bit.
+      val x = expr("user_id % 256")
+      val y = expr("((ts div 1000) div 86400000000) % 256")
+      val z = (0 until 8).map(i =>
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1)), 2 * i) +
+          shiftleft(shiftright(y, i).bitwiseAND(lit(1)), 2 * i + 1)
+      ).reduce(_ + _)
+      ev(s, d)
+        .select(col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("day"), z.as("z"))
+        .groupBy(shiftright(col("z"), 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("user_id").as("min_user"), max("user_id").as("max_user"),
+          min("day").as("min_day"), max("day").as("max_day"))
+        .orderBy("bucket")
+    }),
+
     "x03_ngram_jaccard_dedup" -> ((s, d) =>
       // kept set after near-dedup; the oracle rebuilds the exact word-3gram
       // Jaccard graph and its transitive closure in SQL, so this asserts
@@ -2964,6 +3011,14 @@ object SparkEntry {
          GROUP BY o_orderkey
          ORDER BY revenue DESC, o_orderkey LIMIT 20""",
 
+    // The pruned partitioned read must equal the plain filtered scan —
+    // pruning is a physical optimization, never a semantic one.
+    "b02_partition_pruning" ->
+      """SELECT source, count(*) AS n_docs FROM documents
+         WHERE lang = 'fr' GROUP BY source ORDER BY source""",
+
+    "ev11_zorder_layout" -> zorderOracleSql,
+
     "d05_lang_confusion" -> langIdOracle(
       "SELECT lang, lang_pred, count(*) AS n FROM scored GROUP BY lang, lang_pred ORDER BY lang, lang_pred"),
 
@@ -3640,6 +3695,25 @@ object SparkEntry {
   // single source of truth with PiiFunctions).
   private def EmailSql = PiiFunctions.EmailPattern
   private def CardSql = PiiFunctions.CardPattern
+
+  /** ev11 oracle: the 8+8-bit Morton interleave spelled out as the
+    * same sum-of-terms integer arithmetic the Spark expression tree
+    * folds — GENERATED from one loop so the two sides cannot drift. */
+  private def zorderOracleSql: String = {
+    val terms = (0 until 8).map(i =>
+      s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH b AS (SELECT user_id,
+           epoch_us(ts) // 86400000000 AS day,
+           user_id % 256 AS x,
+           (epoch_us(ts) // 86400000000) % 256 AS y
+         FROM events),
+       z AS (SELECT user_id, day, $terms AS z FROM b)
+       SELECT z >> 10 AS bucket, count(*) AS n,
+         min(user_id) AS min_user, max(user_id) AS max_user,
+         min(day) AS min_day, max(day) AS max_day
+       FROM z GROUP BY 1 ORDER BY 1"""
+  }
 
   /** d44/st10 shared oracle: batch FULL-JOIN MERGE and streaming
     * keyed-state compaction must produce the SAME snapshot (doc_id,

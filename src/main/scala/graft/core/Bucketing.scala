@@ -69,6 +69,28 @@ object Bucketing {
     fs.delete(loc, true)
   }
 
+  /** (directories scanned, any partition filter pushed) over every
+    * file scan in `df`'s executed plan — the plan-level proof that
+    * partition pruning engaged (the b01 convention, for scans instead
+    * of shuffles). Descends AQE wrappers like [[shuffleExchanges]]. */
+  def scannedPartitions(df: DataFrame): (Int, Boolean) = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val self = p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case s: QueryStageExec => scans(s.plan)
+        case _ => Nil
+      }
+      self ++ inner ++ p.children.flatMap(scans)
+    }
+    val ss = scans(df.queryExecution.executedPlan)
+    require(ss.nonEmpty, "scannedPartitions: no file scan in plan")
+    (ss.map(_.selectedPartitions.partitionCount).sum,
+      ss.exists(_.partitionFilters.nonEmpty))
+  }
+
   /** Count how many shuffle Exchanges the executed plan of `df` would
     * run — the spec-side proof that a bucketed plan is shuffle-free.
     * Descends into AQE wrapper nodes (AdaptiveSparkPlanExec,

@@ -69,6 +69,22 @@ class BucketingSpec extends SparkSpec {
     } finally Bucketing.dropTable(spark, "b_bandidx")
   }
 
+  test("scannedPartitions proves pruning: filtered read touches one dir, full read all") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "a", "z"), (4L, "c", "w"))
+      .toDF("id", "k", "v")
+      .write.mode("overwrite").partitionBy("k").parquet(dir)
+    val pruned = spark.read.parquet(dir).where(col("k") === "a")
+    val (nP, pushedP) = Bucketing.scannedPartitions(pruned)
+    assert(nP == 1 && pushedP)
+    assert(pruned.count() == 2)
+    val full = spark.read.parquet(dir)
+    val (nF, pushedF) = Bucketing.scannedPartitions(full)
+    assert(nF == 3 && !pushedF)
+  }
+
   test("unbucketed baseline of the same join does shuffle") {
     val a = (1 to 100).map(i => (i.toLong, i)).toDF("k", "v")
     val b = (1 to 100).map(i => (i.toLong, i * 2)).toDF("k", "w")
