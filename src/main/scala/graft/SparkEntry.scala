@@ -2040,6 +2040,44 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "d47_winsorize" -> ((s, d) => {
+      // robust-stats clipping: per-language p05/p95 of the quality
+      // score via the distributed exact-quantile construction
+      // (Ranking.exactQuantiles — q30's machinery, grouped by lang),
+      // then winsorize every doc's score into its language's band.
+      // The quantile table is group-sized (5 rows) and broadcast back;
+      // scoring stays a zero-shuffle projection. The outlier-robust
+      // version of the d39/d43 quality signals.
+      val q = docs(s, d).select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text")).as("qs"))
+      val bands = Ranking.exactQuantiles(q, "lang", "qs",
+        Seq(0.05 -> "p05", 0.95 -> "p95"))
+      q.join(broadcast(bands), "lang")
+        .select(col("doc_id"), col("lang"), col("qs").as("quality_score"),
+          col("p05"), col("p95"),
+          least(greatest(col("qs"), col("p05")), col("p95")).as("clipped"))
+        .orderBy("doc_id")
+    }),
+
+    "ev12_skew_report" -> ((s, d) => {
+      // join-key skew diagnosis — the design sheet that DECIDES when
+      // q33's salted join deploys: per-key rows, share, skew factor
+      // (count / mean-per-key), and the salt bucket count a salted
+      // replication would use (ceil of the factor). One bounded agg +
+      // a 1-row cross join; every ratio folds integer-exact doubles.
+      val perKey = ev(s, d).groupBy("event_type").agg(count(lit(1)).as("n"))
+      val tot = perKey.agg(sum("n").cast("long").as("total"),
+        count(lit(1)).cast("long").as("n_keys"))
+      perKey.crossJoin(tot)
+        .select(col("event_type"), col("n"),
+          round(col("n").cast("double") / col("total"), 6).as("share"),
+          round(col("n").cast("double") * col("n_keys") / col("total"), 6)
+            .as("skew_factor"),
+          ceil(col("n").cast("double") * col("n_keys") / col("total"))
+            .cast("long").as("salt_buckets"))
+        .orderBy("event_type")
+    }),
+
     "e10_centroid_outliers" -> ((s, d) => {
       // embedding-space outlier filter: cosine to the assigned
       // (nearest) coarse centroid; rows whose best-cell cosine sits
@@ -3666,6 +3704,41 @@ object SparkEntry {
            round(log10(rank), 6) AS log_rank, round(log10(freq), 6) AS log_freq,
            CAST(rank * freq AS BIGINT) AS zipf_product
          FROM r ORDER BY rank""",
+
+    // Rank-filter quantile mirror (q30's shape) per lang; clip is
+    // least/greatest over the same rounded-6dp score both engines
+    // compute bit-identically (d39's formula).
+    "d47_winsorize" ->
+      """WITH q AS (SELECT doc_id, lang,
+             round(greatest(0.0,
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+               + (CAST(length(text) - length(regexp_replace(text, '[A-Za-z一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 0.35
+               + (CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / length(text)) * 0.25
+               + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w\s一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 2.0, 1.0)) * 0.15), 6) AS qs
+           FROM documents),
+         r AS (SELECT lang, qs,
+             row_number() OVER (PARTITION BY lang ORDER BY qs) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n FROM q),
+         lo AS (SELECT lang, min(qs) AS p05 FROM r
+           WHERE rn = CEIL(0.05 * n) GROUP BY lang),
+         hi AS (SELECT lang, min(qs) AS p95 FROM r
+           WHERE rn = CEIL(0.95 * n) GROUP BY lang)
+         SELECT q.doc_id, q.lang, q.qs AS quality_score, lo.p05, hi.p95,
+           least(greatest(q.qs, lo.p05), hi.p95) AS clipped
+         FROM q JOIN lo USING (lang) JOIN hi USING (lang)
+         ORDER BY q.doc_id""",
+
+    "ev12_skew_report" ->
+      """WITH k AS (SELECT event_type, count(*) AS n FROM events
+           GROUP BY event_type),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_keys FROM k)
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / total, 6) AS share,
+           round(CAST(n AS DOUBLE) * n_keys / total, 6) AS skew_factor,
+           CAST(ceil(CAST(n AS DOUBLE) * n_keys / total) AS BIGINT)
+             AS salt_buckets
+         FROM k, t ORDER BY event_type""",
 
     // e08's quantizer CTEs with the winning cosine carried through; the
     // outlier compare runs on the UNROUNDED double (both engines fold
