@@ -2078,6 +2078,102 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "a02_asof_next_purchase" -> ((s, d) => {
+      // forward as-of with tolerance: for every click, the FIRST
+      // purchase by the same user at-or-after the click, matched only
+      // within a 6-hour attribution window. Same single keyed-window
+      // shuffle as a01, mirrored (first-following instead of
+      // last-preceding) — no range self-join.
+      val e = ev(s, d).withColumn("us", expr("ts div 1000"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select("user_id", "us", "event_id")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("pus"),
+          col("event_id").as("purchase_id"))
+      AsOfJoin.forward(clicks, purchases, "user_id", "us", "pus",
+          Seq("purchase_id"), toleranceUs = 21600000000L)
+        .select(col("user_id"), col("event_id"), col("asof_purchase_id"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "d48_soft_sample" -> ((s, d) => {
+      // soft quality-weighted sampling: keep probability = the quality
+      // score itself, decided by a deterministic Knuth-hash coin
+      // (integer arithmetic — engine-reproducible where md5-prefix
+      // coins are not; see d37). Zero shuffle, zero state: the whole
+      // sampler is one projection, so it streams and survives any
+      // repartitioning. The soft alternative to d18's exact-fraction
+      // stratified ranks.
+      val q = docs(s, d).select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text")).as("quality_score"))
+      Sampling.softSampleByScore(q, "doc_id", col("quality_score"))
+        .select(col("doc_id"), col("lang"), col("quality_score"),
+          round(col("coin"), 6).as("coin"), col("kept"))
+        .orderBy("doc_id")
+    }),
+
+    "d49_snapshot_diff" -> ((s, d) => {
+      // CDC between corpus versions — the INVERSE of d44's MERGE: the
+      // producer ships full snapshots, diff recovers the minimal I/U/D
+      // change log (one full-outer sort-merge join, zero windows).
+      // next = deterministic edit of base: every 5th doc re-crawled
+      // (' v2'), every 11th taken down, one insert per 19th. The
+      // round-trip law applyChanges(base, diff(base, next)) == next is
+      // spec-enforced; the gate hashes every change row's final text.
+      val base = docs(s, d).select("doc_id", "text")
+      val next = base.where(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(base.where(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(lit("new "), col("text")).as("text")))
+      MergeUpsert.diff(base, next, "doc_id", Seq("text"))
+        .select(col("doc_id"), col("change"), md5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    "d51_compaction_plan" -> ((s, d) => {
+      // small-file compaction planner: per-source corpus bytes (UTF-8
+      // text bytes as the size proxy) → file count at a 1 MiB target,
+      // projected mean file size, and the maxRecordsPerFile a writer
+      // would set. One bounded aggregate (source cardinality), zero
+      // windows — the sheet a layout owner reads before compacting.
+      val target = 1048576.0
+      docs(s, d).groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(octet_length(col("text"))).cast("long").as("bytes"))
+        .withColumn("n_files",
+          greatest(lit(1L), ceil(col("bytes").cast("double") / target).cast("long")))
+        .select(col("source"), col("n_docs"), col("bytes"), col("n_files"),
+          round(col("bytes").cast("double") / col("n_files"), 2)
+            .as("avg_file_bytes"),
+          ceil(col("n_docs").cast("double") / col("n_files")).cast("long")
+            .as("max_records_per_file"))
+        .orderBy("source")
+    }),
+
+    "x10_shard_checksums" -> ((s, d) => {
+      // shard-manifest integrity: per-shard content checksum of the
+      // d46 train-order layout — md5 over the pos-ordered per-doc
+      // md5s. This is the manifest a sharded sink emits per FILE, so
+      // the collected group is bounded by the writer's
+      // maxRecordsPerFile (not corpus-sized); readers re-hash a shard
+      // to detect corruption before training.
+      val h = md5(col("doc_id").cast("string").cast("binary"))
+      val keyed = docs(s, d).select(
+        substring(h, 1, 1).as("shard"), h.as("hk"), col("doc_id"),
+        md5(col("text")).as("fp"))
+      keyed.groupBy("shard")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("hk"), col("doc_id"), col("fp")))),
+              x => x.getField("fp")),
+            "").cast("binary")).as("shard_fp"))
+        .orderBy("shard")
+    }),
+
     "e10_centroid_outliers" -> ((s, d) => {
       // embedding-space outlier filter: cosine to the assigned
       // (nearest) coarse centroid; rows whose best-cell cosine sits
@@ -3739,6 +3835,94 @@ object SparkEntry {
            CAST(ceil(CAST(n AS DOUBLE) * n_keys / total) AS BIGINT)
              AS salt_buckets
          FROM k, t ORDER BY event_type""",
+
+    // a01's union-window mirror with the frame reversed: first
+    // following purchase (ties by purchase_id — the struct compare on
+    // the Spark side), then the 6h attribution cutoff on the matched
+    // row's own timestamp.
+    "a02_asof_next_purchase" ->
+      """WITH u AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id, 0 AS side,
+             NULL AS purchase_id, NULL AS pus
+           FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id, epoch_us(ts) AS us, event_id, 1 AS side,
+             event_id AS purchase_id, epoch_us(ts) AS pus
+           FROM events WHERE event_type = 'purchase'),
+         w AS (
+           SELECT user_id, event_id, side, us,
+             first_value(purchase_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, side, purchase_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_pid,
+             first_value(pus IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, side, purchase_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_pus
+           FROM u)
+         SELECT user_id, event_id,
+           CASE WHEN next_pus - us <= 21600000000 THEN next_pid END
+             AS asof_purchase_id
+         FROM w WHERE side = 0 ORDER BY user_id, event_id""",
+
+    // Same Knuth coin in BIGINT arithmetic (doc_id * 2654435761 stays
+    // < 2^63); the keep compare runs on the UNROUNDED coin and the
+    // 6dp-rounded quality score both engines share (d39's formula).
+    "d48_soft_sample" ->
+      """WITH q AS (SELECT doc_id, lang,
+             round(greatest(0.0,
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+               + (CAST(length(text) - length(regexp_replace(text, '[A-Za-z一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 0.35
+               + (CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / length(text)) * 0.25
+               + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w\s一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 2.0, 1.0)) * 0.15), 6) AS quality_score,
+             CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+               / 4294967296.0 AS coin
+           FROM documents)
+         SELECT doc_id, lang, quality_score, round(coin, 6) AS coin,
+           coin < quality_score AS kept
+         FROM q ORDER BY doc_id""",
+
+    // Snapshot-diff mirror: the same deterministic next snapshot, one
+    // FULL JOIN, IS DISTINCT FROM as the null-safe payload compare.
+    "d49_snapshot_diff" ->
+      """WITH nxt AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 11 != 0
+           UNION ALL
+           SELECT doc_id + 200000 AS doc_id, 'new ' || text AS text
+           FROM documents WHERE doc_id % 19 = 0),
+         d AS (
+           SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'I'
+                  WHEN n.doc_id IS NULL THEN 'D'
+                  WHEN o.text IS DISTINCT FROM n.text THEN 'U' END AS change,
+             n.text AS text
+           FROM documents o FULL JOIN nxt n ON o.doc_id = n.doc_id)
+         SELECT doc_id, change, md5(text) AS fp FROM d
+         WHERE change IS NOT NULL ORDER BY doc_id""",
+
+    // strlen = UTF-8 bytes (Spark octet_length); every ratio divides
+    // integer-exact doubles.
+    "d51_compaction_plan" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(strlen(text)) AS BIGINT) AS bytes
+           FROM documents GROUP BY source),
+         f AS (SELECT *, greatest(CAST(1 AS BIGINT),
+             CAST(ceil(CAST(bytes AS DOUBLE) / 1048576.0) AS BIGINT)) AS n_files
+           FROM s)
+         SELECT source, n_docs, bytes, n_files,
+           round(CAST(bytes AS DOUBLE) / n_files, 2) AS avg_file_bytes,
+           CAST(ceil(CAST(n_docs AS DOUBLE) / n_files) AS BIGINT)
+             AS max_records_per_file
+         FROM f ORDER BY source""",
+
+    // d46's order key; string_agg ORDER BY (hk, doc_id) is exactly the
+    // Spark array_sort over the (hk, doc_id, fp) structs.
+    "x10_shard_checksums" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk,
+             md5(text) AS fp FROM documents)
+         SELECT substr(hk, 1, 1) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+           md5(string_agg(fp, '' ORDER BY hk, doc_id)) AS shard_fp
+         FROM h GROUP BY 1 ORDER BY shard""",
 
     // e08's quantizer CTEs with the winning cosine carried through; the
     // outlier compare runs on the UNROUNDED double (both engines fold

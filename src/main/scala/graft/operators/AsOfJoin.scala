@@ -53,4 +53,41 @@ object AsOfJoin {
     withCols.select(left.columns.map(c => col(s"__l.$c").as(c))
       ++ matchedCols.map(c => col(s"asof_$c")): _*)
   }
+
+  /** Forward direction: `left` gains `asof_<col>` from the EARLIEST
+    * `right` row with rightTs >= leftTs per `key` (a right row exactly
+    * at leftTs matches); matches further ahead than `toleranceUs` get
+    * nulls. Same single keyed window as [[backward]], mirrored: left
+    * rows sort before right rows at equal ts and `first(ignoreNulls)`
+    * scans the following frame. */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+              leftTs: String, rightTs: String,
+              matchedCols: Seq[String], toleranceUs: Long = Long.MaxValue): DataFrame = {
+    val mExpr = struct(matchedCols.map(col) :+ col(rightTs).cast("long").as("__mts"): _*)
+    val mType = right.select(mExpr.as("m")).schema.head.dataType
+    val lExpr = struct(left.columns.map(col): _*)
+    val lType = left.select(lExpr.as("l")).schema.head.dataType
+
+    val lt = left.select(col(key).as("__k"), col(leftTs).cast("long").as("__ts"),
+      lit(0).as("__side"), lit(null).cast(mType).as("__m"), lExpr.as("__l"))
+    val rt = right.select(col(key).as("__k"), col(rightTs).cast("long").as("__ts"),
+      lit(1).as("__side"), mExpr.as("__m"), lit(null).cast(lType).as("__l"))
+
+    // ascending (__ts, __side, __m): equal-ts right rows land inside the
+    // following frame, and ties between right rows resolve by struct
+    // compare (matchedCols order) — deterministic at any parallelism
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"), col("__m"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = lt.unionByName(rt)
+      .withColumn("__next", first(col("__m"), ignoreNulls = true).over(w))
+      .where(col("__side") === 0)
+      .withColumn("__next",
+        when(col("__next").isNotNull && col("__next.__mts") - col("__ts") <= toleranceUs,
+          col("__next")))
+    val withCols = matchedCols.foldLeft(matched) { (df, c) =>
+      df.withColumn(s"asof_$c", col(s"__next.$c"))
+    }
+    withCols.select(left.columns.map(c => col(s"__l.$c").as(c))
+      ++ matchedCols.map(c => col(s"asof_$c")): _*)
+  }
 }

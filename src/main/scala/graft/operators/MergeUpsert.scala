@@ -57,4 +57,36 @@ object MergeUpsert {
       df.withColumn(p, coalesce(col(s"__c_$p"), col(s"__b_$p"))))
     out.select(col(key) +: payload.map(col) :+ col("action"): _*)
   }
+
+  /** The inverse of [[applyChanges]]: derive the change log that turns
+    * snapshot `old` into snapshot `next` — CDC between two corpus
+    * versions when the producer ships full snapshots instead of deltas.
+    *
+    * Output: one row per differing key with `change` in {`I`, `U`, `D`}
+    * and the payload columns at their `next` value (null for deletes).
+    * Keys whose payload is unchanged (null-safe compare over all payload
+    * columns) are absent. Same scale shape as the MERGE itself: one
+    * full-outer sort-merge join, zero windows.
+    *
+    * Round-trip law (spec-enforced): applyChanges(old, diff(old, next))
+    * has exactly next's keys and payloads.
+    */
+  def diff(old: DataFrame, next: DataFrame, key: String,
+           payload: Seq[String]): DataFrame = {
+    val o = payload.foldLeft(old)((df, c) => df.withColumnRenamed(c, s"__o_$c"))
+      .withColumn("__in_old", lit(true))
+    val n = payload.foldLeft(next)((df, c) => df.withColumnRenamed(c, s"__n_$c"))
+      .withColumn("__in_next", lit(true))
+    val joined = o.join(n, Seq(key), "full_outer")
+    val same = payload.map(c => col(s"__o_$c") <=> col(s"__n_$c")).reduce(_ && _)
+    val classified = joined
+      .withColumn("change",
+        when(col("__in_old").isNull, "I")
+          .when(col("__in_next").isNull, "D")
+          .when(!same, "U"))
+      .where(col("change").isNotNull)
+    val out = payload.foldLeft(classified)((df, c) =>
+      df.withColumn(c, col(s"__n_$c")))
+    out.select(col(key) +: col("change") +: payload.map(col): _*)
+  }
 }

@@ -176,6 +176,26 @@ object Sampling {
           .as("kept_tokens"))
   }
 
+  /** Soft quality-weighted sampling: keep each row with probability
+    * equal to `scoreCol` (a score in [0,1] — e.g. the d39 quality
+    * score), decided by a deterministic per-row coin instead of RNG.
+    *
+    * The coin is a Knuth multiplicative hash of the integer id —
+    * `(id * 2654435761) mod 2^32 / 2^32` — pure integer arithmetic, so
+    * any engine reproduces the kept set exactly (md5-prefix coins need
+    * hex→int parsing, which SQL engines lack; see d37). Zero shuffle,
+    * zero state: the decision is a per-row projection, streamable and
+    * partition-invariant. Products stay < 2^63 for ids < ~3.5e9; bigger
+    * id spaces should pre-fold the id (e.g. `id % 2^31`).
+    *
+    * Returns the input plus `coin` and `kept` (callers filter on
+    * `kept` or keep the columns for reporting). */
+  def softSampleByScore(df: DataFrame, idCol: String, scoreCol: Column): DataFrame =
+    df.withColumn("coin",
+        (col(idCol).cast("long") * lit(2654435761L)) % lit(4294967296L)
+          / lit(4294967296.0))
+      .withColumn("kept", col("coin") < scoreCol)
+
   /** Weighted mixture: per-stratum fractions (e.g. lang → weight),
     * missing strata default to `defaultFrac`. */
   def mixture(df: DataFrame, strataCol: String, fractions: Map[String, Double],

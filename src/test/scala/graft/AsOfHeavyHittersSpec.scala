@@ -27,6 +27,28 @@ class AsOfHeavyHittersSpec extends SparkSpec {
     assert(far.isNullAt(3))
   }
 
+  test("as-of forward join picks earliest right row at or after left ts") {
+    val clicks = Seq((1L, 100L, "c1"), (1L, 205L, "c2"), (2L, 50L, "c3"))
+      .toDF("key", "ts", "click")
+    val buys = Seq((1L, 100L, 10.0), (1L, 150L, 15.0), (1L, 90L, 9.0), (2L, 40L, 4.0))
+      .toDF("key", "qts", "price")
+    val got = AsOfJoin.forward(clicks, buys, "key", "ts", "qts", Seq("price"))
+      .orderBy("key", "ts").collect()
+    // c1@100 -> buy@100 (equal ts matches, not the earlier 90);
+    // c2@205 -> nothing follows; c3@50 -> nothing at-or-after
+    assert(got.map(r => (r.getString(2), Option(r.get(3)))).toSeq ==
+      Seq(("c1", Some(10.0)), ("c2", None), ("c3", None)))
+  }
+
+  test("as-of forward honors tolerance and tie-breaks deterministically") {
+    val l = Seq((1L, 10L, "a")).toDF("key", "ts", "tag")
+    val r = Seq((1L, 1000L, 5.0), (1L, 1000L, 3.0)).toDF("key", "qts", "v")
+    val near = AsOfJoin.forward(l, r, "key", "ts", "qts", Seq("v"), toleranceUs = 2000L).head()
+    val far = AsOfJoin.forward(l, r, "key", "ts", "qts", Seq("v"), toleranceUs = 100L).head()
+    assert(near.getDouble(3) == 3.0) // struct compare: smaller v wins the tie
+    assert(far.isNullAt(3))
+  }
+
   test("misra-gries finds all true heavy hitters with lower-bound counts") {
     val data = (Seq.fill(500)("hot1") ++ Seq.fill(300)("hot2")
       ++ (1 to 400).map(i => s"tail$i")).map(Tuple1(_))

@@ -82,6 +82,36 @@ class CorpusOpsSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("unknown op")))
   }
 
+  test("diff classifies I/U/D, skips unchanged, and round-trips through applyChanges") {
+    val next = Seq(
+      (1L, "a", 10L),   // unchanged -> absent from diff
+      (2L, "b2", 20L),  // payload changed -> U
+      (9L, "i", 90L)    // new key -> I; keys 3,4 gone -> D
+    ).toDF("k", "txt", "n")
+    val d = MergeUpsert.diff(baseDf, next, "k", Seq("txt", "n"))
+      .orderBy("k").collect().toSeq
+    assert(d === Seq(
+      Row(2L, "U", "b2", 20L),
+      Row(3L, "D", null, null),
+      Row(4L, "D", null, null),
+      Row(9L, "I", "i", 90L)))
+
+    // round-trip law: applying the diff as a change log reproduces next
+    val asChanges = MergeUpsert.diff(baseDf, next, "k", Seq("txt", "n"))
+      .withColumn("op", when($"change" === "D", "D").otherwise("U"))
+      .select("k", "txt", "n", "op")
+    val rebuilt = MergeUpsert.applyChanges(baseDf, asChanges, "k", Seq("txt", "n"))
+      .select("k", "txt", "n").orderBy("k").collect().toSeq
+    assert(rebuilt === next.orderBy("k").collect().toSeq)
+  }
+
+  test("diff treats null payloads null-safely (null == null is unchanged)") {
+    val o = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("k", "txt")
+    val n = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("k", "txt")
+    val d = MergeUpsert.diff(o, n, "k", Seq("txt")).collect().toSeq
+    assert(d === Seq(Row(2L, "U", null)))
+  }
+
   // ---------------- centroid assignment ----------------
 
   test("centroidAssign matches the explode+rank argmax, ties to smaller centroid id") {

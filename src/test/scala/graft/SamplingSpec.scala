@@ -28,4 +28,29 @@ class SamplingSpec extends SparkSpec {
     val counts = mixed.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts == Map("en" -> 8L, "de" -> 10L))
   }
+
+  test("soft sample: Knuth coin matches the integer formula and is partition-invariant") {
+    import org.apache.spark.sql.functions._
+    val scored = df.withColumn("s", (col("id") % 10).cast("double") / 10.0)
+    val out = Sampling.softSampleByScore(scored, "id", col("s"))
+      .select("id", "coin", "kept").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val expected = ((id * 2654435761L) % 4294967296L).toDouble / 4294967296.0
+      assert(r.getDouble(1) == expected)
+      assert(r.getBoolean(2) == (expected < (id % 10).toDouble / 10.0))
+    }
+    // score 0 keeps nothing, score 1 keeps everything
+    val all = Sampling.softSampleByScore(scored, "id", lit(1.0))
+      .where(col("kept")).count()
+    val none = Sampling.softSampleByScore(scored, "id", lit(0.0))
+      .where(col("kept")).count()
+    assert(all == df.count() && none == 0)
+    // repartitioning cannot change the kept set
+    val a = Sampling.softSampleByScore(scored, "id", col("s"))
+      .where(col("kept")).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.softSampleByScore(scored.repartition(7), "id", col("s"))
+      .where(col("kept")).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
 }
