@@ -2078,6 +2078,73 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "d50_ppl_buckets" -> ((s, d) => {
+      // CCNet's actual selection step (Wenzek et al. 2020 §4): bucket
+      // the corpus head/middle/tail at the global perplexity terciles
+      // of the d34 bigram-LM score (lower ppl = more fluent = head).
+      // Terciles come from the distributed exact-rank construction
+      // (q30's machinery) — no single-partition window over the
+      // corpus — and broadcast back; bucketing is a zero-shuffle
+      // projection. Docs too short to score (NULL ppl) land in tail.
+      val all = docs(s, d)
+      val lm = TextAnalysis.trainBigramLm(all, "text", vocabSize = 64)
+      val scored = TextAnalysis.bigramPerplexity(
+          all.select("doc_id", "text"), "text", lm)
+        .select(col("doc_id"), col("ppl"))
+        .withColumn("__all", lit(1))
+      val cuts = Ranking.exactQuantiles(scored.where(col("ppl").isNotNull),
+        "__all", "ppl", Seq(1.0 / 3 -> "p33", 2.0 / 3 -> "p67"))
+      scored.join(broadcast(cuts), "__all")
+        .select(col("doc_id"), col("ppl"), col("p33"), col("p67"),
+          when(col("ppl").isNull, lit("tail"))
+            .when(col("ppl") <= col("p33"), lit("head"))
+            .when(col("ppl") <= col("p67"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+        .orderBy("doc_id")
+    }),
+
+    "st11_stream_late_data" -> ((s, d) => {
+      // watermark lateness semantics as a gate: events arrive in two
+      // deterministic micro-batches — batch 0 = even event_id, batch 1
+      // = odd — under a 1-hour watermark on event time. After batch 0
+      // the watermark stands at max(even event time) - 1h (millisecond
+      // resolution — Spark tracks event-time stats in ms), so odd rows
+      // whose hourly window closed at or before it are DROPPED by the
+      // aggregation while odd rows in still-open windows merge. The
+      // oracle reproduces the surviving set exactly (hour-aligned
+      // window ends vs a non-aligned watermark: boundary ties are
+      // measure-zero in the fixture). Update-mode memory sink: a key's
+      // final count is its max update (counts only grow).
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val e = ev(s, d).select(col("event_id"),
+        expr("ts div 1000").as("us"), col("event_type"))
+      val mem = MemoryStream[(Long, Long, String)]
+      val stream = mem.toDF().toDF("event_id", "us", "event_type")
+        .withColumn("tstamp", timestamp_micros(col("us")))
+        .withWatermark("tstamp", "1 hour")
+        .groupBy(window(col("tstamp"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("timestamp_ntz").as("hr"),
+          col("event_type"), col("n"))
+      s.catalog.dropTempView("st11_tbl")
+      graft.streaming.Streaming.withShufflePartitions(s, 8) {
+        val q = stream.writeStream.format("memory").queryName("st11_tbl")
+          .outputMode("update").start()
+        try {
+          val rows = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+          Seq(0L, 1L).foreach { b => // fixture harness: bounded event table
+            mem.addData(rows.filter(_._1 % 2 == b).sortBy(r => (r._2, r._1)).toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      s.table("st11_tbl").groupBy("hr", "event_type")
+        .agg(max(col("n")).cast("long").as("n"))
+        .orderBy("hr", "event_type")
+    }),
+
     "a02_asof_next_purchase" -> ((s, d) => {
       // forward as-of with tolerance: for every click, the FIRST
       // purchase by the same user at-or-after the click, matched only
@@ -2747,39 +2814,49 @@ object SparkEntry {
     // list_reduce left fold in position order — the exact fold the
     // Spark `aggregate` HOF runs (0.0 + l1 == l1, so the seeded and
     // unseeded folds agree bit-for-bit).
-    "d34_bigram_ppl" ->
-      """WITH t AS (SELECT doc_id,
-             string_split_regex(lower(trim(text)), '\s+') AS toks
-           FROM documents),
-         uni AS (SELECT w, count(*) AS c
-           FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
-         vocab AS (SELECT w, c FROM uni ORDER BY c DESC, w LIMIT 64),
-         stats AS (SELECT (SELECT sum(c) FROM uni) - (SELECT sum(c) FROM vocab) AS unk_c,
-                          (SELECT count(*) FROM vocab) AS v),
-         vm AS (SELECT map_from_entries(list({'k': w, 'v': c} ORDER BY w)) AS m FROM vocab),
-         tm AS (SELECT doc_id,
-             list_transform(toks, x -> CASE WHEN len(map_extract(m, x)) > 0
-               THEN x ELSE chr(1) END) AS tu
-           FROM t, vm),
-         big AS (SELECT bg, count(*) AS c FROM
-             (SELECT unnest(list_transform(range(1, len(tu)),
-                i -> tu[i] || ' ' || tu[i+1])) AS bg FROM tm)
-           GROUP BY bg),
-         bm AS (SELECT map_from_entries(list({'k': bg, 'v': c} ORDER BY bg)) AS bmap FROM big),
-         scored AS (
-           SELECT doc_id, len(tu) AS n,
-             CASE WHEN len(tu) >= 2 THEN
-               list_reduce(list_transform(range(1, len(tu)), i ->
-                 ln( (coalesce(map_extract(bmap, tu[i] || ' ' || tu[i+1])[1], 0) + 1.0)
-                   / ((CASE WHEN tu[i] = chr(1) THEN unk_c
-                       ELSE map_extract(m, tu[i])[1] END) + v + 1.0) )),
-                 (a, b) -> a + b)
-             ELSE NULL END AS lsum
-           FROM tm, vm, bm, stats)
+    "d34_bigram_ppl" -> (bigramPplOracleCtes +
+      """
          SELECT doc_id, CAST(n - 1 AS BIGINT) AS n_bigrams,
            round(lsum / (n - 1), 6) AS avg_logp,
            round(exp(-(lsum / (n - 1))), 4) AS ppl
-         FROM scored ORDER BY doc_id""",
+         FROM scored ORDER BY doc_id"""),
+
+    // d34's LM CTEs + the d47-style rank-filter tercile mirror; the
+    // bucket CASE compares the 4dp-rounded ppl both engines share.
+    "d50_ppl_buckets" -> (bigramPplOracleCtes +
+      """,
+         p AS (SELECT doc_id,
+             round(exp(-(lsum / (n - 1))), 4) AS ppl FROM scored),
+         np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p
+           WHERE ppl IS NOT NULL),
+         r AS (SELECT ppl, row_number() OVER (ORDER BY ppl) AS rn
+           FROM p WHERE ppl IS NOT NULL),
+         lo AS (SELECT min(ppl) AS p33 FROM r, np WHERE rn = CEIL(1.0/3 * n)),
+         hi AS (SELECT min(ppl) AS p67 FROM r, np WHERE rn = CEIL(2.0/3 * n))
+         SELECT p.doc_id, p.ppl, lo.p33, hi.p67,
+           CASE WHEN p.ppl IS NULL THEN 'tail'
+                WHEN p.ppl <= lo.p33 THEN 'head'
+                WHEN p.ppl <= hi.p67 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM p, lo, hi ORDER BY p.doc_id"""),
+
+    // Watermark mirror: wm = ms-resolution max even-batch event time
+    // minus 1h; an odd row survives iff its hourly window end is still
+    // open (> wm) when batch 1 runs.
+    "st11_stream_late_data" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us, ts, event_type
+           FROM events),
+         wm AS (SELECT ((max(us) // 1000) - 3600000) * 1000 AS w
+           FROM e WHERE event_id % 2 = 0),
+         kept AS (
+           SELECT ts, event_type FROM e WHERE event_id % 2 = 0
+           UNION ALL
+           SELECT e.ts, e.event_type FROM e, wm
+           WHERE e.event_id % 2 = 1
+             AND (e.us // 3600000000 + 1) * 3600000000 > wm.w)
+         SELECT date_trunc('hour', ts) AS hr, event_type,
+           CAST(count(*) AS BIGINT) AS n
+         FROM kept GROUP BY hr, event_type ORDER BY hr, event_type""",
 
     // Mirrors Decontamination.repetitionSignals: dup fraction from
     // list_distinct on the 3-gram list; top fraction from the max
@@ -3975,6 +4052,39 @@ object SparkEntry {
   /** d44/st10 shared oracle: batch FULL-JOIN MERGE and streaming
     * keyed-state compaction must produce the SAME snapshot (doc_id,
     * action, text-md5), so one string serves both keys. */
+  /** d34's bigram-LM mirror through the per-doc `scored(doc_id, n,
+    * lsum)` CTE — shared by d34 (per-doc ppl report) and d50 (CCNet
+    * tercile buckets). */
+  private def bigramPplOracleCtes: String =
+    """WITH t AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         uni AS (SELECT w, count(*) AS c
+           FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         vocab AS (SELECT w, c FROM uni ORDER BY c DESC, w LIMIT 64),
+         stats AS (SELECT (SELECT sum(c) FROM uni) - (SELECT sum(c) FROM vocab) AS unk_c,
+                          (SELECT count(*) FROM vocab) AS v),
+         vm AS (SELECT map_from_entries(list({'k': w, 'v': c} ORDER BY w)) AS m FROM vocab),
+         tm AS (SELECT doc_id,
+             list_transform(toks, x -> CASE WHEN len(map_extract(m, x)) > 0
+               THEN x ELSE chr(1) END) AS tu
+           FROM t, vm),
+         big AS (SELECT bg, count(*) AS c FROM
+             (SELECT unnest(list_transform(range(1, len(tu)),
+                i -> tu[i] || ' ' || tu[i+1])) AS bg FROM tm)
+           GROUP BY bg),
+         bm AS (SELECT map_from_entries(list({'k': bg, 'v': c} ORDER BY bg)) AS bmap FROM big),
+         scored AS (
+           SELECT doc_id, len(tu) AS n,
+             CASE WHEN len(tu) >= 2 THEN
+               list_reduce(list_transform(range(1, len(tu)), i ->
+                 ln( (coalesce(map_extract(bmap, tu[i] || ' ' || tu[i+1])[1], 0) + 1.0)
+                   / ((CASE WHEN tu[i] = chr(1) THEN unk_c
+                       ELSE map_extract(m, tu[i])[1] END) + v + 1.0) )),
+                 (a, b) -> a + b)
+             ELSE NULL END AS lsum
+           FROM tm, vm, bm, stats)"""
+
   private def mergeUpsertOracleSql: String =
     """WITH base AS (SELECT doc_id, text FROM documents),
        ch AS (
