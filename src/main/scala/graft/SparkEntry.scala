@@ -2078,6 +2078,93 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "k05_unpack_roundtrip" -> ((s, d) => {
+      // chunk-content invariant for the exact packer: every packed
+      // chunk's contents must equal the corresponding L-token slice of
+      // the global (doc-order, EOS-terminated) token stream — k01
+      // gates the chunk COUNT, this gates the CONTENT. packExact at 8
+      // partitions + the distributed chunk index; per-chunk state is
+      // bounded (L tokens). The oracle rebuilds every chunk's md5 from
+      // first principles via a SQL prefix sum.
+      val toks = docs(s, d).select(col("doc_id"),
+        expr("transform(sequence(1, size(split(trim(text), '\\\\s+'))), i -> i)")
+          .as("ids"))
+      val packed = Packer.packExact(toks, "doc_id", "ids", seqLen = 512,
+        eosId = 0, numPartitions = 8).withColumn("__all", lit(1))
+      Ranking.withRowNumber(packed, Seq("__all"),
+          Seq(col("part_id"), col("chunk_in_part")), "chunk_idx")
+        .select((col("chunk_idx") - 1).as("chunk_idx"),
+          md5(array_join(transform(col("input_ids"), x => x.cast("string")), ",")
+            .cast("binary")).as("chunk_fp"))
+        .orderBy("chunk_idx")
+    }),
+
+    "d52_split_leak_check" -> ((s, d) => {
+      // split-integrity audit: after d37's content-stable cut, does
+      // any val/test document share a content fingerprint with a
+      // train document? Fingerprint = md5 of the 32-char opening
+      // passage — the planted near-dup clusters share openings (full-
+      // text md5 never collides in the fixture), so this catches the
+      // near-dup leakage an eval owner actually fears. One
+      // fingerprint equi-join between two bounded aggregates; output
+      // = per leaked fingerprint and split, the (min train, min leak)
+      // witness pair.
+      val split = when(splitBucket < "cd", "train")
+        .when(splitBucket < "e6", "val").otherwise("test")
+      val fp = docs(s, d).select(col("doc_id"), split.as("split"),
+        md5(substring(col("text"), 1, 32)).as("fp"))
+      val train = fp.where(col("split") === "train")
+        .groupBy("fp").agg(min("doc_id").as("train_doc_id"))
+      val leak = fp.where(col("split") =!= "train")
+        .groupBy(col("fp"), col("split"))
+        .agg(min("doc_id").as("leak_doc_id"),
+          count(lit(1)).cast("long").as("n_leaked"))
+      leak.join(train, "fp")
+        .select(col("fp"), col("split"), col("train_doc_id"),
+          col("leak_doc_id"), col("n_leaked"))
+        .orderBy("fp", "split")
+    }),
+
+    "x11_stats_manifest" -> ((s, d) => {
+      // file-level min/max stats manifest + data-skipping simulation
+      // (the Iceberg/Delta manifest shape): 16 contiguous range
+      // buckets from pure integer arithmetic over the corpus min/max,
+      // per-bucket row count and doc_id bounds, and the touch
+      // decision a reader makes for the probe range [120, 180] —
+      // b02/ev11 prune PARTITIONS, this prunes FILES. One bounded
+      // aggregate + a 1-row broadcast.
+      val mm = docs(s, d).agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      docs(s, d).crossJoin(broadcast(mm))
+        .select(col("doc_id"),
+          expr("(doc_id - lo) * 16 div (hi - lo + 1)").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .select(col("bucket"), col("n_rows"), col("min_id"), col("max_id"),
+          (col("min_id") <= 180 && col("max_id") >= 120).as("touched"))
+        .orderBy("bucket")
+    }),
+
+    "st12_stream_soft_sample" -> ((s, d) => {
+      // streaming twin of d48 (the st06 convention): the soft sampler
+      // is a stateless projection, so the SAME operator applies to a
+      // document stream row-by-row — no state, no watermark, a
+      // keep/drop decision at ingest time. Shares d48's oracle string
+      // verbatim.
+      val batchSchema = docs(s, d).schema
+      s.catalog.dropTempView("st12_tbl")
+      val q0 = graft.streaming.Streaming
+        .parquetStream(s, stageTableDir(d, "documents"), batchSchema)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.qualityScore(col("text")).as("quality_score"))
+      val stream = Sampling.softSampleByScore(q0, "doc_id", col("quality_score"))
+        .select(col("doc_id"), col("lang"), col("quality_score"),
+          round(col("coin"), 6).as("coin"), col("kept"))
+      graft.streaming.Streaming.runToMemory(stream, "st12_tbl",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table("st12_tbl").orderBy("doc_id")
+    }),
+
     "d50_ppl_buckets" -> ((s, d) => {
       // CCNet's actual selection step (Wenzek et al. 2020 §4): bucket
       // the corpus head/middle/tail at the global perplexity terciles
@@ -3943,19 +4030,59 @@ object SparkEntry {
     // Same Knuth coin in BIGINT arithmetic (doc_id * 2654435761 stays
     // < 2^63); the keep compare runs on the UNROUNDED coin and the
     // 6dp-rounded quality score both engines share (d39's formula).
-    "d48_soft_sample" ->
-      """WITH q AS (SELECT doc_id, lang,
-             round(greatest(0.0,
-               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
-               + (CAST(length(text) - length(regexp_replace(text, '[A-Za-z一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 0.35
-               + (CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / length(text)) * 0.25
-               + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w\s一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 2.0, 1.0)) * 0.15), 6) AS quality_score,
-             CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
-               / 4294967296.0 AS coin
-           FROM documents)
-         SELECT doc_id, lang, quality_score, round(coin, 6) AS coin,
-           coin < quality_score AS kept
-         FROM q ORDER BY doc_id""",
+    // st12 is the same stateless projection applied to the document
+    // stream — one oracle string gates both (the d27/st06 convention).
+    "d48_soft_sample" -> softSampleOracleSql,
+    "st12_stream_soft_sample" -> softSampleOracleSql,
+
+    // Prefix-sum rebuild of the exact packer's chunk contents: global
+    // token stream = docs in doc_id order, each EOS(0)-terminated;
+    // chunk c = positions [c*512, (c+1)*512); tail dropped. Every
+    // chunk's joined-token md5 must match the packed output.
+    "k05_unpack_roundtrip" ->
+      """WITH t AS (SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n FROM documents),
+         o AS (SELECT doc_id, n,
+             coalesce(sum(n + 1) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+           FROM t),
+         tok AS (SELECT st + i - 1 AS gpos,
+             CASE WHEN i <= n THEN i ELSE 0 END AS tid
+           FROM (SELECT doc_id, n, st, unnest(range(1, n + 2)) AS i FROM o)),
+         tt AS (SELECT sum(n + 1) AS total FROM t)
+         SELECT CAST(gpos // 512 AS BIGINT) AS chunk_idx,
+           md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY gpos)) AS chunk_fp
+         FROM tok, tt WHERE gpos < (total // 512) * 512
+         GROUP BY 1 ORDER BY chunk_idx""",
+
+    // d37's split rule on both sides of a fingerprint equi-join; the
+    // witness pair is (min train id, min leaked id) per (fp, split).
+    "d52_split_leak_check" ->
+      """WITH f AS (SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split,
+             md5(substr(text, 1, 32)) AS fp
+           FROM documents),
+         tr AS (SELECT fp, min(doc_id) AS train_doc_id FROM f
+           WHERE split = 'train' GROUP BY fp),
+         lk AS (SELECT fp, split, min(doc_id) AS leak_doc_id,
+             CAST(count(*) AS BIGINT) AS n_leaked
+           FROM f WHERE split != 'train' GROUP BY fp, split)
+         SELECT lk.fp, lk.split, tr.train_doc_id, lk.leak_doc_id, lk.n_leaked
+         FROM lk JOIN tr USING (fp) ORDER BY lk.fp, lk.split""",
+
+    // Contiguous 16-way range buckets in integer arithmetic; touched =
+    // [min_id, max_id] overlaps the probe range [120, 180].
+    "x11_stats_manifest" ->
+      """WITH mm AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+         b AS (SELECT doc_id,
+             CAST((doc_id - lo) * 16 // (hi - lo + 1) AS BIGINT) AS bucket
+           FROM documents, mm)
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           min(doc_id) AS min_id, max(doc_id) AS max_id,
+           min(doc_id) <= 180 AND max(doc_id) >= 120 AS touched
+         FROM b GROUP BY bucket ORDER BY bucket""",
 
     // Snapshot-diff mirror: the same deterministic next snapshot, one
     // FULL JOIN, IS DISTINCT FROM as the null-safe payload compare.
@@ -4052,6 +4179,22 @@ object SparkEntry {
   /** d44/st10 shared oracle: batch FULL-JOIN MERGE and streaming
     * keyed-state compaction must produce the SAME snapshot (doc_id,
     * action, text-md5), so one string serves both keys. */
+  /** d48's soft-sampler mirror — shared verbatim by st12, the
+    * streaming application of the same stateless projection. */
+  private def softSampleOracleSql: String =
+    """WITH q AS (SELECT doc_id, lang,
+             round(greatest(0.0,
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+               + (CAST(length(text) - length(regexp_replace(text, '[A-Za-z一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 0.35
+               + (CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / length(text)) * 0.25
+               + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w\s一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 2.0, 1.0)) * 0.15), 6) AS quality_score,
+             CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+               / 4294967296.0 AS coin
+           FROM documents)
+         SELECT doc_id, lang, quality_score, round(coin, 6) AS coin,
+           coin < quality_score AS kept
+         FROM q ORDER BY doc_id"""
+
   /** d34's bigram-LM mirror through the per-doc `scored(doc_id, n,
     * lsum)` CTE — shared by d34 (per-doc ppl report) and d50 (CCNet
     * tercile buckets). */
