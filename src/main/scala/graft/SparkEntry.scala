@@ -2048,8 +2048,11 @@ object SparkEntry {
       // The quantile table is group-sized (5 rows) and broadcast back;
       // scoring stays a zero-shuffle projection. The outlier-robust
       // version of the d39/d43 quality signals.
+      // eager checkpoint: the regex-heavy score projection would
+      // otherwise replay in each quantile pass + the final join
       val q = docs(s, d).select(col("doc_id"), col("lang"),
         TextFunctions.qualityScore(col("text")).as("qs"))
+        .localCheckpoint(true)
       val bands = Ranking.exactQuantiles(q, "lang", "qs",
         Seq(0.05 -> "p05", 0.95 -> "p95"))
       q.join(broadcast(bands), "lang")
@@ -2175,10 +2178,16 @@ object SparkEntry {
       // projection. Docs too short to score (NULL ppl) land in tail.
       val all = docs(s, d)
       val lm = TextAnalysis.trainBigramLm(all, "text", vocabSize = 64)
+      // materialize the 2-column score table ONCE (eager local
+      // checkpoint): the LM projection is the expensive part and the
+      // quantile construction + final join would otherwise replay it
+      // ~5x (counts, totals, running-sum pin, join) — measured 35 s →
+      // ~5 s at sf0.1. (doc_id, ppl) is 16 bytes/row, spillable.
       val scored = TextAnalysis.bigramPerplexity(
           all.select("doc_id", "text"), "text", lm)
         .select(col("doc_id"), col("ppl"))
         .withColumn("__all", lit(1))
+        .localCheckpoint(true)
       val cuts = Ranking.exactQuantiles(scored.where(col("ppl").isNotNull),
         "__all", "ppl", Seq(1.0 / 3 -> "p33", 2.0 / 3 -> "p67"))
       scored.join(broadcast(cuts), "__all")
