@@ -2081,6 +2081,95 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "d53_epoch_plan" -> ((s, d) =>
+      // multi-epoch training schedule: temperature-0.5 source weights
+      // under a 100k-token budget, expressed as EPOCHS per source —
+      // small high-quality sources repeat (>1 epoch, capped at 4),
+      // big ones subsample (<1). d27 decides which rows survive ONE
+      // pass; this is the design sheet for how many passes each
+      // source gets. Bounded aggregate + driver fold in source order
+      // (IEEE-exact sqrt — the d29 convention).
+      Sampling.epochPlan(docs(s, d), "source",
+          TextFunctions.tokenCount(col("text")), tokenBudget = 100000.0)
+        .orderBy("source")),
+
+    "d54_score_calibration" -> ((s, d) =>
+      // calibration of the cheap quality score against the judge: per
+      // score decile (integer bucket of the 6dp score), doc count,
+      // judge-kept count, and keep rate — the sheet that says where a
+      // score threshold actually sits. One bounded aggregate, zero
+      // windows.
+      docs(s, d).select(
+          least(lit(9L), floor(TextFunctions.qualityScore(col("text")) * 10))
+            .cast("long").as("decile"),
+          (TextFunctions.judgeReason(col("text"), judgeT) === "ok").as("kept"))
+        .groupBy("decile")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          count(when(col("kept"), 1)).cast("long").as("n_kept"))
+        .select(col("decile"), col("n_docs"), col("n_kept"),
+          round(col("n_kept").cast("double") / col("n_docs"), 6).as("keep_rate"))
+        .orderBy("decile")),
+
+    "ev13_retention_cohorts" -> ((s, d) => {
+      // activation-cohort retention (the warehouse classic): cohort =
+      // user's first-event day, offset = days since cohort, cell =
+      // distinct active users. Two shuffles, both on high-cardinality
+      // keys (user, then cohort×offset) — the safe direction at
+      // scale. Null users carry no identity and are excluded (st02's
+      // convention).
+      val e = ev(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"), expr("ts div 1000").as("us"))
+      val first = e.groupBy("user_id").agg(min("us").as("f"))
+      e.join(first, "user_id")
+        .select(col("user_id"),
+          expr("f div 86400000000").as("cohort_day"),
+          expr("(us div 86400000000) - (f div 86400000000)").as("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct("user_id").cast("long").as("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
+    "st13_stream_sessions" -> ((s, d) => {
+      // streaming twin of ev07's session windows: the same 30-minute
+      // session_window aggregation under Structured Streaming. Append
+      // mode emits a session only once the watermark passes its close,
+      // so after the real events a far-future flush sentinel (negative
+      // user_id, filtered from the result) advances the watermark past
+      // every genuine session. Shares ev07's oracle string verbatim.
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val e = ev(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"))
+      val mem = MemoryStream[(Long, Long, Long)]
+      val stream = mem.toDF().toDF("user_id", "us", "event_id")
+        .withColumn("tsm", timestamp_micros(col("us")))
+        .withWatermark("tsm", "1 hour")
+        .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          col("sw.start").cast("timestamp_ntz").as("session_start"), col("n"))
+      s.catalog.dropTempView("st13_tbl")
+      graft.streaming.Streaming.withShufflePartitions(s, 8) {
+        val q = stream.writeStream.format("memory").queryName("st13_tbl")
+          .outputMode("append").start()
+        try {
+          val rows = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          val maxUs = rows.map(_._2).max
+          mem.addData(rows.toIndexedSeq) // fixture harness: bounded event table
+          q.processAllAvailable()
+          // two flush batches: the first advances the watermark past
+          // every real session close, the second emits under it
+          mem.addData(Seq((-1L, maxUs + 86400000000L, -1L)))
+          q.processAllAvailable()
+          mem.addData(Seq((-1L, maxUs + 2 * 86400000000L, -2L)))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table("st13_tbl").where(col("user_id") >= 0)
+        .orderBy("user_id", "session_start")
+    }),
+
     "k05_unpack_roundtrip" -> ((s, d) => {
       // chunk-content invariant for the exact packer: every packed
       // chunk's contents must equal the corresponding L-token slice of
@@ -2578,17 +2667,12 @@ object SparkEntry {
               CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
-    "ev07_session_windows" ->
-      """WITH g AS (SELECT user_id, ts,
-             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
-           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         sx AS (SELECT user_id, ts, sum(brk) OVER (
-             PARTITION BY user_id ORDER BY ts
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-           FROM g)
-         SELECT user_id, min(ts) AS session_start, count(*) AS n
-         FROM sx GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    // st13 is the same 30-minute sessionization under Structured
+    // Streaming (append mode + flush sentinel) — one oracle string
+    // gates both (the d27/st06 convention; the fixture has no null
+    // user_ids, so st13's defensive null filter is a no-op).
+    "ev07_session_windows" -> sessionWindowsOracleSql,
+    "st13_stream_sessions" -> sessionWindowsOracleSql,
 
     "d01_token_stats" ->
       """SELECT doc_id,
@@ -4044,6 +4128,57 @@ object SparkEntry {
     "d48_soft_sample" -> softSampleOracleSql,
     "st12_stream_soft_sample" -> softSampleOracleSql,
 
+    // Driver fold in source order with IEEE-exact sqrt (list_reduce ≡
+    // the Scala foldLeft); floor runs on the UNROUNDED epoch product.
+    "d53_epoch_plan" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS tokens
+           FROM documents WHERE source IS NOT NULL GROUP BY source),
+         z AS (SELECT list_reduce(list(sqrt(CAST(tokens AS DOUBLE)) ORDER BY source),
+             (a, b) -> a + b) AS z FROM s)
+         SELECT source, n_docs, tokens,
+           round(sqrt(CAST(tokens AS DOUBLE)) / z, 6) AS weight,
+           round(least(4.0, 100000.0 * (sqrt(CAST(tokens AS DOUBLE)) / z) / tokens), 6)
+             AS epochs,
+           CAST(floor(tokens * least(4.0,
+             100000.0 * (sqrt(CAST(tokens AS DOUBLE)) / z) / tokens)) AS BIGINT)
+             AS planned_tokens
+         FROM s, z ORDER BY source""",
+
+    // d39's score formula bucketed by decile; the judge CASE is d03's.
+    "d54_score_calibration" ->
+      """WITH q AS (SELECT
+             least(9, CAST(floor(round(greatest(0.0,
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+               + (CAST(length(text) - length(regexp_replace(text, '[A-Za-z一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 0.35
+               + (CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / length(text)) * 0.25
+               + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w\s一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 2.0, 1.0)) * 0.15), 6) * 10) AS BIGINT)) AS decile,
+             (CASE WHEN length(text) < 100 THEN 'too_short'
+                  WHEN length(text) > 450 THEN 'too_long'
+                  WHEN CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / length(text) < 0.82 THEN 'too_sparse'
+                  WHEN CAST(length(text) - length(regexp_replace(text, '[A-Za-z一-鿿]', '', 'g')) AS DOUBLE) / length(text) < 0.8 THEN 'low_language_signal'
+                  WHEN CAST(length(text) - length(regexp_replace(text, '[^\w\s一-鿿]', '', 'g')) AS DOUBLE) / length(text) > 0.05 THEN 'too_much_punct'
+                  ELSE 'ok' END) = 'ok' AS kept
+           FROM documents)
+         SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+           round(CAST(count(*) FILTER (WHERE kept) AS DOUBLE) / count(*), 6)
+             AS keep_rate
+         FROM q GROUP BY decile ORDER BY decile""",
+
+    // Integer day arithmetic end-to-end: first-event day per user,
+    // day offsets, distinct actives per (cohort, offset) cell.
+    "ev13_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events
+           WHERE user_id IS NOT NULL),
+         f AS (SELECT user_id, min(us) AS fus FROM e GROUP BY user_id)
+         SELECT fus // 86400000000 AS cohort_day,
+           (us // 86400000000) - (fus // 86400000000) AS day_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+         FROM e JOIN f USING (user_id)
+         GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset""",
+
     // Prefix-sum rebuild of the exact packer's chunk contents: global
     // token stream = docs in doc_id order, each EOS(0)-terminated;
     // chunk c = positions [c*512, (c+1)*512); tail dropped. Every
@@ -4188,6 +4323,20 @@ object SparkEntry {
   /** d44/st10 shared oracle: batch FULL-JOIN MERGE and streaming
     * keyed-state compaction must produce the SAME snapshot (doc_id,
     * action, text-md5), so one string serves both keys. */
+  /** ev07's gaps-and-islands sessionization mirror — shared verbatim
+    * by st13, the streaming session_window twin. */
+  private def sessionWindowsOracleSql: String =
+    """WITH g AS (SELECT user_id, ts,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sx AS (SELECT user_id, ts, sum(brk) OVER (
+             PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM g)
+         SELECT user_id, min(ts) AS session_start, count(*) AS n
+         FROM sx GROUP BY user_id, sid ORDER BY user_id, session_start"""
+
   /** d48's soft-sampler mirror — shared verbatim by st12, the
     * streaming application of the same stateless projection. */
   private def softSampleOracleSql: String =

@@ -176,6 +176,37 @@ object Sampling {
           .as("kept_tokens"))
   }
 
+  /** Multi-epoch mixture schedule: temperature-0.5 weights over
+    * per-source token counts turned into EPOCH counts under a token
+    * budget — unlike [[temperatureMixture]]'s keep probability (capped
+    * at 1), a small high-quality source may be planned for >1 epoch
+    * (repetition, the standard pre-training move), capped at
+    * `maxEpochs`. The per-source totals are a bounded aggregate; the
+    * weight normalizer folds in source-sorted order with IEEE-exact
+    * sqrt, so an external SQL engine reproduces every figure
+    * bit-for-bit. NULL-source rows are excluded from the plan (they
+    * carry no budget identity). */
+  def epochPlan(df: DataFrame, sourceCol: String, tokensCol: Column,
+                tokenBudget: Double, maxEpochs: Double = 4.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(tokenBudget > 0 && maxEpochs > 0)
+    val rows = df.where(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"),
+        coalesce(sum(tokensCol.cast("long")), lit(0L)).as("__t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val z = rows.foldLeft(0.0)((a, r) => a + math.sqrt(r._3.toDouble))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.toSeq.map { case (src, n, t) =>
+      val w = if (z == 0.0) 0.0 else math.sqrt(t.toDouble) / z
+      val ep = if (t == 0L) 0.0 else math.min(maxEpochs, tokenBudget * w / t.toDouble)
+      (src, n, t, r6(w), r6(ep), math.floor(t.toDouble * ep).toLong)
+    }.toDF(sourceCol, "n_docs", "tokens", "weight", "epochs", "planned_tokens")
+  }
+
   /** Soft quality-weighted sampling: keep each row with probability
     * equal to `scoreCol` (a score in [0,1] — e.g. the d39 quality
     * score), decided by a deterministic per-row coin instead of RNG.
