@@ -824,14 +824,14 @@ object SparkEntry {
       // Knuth multiplicative hash of the id — pure 64-bit integer
       // arithmetic, so any engine/run/partitioning flips the same
       // coin, and m/2^32 is a dyadic-exact double. Zero shuffle;
-      // deterministic where rand() would be unreproducible.
-      val m = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
-      val u = m.cast("double") / lit(4294967296.0)
-      docs(s, d)
-        .select(col("doc_id"),
-          TextFunctions.qualityScore(col("text")).as("quality_score"),
-          round(u, 6).as("coin"),
-          (u < TextFunctions.qualityScore(col("text"))).as("kept"))
+      // deterministic where rand() would be unreproducible. Routed
+      // through `Sampling.softSampleByScore` — the same stateless
+      // operator st12 applies to the document STREAM.
+      val q = docs(s, d).select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality_score"))
+      Sampling.softSampleByScore(q, "doc_id", col("quality_score"))
+        .select(col("doc_id"), col("quality_score"),
+          round(col("coin"), 6).as("coin"), col("kept"))
         .orderBy("doc_id")
     }),
 
@@ -2081,6 +2081,38 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "q36_cube" -> ((s, d) => {
+      // full CUBE over (status, priority) — all four grouping sets in
+      // one two-phase aggregation pass; money in exact integer cents
+      // (the q29 convention: a rounded double sum can flip a cent
+      // under partial-agg reordering, int64 cannot).
+      ord(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+               FROM orders
+               GROUP BY CUBE (o_orderstatus, o_orderpriority)
+               ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+    }),
+
+    "st14_stream_parquet_sink" -> ((s, d) => {
+      // the exactly-once FILE sink (S5's streaming twin): stream the
+      // documents table through the d03 judge projection into a
+      // checkpointed parquet sink (commit-log manifest = restart
+      // exactly-once), then read the LANDED files back and aggregate.
+      // Shares st04's oracle verbatim — micro-batch boundaries and the
+      // sink hop cannot move exact counts.
+      val batchSchema = docs(s, d).schema
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st14_").toString
+      val stream = graft.streaming.Streaming
+        .parquetStream(s, stageTableDir(d, "documents"), batchSchema)
+        .select(col("doc_id"),
+          TextFunctions.judgeReason(col("text"), judgeT).as("drop_reason"))
+      graft.streaming.Streaming.runToParquet(stream, s"$tmp/out", s"$tmp/ckpt")
+      s.read.parquet(s"$tmp/out")
+        .groupBy("drop_reason").agg(count(lit(1)).as("n"))
+        .orderBy("drop_reason")
+    }),
+
     "d53_epoch_plan" -> ((s, d) =>
       // multi-epoch training schedule: temperature-0.5 source weights
       // under a 100k-token budget, expressed as EPOCHS per source —
@@ -2131,11 +2163,15 @@ object SparkEntry {
 
     "st13_stream_sessions" -> ((s, d) => {
       // streaming twin of ev07's session windows: the same 30-minute
-      // session_window aggregation under Structured Streaming. Append
-      // mode emits a session only once the watermark passes its close,
-      // so after the real events a far-future flush sentinel (negative
-      // user_id, filtered from the result) advances the watermark past
-      // every genuine session. Shares ev07's oracle string verbatim.
+      // session_window aggregation under Structured Streaming, with
+      // the events arriving in two CHRONOLOGICAL micro-batches so
+      // sessions spanning the boundary must merge through keyed state
+      // (safe under the 1h watermark: a session still open at the
+      // cut ends within 30min of it, so nothing finalizes early).
+      // Append mode emits a session only once the watermark passes
+      // its close, so a far-future flush sentinel (negative user_id,
+      // filtered from the result) advances the watermark past every
+      // genuine session. Shares ev07's oracle string verbatim.
       import s.implicits._
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -2156,7 +2192,11 @@ object SparkEntry {
         try {
           val rows = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
           val maxUs = rows.map(_._2).max
-          mem.addData(rows.toIndexedSeq) // fixture harness: bounded event table
+          val cut = (rows.map(_._2).min + maxUs) / 2
+          // fixture harness: bounded event table, split chronologically
+          mem.addData(rows.filter(_._2 <= cut).sortBy(r => (r._2, r._3)).toIndexedSeq)
+          q.processAllAvailable()
+          mem.addData(rows.filter(_._2 > cut).sortBy(r => (r._2, r._3)).toIndexedSeq)
           q.processAllAvailable()
           // two flush batches: the first advances the watermark past
           // every real session close, the second emits under it
@@ -2238,19 +2278,19 @@ object SparkEntry {
     }),
 
     "st12_stream_soft_sample" -> ((s, d) => {
-      // streaming twin of d48 (the st06 convention): the soft sampler
+      // streaming twin of d39 (the st06 convention): the soft sampler
       // is a stateless projection, so the SAME operator applies to a
       // document stream row-by-row — no state, no watermark, a
-      // keep/drop decision at ingest time. Shares d48's oracle string
+      // keep/drop decision at ingest time. Shares d39's oracle string
       // verbatim.
       val batchSchema = docs(s, d).schema
       s.catalog.dropTempView("st12_tbl")
       val q0 = graft.streaming.Streaming
         .parquetStream(s, stageTableDir(d, "documents"), batchSchema)
-        .select(col("doc_id"), col("lang"),
+        .select(col("doc_id"),
           TextFunctions.qualityScore(col("text")).as("quality_score"))
       val stream = Sampling.softSampleByScore(q0, "doc_id", col("quality_score"))
-        .select(col("doc_id"), col("lang"), col("quality_score"),
+        .select(col("doc_id"), col("quality_score"),
           round(col("coin"), 6).as("coin"), col("kept"))
       graft.streaming.Streaming.runToMemory(stream, "st12_tbl",
         org.apache.spark.sql.streaming.OutputMode.Append())
@@ -2346,22 +2386,6 @@ object SparkEntry {
           Seq("purchase_id"), toleranceUs = 21600000000L)
         .select(col("user_id"), col("event_id"), col("asof_purchase_id"))
         .orderBy("user_id", "event_id")
-    }),
-
-    "d48_soft_sample" -> ((s, d) => {
-      // soft quality-weighted sampling: keep probability = the quality
-      // score itself, decided by a deterministic Knuth-hash coin
-      // (integer arithmetic — engine-reproducible where md5-prefix
-      // coins are not; see d37). Zero shuffle, zero state: the whole
-      // sampler is one projection, so it streams and survives any
-      // repartitioning. The soft alternative to d18's exact-fraction
-      // stratified ranks.
-      val q = docs(s, d).select(col("doc_id"), col("lang"),
-        TextFunctions.qualityScore(col("text")).as("quality_score"))
-      Sampling.softSampleByScore(q, "doc_id", col("quality_score"))
-        .select(col("doc_id"), col("lang"), col("quality_score"),
-          round(col("coin"), 6).as("coin"), col("kept"))
-        .orderBy("doc_id")
     }),
 
     "d49_snapshot_diff" -> ((s, d) => {
@@ -2704,16 +2728,18 @@ object SparkEntry {
 
     // same judge CASE as d03, grouped — the streaming result must land
     // on the batch distribution exactly
-    "st04_stream_quality" ->
-      """SELECT drop_reason, count(*) AS n FROM (
-           SELECT CASE WHEN length(text) < 100 THEN 'too_short'
-                  WHEN length(text) > 450 THEN 'too_long'
-                  WHEN CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / length(text) < 0.82 THEN 'too_sparse'
-                  WHEN CAST(length(text) - length(regexp_replace(text, '[A-Za-z一-鿿]', '', 'g')) AS DOUBLE) / length(text) < 0.8 THEN 'low_language_signal'
-                  WHEN CAST(length(text) - length(regexp_replace(text, '[^\w\s一-鿿]', '', 'g')) AS DOUBLE) / length(text) > 0.05 THEN 'too_much_punct'
-                  ELSE 'ok' END AS drop_reason
-           FROM documents)
-         GROUP BY drop_reason ORDER BY drop_reason""",
+    // st14 lands the same judge projection through the checkpointed
+    // parquet file sink before aggregating — one oracle string gates
+    // both the memory-sink and file-sink paths.
+    "st04_stream_quality" -> streamQualityOracleSql,
+    "st14_stream_parquet_sink" -> streamQualityOracleSql,
+
+    "q36_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
 
     "d04_lang_id" -> langIdOracle("SELECT doc_id, lang_pred FROM scored ORDER BY doc_id"),
 
@@ -2935,19 +2961,10 @@ object SparkEntry {
 
     // Same Knuth coin (integer-exact), same d06 score expression; the
     // kept compare runs on the UNrounded coin on both sides.
-    "d39_soft_quality_sample" ->
-      """WITH q AS (SELECT doc_id,
-             round(greatest(0.0,
-               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
-               + (CAST(length(text) - length(regexp_replace(text, '[A-Za-z一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 0.35
-               + (CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / length(text)) * 0.25
-               + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w\s一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 2.0, 1.0)) * 0.15), 6)
-               AS quality_score,
-             CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS u
-           FROM documents)
-         SELECT doc_id, quality_score, round(u, 6) AS coin,
-           u < quality_score AS kept
-         FROM q ORDER BY doc_id""",
+    // Knuth coin in BIGINT arithmetic (doc_id * 2654435761 stays
+    // < 2^63); the keep compare runs on the UNROUNDED coin and the
+    // 6dp-rounded quality score both engines share.
+    "d39_soft_quality_sample" -> softSampleOracleSql,
 
     // Same md5-prefix bucketing; hex sorts numerically so the CASE
     // thresholds are plain string compares on both engines.
@@ -4120,12 +4137,8 @@ object SparkEntry {
              AS asof_purchase_id
          FROM w WHERE side = 0 ORDER BY user_id, event_id""",
 
-    // Same Knuth coin in BIGINT arithmetic (doc_id * 2654435761 stays
-    // < 2^63); the keep compare runs on the UNROUNDED coin and the
-    // 6dp-rounded quality score both engines share (d39's formula).
-    // st12 is the same stateless projection applied to the document
+    // st12 is d39's stateless projection applied to the document
     // stream — one oracle string gates both (the d27/st06 convention).
-    "d48_soft_sample" -> softSampleOracleSql,
     "st12_stream_soft_sample" -> softSampleOracleSql,
 
     // Driver fold in source order with IEEE-exact sqrt (list_reduce ≡
@@ -4323,6 +4336,19 @@ object SparkEntry {
   /** d44/st10 shared oracle: batch FULL-JOIN MERGE and streaming
     * keyed-state compaction must produce the SAME snapshot (doc_id,
     * action, text-md5), so one string serves both keys. */
+  /** st04's judge-distribution mirror — shared verbatim by st14, the
+    * same projection landed through the checkpointed parquet sink. */
+  private def streamQualityOracleSql: String =
+    """SELECT drop_reason, count(*) AS n FROM (
+           SELECT CASE WHEN length(text) < 100 THEN 'too_short'
+                  WHEN length(text) > 450 THEN 'too_long'
+                  WHEN CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / length(text) < 0.82 THEN 'too_sparse'
+                  WHEN CAST(length(text) - length(regexp_replace(text, '[A-Za-z一-鿿]', '', 'g')) AS DOUBLE) / length(text) < 0.8 THEN 'low_language_signal'
+                  WHEN CAST(length(text) - length(regexp_replace(text, '[^\w\s一-鿿]', '', 'g')) AS DOUBLE) / length(text) > 0.05 THEN 'too_much_punct'
+                  ELSE 'ok' END AS drop_reason
+           FROM documents)
+         GROUP BY drop_reason ORDER BY drop_reason"""
+
   /** ev07's gaps-and-islands sessionization mirror — shared verbatim
     * by st13, the streaming session_window twin. */
   private def sessionWindowsOracleSql: String =
@@ -4337,10 +4363,10 @@ object SparkEntry {
          SELECT user_id, min(ts) AS session_start, count(*) AS n
          FROM sx GROUP BY user_id, sid ORDER BY user_id, session_start"""
 
-  /** d48's soft-sampler mirror — shared verbatim by st12, the
+  /** d39's soft-sampler mirror — shared verbatim by st12, the
     * streaming application of the same stateless projection. */
   private def softSampleOracleSql: String =
-    """WITH q AS (SELECT doc_id, lang,
+    """WITH q AS (SELECT doc_id,
              round(greatest(0.0,
                least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
                + (CAST(length(text) - length(regexp_replace(text, '[A-Za-z一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 0.35
@@ -4349,7 +4375,7 @@ object SparkEntry {
              CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
                / 4294967296.0 AS coin
            FROM documents)
-         SELECT doc_id, lang, quality_score, round(coin, 6) AS coin,
+         SELECT doc_id, quality_score, round(coin, 6) AS coin,
            coin < quality_score AS kept
          FROM q ORDER BY doc_id"""
 

@@ -29,6 +29,36 @@ class SamplingSpec extends SparkSpec {
     assert(counts == Map("en" -> 8L, "de" -> 10L))
   }
 
+  test("epoch plan: weights normalize, caps bind, planned tokens follow the unrounded epochs") {
+    import org.apache.spark.sql.functions._
+    val corpus = Seq(
+      ("big", 100L), ("big", 100L), ("big", 100L), ("big", 100L), // 400 tokens
+      ("small", 4L)                                               // 4 tokens
+    ).toDF("source", "n_tok")
+    val plan = Sampling.epochPlan(corpus, "source", col("n_tok"),
+      tokenBudget = 100.0, maxEpochs = 4.0)
+      .orderBy("source").collect()
+    val byName = plan.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5))).toMap
+    val z = math.sqrt(400.0) + math.sqrt(4.0)
+    // big: raw = 100 * (20/22) / 400 ≈ 0.227 < 4 (subsampled)
+    assert(math.abs(byName("big")._4 - 100.0 * (math.sqrt(400.0) / z) / 400.0) < 1e-6)
+    // small: raw = 100 * (2/22) / 4 ≈ 2.27 — repetition, under the cap
+    assert(byName("small")._4 > 1.0 && byName("small")._4 < 4.0)
+    // cap binds when the budget is huge
+    val capped = Sampling.epochPlan(corpus, "source", col("n_tok"),
+      tokenBudget = 1e9, maxEpochs = 4.0).collect()
+    assert(capped.forall(_.getDouble(4) == 4.0))
+    // planned tokens = floor(tokens * unrounded epochs)
+    assert(byName("small")._5 ==
+      math.floor(4.0 * (100.0 * (math.sqrt(4.0) / z) / 4.0)).toLong)
+    // null sources are excluded from the plan
+    val withNull = corpus.unionByName(
+      Seq((null.asInstanceOf[String], 7L)).toDF("source", "n_tok"))
+    assert(Sampling.epochPlan(withNull, "source", col("n_tok"), 100.0)
+      .count() == 2)
+  }
+
   test("soft sample: Knuth coin matches the integer formula and is partition-invariant") {
     import org.apache.spark.sql.functions._
     val scored = df.withColumn("s", (col("id") % 10).cast("double") / 10.0)
