@@ -152,6 +152,12 @@ class StreamingSpec extends SparkSpec {
     val all = spark.read.parquet(out)
     assert(all.count() == 3)
     assert(all.filter(col("doc_id") === 3).head().getInt(2) == 4)
+    // pure restart with the same checkpoint and NO new data is a no-op:
+    // the commit log makes the file sink exactly-once across restarts
+    Streaming.runToParquet(
+      Streaming.parquetStream(spark, dir, df1.schema)
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+"))), out, ckpt)
+    assert(spark.read.parquet(out).count() == 3)
   }
 
   test("upsertCompaction folds a keyed change log into the batch-MERGE snapshot") {
