@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Tables
-import graft.functions.{PiiFunctions, TextFunctions}
+import graft.functions.{PiiFunctions, TextFunctions, UrlFunctions}
 import graft.operators._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -30,7 +30,23 @@ object SparkEntry {
   private def part(s: SparkSession, d: String) = Tables.part(s, d)
   private def nat(s: SparkSession, d: String) = Tables.nation(s, d)
   private def reg(s: SparkSession, d: String) = Tables.region(s, d)
-  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private def ev(s: SparkSession, d: String) = normalizeEventTs(Tables.events(s, d))
+
+  /** The engine contract for events.ts is int64 NANOseconds (every
+    * downstream site does `ts div 1000` → µs). Testdata vintages differ:
+    * some write int64 nanos (surfaced as LONG via the nanosAsLong flag),
+    * some write µs/ns TIMESTAMP columns. Normalize at the read boundary —
+    * pure column arithmetic, batch and stream alike. The NTZ branch
+    * measures from the epoch with timestampdiff, which is timezone-free
+    * (a session-TZ cast would shift wall-clock values off DuckDB's
+    * epoch_us, which also treats naive timestamps as epoch-anchored). */
+  private def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case org.apache.spark.sql.types.TimestampNTZType => df.withColumn("ts",
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
+      case _ => df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+    }
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
@@ -48,6 +64,14 @@ object SparkEntry {
   }
 
   private def stageEventsDir(d: String): String = stageTableDir(d, "events")
+
+  /** Staged events directory as a normalized stream: the file read uses
+    * the RAW parquet schema (an explicit nanos-long schema would clash
+    * with a timestamp-typed vintage), then the same ts normalization as
+    * the batch reader runs on the stream. */
+  private def evStream(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(graft.streaming.Streaming.parquetStream(
+      s, stageEventsDir(d), Tables.events(s, d).schema))
 
   /** md5(doc id) hex-prefix bucket — the d37/x08 SHARED split rule
     * (one definition: changing the boundary in one gate cannot
@@ -1347,6 +1371,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "w05_csv_roundtrip" -> ((s, d) => {
+      // CSV sink + source roundtrip, the third interchange format next
+      // to parquet and JSONL. The synth text carries every character
+      // CSV has to escape — embedded newlines (multi-line synth), a
+      // comma, RFC 4180 doubled quotes — plus CJK in the zh rows.
+      // Distributed writer (one shard per partition, no driver funnel);
+      // read back with an EXPLICIT schema, multiLine, and the standard
+      // quote-doubling escape. The oracle is the identity projection:
+      // the quote/unquote trip must be byte-invisible.
+      val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_csv_${math.abs(d.hashCode)}")
+      docs(s, d).select(col("doc_id"), col("lang"),
+          concat(multiLineSynth, lit(",\"quoted\" tail")).as("text"))
+        .write.mode("overwrite")
+        .option("quote", "\"").option("escape", "\"").option("header", "true")
+        .csv(tmp.toString)
+      s.read.schema("doc_id LONG, lang STRING, text STRING")
+        .option("multiLine", "true")
+        .option("quote", "\"").option("escape", "\"").option("header", "true")
+        .csv(tmp.toString)
+        .orderBy("doc_id")
+    }),
+
     "w03_mojibake_repair" -> ((s, d) =>
       // UTF-8-as-cp1252 double-encoding repair (ftfy's core case):
       // every repairable char is appended to each doc, the damage
@@ -1399,6 +1446,57 @@ object SparkEntry {
           PiiFunctions.luhnValid(col("card_digits")).as("luhn_ok"),
           PiiFunctions.redactCards(col("synth")).as("redacted"))
         .orderBy("doc_id")
+    }),
+
+    "d55_url_domains" -> ((s, d) => {
+      // URL decomposition + eTLD+1 over synthetic URLs (the corpus
+      // carries none — p02's synthesis convention): hosts cycle
+      // through a plain domain, a two-level public suffix, a ccTLD
+      // second level, a numbered CDN subdomain, and a suffixless
+      // localhost; ports, query strings, and fragments appear on
+      // deterministic doc_id strata so every extractor branch fires.
+      // Pure regexp Column chain — zero shuffle, codegen'd — and the
+      // oracle replays every regex verbatim in DuckDB.
+      val dm = col("doc_id") % 5
+      val host0 = when(dm === 0, lit("example.com"))
+        .when(dm === 1, lit("news.bbc.co.uk"))
+        .when(dm === 2, lit("shop.example.com.au"))
+        .when(dm === 3, concat(lit("cdn"), (col("doc_id") % 7).cast("string"),
+          lit(".assets.example.org")))
+        .otherwise(lit("localhost"))
+      val url = concat(lit("https://"), host0,
+        when(col("doc_id") % 3 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/"), col("source"), lit("/p"), (col("doc_id") % 11).cast("string"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?q="), col("source"), lit("&n="),
+            (col("doc_id") % 4).cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
+      docs(s, d).select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          UrlFunctions.scheme(col("url")).as("scheme"),
+          UrlFunctions.host(col("url")).as("host"),
+          UrlFunctions.path(col("url")).as("path"),
+          UrlFunctions.query(col("url")).as("qs"))
+        .withColumn("reg_domain", UrlFunctions.registeredDomain(col("host")))
+        .withColumn("path_depth", UrlFunctions.pathDepth(col("path")).cast("long"))
+        .withColumn("n_params", UrlFunctions.paramCount(col("qs")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    "g01_host_rank" -> ((s, d) => {
+      // Distributed weighted PageRank over a deterministic host graph
+      // (src = doc_id mod 37, dst = 7*doc_id mod 41, weight 1-5 —
+      // multi-edges and self-loop drops included). Exact integer
+      // fixed-point arithmetic makes the result bit-identical at any
+      // partition count AND lets the oracle unroll the same three
+      // iterations as plain CTEs (DuckDB's `//` == Spark's `div` on
+      // non-negatives). See operators/PageRank.scala for the scale
+      // shape: edges shuffled once, one join + one agg per iteration.
+      val edges = docs(s, d).select(
+        concat(lit("h"), (col("doc_id") % 37).cast("string")).as("src"),
+        concat(lit("h"), ((col("doc_id") * 7) % 41).cast("string")).as("dst"),
+        ((col("doc_id") % 5) + 1).as("w"))
+      PageRank.run(edges, iterations = 3).orderBy("node")
     }),
 
     // ---------------- set operations / grouping sets ----------------
@@ -1492,9 +1590,8 @@ object SparkEntry {
 
     // ---------------- streaming (AvailableNow) checked against batch oracle ----------------
     "st01_stream_hourly" -> ((s, d) => {
-      val batchSchema = ev(s, d).schema
       s.catalog.dropTempView("st01_tbl")
-      val stream = graft.streaming.Streaming.parquetStream(s, stageEventsDir(d), batchSchema)
+      val stream = evStream(s, d)
         .withColumn("hr", date_trunc("hour", timestamp_micros(expr("ts div 1000"))).cast("timestamp_ntz"))
         .groupBy("hr", "event_type").agg(count(lit(1)).as("n"))
       graft.streaming.Streaming.runToMemory(stream, "st01_tbl",
@@ -1507,9 +1604,8 @@ object SparkEntry {
       // range join: purchases matched to the same user's clicks in the
       // preceding 30 minutes. The matched SET is deterministic (unlike
       // row arrival order), so the pair count is the oracle surface.
-      val batchSchema = ev(s, d).schema
       s.catalog.dropTempView("st03_tbl")
-      val stream = graft.streaming.Streaming.parquetStream(s, stageEventsDir(d), batchSchema)
+      val stream = evStream(s, d)
         .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
       val purchases = stream.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("tstamp").as("p_ts"))
@@ -1753,9 +1849,8 @@ object SparkEntry {
       // micro-batches, then count survivors per event_type. WHICH row of
       // a dup group survives depends on arrival order, so only the KEY
       // SET (deterministic) reaches the oracle compare.
-      val batchSchema = ev(s, d).schema
       s.catalog.dropTempView("st02_tbl")
-      val stream = graft.streaming.Streaming.parquetStream(s, stageEventsDir(d), batchSchema)
+      val stream = evStream(s, d)
         .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
         // drop null user_ids BEFORE keying: concat(null, ...) is NULL, so
         // all null-user rows would collapse into ONE surviving row per
@@ -1777,6 +1872,24 @@ object SparkEntry {
         org.apache.spark.sql.streaming.OutputMode.Append())
       s.table("st02_tbl").groupBy("event_type").agg(count(lit(1)).as("n_distinct_users"))
         .orderBy("event_type")
+    }),
+
+    "st15_stream_topk" -> ((s, d) => {
+      // Streaming heavy hitters: Complete-mode count per event_type over
+      // the staged event stream (state is k rows — one per distinct key
+      // — not the stream), then top-5 extraction off the sink table.
+      // Gates against the batch h01 SQL: stream-vs-batch count equality
+      // IS the heavy-hitter guarantee when k >= distinct keys. For
+      // key cardinalities that outgrow agg state, the batch-side
+      // Misra-Gries sketch (HeavyHitters.scala) is the fallback — its
+      // summaries merge associatively, so the same sketch runs inside
+      // flatMapGroupsWithState unchanged.
+      s.catalog.dropTempView("st15_tbl")
+      val stream = evStream(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      graft.streaming.Streaming.runToMemory(stream, "st15_tbl",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      s.table("st15_tbl").orderBy(desc("n"), asc("event_type")).limit(5)
     }),
 
     // ---------------- heavy hitters (Misra-Gries + exact recount) ----------------
@@ -3811,6 +3924,12 @@ object SparkEntry {
          SELECT d.doc_id, d.lang, synth.t AS text
          FROM documents d JOIN synth USING (doc_id) ORDER BY d.doc_id""",
 
+    // Same identity shape as w04 with the CSV-hostile tail appended.
+    "w05_csv_roundtrip" ->
+      s"""WITH $multiLineSynthSql
+         SELECT d.doc_id, d.lang, synth.t || ',"quoted" tail' AS text
+         FROM documents d JOIN synth USING (doc_id) ORDER BY d.doc_id""",
+
     // Mirrors TextFunctions.htmlToText stage by stage (comments,
     // script/style, block closers -> newline, tag strip, entity
     // decode with &amp; last, whitespace collapse). Replacements use
@@ -3859,6 +3978,63 @@ object SparkEntry {
                ELSE ascii(ds[i]) - 48 END)) % 10 = 0 END AS luhn_ok,
            regexp_replace(synth, '$CardSql', '<CARD>', 'g') AS redacted
          FROM l ORDER BY doc_id""",
+
+    // Replays UrlFunctions regex-by-regex (scheme/host/path/query
+    // extraction, two-level-suffix eTLD+1, path-segment count, the
+    // length-difference param count) on the same synthesized URLs.
+    "d55_url_domains" ->
+      """WITH u AS (SELECT doc_id,
+             'https://' ||
+             CASE doc_id % 5 WHEN 0 THEN 'example.com' WHEN 1 THEN 'news.bbc.co.uk'
+               WHEN 2 THEN 'shop.example.com.au'
+               WHEN 3 THEN 'cdn' || CAST(doc_id % 7 AS VARCHAR) || '.assets.example.org'
+               ELSE 'localhost' END ||
+             CASE WHEN doc_id % 3 = 0 THEN ':8080' ELSE '' END ||
+             '/' || source || '/p' || CAST(doc_id % 11 AS VARCHAR) ||
+             CASE WHEN doc_id % 2 = 0 THEN '?q=' || source || '&n=' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url
+           FROM documents),
+         x AS (SELECT doc_id, url,
+             regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+             regexp_replace(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), ':[0-9]+$', '') AS host,
+             regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+             regexp_extract(url, '\?([^#]*)', 1) AS qs
+           FROM u)
+         SELECT doc_id, url, scheme, host, path, qs,
+           COALESCE(NULLIF(regexp_extract(host,
+               '([^.]+\.(?:co\.uk|org\.uk|ac\.uk|com\.au|co\.jp|com\.br|co\.in))$', 1), ''),
+             regexp_extract(host, '([^.]+\.[^.]+)$', 1)) AS reg_domain,
+           CAST(len(list_filter(string_split(path, '/'), s -> s <> '')) AS BIGINT) AS path_depth,
+           CAST(CASE WHEN qs = '' THEN 0
+             ELSE length(qs) - length(replace(qs, '&', '')) + 1 END AS BIGINT) AS n_params
+         FROM x ORDER BY doc_id""",
+
+    // The three PageRank iterations unrolled as CTE pairs (contrib
+    // sum, then rank refresh) — exact integer arithmetic end to end,
+    // so the comparison is equality, not tolerance. `//` (floor) ==
+    // Spark `div` (truncate) because every operand is non-negative.
+    "g01_host_rank" ->
+      """WITH eraw AS (SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS src,
+             'h' || CAST((doc_id * 7) % 41 AS VARCHAR) AS dst,
+             doc_id % 5 + 1 AS w FROM documents),
+         e1 AS (SELECT src, dst, w FROM eraw WHERE src <> dst AND w > 0),
+         ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM e1 GROUP BY src),
+         e AS (SELECT e1.src, e1.dst, e1.w, ow.out_w FROM e1 JOIN ow USING (src)),
+         nodes AS (SELECT src AS node FROM e1 UNION SELECT dst FROM e1),
+         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes),
+         s1 AS (SELECT e.dst, CAST(SUM((r.rank_micro * e.w) // e.out_w) AS BIGINT) AS in_c
+           FROM e JOIN r0 r ON e.src = r.node GROUP BY e.dst),
+         r1 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(s.in_c, 0)) // 100 AS BIGINT) AS rank_micro
+           FROM nodes n LEFT JOIN s1 s ON n.node = s.dst),
+         s2 AS (SELECT e.dst, CAST(SUM((r.rank_micro * e.w) // e.out_w) AS BIGINT) AS in_c
+           FROM e JOIN r1 r ON e.src = r.node GROUP BY e.dst),
+         r2 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(s.in_c, 0)) // 100 AS BIGINT) AS rank_micro
+           FROM nodes n LEFT JOIN s2 s ON n.node = s.dst),
+         s3 AS (SELECT e.dst, CAST(SUM((r.rank_micro * e.w) // e.out_w) AS BIGINT) AS in_c
+           FROM e JOIN r2 r ON e.src = r.node GROUP BY e.dst),
+         r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(s.in_c, 0)) // 100 AS BIGINT) AS rank_micro
+           FROM nodes n LEFT JOIN s3 s ON n.node = s.dst)
+         SELECT node, rank_micro FROM r3 ORDER BY node""",
 
     "q27_intersect_custkeys" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 200000
@@ -3950,6 +4126,11 @@ object SparkEntry {
           AND c.cus <= p.pus AND c.cus >= p.pus - 1800000000""",
 
     "h01_heavy_hitters" ->
+      """SELECT event_type, count(*) AS n FROM events
+         GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5""",
+
+    // The streaming twin gates on the same batch truth as h01.
+    "st15_stream_topk" ->
       """SELECT event_type, count(*) AS n FROM events
          GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5""",
 
