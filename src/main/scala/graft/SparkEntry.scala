@@ -1394,6 +1394,69 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "w06_orc_roundtrip" -> ((s, d) => {
+      // ORC sink + source roundtrip (zstd) — the fourth interchange
+      // format (parquet/JSONL/CSV/ORC). Same identity contract as w04:
+      // the columnar encode/decode trip must be byte-invisible on the
+      // multi-line synth (embedded newlines, CJK). Distributed writer;
+      // explicit schema on read (no inference scan).
+      val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_orc_${math.abs(d.hashCode)}")
+      docs(s, d).select(col("doc_id"), col("lang"), multiLineSynth.as("text"))
+        .write.mode("overwrite").option("compression", "zstd").orc(tmp.toString)
+      s.read.schema("doc_id LONG, lang STRING, text STRING")
+        .orc(tmp.toString)
+        .orderBy("doc_id")
+    }),
+
+    "w07_corrupt_jsonl" -> ((s, d) => {
+      // Malformed-record quarantine — the ingest concern PERMISSIVE
+      // mode exists for: at 100 TB a bad line must land in a corrupt-
+      // record channel, never kill the job. Every doc_id % 7 == 0 line
+      // is written truncated (unparseable JSON); the PERMISSIVE read
+      // routes it to _corrupt_record (doc_id/v null), and the gate
+      // RECOVERS the id from the quarantined raw line by regex — so
+      // parse, quarantine, and recovery are all oracle-checked.
+      val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_cjson_${math.abs(d.hashCode)}")
+      val good = to_json(struct(col("doc_id"),
+        substring(col("text"), 1, 20).as("v")))
+      val line = when(col("doc_id") % 7 === 0,
+        concat(lit("{\"doc_id\":"), col("doc_id").cast("string"), lit(",\"v\":BROKEN")))
+        .otherwise(good)
+      docs(s, d).select(line.as("value")).write.mode("overwrite").text(tmp.toString)
+      s.read
+        .schema("doc_id LONG, v STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(tmp.toString)
+        .select(
+          coalesce(col("doc_id"),
+            regexp_extract(col("_corrupt_record"), "\"doc_id\":([0-9]+)", 1)
+              .cast("long")).as("doc_id"),
+          col("v"),
+          col("_corrupt_record").isNotNull.as("quarantined"))
+        .orderBy("doc_id")
+    }),
+
+    "w08_schema_evolution" -> ((s, d) => {
+      // Schema-evolution read: two parquet vintages of the same table
+      // (old shards lack the text column) unified by mergeSchema —
+      // the decade-of-shards reality of any long-lived corpus store.
+      // Gate: the merged frame is the full table with nulls exactly
+      // where the old vintage is missing the column.
+      val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_evo_${math.abs(d.hashCode)}")
+      docs(s, d).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$tmp/a")
+      docs(s, d).filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), substring(col("text"), 1, 30).as("t"))
+        .write.mode("overwrite").parquet(s"$tmp/b")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/a", s"$tmp/b")
+        .orderBy("doc_id")
+    }),
+
     "w03_mojibake_repair" -> ((s, d) =>
       // UTF-8-as-cp1252 double-encoding repair (ftfy's core case):
       // every repairable char is appended to each doc, the damage
@@ -3923,6 +3986,28 @@ object SparkEntry {
       s"""WITH $multiLineSynthSql
          SELECT d.doc_id, d.lang, synth.t AS text
          FROM documents d JOIN synth USING (doc_id) ORDER BY d.doc_id""",
+
+    // ORC identity: same contract (and SQL) as the JSONL roundtrip.
+    "w06_orc_roundtrip" ->
+      s"""WITH $multiLineSynthSql
+         SELECT d.doc_id, d.lang, synth.t AS text
+         FROM documents d JOIN synth USING (doc_id) ORDER BY d.doc_id""",
+
+    // Replays the corruption rule: doc_id % 7 == 0 lines are broken,
+    // so they surface quarantined with a null payload and a recovered
+    // id; everything else parses to the 20-char payload.
+    "w07_corrupt_jsonl" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN NULL ELSE substr(text, 1, 20) END AS v,
+           doc_id % 7 = 0 AS quarantined
+         FROM documents ORDER BY doc_id""",
+
+    // The merged frame is the whole table; nulls exactly where the
+    // old vintage (even ids) lacks the evolved column.
+    "w08_schema_evolution" ->
+      """SELECT doc_id, lang,
+           CASE WHEN doc_id % 2 = 1 THEN substr(text, 1, 30) ELSE NULL END AS t
+         FROM documents ORDER BY doc_id""",
 
     // Same identity shape as w04 with the CSV-hostile tail appended.
     "w05_csv_roundtrip" ->
