@@ -149,6 +149,52 @@ object SparkEntry {
          OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < cut
        ORDER BY doc_id"""
 
+  /** Shared d55/d56 URL synthesis (the corpus ships no URLs). One
+    * definition, two gates — this Column and the SQL CTE below must
+    * stay in lockstep (the multiLineSynth convention). */
+  private def urlSynth: Column = {
+    val dm = col("doc_id") % 5
+    val host0 = when(dm === 0, lit("example.com"))
+      .when(dm === 1, lit("news.bbc.co.uk"))
+      .when(dm === 2, lit("shop.example.com.au"))
+      .when(dm === 3, concat(lit("cdn"), (col("doc_id") % 7).cast("string"),
+        lit(".assets.example.org")))
+      .otherwise(lit("localhost"))
+    concat(lit("https://"), host0,
+      when(col("doc_id") % 3 === 0, lit(":8080")).otherwise(lit("")),
+      lit("/"), col("source"), lit("/p"), (col("doc_id") % 11).cast("string"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("?q="), col("source"), lit("&n="),
+          (col("doc_id") % 4).cast("string"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
+  }
+
+  /** SQL mirror of [[urlSynth]] as a CTE: defines `u(doc_id, url)`. */
+  private val urlSynthSql: String =
+    """u AS (SELECT doc_id,
+             'https://' ||
+             CASE doc_id % 5 WHEN 0 THEN 'example.com' WHEN 1 THEN 'news.bbc.co.uk'
+               WHEN 2 THEN 'shop.example.com.au'
+               WHEN 3 THEN 'cdn' || CAST(doc_id % 7 AS VARCHAR) || '.assets.example.org'
+               ELSE 'localhost' END ||
+             CASE WHEN doc_id % 3 = 0 THEN ':8080' ELSE '' END ||
+             '/' || source || '/p' || CAST(doc_id % 11 AS VARCHAR) ||
+             CASE WHEN doc_id % 2 = 0 THEN '?q=' || source || '&n=' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url
+           FROM documents)"""
+
+  /** SQL host + registered-domain extraction over the `u` CTE —
+    * replays UrlFunctions.host/registeredDomain regex-for-regex;
+    * defines `h(doc_id, url, host, reg_domain)`. */
+  private val hostRegDomainSql: String =
+    """h AS (SELECT doc_id, url, host,
+             COALESCE(NULLIF(regexp_extract(host,
+                 '([^.]+\.(?:co\.uk|org\.uk|ac\.uk|com\.au|co\.jp|com\.br|co\.in))$', 1), ''),
+               regexp_extract(host, '([^.]+\.[^.]+)$', 1)) AS reg_domain
+           FROM (SELECT doc_id, url,
+               regexp_replace(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), ':[0-9]+$', '') AS host
+             FROM u))"""
+
   /** Synthetic PII text, reproducible in SQL, so redaction is executed
     * for real on a corpus that ships none. */
   private def piiSynth(d: Column, src: Column, text: Column): Column =
@@ -1520,21 +1566,7 @@ object SparkEntry {
       // deterministic doc_id strata so every extractor branch fires.
       // Pure regexp Column chain — zero shuffle, codegen'd — and the
       // oracle replays every regex verbatim in DuckDB.
-      val dm = col("doc_id") % 5
-      val host0 = when(dm === 0, lit("example.com"))
-        .when(dm === 1, lit("news.bbc.co.uk"))
-        .when(dm === 2, lit("shop.example.com.au"))
-        .when(dm === 3, concat(lit("cdn"), (col("doc_id") % 7).cast("string"),
-          lit(".assets.example.org")))
-        .otherwise(lit("localhost"))
-      val url = concat(lit("https://"), host0,
-        when(col("doc_id") % 3 === 0, lit(":8080")).otherwise(lit("")),
-        lit("/"), col("source"), lit("/p"), (col("doc_id") % 11).cast("string"),
-        when(col("doc_id") % 2 === 0,
-          concat(lit("?q="), col("source"), lit("&n="),
-            (col("doc_id") % 4).cast("string"))).otherwise(lit("")),
-        when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
-      docs(s, d).select(col("doc_id"), url.as("url"))
+      docs(s, d).select(col("doc_id"), urlSynth.as("url"))
         .select(col("doc_id"), col("url"),
           UrlFunctions.scheme(col("url")).as("scheme"),
           UrlFunctions.host(col("url")).as("host"),
@@ -1560,6 +1592,48 @@ object SparkEntry {
         concat(lit("h"), ((col("doc_id") * 7) % 41).cast("string")).as("dst"),
         ((col("doc_id") % 5) + 1).as("w"))
       PageRank.run(edges, iterations = 3).orderBy("node")
+    }),
+
+    "d56_domain_blocklist" -> ((s, d) => {
+      // Registered-domain blocklist filtering — the CommonCrawl-style
+      // curation stage d55's parser exists for. The blocklist arrives
+      // as a TABLE (the production shape: policy lists live in
+      // storage, not code) and is applied as a BROADCAST left_anti
+      // join on eTLD+1 — list-sized build side, zero shuffle of the
+      // corpus at any scale. bbc.co.uk exercises the two-level-suffix
+      // branch: blocking it must drop cdn/news subdomain hosts too.
+      import s.implicits._
+      val blocklist = Seq("bbc.co.uk", "example.com.au").toDF("blocked_domain")
+      docs(s, d).select(col("doc_id"), urlSynth.as("url"))
+        .withColumn("reg_domain",
+          UrlFunctions.registeredDomain(UrlFunctions.host(col("url"))))
+        .join(broadcast(blocklist),
+          col("reg_domain") === col("blocked_domain"), "left_anti")
+        .select("doc_id", "reg_domain")
+        .orderBy("doc_id")
+    }),
+
+    "d57_edit_distance_neardup" -> ((s, d) => {
+      // Edit-distance near-dup (the title/short-field dedup family —
+      // MinHash is set-based and misses single-char edits): normalized
+      // 40-char prefixes, blocked on (source, length div 8) so the
+      // O(len^2) levenshtein only runs within blocks (one shuffle on
+      // the block key; never all-pairs), match = distance <= 5 to an
+      // EARLIER doc (lower id = first occurrence wins, the dedup
+      // convention). Spark and DuckDB both ship levenshtein, so the
+      // whole pipeline — normalize, block, verify, survivor set —
+      // replays exactly in SQL.
+      val pref = substring(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 1, 40)
+      val base = docs(s, d).select(col("doc_id"), col("source"), pref.as("p"))
+        .withColumn("blk", floor(length(col("p")) / 8))
+      val a = base.select(col("source"), col("blk"), col("doc_id").as("src"), col("p").as("pa"))
+      val b = base.select(col("source"), col("blk"), col("doc_id").as("dst"), col("p").as("pb"))
+      val dupIds = a.join(b, Seq("source", "blk"))
+        .where(col("dst") < col("src") && levenshtein(col("pa"), col("pb")) <= 5)
+        .select(col("src").as("doc_id")).distinct()
+      base.join(dupIds, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
     }),
 
     // ---------------- set operations / grouping sets ----------------
@@ -4068,27 +4142,17 @@ object SparkEntry {
     // extraction, two-level-suffix eTLD+1, path-segment count, the
     // length-difference param count) on the same synthesized URLs.
     "d55_url_domains" ->
-      """WITH u AS (SELECT doc_id,
-             'https://' ||
-             CASE doc_id % 5 WHEN 0 THEN 'example.com' WHEN 1 THEN 'news.bbc.co.uk'
-               WHEN 2 THEN 'shop.example.com.au'
-               WHEN 3 THEN 'cdn' || CAST(doc_id % 7 AS VARCHAR) || '.assets.example.org'
-               ELSE 'localhost' END ||
-             CASE WHEN doc_id % 3 = 0 THEN ':8080' ELSE '' END ||
-             '/' || source || '/p' || CAST(doc_id % 11 AS VARCHAR) ||
-             CASE WHEN doc_id % 2 = 0 THEN '?q=' || source || '&n=' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END ||
-             CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url
-           FROM documents),
+      s"""WITH $urlSynthSql,
          x AS (SELECT doc_id, url,
              regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
-             regexp_replace(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), ':[0-9]+$', '') AS host,
+             regexp_replace(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), ':[0-9]+$$', '') AS host,
              regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
-             regexp_extract(url, '\?([^#]*)', 1) AS qs
+             regexp_extract(url, '\\?([^#]*)', 1) AS qs
            FROM u)
          SELECT doc_id, url, scheme, host, path, qs,
            COALESCE(NULLIF(regexp_extract(host,
-               '([^.]+\.(?:co\.uk|org\.uk|ac\.uk|com\.au|co\.jp|com\.br|co\.in))$', 1), ''),
-             regexp_extract(host, '([^.]+\.[^.]+)$', 1)) AS reg_domain,
+               '([^.]+\\.(?:co\\.uk|org\\.uk|ac\\.uk|com\\.au|co\\.jp|com\\.br|co\\.in))$$', 1), ''),
+             regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)) AS reg_domain,
            CAST(len(list_filter(string_split(path, '/'), s -> s <> '')) AS BIGINT) AS path_depth,
            CAST(CASE WHEN qs = '' THEN 0
              ELSE length(qs) - length(replace(qs, '&', '')) + 1 END AS BIGINT) AS n_params
@@ -4120,6 +4184,29 @@ object SparkEntry {
          r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(s.in_c, 0)) // 100 AS BIGINT) AS rank_micro
            FROM nodes n LEFT JOIN s3 s ON n.node = s.dst)
          SELECT node, rank_micro FROM r3 ORDER BY node""",
+
+    // Shared URL synth + host/eTLD+1 CTEs, then the NOT-IN filter the
+    // broadcast anti-join implements.
+    "d56_domain_blocklist" ->
+      s"""WITH $urlSynthSql,
+         $hostRegDomainSql
+         SELECT doc_id, reg_domain FROM h
+         WHERE reg_domain NOT IN ('bbc.co.uk', 'example.com.au')
+         ORDER BY doc_id""",
+
+    // Normalize, block, levenshtein-verify, survivor set — DuckDB's
+    // levenshtein is the same char-level edit distance as Spark's.
+    "d57_edit_distance_neardup" ->
+      """WITH b AS (SELECT doc_id, source,
+             substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 40) AS p
+           FROM documents),
+         blk AS (SELECT doc_id, source, p, length(p) // 8 AS blk FROM b),
+         dup AS (SELECT DISTINCT a.doc_id
+           FROM blk a JOIN blk d ON a.source = d.source AND a.blk = d.blk
+           WHERE d.doc_id < a.doc_id AND levenshtein(a.p, d.p) <= 5)
+         SELECT doc_id, source FROM blk
+         WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+         ORDER BY doc_id""",
 
     "q27_intersect_custkeys" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 200000
