@@ -195,6 +195,34 @@ object SparkEntry {
                regexp_replace(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), ':[0-9]+$', '') AS host
              FROM u))"""
 
+  /** Shared g01/g02 oracle prefix: the deterministic host graph and
+    * three PageRank iterations unrolled as CTE pairs (contrib sum,
+    * then rank refresh) — exact integer arithmetic end to end, so the
+    * comparison is equality, not tolerance. `//` (floor) == Spark
+    * `div` (truncate) because every operand is non-negative. Defines
+    * `r3(node, rank_micro)`. */
+  private val pageRankCtesSql: String =
+    """eraw AS (SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS src,
+             'h' || CAST((doc_id * 7) % 41 AS VARCHAR) AS dst,
+             doc_id % 5 + 1 AS w FROM documents),
+         e1 AS (SELECT src, dst, w FROM eraw WHERE src <> dst AND w > 0),
+         ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM e1 GROUP BY src),
+         e AS (SELECT e1.src, e1.dst, e1.w, ow.out_w FROM e1 JOIN ow USING (src)),
+         nodes AS (SELECT src AS node FROM e1 UNION SELECT dst FROM e1),
+         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes),
+         s1 AS (SELECT e.dst, CAST(SUM((r.rank_micro * e.w) // e.out_w) AS BIGINT) AS in_c
+           FROM e JOIN r0 r ON e.src = r.node GROUP BY e.dst),
+         r1 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(s.in_c, 0)) // 100 AS BIGINT) AS rank_micro
+           FROM nodes n LEFT JOIN s1 s ON n.node = s.dst),
+         s2 AS (SELECT e.dst, CAST(SUM((r.rank_micro * e.w) // e.out_w) AS BIGINT) AS in_c
+           FROM e JOIN r1 r ON e.src = r.node GROUP BY e.dst),
+         r2 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(s.in_c, 0)) // 100 AS BIGINT) AS rank_micro
+           FROM nodes n LEFT JOIN s2 s ON n.node = s.dst),
+         s3 AS (SELECT e.dst, CAST(SUM((r.rank_micro * e.w) // e.out_w) AS BIGINT) AS in_c
+           FROM e JOIN r2 r ON e.src = r.node GROUP BY e.dst),
+         r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(s.in_c, 0)) // 100 AS BIGINT) AS rank_micro
+           FROM nodes n LEFT JOIN s3 s ON n.node = s.dst)"""
+
   /** Synthetic PII text, reproducible in SQL, so redaction is executed
     * for real on a corpus that ships none. */
   private def piiSynth(d: Column, src: Column, text: Column): Column =
@@ -1592,6 +1620,27 @@ object SparkEntry {
         concat(lit("h"), ((col("doc_id") * 7) % 41).cast("string")).as("dst"),
         ((col("doc_id") % 5) + 1).as("w"))
       PageRank.run(edges, iterations = 3).orderBy("node")
+    }),
+
+    "g02_rank_weighted_hosts" -> ((s, d) => {
+      // The curation flow g01 exists for: rank the host graph, then
+      // join the node-sized rank table BACK onto the corpus host
+      // mapping (AQE broadcasts it — model-artifact-sized, like the
+      // LID/BPE deployments) and weight each host's doc mass by its
+      // rank. All integer arithmetic, so the weights replay exactly.
+      val edges = docs(s, d).select(
+        concat(lit("h"), (col("doc_id") % 37).cast("string")).as("src"),
+        concat(lit("h"), ((col("doc_id") * 7) % 41).cast("string")).as("dst"),
+        ((col("doc_id") % 5) + 1).as("w"))
+      val ranks = PageRank.run(edges, iterations = 3)
+      docs(s, d)
+        .select(col("doc_id"),
+          concat(lit("h"), (col("doc_id") % 37).cast("string")).as("node"))
+        .join(ranks, "node")
+        .groupBy("node")
+        .agg(count(lit(1)).as("n_docs"), max("rank_micro").as("rank_micro"))
+        .withColumn("weight_micro", col("rank_micro") * col("n_docs"))
+        .orderBy("node")
     }),
 
     "d56_domain_blocklist" -> ((s, d) => {
@@ -4158,32 +4207,21 @@ object SparkEntry {
              ELSE length(qs) - length(replace(qs, '&', '')) + 1 END AS BIGINT) AS n_params
          FROM x ORDER BY doc_id""",
 
-    // The three PageRank iterations unrolled as CTE pairs (contrib
-    // sum, then rank refresh) — exact integer arithmetic end to end,
-    // so the comparison is equality, not tolerance. `//` (floor) ==
-    // Spark `div` (truncate) because every operand is non-negative.
     "g01_host_rank" ->
-      """WITH eraw AS (SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS src,
-             'h' || CAST((doc_id * 7) % 41 AS VARCHAR) AS dst,
-             doc_id % 5 + 1 AS w FROM documents),
-         e1 AS (SELECT src, dst, w FROM eraw WHERE src <> dst AND w > 0),
-         ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM e1 GROUP BY src),
-         e AS (SELECT e1.src, e1.dst, e1.w, ow.out_w FROM e1 JOIN ow USING (src)),
-         nodes AS (SELECT src AS node FROM e1 UNION SELECT dst FROM e1),
-         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes),
-         s1 AS (SELECT e.dst, CAST(SUM((r.rank_micro * e.w) // e.out_w) AS BIGINT) AS in_c
-           FROM e JOIN r0 r ON e.src = r.node GROUP BY e.dst),
-         r1 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(s.in_c, 0)) // 100 AS BIGINT) AS rank_micro
-           FROM nodes n LEFT JOIN s1 s ON n.node = s.dst),
-         s2 AS (SELECT e.dst, CAST(SUM((r.rank_micro * e.w) // e.out_w) AS BIGINT) AS in_c
-           FROM e JOIN r1 r ON e.src = r.node GROUP BY e.dst),
-         r2 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(s.in_c, 0)) // 100 AS BIGINT) AS rank_micro
-           FROM nodes n LEFT JOIN s2 s ON n.node = s.dst),
-         s3 AS (SELECT e.dst, CAST(SUM((r.rank_micro * e.w) // e.out_w) AS BIGINT) AS in_c
-           FROM e JOIN r2 r ON e.src = r.node GROUP BY e.dst),
-         r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(s.in_c, 0)) // 100 AS BIGINT) AS rank_micro
-           FROM nodes n LEFT JOIN s3 s ON n.node = s.dst)
+      s"""WITH $pageRankCtesSql
          SELECT node, rank_micro FROM r3 ORDER BY node""",
+
+    // Rank artifact joined back to the corpus host mapping — shares
+    // the g01 CTE chain, then one bounded group per host.
+    "g02_rank_weighted_hosts" ->
+      s"""WITH $pageRankCtesSql,
+         m AS (SELECT doc_id, 'h' || CAST(doc_id % 37 AS VARCHAR) AS node
+           FROM documents)
+         SELECT m.node, count(*) AS n_docs,
+           CAST(max(r.rank_micro) AS BIGINT) AS rank_micro,
+           CAST(max(r.rank_micro) * count(*) AS BIGINT) AS weight_micro
+         FROM m JOIN r3 r ON m.node = r.node
+         GROUP BY m.node ORDER BY m.node""",
 
     // Shared URL synth + host/eTLD+1 CTEs, then the NOT-IN filter the
     // broadcast anti-join implements.

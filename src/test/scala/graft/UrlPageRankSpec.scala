@@ -66,6 +66,29 @@ class UrlPageRankSpec extends SparkSpec {
     assert(got7 == expected)
   }
 
+  test("blocked levenshtein near-dup keeps first occurrence, drops near matches in-block") {
+    // mirror of the d57 gate pipeline on hand data: b is 2 edits from a
+    // (same block), c shares the block but is far, d is near a but in
+    // ANOTHER block (different source) so blocking must NOT pair it
+    val df = Seq(
+      (1L, "s1", "alpha beta gamma delta"),
+      (2L, "s1", "alpha beta gamma delt!"),
+      (3L, "s1", "zzzz yyyy xxxx wwww qq"),
+      (4L, "s2", "alpha beta gamma delta")
+    ).toDF("doc_id", "source", "text")
+    val pref = substring(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 1, 40)
+    val base = df.select(col("doc_id"), col("source"), pref.as("p"))
+      .withColumn("blk", floor(length(col("p")) / 8))
+    val a = base.select(col("source"), col("blk"), col("doc_id").as("src"), col("p").as("pa"))
+    val b = base.select(col("source"), col("blk"), col("doc_id").as("dst"), col("p").as("pb"))
+    val dup = a.join(b, Seq("source", "blk"))
+      .where(col("dst") < col("src") && levenshtein(col("pa"), col("pb")) <= 5)
+      .select(col("src").as("doc_id")).distinct()
+    val kept = base.join(dup, Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
   test("PageRank drops self-loops and isolated targets get base rank only") {
     val df = Seq(("a", "a", 5L), ("a", "b", 1L)).toDF("src", "dst", "w")
     val got = PageRank.run(df, iterations = 1).as[(String, Long)].collect().toMap
