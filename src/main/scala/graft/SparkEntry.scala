@@ -1662,6 +1662,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "st16_stream_blocklist" -> ((s, d) => {
+      // d56 on the document stream: policy tables apply to streams as
+      // a stream-static BROADCAST anti-join — the list refreshes per
+      // micro-batch from storage in production, and the stateless
+      // projection + join shape means no state store at all. Shares
+      // d56's oracle string: stream and batch must agree exactly.
+      import s.implicits._
+      val blocklist = Seq("bbc.co.uk", "example.com.au").toDF("blocked_domain")
+      s.catalog.dropTempView("st16_tbl")
+      val stream = graft.streaming.Streaming
+        .parquetStream(s, stageTableDir(d, "documents"), docs(s, d).schema)
+        .select(col("doc_id"), urlSynth.as("url"))
+        .withColumn("reg_domain",
+          UrlFunctions.registeredDomain(UrlFunctions.host(col("url"))))
+        .join(broadcast(blocklist),
+          col("reg_domain") === col("blocked_domain"), "left_anti")
+        .select("doc_id", "reg_domain")
+      graft.streaming.Streaming.runToMemory(stream, "st16_tbl",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table("st16_tbl").orderBy("doc_id")
+    }),
+
+    "d58_k_anonymity" -> ((s, d) => {
+      // k-anonymity suppression for released aggregates: per
+      // (lang, source) counts, cells below k=5 are SUPPRESSED (count
+      // nulled, flag set) rather than published — the standard
+      // release-safety rule. One bounded-key aggregate; suppression is
+      // a zero-shuffle projection on the cell frame.
+      docs(s, d).groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_raw"))
+        .select(col("lang"), col("source"),
+          when(col("n_raw") >= 5, col("n_raw")).as("n_published"),
+          (col("n_raw") < 5).as("suppressed"))
+        .orderBy("lang", "source")
+    }),
+
     "d57_edit_distance_neardup" -> ((s, d) => {
       // Edit-distance near-dup (the title/short-field dedup family —
       // MinHash is set-based and misses single-char edits): normalized
@@ -4231,6 +4267,22 @@ object SparkEntry {
          SELECT doc_id, reg_domain FROM h
          WHERE reg_domain NOT IN ('bbc.co.uk', 'example.com.au')
          ORDER BY doc_id""",
+
+    // Stream-static twin: same filter, same truth.
+    "st16_stream_blocklist" ->
+      s"""WITH $urlSynthSql,
+         $hostRegDomainSql
+         SELECT doc_id, reg_domain FROM h
+         WHERE reg_domain NOT IN ('bbc.co.uk', 'example.com.au')
+         ORDER BY doc_id""",
+
+    // Cells below k publish NULL + the suppression flag.
+    "d58_k_anonymity" ->
+      """SELECT lang, source,
+           CASE WHEN count(*) >= 5 THEN count(*) ELSE NULL END AS n_published,
+           count(*) < 5 AS suppressed
+         FROM documents GROUP BY lang, source
+         ORDER BY lang, source""",
 
     // Normalize, block, levenshtein-verify, survivor set — DuckDB's
     // levenshtein is the same char-level edit distance as Spark's.
