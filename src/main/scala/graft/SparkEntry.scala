@@ -1662,6 +1662,67 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "st17_stream_sliding" -> ((s, d) => {
+      // SLIDING event-time windows under streaming (1h window, 30min
+      // slide): every event lands in exactly TWO windows — its 30-min
+      // truncation and the one before — and the oracle replays that
+      // duplication explicitly as a UNION ALL of the two shifted
+      // window starts. Complete-mode count state is bounded by
+      // (windows in the fixture span × event types).
+      s.catalog.dropTempView("st17_tbl")
+      val stream = evStream(s, d)
+        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("tstamp"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("timestamp_ntz").as("win_start"),
+          col("event_type"), col("n"))
+      graft.streaming.Streaming.runToMemory(stream, "st17_tbl",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      s.table("st17_tbl").orderBy("win_start", "event_type")
+    }),
+
+    "st18_stream_chained_agg" -> ((s, d) => {
+      // CHAINED stateful aggregations in ONE streaming query (the
+      // multi-stateful-operator support added in modern Spark):
+      // hourly counts roll up into daily counts without leaving the
+      // stream — `window(col("window"), "1 day")` re-windows the
+      // hourly agg's own window struct. Append mode end to end, so
+      // a daily row only emits once its window closes under the
+      // watermark; events arrive in two chronological micro-batches
+      // and a far-future sentinel (st13's flush convention, filtered
+      // out of the result) closes every genuine day.
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val mem = MemoryStream[Long] // event-time micros
+      val daily = mem.toDF().toDF("us")
+        .withColumn("tstamp", timestamp_micros(col("us")))
+        .withWatermark("tstamp", "1 hour")
+        .groupBy(window(col("tstamp"), "1 hour")).agg(count(lit(1)).as("n_h"))
+        .groupBy(window(col("window"), "1 day")).agg(sum("n_h").as("n"))
+        .select(col("window.start").cast("timestamp_ntz").as("day_start"),
+          col("n"))
+      s.catalog.dropTempView("st18_tbl")
+      graft.streaming.Streaming.withShufflePartitions(s, 8) {
+        val q = daily.writeStream.format("memory").queryName("st18_tbl")
+          .outputMode("append").start()
+        try {
+          val us = ev(s, d).select(expr("ts div 1000").as("us"))
+            .orderBy("us").as[Long].collect()
+          val mid = us.length / 2
+          mem.addData(us.take(mid).toIndexedSeq)
+          q.processAllAvailable()
+          // second half + sentinel 40 days past max: watermark ends at
+          // sentinel - 1h, far beyond every genuine day boundary
+          mem.addData((us.drop(mid) :+ (us.last + 40L * 86400000000L)).toIndexedSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      // the sentinel's own day never closes (watermark = sentinel - 1h
+      // sits inside it), so it self-filters from the append output
+      s.table("st18_tbl").orderBy("day_start")
+    }),
+
     "st16_stream_blocklist" -> ((s, d) => {
       // d56 on the document stream: policy tables apply to streams as
       // a stream-static BROADCAST anti-join — the list refreshes per
@@ -4267,6 +4328,23 @@ object SparkEntry {
          SELECT doc_id, reg_domain FROM h
          WHERE reg_domain NOT IN ('bbc.co.uk', 'example.com.au')
          ORDER BY doc_id""",
+
+    // Each event lands in exactly two sliding windows: its 30-min
+    // truncation and the one before — replayed as an explicit
+    // UNION ALL of the shifted starts.
+    "st17_stream_sliding" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+         w AS (SELECT us - us % 1800000000 AS w0, event_type FROM e
+           UNION ALL
+           SELECT (us - us % 1800000000) - 1800000000 AS w0, event_type FROM e)
+         SELECT make_timestamp(w0) AS win_start, event_type, count(*) AS n
+         FROM w GROUP BY w0, event_type ORDER BY win_start, event_type""",
+
+    // Hourly-then-daily chain == plain daily counts.
+    "st18_stream_chained_agg" ->
+      """SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000) AS day_start,
+           count(*) AS n
+         FROM events GROUP BY 1 ORDER BY day_start""",
 
     // Stream-static twin: same filter, same truth.
     "st16_stream_blocklist" ->
