@@ -2825,6 +2825,39 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "w09_compaction_exec" -> ((s, d) => {
+      // d51's plan EXECUTED: the corpus lands fragmented (64-shard
+      // over-parallel write), then compacts per-source — hash
+      // repartition on the layout key + partitionBy, so each source's
+      // rows land in exactly one task = the planned file count at this
+      // byte scale. The gate reads the compacted layout back and
+      // derives the REAL file count from `_metadata.file_path`
+      // (executor-side, no driver FS walk); `files_match` only turns
+      // true if the physical layout hit the plan, and the oracle pins
+      // it to TRUE (b02's embedded-assertion convention).
+      val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_compact_${math.abs(d.hashCode)}")
+      val frag = s"$tmp/frag"; val out = s"$tmp/compact"
+      docs(s, d).select("doc_id", "source", "text")
+        .repartition(64).write.mode("overwrite").parquet(frag)
+      s.read.parquet(frag)
+        .repartition(col("source"))
+        .write.mode("overwrite").partitionBy("source").parquet(out)
+      val target = 1048576.0
+      val planned = docs(s, d).groupBy("source")
+        .agg(sum(octet_length(col("text"))).cast("long").as("bytes"))
+        .select(col("source"), greatest(lit(1L),
+          ceil(col("bytes").cast("double") / target).cast("long")).as("n_files"))
+      s.read.parquet(out)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("_metadata.file_path")).as("n_files_actual"))
+        .join(planned, "source")
+        .select(col("source"), col("n_docs"), col("n_files"),
+          (col("n_files_actual") === col("n_files")).as("files_match"))
+        .orderBy("source")
+    }),
+
     "x10_shard_checksums" -> ((s, d) => {
       // shard-manifest integrity: per-shard content checksum of the
       // d46 train-order layout — md5 over the pos-ordered per-doc
@@ -4353,6 +4386,16 @@ object SparkEntry {
          SELECT doc_id, reg_domain FROM h
          WHERE reg_domain NOT IN ('bbc.co.uk', 'example.com.au')
          ORDER BY doc_id""",
+
+    // Planned counts replayed from the same byte formula; files_match
+    // pinned TRUE — the row only hashes equal if the physical layout
+    // landed on the plan.
+    "w09_compaction_exec" ->
+      """SELECT source, count(*) AS n_docs,
+           greatest(CAST(1 AS BIGINT),
+             CAST(ceil(CAST(sum(strlen(text)) AS DOUBLE) / 1048576.0) AS BIGINT)) AS n_files,
+           TRUE AS files_match
+         FROM documents GROUP BY source ORDER BY source""",
 
     // Cells below k publish NULL + the suppression flag.
     "d58_k_anonymity" ->
