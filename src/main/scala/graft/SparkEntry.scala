@@ -1769,10 +1769,19 @@ object SparkEntry {
       // convention). Spark and DuckDB both ship levenshtein, so the
       // whole pipeline — normalize, block, verify, survivor set —
       // replays exactly in SQL.
+      // Skew guard (embeddingCosine's maxBucket contract): within-block
+      // pair generation is C(n,2), so blocks beyond the cap skip
+      // pair-gen (members KEPT, not dropped — a documented recall
+      // trade) — and the cap is REPLAYED in the oracle, so the gate
+      // stays exact whether or not it fires.
       val pref = substring(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 1, 40)
       val base = docs(s, d).select(col("doc_id"), col("source"), pref.as("p"))
         .withColumn("blk", floor(length(col("p")) / 8))
-      val a = base.select(col("source"), col("blk"), col("doc_id").as("src"), col("p").as("pa"))
+      val okBlocks = base.groupBy("source", "blk")
+        .agg(count(lit(1)).as("bn"))
+        .where(col("bn") <= 1000).select("source", "blk")
+      val a = base.join(broadcast(okBlocks), Seq("source", "blk"))
+        .select(col("source"), col("blk"), col("doc_id").as("src"), col("p").as("pa"))
       val b = base.select(col("source"), col("blk"), col("doc_id").as("dst"), col("p").as("pb"))
       val dupIds = a.join(b, Seq("source", "blk"))
         .where(col("dst") < col("src") && levenshtein(col("pa"), col("pb")) <= 5)
@@ -4412,9 +4421,13 @@ object SparkEntry {
              substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 40) AS p
            FROM documents),
          blk AS (SELECT doc_id, source, p, length(p) // 8 AS blk FROM b),
+         bc AS (SELECT source, blk, count(*) AS bn FROM blk GROUP BY source, blk),
          dup AS (SELECT DISTINCT a.doc_id
-           FROM blk a JOIN blk d ON a.source = d.source AND a.blk = d.blk
-           WHERE d.doc_id < a.doc_id AND levenshtein(a.p, d.p) <= 5)
+           FROM blk a
+           JOIN bc ON a.source = bc.source AND a.blk = bc.blk
+           JOIN blk d ON a.source = d.source AND a.blk = d.blk
+           WHERE bc.bn <= 1000 AND d.doc_id < a.doc_id
+             AND levenshtein(a.p, d.p) <= 5)
          SELECT doc_id, source FROM blk
          WHERE doc_id NOT IN (SELECT doc_id FROM dup)
          ORDER BY doc_id""",
