@@ -223,6 +223,24 @@ object SparkEntry {
          r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(s.in_c, 0)) // 100 AS BIGINT) AS rank_micro
            FROM nodes n LEFT JOIN s3 s ON n.node = s.dst)"""
 
+  /** Shared x03/d59 oracle prefix: the exact word-3gram Jaccard graph
+    * and its transitive closure; defines `comp(doc_id, mn)` = min
+    * reachable OTHER node per connected doc. */
+  private val ngramGraphCtesSql: String =
+    """n AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         g AS (SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS gs
+           FROM n),
+         e AS (SELECT a.doc_id AS u, b.doc_id AS v FROM g a JOIN g b ON a.doc_id < b.doc_id
+               AND len(a.gs) >= 0.8 * len(b.gs) AND len(b.gs) >= 0.8 * len(a.gs)
+               WHERE len(list_intersect(a.gs, b.gs)) * 1.0
+                 / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.8),
+         ed AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+         reach AS (SELECT u, v FROM ed
+                   UNION SELECT r.u, ed.v FROM reach r JOIN ed ON r.v = ed.u WHERE ed.v != r.u),
+         comp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)"""
+
   /** Synthetic PII text, reproducible in SQL, so redaction is executed
     * for real on a corpus that ships none. */
   private def piiSynth(d: Column, src: Column, text: Column): Column =
@@ -1743,6 +1761,27 @@ object SparkEntry {
       graft.streaming.Streaming.runToMemory(stream, "st16_tbl",
         org.apache.spark.sql.streaming.OutputMode.Append())
       s.table("st16_tbl").orderBy("doc_id")
+    }),
+
+    "d59_dup_cluster_histogram" -> ((s, d) => {
+      // HOW duplicated is the corpus: the x03 near-dup graph's
+      // component-size distribution (the report a curator reads before
+      // choosing dedup aggressiveness). Same verified pair set as x03
+      // (one shared implementation — ngramJaccardPairs), distributed CC
+      // labels components, singletons join in as size-1 via the
+      // left-join coalesce. Two bounded aggs after the CC; the oracle
+      // rebuilds graph + closure recursively and must land on the
+      // identical histogram.
+      val all = docs(s, d)
+      val pairs = Dedup.ngramJaccardPairs(all, "doc_id", "text", n = 3, threshold = 0.8)
+      val comp = ConnectedComponents.run(pairs)
+      all.select(col("doc_id"))
+        .join(comp, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cid"))
+        .groupBy("cid").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
     }),
 
     "d58_k_anonymity" -> ((s, d) => {
@@ -4117,23 +4156,23 @@ object SparkEntry {
     // kept = ids with no smaller id reachable. Verifies blocking recall,
     // exact verify, distributed CC, and the min-id canonical pick at once.
     "x03_ngram_jaccard_dedup" ->
-      """WITH RECURSIVE
-         n AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
-           FROM documents),
-         g AS (SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-               ELSE list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS gs
-           FROM n),
-         e AS (SELECT a.doc_id AS u, b.doc_id AS v FROM g a JOIN g b ON a.doc_id < b.doc_id
-               AND len(a.gs) >= 0.8 * len(b.gs) AND len(b.gs) >= 0.8 * len(a.gs)
-               WHERE len(list_intersect(a.gs, b.gs)) * 1.0
-                 / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.8),
-         ed AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
-         reach AS (SELECT u, v FROM ed
-                   UNION SELECT r.u, ed.v FROM reach r JOIN ed ON r.v = ed.u WHERE ed.v != r.u),
-         comp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)
+      s"""WITH RECURSIVE $ngramGraphCtesSql
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE mn < doc_id)
          ORDER BY doc_id""",
+
+    // Same verified graph + closure; components sized, then the size
+    // distribution. Singletons count as size-1 clusters.
+    "d59_dup_cluster_histogram" ->
+      s"""WITH RECURSIVE $ngramGraphCtesSql,
+         cid AS (SELECT d.doc_id,
+             CASE WHEN c.mn IS NULL THEN d.doc_id
+                  ELSE least(c.mn, d.doc_id) END AS cid
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM cid GROUP BY cid)
+         SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         FROM sz GROUP BY cluster_size ORDER BY cluster_size""",
 
     // Brute-force double-precision cosine graph at 0.97 + closure; kept
     // label counts must match the sign-LSH dedup output exactly.

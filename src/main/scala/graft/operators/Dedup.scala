@@ -529,12 +529,12 @@ object Dedup {
     result
   }
 
-  /** N-gram Jaccard near-dedup: exact Jaccard over word n-gram sets,
-    * computed only within LSH-style blocking buckets (same band of the
-    * minhash signature) so it never goes quadratic. */
-  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.8,
-                   cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+  /** The VERIFIED near-dup pair set behind [[ngramJaccard]] — same
+    * blocking, estimate gate, and exact word-shingle verify — exposed
+    * for cluster-level reporting (d59's component histogram). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.8,
+                        cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     // shingles travel as 64-bit hashes, never as n-gram STRINGS — the
     // exact intersect/union runs on long arrays (x06 convention:
     // Jaccard is preserved modulo 64-bit collisions; the string-gram
@@ -560,11 +560,19 @@ object Dedup {
       .withColumn("uni", size(array_union(col("sh1"), col("sh2"))).cast("double"))
       .where(col("uni") > 0 && col("inter") / col("uni") >= threshold)
       .select("src", "dst")
-    val result = removeNonCanonical(df, idCol, pairs)
     sh.unpersist()
     sigs.unpersist()
-    result
+    pairs
   }
+
+  /** N-gram Jaccard near-dedup: exact Jaccard over word n-gram sets,
+    * computed only within LSH-style blocking buckets (same band of the
+    * minhash signature) so it never goes quadratic. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.8,
+                   cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    removeNonCanonical(df, idCol,
+      ngramJaccardPairs(df, idCol, textCol, n, threshold, cfg))
 
   /** Embedding near-dedup: cosine similarity >= threshold within
     * sign-LSH buckets (random hyperplanes) — see [[Similarity]] for the
