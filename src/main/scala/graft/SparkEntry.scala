@@ -597,6 +597,24 @@ object SparkEntry {
           col("`5-LOW`").as("low"))
         .orderBy("o_orderstatus")),
 
+    "q37_unpivot" -> ((s, d) =>
+      // pivot's inverse closes the reshape pair: q32's wide frame
+      // melts back to (status, priority, n) with Spark's native
+      // unpivot (one narrow map pass — no shuffle beyond q32's own
+      // agg). Zero-count cells produced by the fill are melted too,
+      // so the oracle is the dense status x priority cross join with
+      // observed counts (0 where absent) — NOT the sparse group-by.
+      ord(s, d).groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .unpivot(Array(col("o_orderstatus")),
+          Array(col("`1-URGENT`"), col("`2-HIGH`"), col("`3-MEDIUM`"),
+            col("`4-NOT SPECIFIED`"), col("`5-LOW`")),
+          "o_orderpriority", "n")
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
     // ---------------- documents: text analysis ----------------
     "d01_token_stats" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -3167,6 +3185,20 @@ object SparkEntry {
               CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS notspec,
               CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // The melted frame is DENSE (fill(0) cells melt too): the dense
+    // status x priority grid with observed counts, 0 where absent.
+    "q37_unpivot" ->
+      """WITH s AS (SELECT DISTINCT o_orderstatus FROM orders),
+         p AS (SELECT unnest(['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW']) AS o_orderpriority),
+         c AS (SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY o_orderstatus, o_orderpriority)
+         SELECT s.o_orderstatus, p.o_orderpriority,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+         FROM s CROSS JOIN p
+         LEFT JOIN c ON s.o_orderstatus = c.o_orderstatus
+           AND p.o_orderpriority = c.o_orderpriority
+         ORDER BY s.o_orderstatus, p.o_orderpriority""",
 
     // st13 is the same 30-minute sessionization under Structured
     // Streaming (append mode + flush sentinel) — one oracle string
