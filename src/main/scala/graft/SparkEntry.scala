@@ -2891,6 +2891,30 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "w10_try_cast" -> ((s, d) => {
+      // error-tolerant numeric ingest: dirty numeric strings (clean
+      // ints, garbage-suffixed ints, whitespace-padded decimals) go
+      // through try_cast — NULL, never a job-killing exception (the
+      // ANSI-mode answer to dirty CSV columns). Both engines trim
+      // before parsing and reject non-integral strings for BIGINT, so
+      // every cell replays exactly.
+      val raw = when(col("doc_id") % 3 === 0,
+          ((col("doc_id") * 17) % 1000).cast("string"))
+        .when(col("doc_id") % 3 === 1,
+          concat((col("doc_id") % 100).cast("string"), lit("x")))
+        .otherwise(concat(lit(" "), (col("doc_id") % 50).cast("string"), lit(".5 ")))
+      // (divergence note, excluded from the gate: a DECIMAL string to
+      // BIGINT is where engines disagree — DuckDB's TRY_CAST rounds
+      // '1.5'->2, Spark's ANSI try_cast rejects it to NULL. The BIGINT
+      // column is therefore gated on the integral branches only.)
+      docs(s, d).select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"), col("raw"),
+          when(col("doc_id") % 3 =!= 2, expr("try_cast(raw AS BIGINT)")).as("as_long"),
+          expr("try_cast(raw AS DOUBLE)").as("as_double"))
+        .withColumn("unparseable", col("as_double").isNull)
+        .orderBy("doc_id")
+    }),
+
     "w09_compaction_exec" -> ((s, d) => {
       // d51's plan EXECUTED: the corpus lands fragmented (64-shard
       // over-parallel write), then compacts per-source — hash
@@ -4466,6 +4490,20 @@ object SparkEntry {
          SELECT doc_id, reg_domain FROM h
          WHERE reg_domain NOT IN ('bbc.co.uk', 'example.com.au')
          ORDER BY doc_id""",
+
+    // Same dirty synth; TRY_CAST semantics must agree cell-by-cell.
+    "w10_try_cast" ->
+      """WITH s AS (SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id * 17) % 1000 AS VARCHAR)
+                  WHEN doc_id % 3 = 1 THEN CAST(doc_id % 100 AS VARCHAR) || 'x'
+                  ELSE ' ' || CAST(doc_id % 50 AS VARCHAR) || '.5 ' END AS raw
+           FROM documents)
+         SELECT doc_id, raw,
+           CASE WHEN doc_id % 3 = 2 THEN NULL
+                ELSE TRY_CAST(raw AS BIGINT) END AS as_long,
+           TRY_CAST(raw AS DOUBLE) AS as_double,
+           TRY_CAST(raw AS DOUBLE) IS NULL AS unparseable
+         FROM s ORDER BY doc_id""",
 
     // Planned counts replayed from the same byte formula; files_match
     // pinned TRUE — the row only hashes equal if the physical layout
