@@ -1759,6 +1759,56 @@ object SparkEntry {
       s.table("st18_tbl").orderBy("day_start")
     }),
 
+    "st19_stream_outer_join" -> ((s, d) => {
+      // LEFT OUTER stream-stream interval join: purchases with no click
+      // in the preceding 30 minutes still emit — null-padded — once the
+      // watermark proves no click can arrive. Events feed in two
+      // chronological micro-batches; a far-future sentinel pair (user
+      // -1, filtered from the result) advances BOTH watermarks so every
+      // genuine unmatched purchase flushes. Gate = matched-pair count +
+      // unmatched count vs the batch LEFT JOIN truth.
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val mem = MemoryStream[(Long, String, Long)] // (user_id, event_type, us)
+      val src = mem.toDF().toDF("user_id", "event_type", "us")
+        .withColumn("tstamp", timestamp_micros(col("us")))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tstamp").as("p_ts"))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tstamp").as("c_ts"))
+      val joined = graft.streaming.Streaming.intervalJoinOuter(
+        purchases, clicks, "user_id", "p_ts", "c_ts",
+        lookback = "30 minutes", watermark = "1 hour")
+      s.catalog.dropTempView("st19_tbl")
+      graft.streaming.Streaming.withShufflePartitions(s, 8) {
+        val q = joined.writeStream.format("memory").queryName("st19_tbl")
+          .outputMode("append").start()
+        try {
+          val rows = ev(s, d)
+            .where(col("user_id").isNotNull
+              && col("event_type").isin("purchase", "click"))
+            .select(col("user_id"), col("event_type"), expr("ts div 1000"))
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+            .sortBy(_._3)
+          val mid = rows.length / 2
+          val far = rows.last._3 + 40L * 86400000000L
+          mem.addData(rows.take(mid).toIndexedSeq)
+          q.processAllAvailable()
+          mem.addData((rows.drop(mid) ++ Seq((-1L, "purchase", far),
+            (-1L, "click", far))).toIndexedSeq)
+          q.processAllAvailable()
+          // watermark computed at batch END applies at the NEXT batch:
+          // a third trigger batch flushes the evicted unmatched rows
+          mem.addData(Seq((-1L, "purchase", far + 3600000000L)))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table("st19_tbl").where(col("user_id") >= 0)
+        .agg(count(col("c_ts")).as("n_pairs"),
+          count(when(col("c_ts").isNull, lit(1))).as("n_unmatched"))
+    }),
+
     "st16_stream_blocklist" -> ((s, d) => {
       // d56 on the document stream: policy tables apply to streams as
       // a stream-static BROADCAST anti-join — the list refreshes per
@@ -4482,6 +4532,19 @@ object SparkEntry {
       """SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000) AS day_start,
            count(*) AS n
          FROM events GROUP BY 1 ORDER BY day_start""",
+
+    // Batch LEFT JOIN truth for the outer interval join.
+    "st19_stream_outer_join" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+           FROM events WHERE user_id IS NOT NULL),
+         p AS (SELECT user_id, us FROM e WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, us FROM e WHERE event_type = 'click'),
+         j AS (SELECT p.user_id, p.us, c.us AS cus
+           FROM p LEFT JOIN c ON p.user_id = c.user_id
+             AND c.us <= p.us AND c.us >= p.us - 1800000000)
+         SELECT CAST(count(cus) AS BIGINT) AS n_pairs,
+           CAST(count(CASE WHEN cus IS NULL THEN 1 END) AS BIGINT) AS n_unmatched
+         FROM j""",
 
     // Stream-static twin: same filter, same truth.
     "st16_stream_blocklist" ->

@@ -91,6 +91,31 @@ object Streaming {
       .drop(r(key))
   }
 
+  /** LEFT OUTER stream-stream interval join: the same bounded-state
+    * interval join, but an unmatched left row EMITS with nulls once the
+    * watermark passes its join window — the semantics that separate
+    * outer streaming joins from batch (a null result is an EVICTION
+    * decision, provable only when no matching right row can still
+    * arrive). State stays watermark-bounded on both sides. */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame, key: String,
+                        leftTs: String, rightTs: String,
+                        lookback: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    // rename-then-join, NOT drop(r(key)): when both sides derive from
+    // the same source the two key attributes can resolve ambiguously,
+    // and dropping the wrong copy surfaces the RIGHT key — which is
+    // NULL on exactly the unmatched rows this join exists to emit.
+    val r = right.withColumnRenamed(key, "__r_key")
+      .withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === col("__r_key")
+        && col(rightTs) <= l(leftTs)
+        && col(rightTs) >= l(leftTs) - expr(s"INTERVAL $lookback"),
+      "left_outer")
+      .drop("__r_key")
+  }
+
   /** One arriving (band, doc) row of the online dedup index. */
   case class BandArrival(band_id: Int, band_hash: Long, id: Long, batch: Int)
 

@@ -88,6 +88,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(("p1", "c1"), ("p2", "c2")))
   }
 
+  test("outer interval join emits unmatched left rows with the LEFT key after watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val src = mem.toDF().toDF("user_id", "event_type", "us")
+      .withColumn("tstamp", timestamp_micros(col("us")))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tstamp").as("p_ts"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tstamp").as("c_ts"))
+    val joined = Streaming.intervalJoinOuter(purchases, clicks, "user_id",
+      "p_ts", "c_ts", lookback = "30 minutes", watermark = "1 hour")
+    spark.catalog.dropTempView("souter")
+    val q = joined.writeStream.format("memory").queryName("souter")
+      .outputMode("append").start()
+    try {
+      val base = 1700000000000000L
+      // user 1 matches; user 2 has no click -> must emit null-padded
+      mem.addData((1L, "click", base), (1L, "purchase", base + 600000000L),
+        (2L, "purchase", base + 600000000L))
+      q.processAllAvailable()
+      mem.addData((-1L, "purchase", base + 40L * 86400000000L),
+        (-1L, "click", base + 40L * 86400000000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("souter").where(col("user_id") >= 0)
+      .select(col("user_id"), col("c_ts").isNull.as("unmatched"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    // the unmatched row carries the LEFT key (the drop(r(key)) self-join
+    // ambiguity this helper's rename-then-join exists to prevent)
+    assert(rows == Set((1L, false), (2L, true)))
+  }
+
   test("online near-dedup evidence is cross-batch and first-arrival-ordered") {
     implicit val sq = spark.sqlContext
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
