@@ -615,6 +615,108 @@ object SparkEntry {
           "o_orderpriority", "n")
         .orderBy("o_orderstatus", "o_orderpriority")),
 
+    "q38_market_share" -> ((s, d) => {
+      // TPC-H Q8 shape: per order-year, the ASIA-supplier share of
+      // total revenue. One wide fact join where every dimension side
+      // (supplier/nation/region) is broadcast — the fact table shuffles
+      // once for the year group-by and never for the dims. The share is
+      // a ratio of the two ALREADY-ROUNDED sums (repo oracle-compare
+      // convention) so the division replays bit-exactly in DuckDB.
+      val l = li(s, d); val o = ord(s, d)
+      val sp = supp(s, d); val n = nat(s, d); val r = reg(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(sp), l("l_suppkey") === sp("s_suppkey"))
+        .join(broadcast(n), sp("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          round(sum(when(col("r_name") === "ASIA",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .otherwise(lit(0.0))), 2).as("asia_rev"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("total_rev"))
+        .withColumn("mkt_share", round(col("asia_rev") / col("total_rev"), 6))
+        .orderBy("o_year")
+    }),
+
+    "q39_product_profit" -> ((s, d) => {
+      // TPC-H Q9 shape: profit by supplier nation x order year. No
+      // partsupp table in this corpus, so supply cost is proxied by
+      // p_retailprice (documented deviation — the join/agg shape is the
+      // point). part+supplier+nation broadcast; lineitem shuffles only
+      // for the final two-key group-by. Profit is summed in exact
+      // integer CENTS (each term rounded per-row first): the
+      // revenue-minus-cost cancellation makes a double sum land on
+      // rounding boundaries (observed: engines split on ...58.585), so
+      // the repo's round(sum,2) convention is not enough here.
+      val l = li(s, d); val o = ord(s, d); val p = part(s, d)
+      val sp = supp(s, d); val n = nat(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(broadcast(sp), l("l_suppkey") === sp("s_suppkey"))
+        .join(broadcast(n), sp("s_nationkey") === n("n_nationkey"))
+        .where(col("p_name").contains("a"))
+        .withColumn("profit_cents",
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long")
+            - round(col("p_retailprice") * col("l_quantity") * 100).cast("long"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum("profit_cents").as("profit_cents"))
+        .orderBy(asc("nation"), desc("o_year"))
+    }),
+
+    "q40_late_shipments" -> ((s, d) => {
+      // TPC-H Q12 shape: ship-lag buckets x priority-class CASE-sums.
+      // No l_shipmode column, so the bucket is derived from the
+      // order-to-ship lag — same conditional-aggregation pattern.
+      val l = li(s, d); val o = ord(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .withColumn("ship_bucket",
+          when(datediff(col("l_shipdate"), col("o_orderdate")) > 60, "late")
+            .when(datediff(col("l_shipdate"), col("o_orderdate")) > 30, "slow")
+            .otherwise("prompt"))
+        .groupBy("ship_bucket")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("ship_bucket")
+    }),
+
+    "q41_top_supplier" -> ((s, d) => {
+      // TPC-H Q15 shape: revenue-per-supplier view, then the
+      // supplier(s) achieving the global max. The max is a one-row
+      // aggregate broadcast back onto the view — no global sort, no
+      // single-task window; ties all surface (hence the deterministic
+      // orderBy), exactly like the reference query's HAVING = MAX form.
+      val l = li(s, d); val sp = supp(s, d)
+      val rev = l.where(col("l_shipdate") >= lit("1997-01-01")
+          && col("l_shipdate") < lit("1998-01-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("total_rev"))
+      val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+      rev.join(broadcast(mx), rev("total_rev") === mx("max_rev"))
+        .join(broadcast(sp), rev("l_suppkey") === sp("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+        .orderBy("s_suppkey")
+    }),
+
+    "q42_part_supplier_counts" -> ((s, d) => {
+      // TPC-H Q16 shape: distinct-supplier counts per part attribute,
+      // excluding a NOT-IN supplier set. The exclusion list (negative
+      // account balance) is tiny → broadcast left_anti; the
+      // count(DISTINCT) shuffles on (brand, type) once.
+      val l = li(s, d); val p = part(s, d); val sp = supp(s, d)
+      val excluded = sp.where(col("s_acctbal") < 0).select(col("s_suppkey").as("x_suppkey"))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .where(col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        .join(broadcast(excluded), l("l_suppkey") === col("x_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"))
+    }),
+
     // ---------------- documents: text analysis ----------------
     "d01_token_stats" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -3035,6 +3137,100 @@ object SparkEntry {
           round(col("csim"), 6).as("centroid_sim"),
           (col("csim") < 0.18).as("is_outlier"))
         .orderBy("vec_id")
+    }),
+
+    "e11_range_search" -> ((s, d) => {
+      // radius (range) search — the similarity-search dual of e01's
+      // top-k: ALL corpus vectors with cosine >= tau to each query.
+      // Query side (10 rows) broadcast, corpus scanned exactly once,
+      // predicate evaluated in-plan — no shuffle at any scale. The
+      // published similarity is rounded; the tau=0.3 cut sits 1.2e-3
+      // from the nearest observed value, far outside double jitter.
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("sim", Similarity.cosine(col("qe"), col("embedding")))
+        .where(col("sim") >= 0.3)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(col("sim"), 6).as("cos_sim"))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    "g03_hits" -> ((s, d) => {
+      // hubs & authorities over the same deterministic host graph as
+      // g01 — the second classic link-quality signal (a page PageRank
+      // misses: a hub pointing at many good authorities). Exact
+      // max-normalized integer arithmetic (operators/Hits.scala) makes
+      // the scores bit-identical at any partition count and lets the
+      // oracle unroll the same two iterations as CTEs with scalar max
+      // subqueries.
+      val edges = docs(s, d).select(
+        concat(lit("h"), (col("doc_id") % 37).cast("string")).as("src"),
+        concat(lit("h"), ((col("doc_id") * 7) % 41).cast("string")).as("dst"),
+        ((col("doc_id") % 5) + 1).as("w"))
+      Hits.run(edges, iterations = 2).orderBy("node")
+    }),
+
+    "ev14_decay_score" -> ((s, d) => {
+      // exponentially time-decayed engagement (half-life style
+      // recency weighting, anchored at the corpus max ts so the score
+      // is reproducible): score = sum(value * exp(-age_days/30)) per
+      // event_type. The anchor is a one-row agg broadcast back; the
+      // decayed sum shuffles once on the bounded event_type key.
+      val e = ev(s, d)
+        .select(col("event_type"), col("value"), expr("ts div 1000").as("us"))
+      val anchor = e.agg(max("us").as("max_us"))
+      e.crossJoin(broadcast(anchor))
+        .withColumn("age_days", expr("(max_us - us) div 86400000000"))
+        .groupBy("event_type")
+        .agg(round(sum(col("value") * exp(-col("age_days") / lit(30.0))), 2)
+          .as("decayed_value"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    "ev15_daily_anomaly" -> ((s, d) => {
+      // volume-anomaly detection over the event stream: a day is
+      // anomalous for a type when its count sits more than 2 population
+      // standard deviations from that type's daily mean. The z-test is
+      // algebraized to INTEGER arithmetic — (n*c - s)^2 > 4*(n*ss - s^2)
+      // is exactly z^2 > 4 scaled by n^2 — so no float variance ever
+      // reaches the compare (stddev accumulation order differs across
+      // engines). Two bounded aggs: daily counts (shuffle on
+      // type x day), then per-type moments joined back broadcast.
+      val daily = ev(s, d)
+        .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n_events"))
+      val stats = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum("n_events").as("s"),
+          sum(col("n_events") * col("n_events")).as("ss"))
+      daily.join(broadcast(stats), "event_type")
+        .withColumn("dev", col("n_days") * col("n_events") - col("s"))
+        .withColumn("is_anomaly",
+          col("dev") * col("dev") > lit(4L) * (col("n_days") * col("ss") - col("s") * col("s")))
+        .select("event_type", "day", "n_events", "is_anomaly")
+        .orderBy("event_type", "day")
+    }),
+
+    "d60_token_budget" -> ((s, d) => {
+      // token-budget corpus cut: greedily keep the highest-quality
+      // docs (quality-milli desc, doc_id tiebreak) until the global
+      // running token total exceeds the budget — the final selection
+      // step a token-budgeted training run makes. budgetSelect
+      // (Sampling.scala) keeps the global prefix sum DISTRIBUTED:
+      // range-partitioned sort + per-partition offsets broadcast back,
+      // never a single-task whole-corpus window. Integer cost/priority
+      // so the cut replays exactly in SQL.
+      val scored = docs(s, d).select(col("doc_id"),
+        floor(TextFunctions.qualityScore(col("text")) * 1000).cast("long")
+          .as("quality_milli"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.budgetSelect(scored, "quality_milli", "n_tokens", "doc_id",
+          budget = 12000L)
+        .select("doc_id", "quality_milli", "n_tokens")
+        .orderBy("doc_id")
     })
   )
 
@@ -5054,7 +5250,157 @@ object SparkEntry {
            FROM v CROSS JOIN c)
          SELECT vec_id, CAST(cid AS BIGINT) AS cell,
            round(sim, 6) AS centroid_sim, sim < 0.18 AS is_outlier
-         FROM s WHERE rn = 1 ORDER BY vec_id"""
+         FROM s WHERE rn = 1 ORDER BY vec_id""",
+
+    "q38_market_share" ->
+      """WITH j AS (SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1.0 - l_discount) AS rev, r_name
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey),
+         a AS (SELECT o_year,
+             round(sum(CASE WHEN r_name = 'ASIA' THEN rev ELSE 0.0 END), 2) AS asia_rev,
+             round(sum(rev), 2) AS total_rev
+           FROM j GROUP BY o_year)
+         SELECT CAST(o_year AS INTEGER) AS o_year, asia_rev, total_rev,
+           round(asia_rev / total_rev, 6) AS mkt_share
+         FROM a ORDER BY o_year""",
+
+    // Exact integer cents (per-row round, then BIGINT sum) — see the
+    // Spark-side note on the cancellation-boundary hazard.
+    "q39_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+             - CAST(round(p_retailprice * l_quantity * 100) AS BIGINT)) AS BIGINT) AS profit_cents
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%a%'
+         GROUP BY n_name, year(o_orderdate)
+         ORDER BY n_name ASC, year(o_orderdate) DESC""",
+
+    "q40_late_shipments" ->
+      """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60 THEN 'late'
+             WHEN date_diff('day', o_orderdate, l_shipdate) > 30 THEN 'slow'
+             ELSE 'prompt' END AS ship_bucket,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY ship_bucket ORDER BY ship_bucket""",
+
+    "q41_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_rev
+         FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         WHERE total_rev = (SELECT max(total_rev) FROM rev)
+         ORDER BY s_suppkey""",
+
+    "q42_part_supplier_counts" ->
+      """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size IN (1, 4, 9, 16, 25, 36, 49)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type
+         ORDER BY supplier_cnt DESC, p_brand, p_type""",
+
+    // Same double-cast cosine construction as e10 (values, not just
+    // ordering, reach the hash).
+    "e11_range_search" ->
+      """WITH v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS qe FROM v WHERE vec_id < 10),
+         s AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q.qe, v.emb), z -> z[1]*z[2]))
+               / (sqrt(list_sum(list_transform(q.qe, x -> x*x)))
+                  * sqrt(list_sum(list_transform(v.emb, x -> x*x)))) AS sim
+           FROM q CROSS JOIN v WHERE v.vec_id != q.query_id)
+         SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim
+         FROM s WHERE sim >= 0.3 ORDER BY query_id, neighbor_id""",
+
+    // Two unrolled max-normalized integer HITS iterations over g01's
+    // host graph; `//` == Spark `div` on the non-negative scores.
+    "g03_hits" ->
+      """WITH heraw AS (SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS src,
+             'h' || CAST((doc_id * 7) % 41 AS VARCHAR) AS dst,
+             doc_id % 5 + 1 AS w FROM documents),
+         he AS (SELECT src, dst, w FROM heraw WHERE src <> dst AND w > 0),
+         hn AS (SELECT src AS node FROM he UNION SELECT dst FROM he),
+         h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM hn),
+         a1r AS (SELECT he.dst AS node, CAST(SUM(h.hub * he.w) AS BIGINT) AS v
+           FROM he JOIN h0 h ON he.src = h.node GROUP BY he.dst),
+         a1f AS (SELECT n.node, COALESCE(a.v, 0) AS v
+           FROM hn n LEFT JOIN a1r a ON n.node = a.node),
+         a1 AS (SELECT node, CAST((v * 1000000) // (SELECT MAX(v) FROM a1f) AS BIGINT) AS auth FROM a1f),
+         h1r AS (SELECT he.src AS node, CAST(SUM(a.auth * he.w) AS BIGINT) AS v
+           FROM he JOIN a1 a ON he.dst = a.node GROUP BY he.src),
+         h1f AS (SELECT n.node, COALESCE(h.v, 0) AS v
+           FROM hn n LEFT JOIN h1r h ON n.node = h.node),
+         h1 AS (SELECT node, CAST((v * 1000000) // (SELECT MAX(v) FROM h1f) AS BIGINT) AS hub FROM h1f),
+         a2r AS (SELECT he.dst AS node, CAST(SUM(h.hub * he.w) AS BIGINT) AS v
+           FROM he JOIN h1 h ON he.src = h.node GROUP BY he.dst),
+         a2f AS (SELECT n.node, COALESCE(a.v, 0) AS v
+           FROM hn n LEFT JOIN a2r a ON n.node = a.node),
+         a2 AS (SELECT node, CAST((v * 1000000) // (SELECT MAX(v) FROM a2f) AS BIGINT) AS auth_micro FROM a2f),
+         h2r AS (SELECT he.src AS node, CAST(SUM(a.auth_micro * he.w) AS BIGINT) AS v
+           FROM he JOIN a2 a ON he.dst = a.node GROUP BY he.src),
+         h2f AS (SELECT n.node, COALESCE(h.v, 0) AS v
+           FROM hn n LEFT JOIN h2r h ON n.node = h.node),
+         h2 AS (SELECT node, CAST((v * 1000000) // (SELECT MAX(v) FROM h2f) AS BIGINT) AS hub_micro FROM h2f)
+         SELECT node, auth_micro, hub_micro
+         FROM a2 JOIN h2 USING (node) ORDER BY node""",
+
+    "ev14_decay_score" ->
+      """WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+         a AS (SELECT max(us) AS max_us FROM e)
+         SELECT event_type,
+           round(sum(value * exp(-((max_us - us) // 86400000000) / 30.0)), 2)
+             AS decayed_value,
+           count(*) AS n
+         FROM e CROSS JOIN a GROUP BY event_type ORDER BY event_type""",
+
+    // Same integer z^2 algebra; sums cast back from DuckDB's HUGEINT.
+    "ev15_daily_anomaly" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             count(*) AS n_events
+           FROM events GROUP BY event_type, day),
+         st AS (SELECT event_type, count(*) AS n_days,
+             CAST(sum(n_events) AS BIGINT) AS s,
+             CAST(sum(n_events * n_events) AS BIGINT) AS ss
+           FROM daily GROUP BY event_type)
+         SELECT d.event_type, d.day, d.n_events,
+           (st.n_days * d.n_events - st.s) * (st.n_days * d.n_events - st.s)
+             > 4 * (st.n_days * st.ss - st.s * st.s) AS is_anomaly
+         FROM daily d JOIN st ON d.event_type = st.event_type
+         ORDER BY d.event_type, d.day""",
+
+    // The global greedy cut replayed as the single-ORDER-BY running
+    // sum budgetSelect distributes.
+    "d60_token_budget" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(floor(round(greatest(0.0,
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+               + (CAST(length(text) - length(regexp_replace(text, '[A-Za-z一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 0.35
+               + (CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / length(text)) * 0.25
+               + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w\s一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 2.0, 1.0)) * 0.15), 6) * 1000) AS BIGINT) AS quality_milli,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+           FROM documents),
+         r AS (SELECT doc_id, quality_milli, n_tokens,
+             sum(n_tokens) OVER (ORDER BY quality_milli DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+           FROM t)
+         SELECT doc_id, quality_milli, n_tokens FROM r
+         WHERE run <= 12000 ORDER BY doc_id"""
   )
 
   // Escaped-for-SQL-single-quoted-literal pattern strings (no quotes in

@@ -23,6 +23,33 @@ class SamplingSpec extends SparkSpec {
     assert(capped.count() == 20)
   }
 
+  test("budgetSelect keeps the exact greedy prefix and is partition-invariant") {
+    // priority = id % 10, cost = id % 7 + 1, tie = id: the driver-side
+    // reference walks (priority desc, id asc) keeping while the global
+    // running cost stays <= budget — exactly the declared semantics.
+    val rows = (1L to 200L).map(i => (i, i % 10, i % 7 + 1))
+    val base = rows.toDF("id", "pr", "cost")
+    val budget = 300L
+    var run = 0L
+    val expected = rows.sortBy { case (id, pr, _) => (-pr, id) }
+      .flatMap { case (id, _, c) => run += c; if (run <= budget) Some(id) else None }
+      .sorted
+    for (parts <- Seq(1, 3, 13)) {
+      val got = Sampling.budgetSelect(base.repartition(parts), "pr", "cost", "id",
+          budget, numParts = 4)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == expected.toSeq, s"input partitions=$parts")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("budgetSelect: over-budget first row yields empty; huge budget keeps all") {
+    val base = Seq((1L, 5L, 100L), (2L, 4L, 1L)).toDF("id", "pr", "cost")
+    assert(Sampling.budgetSelect(base, "pr", "cost", "id", 50L).count() == 0)
+    assert(Sampling.budgetSelect(base, "pr", "cost", "id", 1000L).count() == 2)
+    spark.catalog.clearCache()
+  }
+
   test("weighted mixture applies per-stratum fractions") {
     val mixed = Sampling.mixture(df, "lang", Map("en" -> 0.1), defaultFrac = 0.5, "id")
     val counts = mixed.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
