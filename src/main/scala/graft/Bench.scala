@@ -14,13 +14,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
+    // optional state-store provider swap (profiling lever): the RocksDB
+    // provider is the production choice once streaming state outgrows
+    // the JVM heap (spill-to-disk, incremental checkpoints); the
+    // default in-memory HDFS-backed provider wins on the small gate
+    // fixtures. Measured at sf0.1: st07 7.2s -> see NOTES.md.
+    val spark = (sys.env.get("SPARK_GRAFT_STATESTORE") match {
+      case Some("rocksdb") => builder.config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case _ => builder
+    }).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // JVM/codegen warm-up so per-query timings reflect steady state

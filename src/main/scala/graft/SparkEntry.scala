@@ -1992,8 +1992,14 @@ object SparkEntry {
       val a = base.join(broadcast(okBlocks), Seq("source", "blk"))
         .select(col("source"), col("blk"), col("doc_id").as("src"), col("p").as("pa"))
       val b = base.select(col("source"), col("blk"), col("doc_id").as("dst"), col("p").as("pb"))
+      // bounded-threshold levenshtein: banded O(len·k) DP that bails
+      // out early (returns -1 past the bound) instead of the full
+      // O(len²) matrix — same predicate, measured ~2x on this gate's
+      // verify stage. DuckDB's unbounded levenshtein(..) <= 5 is
+      // equivalent on the result set.
       val dupIds = a.join(b, Seq("source", "blk"))
-        .where(col("dst") < col("src") && levenshtein(col("pa"), col("pb")) <= 5)
+        .where(col("dst") < col("src")
+          && levenshtein(col("pa"), col("pb"), 5) >= 0)
         .select(col("src").as("doc_id")).distinct()
       base.join(dupIds, Seq("doc_id"), "left_anti")
         .select("doc_id", "source")
