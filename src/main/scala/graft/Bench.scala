@@ -53,6 +53,11 @@ object Bench {
     // second run reuses compiled codegen and warmed file listings, and
     // min() is robust to machine noise.
     def bestOf2(run: () => Double): Double = math.min(run(), run())
+    // throughput suites get a third window: they are the numbers
+    // compared against BASELINE.md and have shown ~2x run-to-run
+    // variance on a noisy 32-thread container (r04: 111M tok/s, r05
+    // first run: 56M) — one more window costs ~10 s and cuts the tail.
+    def bestOf3(run: () => Double): Double = math.min(bestOf2(run), run())
     // Each run executes the FULL plan via a noop-sink write — a count()
     // here would let Catalyst prune deterministic projections and
     // eliminate the final sort, under-measuring map-shaped queries.
@@ -107,7 +112,7 @@ object Bench {
     // bestOf2 (shared with the query loop): the first throughput window
     // on a cold JIT/page-cache has shown up to 3x run-to-run variance
     var totalTokens = 0L
-    val tokSec = bestOf2 { () =>
+    val tokSec = bestOf3 { () =>
       val t0 = System.nanoTime()
       totalTokens = corpus.mapPartitions { it =>
         val v = bc.value
@@ -128,7 +133,7 @@ object Bench {
 
     // minhash signature throughput over the same replicated corpus
     val nSigs = corpus.count() // known size; excluded from the timed window
-    val mhSec = bestOf2 { () =>
+    val mhSec = bestOf3 { () =>
       val t1 = System.nanoTime()
       // max over a signature element so Catalyst cannot prune the compute
       corpus.toDF("text").select(
@@ -148,7 +153,7 @@ object Bench {
       docs.toDF(), "text", vocabSize = 8000)
     val bcModel = spark.sparkContext.broadcast(bpeModel)
     var bpeTokens = 0L
-    val bpeSec = bestOf2 { () =>
+    val bpeSec = bestOf3 { () =>
       val t2 = System.nanoTime()
       bpeTokens = corpus.mapPartitions { it =>
         val m = bcModel.value

@@ -717,6 +717,24 @@ object SparkEntry {
         .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"))
     }),
 
+    "q43_order_ship_reconcile" -> ((s, d) => {
+      // FULL OUTER join — the one join type the surface didn't yet
+      // exercise: daily order counts reconciled against daily shipment
+      // counts, days present on either side only surfacing with a zero
+      // on the other (the ops-reconciliation report shape). Both
+      // sides pre-aggregate BEFORE the join (day-keyed, bounded), so
+      // the outer join runs on two small frames, not the facts.
+      val o = ord(s, d).groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      val l = li(s, d).groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg(count(lit(1)).as("n_ships"))
+      o.join(l, Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_ships"), lit(0L)).as("n_ships"))
+        .orderBy("day")
+    }),
+
     // ---------------- documents: text analysis ----------------
     "d01_token_stats" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -1546,6 +1564,30 @@ object SparkEntry {
           round(element_at(col("features"), 3).cast("double"), 6).as("f2_luma"),
           round(element_at(col("features"), 4).cast("double"), 6).as("f3_luma"))
         .orderBy("asset_id")
+    }),
+
+    "m05_binary_dedup" -> ((s, d) => {
+      // exact dedup over OPAQUE BINARY content — the multimodal twin of
+      // d07 (text dedup): group by md5 of the raw bytes, first
+      // occurrence (min id) survives, copies counted. The asset
+      // dictionary is synthesized from doc_id % 48 so payloads
+      // genuinely repeat, and the payload-per-seed table is joined back
+      // BROADCAST (the dictionary is bounded; the corpus never
+      // shuffles for the join — only the md5 group-by shuffles, on the
+      // hash, which is uniform by construction). The oracle knows
+      // nothing about bytes: it groups by the synthesis seed — the two
+      // groupings agree ONLY if the codec output is byte-deterministic
+      // and md5-over-binary separates every distinct payload.
+      val seeds = docs(s, d)
+        .select(pmod(col("doc_id"), lit(48)).cast("long").as("seed")).distinct()
+      val dict = Multimodal.synthesizeAssets(seeds, "seed")
+        .select(col("asset_id").as("seed"), col("kind"), col("data"))
+      docs(s, d).select(col("doc_id"), pmod(col("doc_id"), lit(48)).as("seed"))
+        .join(broadcast(dict), "seed")
+        .groupBy(md5(col("data")).as("content_md5"), col("kind"))
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "kind", "n_copies")
+        .orderBy("doc_id")
     }),
 
     // ---------------- PII redaction ----------------
@@ -2851,6 +2893,60 @@ object SparkEntry {
         .orderBy("chunk_idx")
     }),
 
+    "k06_oov_rate" -> ((s, d) => {
+      // vocabulary-coverage QA: a word vocab trained on the ENGLISH
+      // slice only (top-500 by count desc, word asc — a deterministic
+      // total order, so the cut replays exactly), then per-language
+      // out-of-vocabulary rates — the "how badly does an en-trained
+      // tokenizer serve the other languages" report. The vocab is
+      // joined back BROADCAST (bounded artifact, like the LID/BPE
+      // deployments); the only corpus shuffle is the per-language agg
+      // on a bounded key. Integer counts, one rounded division.
+      val words = docs(s, d).select(col("lang"),
+        explode(split(TextFunctions.normalizeForDedup(col("text")), " ")).as("word"))
+      val vocab = words.where(col("lang") === "en")
+        .groupBy("word").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("word")).limit(500)
+        .select(col("word"), lit(1L).as("in_vocab"))
+      words.join(broadcast(vocab), Seq("word"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tokens"), 6))
+        .orderBy("lang")
+    }),
+
+    "k07_bin_packing" -> ((s, d) => {
+      // whole-document bin packing (Packer.packBinsFfd): SFT-style
+      // fixed-budget sequences that keep docs INTACT — k01/k04 pack by
+      // splitting, this packs by assignment (First-Fit-Decreasing over
+      // range partitions, deterministic at the pinned numParts=8).
+      // Docs over capacity are rejected, never truncated. The
+      // invariants are computed IN-PLAN and surface as booleans
+      // (b02's embedded-assertion convention): every bin <= capacity,
+      // bin count >= the ceil(total/capacity) lower bound. The oracle
+      // recomputes eligibility/rejection/token totals exactly in SQL
+      // and pins the measured sf0.01 bin count/max fill (d20
+      // convention).
+      val lens = docs(s, d).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val bins = Packer.packBinsFfd(lens, "doc_id", "n_tokens",
+        capacity = 64L, numParts = 8)
+      val fills = bins.where(col("bin_id").isNotNull)
+        .groupBy("bin_id").agg(sum("len").as("fill"))
+      val totals = bins.agg(
+        sum(when(col("bin_id").isNotNull, 1L).otherwise(0L)).as("n_packed"),
+        sum(when(col("bin_id").isNull, 1L).otherwise(0L)).as("n_rejected"),
+        sum(when(col("bin_id").isNotNull, col("len")).otherwise(0L)).as("packed_tokens"))
+      val binStats = fills.agg(count(lit(1)).as("n_bins"), max("fill").as("max_fill"))
+      totals.crossJoin(binStats)
+        .select(col("n_packed"), col("n_rejected"), col("packed_tokens"),
+          col("n_bins"), col("max_fill"),
+          (col("max_fill") <= 64L).as("fill_ok"),
+          (col("n_bins") * lit(64L) >= col("packed_tokens")).as("lb_ok"))
+    }),
+
     "d52_split_leak_check" -> ((s, d) => {
       // split-integrity audit: after d37's content-stable cut, does
       // any val/test document share a content fingerprint with a
@@ -3195,6 +3291,36 @@ object SparkEntry {
           .as("decayed_value"),
           count(lit(1)).as("n"))
         .orderBy("event_type")
+    }),
+
+    "d61_score_drift" -> ((s, d) => {
+      // distribution-drift monitor: the exact two-sample
+      // Kolmogorov-Smirnov statistic between the quality-score
+      // distributions of two corpus halves (even vs odd doc_id — the
+      // stand-in for "yesterday's snapshot vs today's"). KS needs the
+      // running CDF over the global score order — the partition-less
+      // window scale-killer — so the cumulatives come from
+      // core.Partitioning.distributedPrefixSum (range partition +
+      // broadcast offsets, both counters in ONE pass). The decision
+      // value |r0*n1 - r1*n0| is pure INTEGER arithmetic (== the KS
+      // sup scaled by n0*n1): no float CDF ever reaches the argmax.
+      // Exact to ~3e9 rows per side before i64 overflow; beyond that,
+      // pre-aggregate counts per score quantile.
+      val scored = docs(s, d).select(
+        floor(TextFunctions.qualityScore(col("text")) * 1000).cast("long").as("q"),
+        (col("doc_id") % 2 === 0).as("g0"))
+      val counts = scored.groupBy("q").agg(
+        sum(when(col("g0"), 1L).otherwise(0L)).as("c0"),
+        sum(when(!col("g0"), 1L).otherwise(0L)).as("c1"))
+      val cums = graft.core.Partitioning.distributedPrefixSum(
+        counts, Seq(col("q").asc), Seq("c0" -> "r0", "c1" -> "r1"))
+      val tot = counts.agg(sum("c0").as("n0"), sum("c1").as("n1"))
+      cums.crossJoin(broadcast(tot))
+        .withColumn("diff", abs(col("r0") * col("n1") - col("r1") * col("n0")))
+        .orderBy(desc("diff"), asc("q")).limit(1)
+        .select(col("q").as("ks_at_q"), col("diff").as("ks_scaled"),
+          round(col("diff").cast("double")
+            / (col("n0") * col("n1")).cast("double"), 6).as("ks"))
     }),
 
     "ev15_daily_anomaly" -> ((s, d) => {
@@ -5373,6 +5499,81 @@ object SparkEntry {
              AS decayed_value,
            count(*) AS n
          FROM e CROSS JOIN a GROUP BY event_type ORDER BY event_type""",
+
+    "q43_order_ship_reconcile" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+           FROM orders GROUP BY 1),
+         l AS (SELECT CAST(l_shipdate AS DATE) AS day, count(*) AS n_ships
+           FROM lineitem GROUP BY 1)
+         SELECT COALESCE(o.day, l.day) AS day,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(l.n_ships, 0) AS n_ships
+         FROM o FULL OUTER JOIN l ON o.day = l.day
+         ORDER BY day""",
+
+    // The oracle never sees the bytes: it groups by the synthesis
+    // seed. Agreement proves codec determinism + md5 separation.
+    "m05_binary_dedup" ->
+      """SELECT min(doc_id) AS doc_id,
+           CASE CAST(g % 3 AS INTEGER) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           count(*) AS n_copies
+         FROM (SELECT doc_id, doc_id % 48 AS g FROM documents)
+         GROUP BY g ORDER BY doc_id""",
+
+    // en-trained top-500 vocab (deterministic count/word order), then
+    // per-language OOV; the normalize replay is d08's.
+    "k06_oov_rate" ->
+      """WITH w AS (SELECT lang,
+             unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word
+           FROM documents),
+         v AS (SELECT word FROM (
+             SELECT word, row_number() OVER (ORDER BY count(*) DESC, word ASC) AS rn
+             FROM w WHERE lang = 'en' GROUP BY word)
+           WHERE rn <= 500)
+         SELECT lang, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS oov_rate
+         FROM w LEFT JOIN v ON w.word = v.word
+         GROUP BY lang ORDER BY lang""",
+
+    // Eligibility and token totals recomputed exactly; bin count and
+    // max fill pin the measured sf0.01 FFD outcome (d20 convention —
+    // re-pin on capacity/numParts change); invariants pinned TRUE.
+    "k07_bin_packing" ->
+      """WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+           FROM documents)
+         SELECT CAST(sum(CASE WHEN n BETWEEN 1 AND 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_packed,
+           CAST(sum(CASE WHEN n < 1 OR n > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+           CAST(sum(CASE WHEN n BETWEEN 1 AND 64 THEN n ELSE 0 END) AS BIGINT) AS packed_tokens,
+           CAST(224 AS BIGINT) AS n_bins,
+           CAST(64 AS BIGINT) AS max_fill,
+           TRUE AS fill_ok, TRUE AS lb_ok
+         FROM t""",
+
+    // KS via integer |r0*n1 - r1*n0| over the shared quality formula
+    // (d06/d60's), cumulatives as a window the primitive distributes.
+    "d61_score_drift" ->
+      """WITH t AS (SELECT doc_id % 2 = 0 AS g0,
+             CAST(floor(round(greatest(0.0,
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+               + (CAST(length(text) - length(regexp_replace(text, '[A-Za-z一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 0.35
+               + (CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / length(text)) * 0.25
+               + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w\s一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 2.0, 1.0)) * 0.15), 6) * 1000) AS BIGINT) AS q
+           FROM documents),
+         c AS (SELECT q, CAST(sum(CASE WHEN g0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN NOT g0 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+           FROM t GROUP BY q),
+         r AS (SELECT q,
+             CAST(sum(c0) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r0,
+             CAST(sum(c1) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r1
+           FROM c),
+         n AS (SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1 FROM c)
+         SELECT q AS ks_at_q, CAST(abs(r0 * n1 - r1 * n0) AS BIGINT) AS ks_scaled,
+           round(abs(r0 * n1 - r1 * n0) * 1.0 / (n0 * n1), 6) AS ks
+         FROM r CROSS JOIN n
+         ORDER BY abs(r0 * n1 - r1 * n0) DESC, q LIMIT 1""",
 
     // Same integer z^2 algebra; sums cast back from DuckDB's HUGEINT.
     "ev15_daily_anomaly" ->

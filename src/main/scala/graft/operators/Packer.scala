@@ -308,4 +308,64 @@ object Packer {
       }
     }(enc)
   }
+
+  /** Sequential First-Fit-Decreasing over an already length-descending
+    * iterator of (id, len): first open bin with room wins, else a new
+    * bin opens. Returns (id, len, localBin). Classic Johnson '73 —
+    * 11/9·OPT + 6/9 worst case when input is globally sorted. */
+  def ffdStream(docs: Iterator[(Long, Long)], capacity: Long): Iterator[(Long, Long, Int)] = {
+    val remaining = new ArrayBuffer[Long]()
+    docs.map { case (id, len) =>
+      var b = 0
+      while (b < remaining.length && remaining(b) < len) b += 1
+      if (b == remaining.length) remaining += capacity
+      remaining(b) -= len
+      (id, len, b)
+    }
+  }
+
+  /** Whole-document bin packing (First-Fit-Decreasing) — the SFT-style
+    * layout that keeps every document INTACT inside a fixed token
+    * budget per sequence, versus [[packStream]]'s split-and-concat
+    * pretraining layout. Documents longer than `capacity` are rejected
+    * (bin_id NULL), never truncated here — truncation is a policy the
+    * caller applies explicitly.
+    *
+    * Distribution contract (the [[pack]] convention): eligible docs are
+    * range-partitioned by (len DESC, id ASC) into `numParts` contiguous
+    * ranges and each partition runs sequential FFD over its own sorted
+    * slice — bin ids are (partition, local) under a fixed stride.
+    * Deterministic at a FIXED `numParts` regardless of input layout or
+    * core count; what's forgone is cross-partition packing (at most
+    * one underfull open-bin set per partition boundary), the linear
+    * scale-out price. The in-partition scan is first-fit linear in
+    * open bins — swap in a best-fit size-indexed tree if per-partition
+    * bin counts ever dominate (not at 10k docs/partition).
+    *
+    * @return (id, len, bin_id) — bin_id NULL for rejected docs. */
+  def packBinsFfd(df: DataFrame, idCol: String, lenCol: String,
+                  capacity: Long, numParts: Int = 8): DataFrame = {
+    require(capacity > 0 && numParts > 0)
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(lenCol).cast("long").as("len"))
+    val rejected = base.where(col("len") > capacity || col("len") <= 0)
+      .withColumn("bin_id", lit(null).cast("long"))
+    val eligible = base.where(col("len") <= capacity && col("len") > 0)
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("len", LongType, nullable = false),
+      StructField("bin_id", LongType, nullable = false))))
+    val packed = eligible
+      .repartitionByRange(numParts, col("len").desc, col("id").asc)
+      .sortWithinPartitions(col("len").desc, col("id").asc)
+      .mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        ffdStream(rows.map(r => (r.getLong(0), r.getLong(1))), capacity)
+          .map { case (id, len, local) =>
+            Row(id, len, pid.toLong * (1L << 40) + local)
+          }
+      }(enc)
+    packed.unionByName(rejected)
+  }
 }

@@ -236,47 +236,21 @@ object Sampling {
     *
     * A naive `Window.orderBy` with no partition key is a SINGLE-TASK
     * sort of the whole corpus — the exact scale-killer the q30/q31
-    * rework removed. This version keeps every step distributed:
-    *   1. `repartitionByRange` on the sort key — a real distributed
-    *      sort (range boundaries from deterministic reservoir
-    *      sampling), each partition a contiguous key range;
-    *   2. per-partition cost sums — one tiny agg, #partitions rows;
-    *   3. prefix-sum those on the driver (bounded by #partitions, not
-    *      data) and broadcast the offsets back;
-    *   4. running sum WITHIN each partition (Window.partitionBy on the
-    *      partition id — parallel, sorted input) + its offset.
-    * No task ever holds more than one partition range; the only
-    * driver-side data is one long per partition.
+    * rework removed. The global running sum instead comes from
+    * [[graft.core.Partitioning.distributedPrefixSum]] (range-partition
+    * + per-partition offsets broadcast back — see its doc for the
+    * shape); this operator is just that prefix sum plus the budget cut.
     *
     * `cost` must be integral (token counts) so the prefix sums are
     * exact and order-independent; priority ties MUST be broken by a
     * unique `tie` column or the cut is not well-defined. */
   def budgetSelect(df: DataFrame, priorityCol: String, costCol: String,
-                   tieCol: String, budget: Long, numParts: Int = 0): DataFrame = {
-    val parts = if (numParts > 0) numParts
-      else df.sparkSession.sessionState.conf.numShufflePartitions
-    val sorted = df
-      .repartitionByRange(parts, col(priorityCol).desc, col(tieCol).asc)
-      .sortWithinPartitions(col(priorityCol).desc, col(tieCol).asc)
-      .withColumn("__pid", spark_partition_id())
-      .persist()
-    // one row per partition; cumulative-exclusive offsets on the driver
-    val perPart = sorted.groupBy("__pid")
-      .agg(sum(col(costCol).cast("long")).as("__psum"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
-    val offsets = perPart.map { case (pid, s) => val o = acc; acc += s; (pid, o) }
-    val offsetsDf = df.sparkSession.createDataFrame(offsets.toSeq)
-      .toDF("__pid", "__offset")
-    val w = Window.partitionBy("__pid")
-      .orderBy(col(priorityCol).desc, col(tieCol).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sorted
-      .withColumn("__run", sum(col(costCol).cast("long")).over(w))
-      .join(broadcast(offsetsDf), "__pid")
-      .where(col("__offset") + col("__run") <= budget)
-      .drop("__pid", "__run", "__offset")
-  }
+                   tieCol: String, budget: Long, numParts: Int = 0): DataFrame =
+    graft.core.Partitioning.distributedPrefixSum(df,
+        Seq(col(priorityCol).desc, col(tieCol).asc),
+        Seq(costCol -> "__run"), numParts)
+      .where(col("__run") <= budget)
+      .drop("__run")
 
   /** Weighted mixture: per-stratum fractions (e.g. lang → weight),
     * missing strata default to `defaultFrac`. */

@@ -140,4 +140,43 @@ class PackerSpec extends SparkSpec {
     assert(packed.length * seqLen > totalTokens - nParts * seqLen)
     assert(packed.length * seqLen <= totalTokens)
   }
+
+  test("ffdStream matches a driver-side first-fit reference and respects capacity") {
+    val docs = Seq(60L, 55L, 40L, 35L, 30L, 20L, 10L, 5L, 5L, 1L)
+      .zipWithIndex.map { case (len, i) => (i.toLong, len) }
+    val got = Packer.ffdStream(docs.iterator, 64L).toSeq
+    // reference first-fit over the same order
+    val rem = scala.collection.mutable.ArrayBuffer[Long]()
+    val ref = docs.map { case (id, len) =>
+      val b = rem.indexWhere(_ >= len) match {
+        case -1 => rem += 64L; rem.length - 1
+        case i => i
+      }
+      rem(b) -= len
+      (id, len, b)
+    }
+    assert(got == ref)
+    val fills = got.groupBy(_._3).map { case (_, xs) => xs.map(_._2).sum }
+    assert(fills.forall(_ <= 64L))
+    assert(got.map(_._2).sum == docs.map(_._2).sum) // conservation
+  }
+
+  test("packBinsFfd: deterministic at fixed numParts, fills bounded, rejects surfaced") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(i => (i, (i * 37) % 90 + 1)) // lens 1..90, some > capacity
+    def run(inputParts: Int) =
+      Packer.packBinsFfd(rows.toDF("doc_id", "n_tok").repartition(inputParts),
+        "doc_id", "n_tok", capacity = 64L, numParts = 4)
+    val a = run(1).collect().map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1).toSeq
+    val b = run(13).collect().map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1).toSeq
+    assert(a == b) // input layout cannot change the packing
+    val rejected = a.filter(_._3 == -1L)
+    assert(rejected.nonEmpty && rejected.forall(_._2 > 64L))
+    val fills = a.filter(_._3 >= 0).groupBy(_._3).map { case (_, xs) => xs.map(_._2).sum }
+    assert(fills.forall(_ <= 64L))
+    // conservation: every eligible doc packed exactly once
+    assert(a.count(_._3 >= 0) == rows.count(_._2 <= 64L))
+  }
 }
