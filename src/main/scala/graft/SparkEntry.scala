@@ -201,6 +201,21 @@ object SparkEntry {
     * comparison is equality, not tolerance. `//` (floor) == Spark
     * `div` (truncate) because every operand is non-negative. Defines
     * `r3(node, rank_micro)`. */
+  /** Shared e11/st20 truth: all (query, neighbor) pairs with cosine
+    * >= 0.3 over the double-cast embeddings (e10's construction). */
+  private val rangeSearchOracleSql: String =
+    """WITH v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS qe FROM v WHERE vec_id < 10),
+         s AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q.qe, v.emb), z -> z[1]*z[2]))
+               / (sqrt(list_sum(list_transform(q.qe, x -> x*x)))
+                  * sqrt(list_sum(list_transform(v.emb, x -> x*x)))) AS sim
+           FROM q CROSS JOIN v WHERE v.vec_id != q.query_id)
+         SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim
+         FROM s WHERE sim >= 0.3 ORDER BY query_id, neighbor_id"""
+
   private val pageRankCtesSql: String =
     """eraw AS (SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS src,
              'h' || CAST((doc_id * 7) % 41 AS VARCHAR) AS dst,
@@ -1953,6 +1968,28 @@ object SparkEntry {
           count(when(col("c_ts").isNull, lit(1))).as("n_unmatched"))
     }),
 
+    "st20_stream_range_search" -> ((s, d) => {
+      // e11's radius search as a STREAM: each arriving embedding
+      // matches against the broadcast query set with cosine >= tau —
+      // a stream-static non-equi broadcast join, fully STATELESS (no
+      // watermark, no state store; the vector-index enrichment shape
+      // for embedding streams). Shares e11's oracle: the stream must
+      // land on the batch truth exactly.
+      s.catalog.dropTempView("st20_tbl")
+      val q = emb(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val stream = graft.streaming.Streaming.parquetStream(
+        s, stageTableDir(d, "embeddings"), Tables.embeddings(s, d).schema)
+      val joined = stream.join(broadcast(q),
+          col("vec_id") =!= col("query_id")
+            && Similarity.cosine(col("qe"), col("embedding")) >= 0.3)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(Similarity.cosine(col("qe"), col("embedding")), 6).as("cos_sim"))
+      graft.streaming.Streaming.runToMemory(joined, "st20_tbl",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table("st20_tbl").orderBy("query_id", "neighbor_id")
+    }),
+
     "st16_stream_blocklist" -> ((s, d) => {
       // d56 on the document stream: policy tables apply to streams as
       // a stream-static BROADCAST anti-join — the list refreshes per
@@ -3291,6 +3328,33 @@ object SparkEntry {
           .as("decayed_value"),
           count(lit(1)).as("n"))
         .orderBy("event_type")
+    }),
+
+    "ev16_sketch_merge" -> ((s, d) => {
+      // re-aggregatable distinct sketches — the 100 TB layout stores a
+      // per-shard HLL artifact and merges artifacts, never re-reading
+      // raw data: per-type DataSketches HLL next to the exact count,
+      // then the per-type sketches UNION-MERGED into the global
+      // distinct estimate (exercising the associative merge path, not
+      // just the build). HLL registers are max-based, so build and
+      // merge are insertion-order- and partition-invariant: the
+      // estimates are pure functions of the value sets and pin safely
+      // (e03 convention); the exact counts are the oracle-checked
+      // ground truth beside them.
+      val e = ev(s, d).where(col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id"))
+      val perType = e.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          countDistinct(col("user_id")).as("n_exact"))
+      val typed = perType.select(col("event_type"),
+        col("n_exact"),
+        hll_sketch_estimate(col("sk")).as("n_est"))
+      val merged = perType.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .crossJoin(broadcast(e.agg(countDistinct(col("user_id")).as("nx"))))
+        .select(lit("__ALL__").as("event_type"), col("nx").as("n_exact"),
+          col("est").as("n_est"))
+      typed.unionByName(merged).orderBy("event_type")
     }),
 
     "d61_score_drift" -> ((s, d) => {
@@ -5446,18 +5510,10 @@ object SparkEntry {
 
     // Same double-cast cosine construction as e10 (values, not just
     // ordering, reach the hash).
-    "e11_range_search" ->
-      """WITH v AS (SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-           FROM embeddings),
-         q AS (SELECT vec_id AS query_id, emb AS qe FROM v WHERE vec_id < 10),
-         s AS (SELECT q.query_id, v.vec_id AS neighbor_id,
-             list_sum(list_transform(list_zip(q.qe, v.emb), z -> z[1]*z[2]))
-               / (sqrt(list_sum(list_transform(q.qe, x -> x*x)))
-                  * sqrt(list_sum(list_transform(v.emb, x -> x*x)))) AS sim
-           FROM q CROSS JOIN v WHERE v.vec_id != q.query_id)
-         SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim
-         FROM s WHERE sim >= 0.3 ORDER BY query_id, neighbor_id""",
+    "e11_range_search" -> rangeSearchOracleSql,
+
+    // Stream-static twin: same query set, same truth.
+    "st20_stream_range_search" -> rangeSearchOracleSql,
 
     // Two unrolled max-normalized integer HITS iterations over g01's
     // host graph; `//` == Spark `div` on the non-negative scores.
@@ -5551,6 +5607,20 @@ object SparkEntry {
            CAST(64 AS BIGINT) AS max_fill,
            TRUE AS fill_ok, TRUE AS lb_ok
          FROM t""",
+
+    // Exact distincts recomputed; HLL estimates pinned (deterministic:
+    // max-based registers make build+merge order/partition-invariant).
+    "ev16_sketch_merge" ->
+      """WITH x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+           FROM events WHERE user_id IS NOT NULL GROUP BY event_type),
+         g AS (SELECT '__ALL__' AS event_type, count(DISTINCT user_id) AS n_exact
+           FROM events WHERE user_id IS NOT NULL),
+         u AS (SELECT * FROM x UNION ALL SELECT * FROM g),
+         est(event_type, n_est) AS (VALUES ('__ALL__', 150), ('click', 150), ('error', 150), ('purchase', 150), ('signup', 150), ('view', 150))
+         SELECT u.event_type, CAST(u.n_exact AS BIGINT) AS n_exact,
+           CAST(est.n_est AS BIGINT) AS n_est
+         FROM u JOIN est ON u.event_type = est.event_type
+         ORDER BY u.event_type""",
 
     // KS via integer |r0*n1 - r1*n0| over the shared quality formula
     // (d06/d60's), cumulatives as a window the primitive distributes.
