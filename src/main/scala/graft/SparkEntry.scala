@@ -750,6 +750,26 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    "q44_idle_customers" -> ((s, d) => {
+      // TPC-H Q22 shape: positive-balance-above-average customers with
+      // NO orders, grouped by market segment. The global average is a
+      // one-row aggregate broadcast back (scalar-subquery form); the
+      // "no orders" test is a left_anti against the order keys — the
+      // anti-join's build side is the grouped key set, and the
+      // customer side never shuffles for the comparison.
+      val c = cust(s, d); val o = ord(s, d)
+      val avgBal = c.where(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("avg_bal"))
+      c.crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal") > col("avg_bal"))
+        .join(o.select(col("o_custkey").as("c_custkey")).distinct(),
+          Seq("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ---------------- documents: text analysis ----------------
     "d01_token_stats" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -2031,6 +2051,23 @@ object SparkEntry {
         .groupBy("cid").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
         .orderBy("cluster_size")
+    }),
+
+    "x12_dedup_audit" -> ((s, d) => {
+      // dedup PROVENANCE: for every doc the x03 near-dedup drops,
+      // WHICH canonical doc it lost to — the audit artifact a governed
+      // pipeline stores next to the kept set ("where did my document
+      // go"). Same verified pair set + distributed CC as x03/d59 (one
+      // shared implementation); dropped = component members that are
+      // not the min-id label, canonical = the label itself. The oracle
+      // rebuilds the exact graph + transitive closure, so every
+      // (dropped, canonical) edge is independently derived.
+      val pairs = Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+        n = 3, threshold = 0.8)
+      val comp = ConnectedComponents.run(pairs)
+      comp.where(col("id") =!= col("component"))
+        .select(col("id").as("dropped_id"), col("component").as("canonical_id"))
+        .orderBy("dropped_id")
     }),
 
     "d58_k_anonymity" -> ((s, d) => {
@@ -4672,6 +4709,13 @@ object SparkEntry {
          SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
          FROM sz GROUP BY cluster_size ORDER BY cluster_size""",
 
+    // Same closure: a non-min member's min-reachable-other IS its
+    // component's canonical (min) id.
+    "x12_dedup_audit" ->
+      s"""WITH RECURSIVE $ngramGraphCtesSql
+         SELECT doc_id AS dropped_id, mn AS canonical_id
+         FROM comp WHERE mn < doc_id ORDER BY dropped_id""",
+
     // Brute-force double-precision cosine graph at 0.97 + closure; kept
     // label counts must match the sign-LSH dedup output exactly.
     "x04_embedding_neardup" ->
@@ -5566,6 +5610,14 @@ object SparkEntry {
            COALESCE(l.n_ships, 0) AS n_ships
          FROM o FULL OUTER JOIN l ON o.day = l.day
          ORDER BY day""",
+
+    "q44_idle_customers" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+           round(sum(c_acctbal), 2) AS total_bal
+         FROM customer
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+           AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     // The oracle never sees the bytes: it groups by the synthesis
     // seed. Agreement proves codec determinism + md5 separation.

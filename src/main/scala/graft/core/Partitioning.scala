@@ -86,10 +86,13 @@ object Partitioning {
       .sortWithinPartitions(sortExprs: _*)
       .withColumn("__pid", spark_partition_id())
       .persist()
+    // coalesce: a partition whose values are ALL null sums to null and
+    // would NPE the driver read; null values count as 0 — consistent
+    // with the within-partition window sum, which skips nulls.
     val perPart = sorted.groupBy("__pid")
-      .agg(sum(col(sums.head._1).cast("long")).as("__s0"),
+      .agg(coalesce(sum(col(sums.head._1).cast("long")), lit(0L)).as("__s0"),
         sums.tail.zipWithIndex.map { case ((v, _), i) =>
-          sum(col(v).cast("long")).as(s"__s${i + 1}")
+          coalesce(sum(col(v).cast("long")), lit(0L)).as(s"__s${i + 1}")
         }: _*)
       .collect()
       .map(r => r.getInt(0) -> sums.indices.map(i => r.getLong(i + 1)))
