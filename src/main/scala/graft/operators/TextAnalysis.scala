@@ -202,10 +202,6 @@ object TextAnalysis {
   private def toksExpr(textCol: Column): Column =
     split(lower(trim(textCol)), "\\s+")
 
-  private def unkMapExpr(toks: Column, vocabLit: Column): Column =
-    transform(toks, x =>
-      when(element_at(vocabLit, x).isNotNull, x).otherwise(lit(UnkToken)))
-
   /** Train a [[BigramLmModel]] on a corpus — the CCNet-style quality
     * scorer's model-build pass (Wenzek et al. 2020 score documents with
     * an n-gram LM; the reference's quality step uses a pretrained
@@ -236,10 +232,10 @@ object TextAnalysis {
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         (v, uni.agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0))
       } finally uni.unpersist()
-    val vocabLit = typedLit(vocab)
     val bigrams =
       try toks
-        .select(unkMapExpr(col("toks"), vocabLit).as("tu"))
+        .select(graft.functions.LookupFunctions
+          .unkMapTokens(col("toks"), vocab.keys, UnkToken).as("tu"))
         .where(size(col("tu")) >= 2) // guard BEFORE sequence: seq(1,0) descends
         .select(explode(transform(sequence(lit(1), size(col("tu")) - 1), i =>
           concat(element_at(col("tu"), i), lit(" "),
@@ -270,15 +266,16 @@ object TextAnalysis {
     val lowerCols = df.columns.map(_.toLowerCase).toSet
     val p = Iterator.iterate("__lm")(_ + "_")
       .dropWhile(x => lowerCols.exists(_.startsWith(x))).next()
-    val vocabLit = typedLit(model.vocab)
     val vp1 = model.vocabSize.toDouble + 1.0
-    val tu = col(s"${p}_tu")
+    val tk = col(s"${p}_tk")
     // Per-feature log-probs precomputed at the driver with
     // StrictMath.log (the function Spark's `log` applies — bit-equal
     // doubles): observed bigrams carry their full term; the per-word
     // default map covers unseen pairs (numerator 1); the unk default
-    // covers unseen pairs starting at <unk>. One literal-map scan per
-    // position instead of two plus a runtime log.
+    // covers unseen pairs starting at <unk>. The whole per-doc fold
+    // runs in ONE hashed-lookup expression (BigramLogSum: O(1) table
+    // gets, same position-order accumulation — bit-identical to the
+    // HOF chain it replaced; see LookupFunctions).
     def uc(w: String): Double =
       (if (w == UnkToken) model.unkCount else model.vocab(w)).toDouble
     val biLogMap = model.bigrams.map { case (bg, c) =>
@@ -288,21 +285,17 @@ object TextAnalysis {
       w -> StrictMath.log(1.0 / (c.toDouble + vp1))
     }
     val unkDefLog = StrictMath.log(1.0 / (model.unkCount.toDouble + vp1))
-    val (biLogLit, defLogLit) = (typedLit(biLogMap), typedLit(defLogMap))
-    val logps = transform(sequence(lit(1), size(tu) - 1), i =>
-      coalesce(element_at(biLogLit,
-          concat(element_at(tu, i), lit(" "), element_at(tu, i + 1))),
-        element_at(defLogLit, element_at(tu, i)), lit(unkDefLog)))
     val staged = df
-      .withColumn(s"${p}_tu", unkMapExpr(toksExpr(col(textCol)), vocabLit))
-      .withColumn(s"${p}_ls", when(size(tu) >= 2,
-        aggregate(logps, lit(0.0), (a, x) => a + x)))
-    val avg = col(s"${p}_ls") / (size(tu) - 1).cast("double")
+      .withColumn(s"${p}_tk", toksExpr(col(textCol)))
+      .withColumn(s"${p}_ls", when(size(tk) >= 2,
+        graft.functions.LookupFunctions.bigramLogSum(tk, model.vocab.keys,
+          biLogMap, defLogMap, unkDefLog, UnkToken)))
+    val avg = col(s"${p}_ls") / (size(tk) - 1).cast("double")
     staged
-      .withColumn("n_bigrams", (size(tu) - 1).cast("long"))
+      .withColumn("n_bigrams", (size(tk) - 1).cast("long"))
       .withColumn("avg_logp", round(avg, 6))
       .withColumn("ppl", round(exp(-avg), 4))
-      .drop(s"${p}_tu", s"${p}_ls")
+      .drop(s"${p}_tk", s"${p}_ls")
   }
 
   /** DSIR-style importance weights for target-domain data selection
@@ -369,10 +362,10 @@ object TextAnalysis {
     val vocabR = vocabRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val vocabT = vocabRows.map(r => r.getString(0) -> r.getLong(2)).toMap
     val (unkR, unkT) = (nR - vocabR.values.sum, nT - vocabT.values.sum)
-    val vocabRLit = typedLit(vocabR)
     val biRows =
       try toksAll
-        .select(col("is_t"), unkMapExpr(col("toks"), vocabRLit).as("tu"))
+        .select(col("is_t"), graft.functions.LookupFunctions
+          .unkMapTokens(col("toks"), vocabR.keys, UnkToken).as("tu"))
         .where(size(col("tu")) >= 2) // guard BEFORE sequence: seq(1,0) descends
         .select(col("is_t"),
           explode(transform(sequence(lit(1), size(col("tu")) - 1), i =>
@@ -435,22 +428,23 @@ object TextAnalysis {
     val lowerCols = df.columns.map(_.toLowerCase).toSet
     val p = Iterator.iterate("__dsir")(_ + "_")
       .dropWhile(x => lowerCols.exists(_.startsWith(x))).next()
-    val (uniLogLit, biLogLit) = (typedLit(model.uniLog), typedLit(model.biLog))
-    val tu = col(s"${p}_tu")
-    val luni = aggregate(transform(tu, x =>
-      coalesce(element_at(uniLogLit, x), lit(model.unkLog))),
-      lit(0.0), (a, x) => a + x)
-    val lbi = when(size(tu) >= 2,
-      aggregate(transform(sequence(lit(1), size(tu) - 1), i =>
-        coalesce(element_at(biLogLit,
-          concat(element_at(tu, i), lit(" "), element_at(tu, i + 1))),
-          lit(model.biDef))),
-        lit(0.0), (a, x) => a + x)).otherwise(lit(0.0))
-    df.withColumn(s"${p}_tu", unkMapExpr(toksExpr(col(textCol)), uniLogLit))
+    val tk = col(s"${p}_tk")
+    // hashed-lookup single-pass folds (LookupFunctions): same
+    // position-order accumulation over the same precomputed doubles as
+    // the HOF chains they replaced — bit-identical scores. lbi's
+    // `coalesce(.., 0.0)` mirrors the old `when(..).otherwise(0.0)`:
+    // a null token array scored lbi = 0.0 (and luni null, so the total
+    // stays null — null text still scores null).
+    val luni = graft.functions.LookupFunctions.unigramLogSum(
+      tk, model.uniLog, UnkToken, model.unkLog)
+    val lbi = coalesce(graft.functions.LookupFunctions.bigramLogSum(
+      tk, model.uniLog.keys, model.biLog, Map.empty, model.biDef, UnkToken),
+      lit(0.0))
+    df.withColumn(s"${p}_tk", toksExpr(col(textCol)))
       .withColumn("n_feats",
-        (size(tu) + greatest(size(tu) - 1, lit(0))).cast("long"))
+        (size(tk) + greatest(size(tk) - 1, lit(0))).cast("long"))
       .withColumn("dsir_logw", round(luni + lbi, 6))
-      .drop(s"${p}_tu")
+      .drop(s"${p}_tk")
   }
 
   def dsirResample(df: DataFrame, textCol: String, targetPred: Column,
