@@ -3219,6 +3219,31 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "w11_dynamic_overwrite" -> ((s, d) => {
+      // dynamic partition overwrite — the lakehouse revise-one-
+      // partition contract: the full corpus lands partitioned by
+      // source, then ONE source's rows are rewritten (n_chars bumped
+      // by 1e6) with partitionOverwriteMode=dynamic. Only the touched
+      // partition may be replaced; every other partition must survive
+      // byte-for-byte. The oracle recomputes the expected post-revision
+      // state from the raw table, so a static-mode regression (which
+      // would wipe the untouched partitions) hash-fails immediately.
+      val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_dynover_${math.abs(d.hashCode)}").toString
+      val all = docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      all.write.mode("overwrite").partitionBy("source").parquet(dir)
+      val minSrc = all.agg(min(col("source"))).head.getString(0)
+      all.where(col("source") === minSrc)
+        .withColumn("n_chars", col("n_chars") + lit(1000000L))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("source").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source")
+    }),
+
     "w10_try_cast" -> ((s, d) => {
       // error-tolerant numeric ingest: dirty numeric strings (clean
       // ints, garbage-suffixed ints, whitespace-padded decimals) go
@@ -3365,6 +3390,35 @@ object SparkEntry {
           .as("decayed_value"),
           count(lit(1)).as("n"))
         .orderBy("event_type")
+    }),
+
+    "d62_lang_segments" -> ((s, d) => {
+      // code-switching segmentation: mixed-language docs (each doc's
+      // text interleaved with its successor's — even ids block the two
+      // languages [a,a,b,b], odd ids alternate [a,b,a,b]) are split
+      // into lines, each line language-labeled (d04's SQL-replayable
+      // heuristic), and consecutive same-language lines merge into
+      // segments via a lag() run-length pass. The window partitions on
+      // doc_id — per-document state, high-cardinality key, the
+      // scale-safe direction (ev02's sessionize shape). Alternating
+      // docs must report ~4 segments, blocked docs ~2, monolingual
+      // pairs 1.
+      val a = docs(s, d).select(col("doc_id"), col("text").as("t1"))
+      val b = docs(s, d).select((col("doc_id") - 1).as("doc_id"), col("text").as("t2"))
+      val p = a.join(b, "doc_id")
+      val ls = when(pmod(col("doc_id"), lit(2)) === 0,
+          array(col("t1"), col("t1"), col("t2"), col("t2")))
+        .otherwise(array(col("t1"), col("t2"), col("t1"), col("t2")))
+      val lines = p.select(col("doc_id"), posexplode(ls).as(Seq("pos", "line")))
+        .withColumn("lab", TextAnalysis.langIdLabel(col("line")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      lines.withColumn("prev", lag("lab", 1).over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("prev").isNull || col("lab") =!= col("prev"), 1L)
+            .otherwise(0L)).as("n_segments"),
+          countDistinct(col("lab")).as("n_langs"))
+        .orderBy("doc_id")
     }),
 
     "ev16_sketch_merge" -> ((s, d) => {
@@ -5660,6 +5714,17 @@ object SparkEntry {
            TRUE AS fill_ok, TRUE AS lb_ok
          FROM t""",
 
+    "d62_lang_segments" -> langSegmentsOracle,
+
+    // Expected post-revision state recomputed from the raw table; a
+    // static-overwrite regression loses the untouched partitions and
+    // cannot match.
+    "w11_dynamic_overwrite" ->
+      """SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars + CASE WHEN source = (SELECT min(source) FROM documents)
+             THEN 1000000 ELSE 0 END) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY source ORDER BY source""",
+
     // Exact distincts recomputed; HLL estimates pinned (deterministic:
     // max-based registers make build+merge order/partition-invariant).
     "ev16_sketch_merge" ->
@@ -5956,6 +6021,43 @@ object SparkEntry {
 
   /** Shared scored-CTE prefix for the language-ID oracles — must mirror
     * [[TextAnalysis.langIdLabel]] exactly. */
+  /** d62's truth: the same generated stopword-hit label logic as
+    * [[langIdOracle]], applied per LINE of the interleaved two-doc
+    * synth, then a lag() run-length segment count. */
+  private def langSegmentsOracle: String = {
+    val hits = TextAnalysis.LangStopwords.map { case (lang, sw) =>
+      val pat = sw.mkString("\\b(", "|", ")\\b")
+      s"len(regexp_extract_all(lower(line), '$pat')) AS ${lang}_h"
+    }.mkString(", ")
+    val langs = TextAnalysis.LangStopwords.map(_._1)
+    val best = "greatest(" + langs.map(_ + "_h").mkString(", ") + ")"
+    val pick = langs.map(l => s"WHEN ${l}_h = best AND best > 0 THEN '$l'").mkString(" ")
+    s"""WITH p AS (SELECT a.doc_id, a.text AS t1, b.text AS t2
+           FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+        l AS (
+          SELECT doc_id, 1 AS pos, t1 AS line FROM p
+          UNION ALL SELECT doc_id, 2,
+            CASE WHEN doc_id % 2 = 0 THEN t1 ELSE t2 END FROM p
+          UNION ALL SELECT doc_id, 3,
+            CASE WHEN doc_id % 2 = 0 THEN t2 ELSE t1 END FROM p
+          UNION ALL SELECT doc_id, 4, t2 FROM p),
+        h AS (SELECT doc_id, pos, line, $hits FROM l),
+        b2 AS (SELECT *, $best AS best FROM h),
+        s AS (SELECT doc_id, pos,
+          CASE WHEN CAST(length(regexp_replace(line, '[^一-鿿]', '', 'g')) AS DOUBLE)
+                 >= length(line) * 0.05 THEN 'zh'
+               $pick
+               ELSE 'und' END AS lab
+          FROM b2),
+        seg AS (SELECT doc_id, pos, lab,
+          lag(lab) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM s)
+        SELECT doc_id, count(*) AS n_lines,
+          CAST(sum(CASE WHEN prev IS NULL OR lab <> prev THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_segments,
+          count(DISTINCT lab) AS n_langs
+        FROM seg GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   private def langIdOracle(tail: String): String = {
     val hits = TextAnalysis.LangStopwords.map { case (lang, sw) =>
       val pat = sw.mkString("\\b(", "|", ")\\b")
