@@ -111,6 +111,76 @@ object SparkEntry {
              ELSE a || chr(10) || b || chr(10) || c || chr(10) || d || chr(10) || e || chr(10) || f
            END AS t FROM s)"""
 
+  /** e12's oracle, generated: the five greedy MMR argmax rounds
+    * unrolled as CTEs. Every cosine is the x04-style index-order
+    * double fold; each round's winner is an argmax with the vec_id
+    * tiebreak, scored 0.7·rel − 0.3·max-sim-to-selected with the SAME
+    * literals the Spark greedy uses. */
+  private val mmrOracleSql: String = {
+    def cosd(a: String, b: String) =
+      s"(list_sum(list_transform(list_zip($a, $b), z -> z[1]*z[2]))" +
+        s" / (sqrt(list_sum(list_transform($a, x -> x*x)))" +
+        s" * sqrt(list_sum(list_transform($b, x -> x*x)))))"
+    val rounds = (2 to 5).map { t =>
+      val sel = (1 until t).map(i => s"SELECT query_id, vec_id FROM p$i")
+        .mkString(" UNION ALL ")
+      s"""sel${t - 1} AS ($sel),
+         p$t AS (SELECT query_id, vec_id, rel, score FROM (
+             SELECT c.query_id, c.vec_id, c.rel,
+               0.7 * c.rel - 0.3 * max(s.s) AS score
+             FROM ce c
+             JOIN sim s ON s.query_id = c.query_id AND s.ai = c.vec_id
+             JOIN sel${t - 1} z ON z.query_id = s.query_id AND z.vec_id = s.bi
+             WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} y
+               WHERE y.query_id = c.query_id AND y.vec_id = c.vec_id)
+             GROUP BY c.query_id, c.vec_id, c.rel)
+           QUALIFY row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, vec_id) = 1)"""
+    }.mkString(",\n")
+    val union = (1 to 5)
+      .map(i => s"SELECT query_id, $i AS rk, vec_id, score FROM p$i")
+      .mkString(" UNION ALL ")
+    s"""WITH v AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       q AS (SELECT vec_id AS query_id, emb AS qv FROM v WHERE vec_id < 8),
+       rel0 AS (SELECT query_id, vec_id, ${cosd("qv", "emb")} AS rel
+         FROM q, v WHERE vec_id <> query_id),
+       cand AS (SELECT query_id, vec_id, rel FROM rel0
+         QUALIFY row_number() OVER (PARTITION BY query_id
+           ORDER BY rel DESC, vec_id) <= 10),
+       ce AS (SELECT c.query_id, c.vec_id, c.rel, v.emb
+         FROM cand c JOIN v USING (vec_id)),
+       sim AS (SELECT a.query_id, a.vec_id AS ai, b.vec_id AS bi,
+           ${cosd("a.emb", "b.emb")} AS s
+         FROM ce a JOIN ce b
+           ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+       p1 AS (SELECT query_id, vec_id, rel, 0.7 * rel AS score FROM ce
+         QUALIFY row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, vec_id) = 1),
+       $rounds
+       SELECT query_id, CAST(rk AS INTEGER) AS mmr_rank,
+         vec_id AS neighbor_id, round(score, 6) AS mmr_score
+       FROM ($union)
+       ORDER BY query_id, mmr_rank"""
+  }
+
+  /** Shared ev15/st21 oracle: the integer-algebraized daily z-test —
+    * batch and Complete-mode-streaming paths gate on identical
+    * semantics, so one string serves both keys. */
+  private val dailyAnomalyOracle: String =
+    """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+           count(*) AS n_events
+         FROM events GROUP BY event_type, day),
+       st AS (SELECT event_type, count(*) AS n_days,
+           CAST(sum(n_events) AS BIGINT) AS s,
+           CAST(sum(n_events * n_events) AS BIGINT) AS ss
+         FROM daily GROUP BY event_type)
+       SELECT d.event_type, d.day, d.n_events,
+         (st.n_days * d.n_events - st.s) * (st.n_days * d.n_events - st.s)
+           > 4 * (st.n_days * st.ss - st.s * st.s) AS is_anomaly
+       FROM daily d JOIN st ON d.event_type = st.event_type
+       ORDER BY d.event_type, d.day"""
+
   /** Shared x07/st05 oracle: kept new-batch docs (>= 400) = those with
     * NO indexed doc (< 400) at exact char-5gram Jaccard >= 0.8, by
     * brute force — the batch and streaming incremental paths gate on
@@ -3219,6 +3289,279 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "e12_mmr_rerank" -> ((s, d) => {
+      // diversity-aware retrieval: MMR re-rank of each query's exact
+      // top-10 cosine candidates (Similarity.mmrRerank — bounded
+      // per-query greedy over collected candidate vectors). The
+      // oracle unrolls all five greedy argmax rounds as CTEs (g01's
+      // iteration-unroll convention) with every cosine recomputed in
+      // the same index-order double arithmetic — each selection, not
+      // just the final set, must replay exactly.
+      val e = emb(s, d)
+      Similarity.mmrRerank(e.filter(col("vec_id") < 8), e, "vec_id",
+          "vec_id", "embedding", kCand = 10, kOut = 5,
+          lambdaRel = 0.7, lambdaDiv = 0.3)
+        .orderBy("query_id", "mmr_rank")
+    }),
+
+    "st21_stream_anomaly" -> ((s, d) => {
+      // ev15's volume-anomaly monitor under Structured Streaming: the
+      // (event_type x day) counts accumulate as Complete-mode
+      // aggregate state — bounded by the key space (types x days), not
+      // the stream — then the integer z-test finishes off the sink
+      // exactly as the batch query does. Same algebraized compare,
+      // same oracle string verbatim (st12=d39 twin convention). The
+      // streaming plan owns only the bounded-state part; the per-type
+      // moments are a batch join over the k-row sink table.
+      s.catalog.dropTempView("st21_tbl")
+      val stream = evStream(s, d)
+        .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n_events"))
+      graft.streaming.Streaming.runToMemory(stream, "st21_tbl",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      // the memory sink's MemoryPlan can't be re-instanced for a
+      // self-join (conflicting-attribute analysis error), so the
+      // bounded sink table (types x days rows — already driver-held
+      // state by Complete-mode definition) is rebuilt as a local
+      // relation before the aggregate-join-back.
+      val sunk = s.table("st21_tbl")
+      val daily = s.createDataFrame(sunk.collectAsList(), sunk.schema)
+      val stats = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum("n_events").as("s"),
+          sum(col("n_events") * col("n_events")).as("ss"))
+      daily.join(broadcast(stats), "event_type")
+        .withColumn("dev", col("n_days") * col("n_events") - col("s"))
+        .withColumn("is_anomaly",
+          col("dev") * col("dev") > lit(4L) * (col("n_days") * col("ss") - col("s") * col("s")))
+        .select("event_type", "day", "n_events", "is_anomaly")
+        .orderBy("event_type", "day")
+    }),
+
+    "ev19_window_dedup" -> ((s, d) => {
+      // time-windowed event dedup: an event is a duplicate when the
+      // SAME (user, type) fired within the last hour — the classic
+      // at-least-once-delivery suppression step ahead of any event
+      // rollup. One lag() per (user_id, event_type) — high-cardinality
+      // keys, per-key state is one timestamp. Reported per type so
+      // the dedup rate is auditable.
+      val e = ev(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("us"), col("event_id"))
+      val w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+      e.withColumn("prev_us", lag("us", 1).over(w))
+        .withColumn("is_dup",
+          col("prev_us").isNotNull && col("us") - col("prev_us") <= 3600000000L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+        .orderBy("event_type")
+    }),
+
+    "ev18_scd2_intervals" -> ((s, d) => {
+      // SCD-type-2 history build from an event log: per user,
+      // consecutive runs of the same event_type collapse into
+      // validity intervals [valid_from, valid_to), the current run
+      // left open (NULL valid_to) — the warehouse dimension-history
+      // op. Derived with per-user windows only (high-cardinality
+      // partition key, the ev02/d62 run-length shape); total order
+      // inside a user is (ts, event_id) so runs are well-defined on
+      // both engines.
+      val e = ev(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("us"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val runs = e
+        .withColumn("is_start",
+          when(lag("event_type", 1).over(w).isNull
+            || lag("event_type", 1).over(w) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("run_id", sum("is_start").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val iv = runs.groupBy("user_id", "run_id")
+        .agg(max("event_type").as("event_type"),
+          min("us").as("valid_from_us"),
+          count(lit(1)).as("n_events"))
+      iv.withColumn("valid_to_us",
+          lead("valid_from_us", 1).over(Window.partitionBy("user_id").orderBy("run_id")))
+        .select("user_id", "run_id", "event_type", "valid_from_us",
+          "valid_to_us", "n_events")
+        .orderBy("user_id", "run_id")
+    }),
+
+    "d64_quality_classifier" -> ((s, d) => {
+      // trained quality classifier (the DCLM / fastText-classifier
+      // shape): HashingTF bag-of-words -> MLlib logistic regression,
+      // trained on the judge's own keep/drop verdicts (weak
+      // supervision — the cheap rule set labels a seed, the model
+      // generalizes it), scored back over the corpus. Everything
+      // stays distributed: the fit is MLlib's treeAggregate gradient
+      // path, the model a broadcast coefficient vector, scoring one
+      // projection. Rows inside the 0.05 probability margin report as
+      // 'uncertain' rather than letting float jitter flip a class
+      // count — the pinned confusion matrix (d20/d30 convention)
+      // gates only confident decisions.
+      import org.apache.spark.ml.classification.LogisticRegression
+      import org.apache.spark.ml.feature.HashingTF
+      import org.apache.spark.ml.functions.vector_to_array
+      val labeled = docs(s, d).select(col("doc_id"), col("text"),
+          (TextFunctions.judgeReason(col("text"), judgeT) === "ok").as("judge_kept"))
+        .withColumn("label", when(col("judge_kept"), 1.0).otherwise(0.0))
+        // bag-of-words PLUS bucketized stat tokens (len/punct/alpha/
+        // non-ws) — the fastText-classifier trick for rules that live
+        // in character statistics, not word identity; bucket widths
+        // chosen so the judge's thresholds fall on bucket boundaries
+        .withColumn("words", concat(
+          split(lower(col("text")), "\\s+"),
+          array(
+            concat(lit("len_"), floor(length(col("text")) / 50).cast("string")),
+            concat(lit("punct_"),
+              floor(TextFunctions.punctRatio(col("text")) * 40).cast("string")),
+            concat(lit("alpha_"),
+              floor(TextFunctions.alphaCjkRatio(col("text")) * 20).cast("string")),
+            concat(lit("nws_"),
+              floor(TextFunctions.nonWsRatio(col("text")) * 20).cast("string")))))
+      val feat = new HashingTF().setInputCol("words").setOutputCol("features")
+        .setNumFeatures(1 << 12).transform(labeled)
+      val model = new LogisticRegression()
+        .setMaxIter(25).setRegParam(0.01).fit(feat)
+      model.transform(feat)
+        .withColumn("p_keep", vector_to_array(col("probability"))(1))
+        .withColumn("model_pred",
+          when(col("p_keep") > 0.55, "keep")
+            .when(col("p_keep") < 0.45, "drop")
+            .otherwise("uncertain"))
+        .groupBy("judge_kept", "model_pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("judge_kept", "model_pred")
+    }),
+
+    "m06_phash_neardup" -> ((s, d) => {
+      // perceptual near-duplicate image detection — the multimodal
+      // twin of SimHash text dedup (x02): 63-bit average-hash from the
+      // REAL decoded pixels (bit i = gray_i above the image mean, in
+      // integer arithmetic), pigeonhole-banded at Hamming radius 2
+      // (recall-guaranteed), bucket-local pairs with the skew cap,
+      // exact bit_count(xor) verify, distributed CC. The oracle
+      // rebuilds the hash from the synthesis formulas, brute-forces
+      // the Hamming graph, and closes it recursively — the Spark
+      // banded path must reproduce the exact clusters.
+      val assets = Multimodal.synthesizeAssets(docs(s, d).select("doc_id"), "doc_id")
+      Multimodal.phashClusters(assets, maxHamming = 2)
+        .orderBy("asset_id")
+    }),
+
+    "d63_accent_fold" -> ((s, d) => {
+      // accent-folding normalization ahead of exact dedup: diacritic
+      // variants collapse onto their base form via an explicit
+      // translate table (the deterministic, SQL-replayable core of a
+      // unicode fold). Every doc gets an accented twin (lowercase
+      // vowels diacriticized); raw-text fingerprints keep the twins
+      // apart, folded fingerprints merge them — n_raw_variants counts
+      // the distinct raw keys each folded group absorbed (2 for every
+      // twin pair, more where the corpus' planted exact dups stack).
+      // Zero shuffle until the uniform md5 group-by.
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val twin = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        translate(col("text"), "aeiou", "áéíóú").as("text"))
+      base.unionByName(twin)
+        .withColumn("folded",
+          translate(lower(col("text")), "áéíóú", "aeiou"))
+        .groupBy(md5(col("folded").cast("binary")).as("fold_fp"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text").cast("binary"))).as("n_raw_variants"))
+        .orderBy("fold_fp")
+    }),
+
+    "q45_min_cost_supplier" -> ((s, d) => {
+      // TPC-H Q2 shape: per-part minimum-cost supplier within a
+      // region. The fixture has no partsupp table, so supply cost is
+      // the min l_extendedprice observed per (part, supplier) —
+      // lineitem pre-aggregates FIRST (the corpus-sized scan shrinks
+      // to the part x supplier key space before anything joins), the
+      // region-filtered dimension chain broadcasts onto it, and the
+      // per-part min is a window over l_partkey — a high-cardinality
+      // partition key that stays parallel at any scale (never the
+      // q30-class cardinality-3 trap). The equality filter keeps every
+      // tied supplier, Q2's multi-winner semantics.
+      val l = li(s, d); val sp = supp(s, d); val p = part(s, d)
+      val n = nat(s, d); val r = reg(s, d)
+      val cost = l.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("supply_cost"))
+      val dims = sp.join(broadcast(n), sp("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r.where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      val euro = cost.join(dims, cost("l_suppkey") === dims("s_suppkey"))
+      val best = euro
+        .withColumn("min_cost", min("supply_cost").over(Window.partitionBy("l_partkey")))
+        .where(col("supply_cost") === col("min_cost"))
+      best.join(p.where(col("p_size") < 15 && col("p_type") === "STANDARD"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("s_name"), col("n_name"),
+          col("supply_cost").as("min_cost"))
+        .orderBy("p_partkey", "s_name")
+    }),
+
+    "q46_waiting_orders" -> ((s, d) => {
+      // TPC-H Q21 shape: suppliers that were the SOLE late supplier
+      // on a multi-supplier order. "Late" reuses q40's derived rule
+      // (ship lag > 60 days — the fixture has no receipt/commit
+      // dates). Q21's correlated EXISTS + NOT-EXISTS pair would join
+      // lineitem against itself twice; one per-order aggregate
+      // computing (distinct suppliers, distinct LATE suppliers)
+      // carries the same information in a single orderkey shuffle —
+      // a late line's supplier "kept the order waiting" iff
+      // n_late_supp = 1 and n_supp > 1. The oracle states the
+      // textbook EXISTS form independently.
+      val l = li(s, d); val o = ord(s, d); val sp = supp(s, d)
+      val lo = l.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(o.select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          datediff(col("l_shipdate"), col("o_orderdate")) > 60)
+      val perOrder = lo.groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      val lateLines = lo.where(col("late"))
+        .select("l_orderkey", "l_suppkey").distinct()
+      lateLines
+        .join(perOrder.where(col("n_supp") > 1 && col("n_late_supp") === 1),
+          "l_orderkey")
+        .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+        .join(sp, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(desc("numwait"), asc("s_name"))
+    }),
+
+    "g04_triangles" -> ((s, d) => {
+      // triangle counting over the deterministic host graph (g01/g03's
+      // edge synth) — the classic oriented-edge-join construction:
+      // undirected edges oriented min->max ONCE so each triangle is
+      // generated exactly once as a < b < c, wedges from the edge
+      // self-join on the middle vertex, closed by a LEFT SEMI probe
+      // against the oriented edge set (never materializing non-
+      // triangle wedges downstream). At web scale the orientation key
+      // would be (degree, id) to bound wedge fanout at hub vertices —
+      // id orientation keeps the construction SQL-replayable and the
+      // synthetic graph is hub-free. Per-node participation counts
+      // come from exploding each triangle's three corners.
+      val raw = docs(s, d).select(
+        concat(lit("h"), (col("doc_id") % 37).cast("string")).as("a"),
+        concat(lit("h"), ((col("doc_id") * 7) % 41).cast("string")).as("b"))
+      val e = raw.where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct()
+        .persist()
+      val wedges = e.select(col("u").as("x"), col("v").as("y"))
+        .join(e.select(col("u").as("y"), col("v").as("z")), "y")
+      val tri = wedges.join(e,
+        wedges("x") === e("u") && wedges("z") === e("v"), "left_semi")
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("node")
+    }),
+
     "w11_dynamic_overwrite" -> ((s, d) => {
       // dynamic partition overwrite — the lakehouse revise-one-
       // partition contract: the full corpus lands partitioned by
@@ -5719,6 +6062,91 @@ object SparkEntry {
     // Expected post-revision state recomputed from the raw table; a
     // static-overwrite regression loses the untouched partitions and
     // cannot match.
+    // The hash is rebuilt from the image-synthesis formulas (m03's
+    // convention), the Hamming-<=2 graph brute-forced, and the
+    // closure taken recursively — banding on the Spark side must not
+    // lose a single pair.
+    "m06_phash_neardup" ->
+      """WITH RECURSIVE
+         ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 0),
+         g AS (SELECT id, list_transform(range(0, 64), i ->
+             ((i*4 + id) % 256) + ((i*2 + id*3) % 256) + ((i + id*7) % 256)) AS gray
+           FROM ids),
+         h AS (SELECT id, CAST(list_sum(list_transform(range(0, 63), i ->
+             CASE WHEN gray[i+1] * 64 > list_sum(gray)
+                  THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS sig
+           FROM g),
+         e AS (SELECT a.id AS u, b.id AS w FROM h a JOIN h b ON a.id < b.id
+           WHERE bit_count(xor(a.sig, b.sig)) <= 2),
+         ed AS (SELECT u, w FROM e UNION SELECT w, u FROM e),
+         reach AS (SELECT u, w FROM ed
+           UNION SELECT r.u, ed.w FROM reach r JOIN ed ON r.w = ed.u WHERE ed.w != r.u),
+         comp AS (SELECT u AS id, min(w) AS mn FROM reach GROUP BY u),
+         lab AS (SELECT h.id AS asset_id, h.sig AS phash,
+             CASE WHEN c.mn IS NULL OR c.mn > h.id THEN h.id ELSE c.mn END AS cluster_id
+           FROM h LEFT JOIN comp c ON h.id = c.id),
+         sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM lab GROUP BY cluster_id)
+         SELECT asset_id, phash, l.cluster_id, cluster_size
+         FROM lab l JOIN sz USING (cluster_id) ORDER BY asset_id""",
+
+    "d63_accent_fold" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+         twin AS (SELECT doc_id + 1000000 AS doc_id,
+             translate(text, 'aeiou', 'áéíóú') AS text FROM base),
+         a AS (SELECT * FROM base UNION ALL SELECT * FROM twin),
+         f AS (SELECT doc_id, text,
+             translate(lower(text), 'áéíóú', 'aeiou') AS folded FROM a)
+         SELECT md5(folded) AS fold_fp, count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_raw_variants
+         FROM f GROUP BY 1 ORDER BY fold_fp""",
+
+    "q45_min_cost_supplier" ->
+      """WITH cost AS (SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supply_cost
+           FROM lineitem GROUP BY 1, 2),
+         dims AS (SELECT s_suppkey, s_name, n_name
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+         euro AS (SELECT l_partkey, supply_cost, s_name, n_name,
+             min(supply_cost) OVER (PARTITION BY l_partkey) AS m
+           FROM cost JOIN dims ON l_suppkey = s_suppkey)
+         SELECT p_partkey, s_name, n_name, supply_cost AS min_cost
+         FROM euro JOIN part ON l_partkey = p_partkey
+         WHERE supply_cost = m AND p_size < 15 AND p_type = 'STANDARD'
+         ORDER BY p_partkey, s_name""",
+
+    // Independent formulation: the textbook Q21 EXISTS / NOT-EXISTS
+    // pair — the Spark side carries the same predicate as one
+    // per-order (n_supp, n_late_supp) aggregate.
+    "q46_waiting_orders" ->
+      """WITH lo AS (SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         SELECT s_name, count(*) AS numwait FROM (
+           SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+           FROM lo l1 WHERE l1.late
+             AND EXISTS (SELECT 1 FROM lo l2
+               WHERE l2.l_orderkey = l1.l_orderkey
+                 AND l2.l_suppkey <> l1.l_suppkey)
+             AND NOT EXISTS (SELECT 1 FROM lo l3
+               WHERE l3.l_orderkey = l1.l_orderkey
+                 AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+         ) t JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_name ORDER BY numwait DESC, s_name""",
+
+    "g04_triangles" ->
+      """WITH raw AS (SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS a,
+             'h' || CAST((doc_id * 7) % 41 AS VARCHAR) AS b FROM documents),
+         e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+           FROM raw WHERE a <> b),
+         tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+           FROM e e1 JOIN e e2 ON e1.v = e2.u
+           JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         corners AS (SELECT x AS node FROM tri
+           UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+         SELECT node, count(*) AS n_triangles FROM corners
+         GROUP BY node ORDER BY node""",
+
     "w11_dynamic_overwrite" ->
       """SELECT source, count(*) AS n_docs,
            CAST(sum(n_chars + CASE WHEN source = (SELECT min(source) FROM documents)
@@ -5763,19 +6191,55 @@ object SparkEntry {
          ORDER BY abs(r0 * n1 - r1 * n0) DESC, q LIMIT 1""",
 
     // Same integer z^2 algebra; sums cast back from DuckDB's HUGEINT.
-    "ev15_daily_anomaly" ->
-      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-             count(*) AS n_events
-           FROM events GROUP BY event_type, day),
-         st AS (SELECT event_type, count(*) AS n_days,
-             CAST(sum(n_events) AS BIGINT) AS s,
-             CAST(sum(n_events * n_events) AS BIGINT) AS ss
-           FROM daily GROUP BY event_type)
-         SELECT d.event_type, d.day, d.n_events,
-           (st.n_days * d.n_events - st.s) * (st.n_days * d.n_events - st.s)
-             > 4 * (st.n_days * st.ss - st.s * st.s) AS is_anomaly
-         FROM daily d JOIN st ON d.event_type = st.event_type
-         ORDER BY d.event_type, d.day""",
+    // Pinned at sf0.01 (d20/d30 convention): the MLlib LR fit is
+    // deterministic at a fixed partitioning, and the 0.05 probability
+    // margin keeps float jitter out of the confident counts. The
+    // model reproduces the judge on 476/500 docs with 8 confident
+    // disagreements and 16 abstentions.
+    "d64_quality_classifier" ->
+      """SELECT CAST(k AS BOOLEAN) AS judge_kept, p AS model_pred,
+           CAST(n0 AS BIGINT) AS n
+         FROM (VALUES
+           (FALSE, 'drop', 243), (FALSE, 'keep', 7), (FALSE, 'uncertain', 14),
+           (TRUE, 'drop', 1), (TRUE, 'keep', 233), (TRUE, 'uncertain', 2)
+         ) AS t(k, p, n0)
+         ORDER BY judge_kept, model_pred""",
+
+    "e12_mmr_rerank" -> mmrOracleSql,
+
+    "ev15_daily_anomaly" -> dailyAnomalyOracle,
+
+    // Streaming twin: the daily counts accumulate as Complete-mode
+    // aggregate state; the z-test finishes off the sink — same
+    // semantics, same oracle string (st12=d39 convention).
+    "st21_stream_anomaly" -> dailyAnomalyOracle,
+
+    "ev19_window_dedup" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+           FROM events WHERE user_id IS NOT NULL),
+         l AS (SELECT event_type, us, lag(us) OVER (PARTITION BY user_id, event_type
+             ORDER BY us, event_id) AS prev_us FROM e)
+         SELECT event_type, count(*) AS n_events,
+           CAST(sum(CASE WHEN prev_us IS NOT NULL AND us - prev_us <= 3600000000
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+         FROM l GROUP BY event_type ORDER BY event_type""",
+
+    "ev18_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+           FROM events WHERE user_id IS NOT NULL),
+         r AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+               OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS is_start
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         r2 AS (SELECT *, sum(is_start) OVER (PARTITION BY user_id
+             ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS run_id FROM r),
+         iv AS (SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+             max(event_type) AS event_type, min(us) AS valid_from_us,
+             CAST(count(*) AS BIGINT) AS n_events
+           FROM r2 GROUP BY user_id, run_id)
+         SELECT user_id, run_id, event_type, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to_us,
+           n_events
+         FROM iv ORDER BY user_id, run_id""",
 
     // The global greedy cut replayed as the single-ORDER-BY running
     // sum budgetSelect distributes.

@@ -270,6 +270,76 @@ object Multimodal {
     }(enc)
   }
 
+  /** 63-bit average-hash (aHash) over a decoded image: bit i is set
+    * iff pixel i's gray value strictly exceeds the image mean, in
+    * integer form `gray_i * n > sum(gray)` (no float mean, so any
+    * engine reproduces every bit). gray = r+g+b unscaled. Only 63
+    * bits are used (pixel 63 of an 8x8 image is skipped) so the hash
+    * rides signed-64 transport — SQL engines without unsigned BIGINT
+    * rebuild it as a plain sum of powers of two. */
+  def imagePhash(data: Array[Byte]): Long = {
+    val img = decodePpm(data)
+    val n = img.width * img.height
+    val gray = new Array[Long](n)
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      gray(i) = (img.rgb(i * 3) & 0xff) + (img.rgb(i * 3 + 1) & 0xff) +
+        (img.rgb(i * 3 + 2) & 0xff)
+      s += gray(i)
+      i += 1
+    }
+    var h = 0L
+    i = 0
+    val bits = math.min(63, n)
+    while (i < bits) {
+      if (gray(i) * n > s) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** (id, sig) perceptual hashes for the image assets — the decode
+    * runs batched in mapPartitions like every binary-column op here. */
+  def imagePhashes(assets: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("sig", LongType, nullable = false))))
+    assets.filter(col("kind") === "image").select("asset_id", "data")
+      .mapPartitions { rows =>
+        rows.map(r => Row(r.getLong(0), imagePhash(r.getAs[Array[Byte]](1))))
+      }(enc)
+  }
+
+  /** Perceptual near-duplicate image clusters: aHash signatures,
+    * SimHash-style pigeonhole banding (recall-guaranteed at the
+    * Hamming radius), bucket-local candidate pairs with the skew cap,
+    * exact `bit_count(xor)` verify, then distributed connected
+    * components — the multimodal twin of text SimHash dedup (x02),
+    * sharing its banding/pair/CC machinery. Returns every image with
+    * its cluster id (component min) and cluster size. */
+  def phashClusters(assets: DataFrame, maxHamming: Int = 2,
+                    maxBucket: Int = 1000): DataFrame = {
+    val sigs = imagePhashes(assets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = Dedup.simhashBandRows(sigs, maxHamming, maxHamming + 1)
+    val cand = Dedup.candidatePairs(banded,
+      Dedup.MinHashConfig(maxBucket = maxBucket))
+    val pairs = cand
+      .join(sigs.select(col("id").as("src"), col("sig").as("sig1")), "src")
+      .join(sigs.select(col("id").as("dst"), col("sig").as("sig2")), "dst")
+      .where(bit_count(col("sig1").bitwiseXOR(col("sig2"))) <= maxHamming)
+      .select("src", "dst")
+    val comp = ConnectedComponents.run(pairs)
+    val out = sigs.select(col("id"), col("sig"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id").as("asset_id"), col("sig").as("phash"),
+        least(coalesce(col("component"), col("id")), col("id")).as("cluster_id"))
+    val sizes = out.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    out.join(sizes, "cluster_id")
+      .select("asset_id", "phash", "cluster_id", "cluster_size")
+  }
+
   /** Real image resize over the binary column: decode → nearest-neighbor
     * resample → re-encode, bounded by `maxSide` preserving aspect. */
   def resizeImages(assets: DataFrame, maxSide: Int): DataFrame = {

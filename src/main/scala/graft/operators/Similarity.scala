@@ -96,6 +96,75 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 4).as("score"))
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR '98): from each query's exact top-`kCand` cosine candidates,
+    * greedily select `kOut` results balancing relevance against
+    * redundancy — score(c) = lambdaRel·cos(q,c) − lambdaDiv·max_{s∈S}
+    * cos(c,s), ties to the smaller id. The candidate pool per query is
+    * BOUNDED (kCand rows with their vectors), so the greedy runs in one
+    * flatMapGroups over collected arrays — state O(kCand·dim) per
+    * query, never corpus-sized; candidate generation is the existing
+    * broadcast top-k scan. `lambdaDiv` is passed explicitly rather
+    * than computed as 1−lambdaRel so an external SQL replay can use
+    * the identical literal (the d22 k1+1-vs-2.2 lesson). Every cosine
+    * sums in index order as doubles — each selection replays exactly
+    * in SQL (unrolled argmax rounds, the g01 convention). */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, queryId: String,
+                corpusId: String, vecCol: String, kCand: Int, kOut: Int,
+                lambdaRel: Double = 0.7, lambdaDiv: Double = 0.3): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cand = bruteForceTopK(queries, corpus, queryId, corpusId, vecCol, kCand)
+      .select("query_id", "neighbor_id")
+    val qe = queries.select(col(queryId).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val ce = corpus.select(col(corpusId).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val rows = ce.join(broadcast(cand), "neighbor_id")
+      .join(broadcast(qe), "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .as[(Long, Long, Seq[Double], Seq[Double])]
+    rows.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val items = it.toArray
+      val qv = items.head._3.toArray
+      // ids ascending so a strict > argmax breaks score ties low
+      val cands = items.map(t => (t._2, t._4.toArray)).sortBy(_._1)
+      val rel = cands.map { case (_, v) => cos(qv, v) }
+      val picked = new Array[Boolean](cands.length)
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+      var r = 1
+      while (r <= kOut && selected.length < cands.length) {
+        var bestI = -1; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < cands.length) {
+          if (!picked(i)) {
+            var pen = Double.NegativeInfinity
+            selected.foreach { sv => val c2 = cos(cands(i)._2, sv); if (c2 > pen) pen = c2 }
+            if (selected.isEmpty) pen = 0.0
+            val score = lambdaRel * rel(i) - lambdaDiv * pen
+            if (score > bestScore) { bestScore = score; bestI = i }
+          }
+          i += 1
+        }
+        picked(bestI) = true
+        selected += cands(bestI)._2
+        out += ((qid, r, cands(bestI)._1, bestScore))
+        r += 1
+      }
+      out.iterator
+    }.toDF("query_id", "mmr_rank", "neighbor_id", "mmr_score_raw")
+      .select(col("query_id"), col("mmr_rank"), col("neighbor_id"),
+        round(col("mmr_score_raw"), 6).as("mmr_score"))
+  }
+
   /** Embedding clustering via MLlib KMeans (k-means|| init) — the
     * topic-bucketing / corpus-stratification operator a training-data
     * pipeline uses ahead of sampling. Returns the input plus a `cluster`
