@@ -111,6 +111,19 @@ object SparkEntry {
              ELSE a || chr(10) || b || chr(10) || c || chr(10) || d || chr(10) || e || chr(10) || f
            END AS t FROM s)"""
 
+  /** Shared m06/st22 oracle prefix: rebuild every image's 63-bit
+    * aHash from the synthesis formulas — defines `ids`, `g`, and
+    * `h(id, sig)`. */
+  private val phashCtesSql: String =
+    """ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 0),
+       g AS (SELECT id, list_transform(range(0, 64), i ->
+           ((i*4 + id) % 256) + ((i*2 + id*3) % 256) + ((i + id*7) % 256)) AS gray
+         FROM ids),
+       h AS (SELECT id, CAST(list_sum(list_transform(range(0, 63), i ->
+           CASE WHEN gray[i+1] * 64 > list_sum(gray)
+                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS sig
+         FROM g)"""
+
   /** e12's oracle, generated: the five greedy MMR argmax rounds
     * unrolled as CTEs. Every cosine is the x04-style index-order
     * double fold; each round's winner is an argmax with the vec_id
@@ -3289,6 +3302,166 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "g05_cooccurrence" -> ((s, d) => {
+      // bipartite projection: the user–event_type bipartite graph
+      // projected onto event types, edge weight = users exhibiting
+      // both types. Per-user type sets are bounded by the type
+      // vocabulary, so the within-user pair expansion is O(types²)
+      // per user — never corpus-quadratic; the distinct and the pair
+      // count are the only shuffles.
+      val ut = ev(s, d).where(col("user_id").isNotNull)
+        .select("user_id", "event_type").distinct()
+      val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+      val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+      a.join(b, "user_id").where(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_users"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    "ev21_resample_ffill" -> ((s, d) => {
+      // time-series resample + forward fill — the feature-store
+      // "regular grid" op: each user's sparse event stream becomes a
+      // dense hourly grid (sequence/explode between that user's own
+      // bounds; grid size = activity span, not corpus size), empty
+      // hours get n_events = 0 and carry the last observed hourly max
+      // value forward (last-ignoreNulls running window per user —
+      // high-cardinality key). Hour values are exact element picks,
+      // so no float arithmetic reaches the hash.
+      val e = ev(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"),
+          expr("(ts div 1000) div 3600000000").as("hour"), col("value"))
+      val hourly = e.groupBy("user_id", "hour")
+        .agg(count(lit(1)).as("n_ev"), max("value").as("v"))
+      val bounds = hourly.groupBy("user_id")
+        .agg(min("hour").as("hmin"), max("hour").as("hmax"))
+      val grid = bounds.select(col("user_id"),
+        explode(sequence(col("hmin"), col("hmax"))).as("hour"))
+      val w = Window.partitionBy("user_id").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), col("hour"),
+          coalesce(col("n_ev"), lit(0L)).as("n_events"), col("v"))
+        .withColumn("v_ffill", last("v", ignoreNulls = true).over(w))
+        .drop("v")
+        .orderBy("user_id", "hour")
+    }),
+
+    "ev22_quantile_sketch" -> ((s, d) => {
+      // sketch-quantile accuracy audit: percentile_approx (the KLL/GK
+      // path — at 100 TB the ONLY way to take quantiles in one pass)
+      // next to the exact type-1 quantiles (Ranking.exactQuantiles,
+      // the distributed-rank construction), with the sketch's rank
+      // error MEASURED in-plan: the approx value's rank interval
+      // [count(<v)+1, count(<=v)] must intersect the target rank
+      // ±n/accuracy. The bounds land as pinned-TRUE booleans (b02's
+      // embedded-assertion convention); the exact values hash-gate.
+      val e = ev(s, d).where(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+      val exact = Ranking.exactQuantiles(e, "event_type", "value",
+        Seq(0.5 -> "p50", 0.95 -> "p95"))
+      val approx = e.groupBy("event_type").agg(
+        percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(1000))
+          .as("ap"),
+        count(lit(1)).as("n"))
+        .select(col("event_type"), col("ap")(0).as("a50"), col("ap")(1).as("a95"),
+          col("n"))
+      val ranks = e.join(broadcast(approx), "event_type")
+        .groupBy("event_type")
+        .agg(sum(when(col("value") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("value") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("value") < col("a95"), 1L).otherwise(0L)).as("lt95"),
+          sum(when(col("value") <= col("a95"), 1L).otherwise(0L)).as("le95"))
+      // guarantee is a RELATIVE rank error of 1/accuracy → ceil(n/acc)
+      // absolute; +1 covers the off-by-one between the sketch's target
+      // rank convention and the type-1 ceil(p*n) used here
+      val tol = ((col("n") + 999) / 1000).cast("long") + lit(1L)
+      approx.join(ranks, "event_type").join(exact, "event_type")
+        .withColumn("t50", ceil(lit(0.5) * col("n")).cast("long"))
+        .withColumn("t95", ceil(lit(0.95) * col("n")).cast("long"))
+        .select(col("event_type"), col("p50"), col("p95"),
+          (col("lt50") + 1 <= col("t50") + tol
+            && col("le50") >= col("t50") - tol).as("ok50"),
+          (col("lt95") + 1 <= col("t95") + tol
+            && col("le95") >= col("t95") - tol).as("ok95"))
+        .orderBy("event_type")
+    }),
+
+    "st22_stream_phash_dedup" -> ((s, d) => {
+      // streaming multimodal ingest dedup — st05's stream-static shape
+      // on the image path: NEW image assets arrive as a file stream,
+      // their aHash bands inner-join the STATIC corpus phash band
+      // index (stateless stream-static join; linear, so no bucket cap
+      // is needed and pigeonhole recall stays exact), candidates
+      // drain to a memory sink, and the exact Hamming verify runs off
+      // the sink. Kept = new images with NO corpus image within
+      // Hamming<=2. Per-image decisions depend only on the static
+      // index — never arrival order — so the brute-force NOT-EXISTS
+      // oracle applies.
+      val maxHamming = 2
+      val assets = Multimodal.synthesizeAssets(docs(s, d).select("doc_id"), "doc_id")
+      val corpusSigs = Multimodal.imagePhashes(assets.filter(col("asset_id") < 400))
+      val idx = Multimodal.phashBandRows(corpusSigs, maxHamming)
+        .select(col("band_id"), col("band_hash"), col("id").as("__idx_id"))
+      val stage = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_stream_newassets_${math.abs(d.hashCode)}").toString
+      assets.filter(col("asset_id") >= 400)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      s.catalog.dropTempView("st22_tbl")
+      val stream = graft.streaming.Streaming.parquetStream(
+        s, stage, Multimodal.assetSchema)
+      val sBands = Multimodal.phashBandRows(
+        Multimodal.imagePhashes(stream), maxHamming)
+      val cand = sBands.join(idx, Seq("band_id", "band_hash"))
+        .select(col("id").as("__new_id"), col("__idx_id"))
+      graft.streaming.Streaming.runToMemory(cand, "st22_tbl",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      val newSigs = Multimodal.imagePhashes(assets.filter(col("asset_id") >= 400))
+      val dropped = s.table("st22_tbl")
+        .join(newSigs.select(col("id").as("__new_id"), col("sig").as("s1")), "__new_id")
+        .join(corpusSigs.select(col("id").as("__idx_id"), col("sig").as("s2")), "__idx_id")
+        .where(bit_count(col("s1").bitwiseXOR(col("s2"))) <= maxHamming)
+        .select(col("__new_id").as("id")).distinct()
+      newSigs.join(dropped, Seq("id"), "left_anti")
+        .select(col("id").as("asset_id"), col("sig").as("phash"))
+        .orderBy("asset_id")
+    }),
+
+    "q47_excess_share" -> ((s, d) => {
+      // TPC-H Q11/Q20 shape: suppliers carrying an outsized share of a
+      // part's total shipped quantity (>20%) — the group-total-
+      // join-back HAVING-subquery pattern. Both aggregates ride the
+      // SAME (partkey, suppkey) pre-aggregation; the share compare is
+      // qty*5 > total in exact arithmetic (quantities are integral, so
+      // double sums are order-invariant below 2^53). High-cardinality
+      // keys throughout.
+      val l = li(s, d); val sp = supp(s, d)
+      val ps = l.groupBy("l_partkey", "l_suppkey")
+        .agg(sum("l_quantity").as("qty"))
+      val tot = ps.groupBy("l_partkey").agg(sum("qty").as("tot_qty"))
+      ps.join(tot, "l_partkey")
+        .where(col("qty") * 5 > col("tot_qty"))
+        .join(sp, col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"), col("s_name"), col("qty"), col("tot_qty"))
+        .orderBy("l_partkey", "s_name")
+    }),
+
+    "ev20_transition_paths" -> ((s, d) => {
+      // user-journey path mining: the event-type transition matrix
+      // (Markov bigram counts) over each user's time-ordered stream —
+      // per-user lag window (high-cardinality key), then a bounded
+      // (from x to) aggregation. The entry step (first event of a
+      // user) rolls up under from_type = '__START__'.
+      val e = ev(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("us"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      e.withColumn("from_type",
+          coalesce(lag("event_type", 1).over(w), lit("__START__")))
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+        .orderBy("from_type", "to_type")
+    }),
+
     "e12_mmr_rerank" -> ((s, d) => {
       // diversity-aware retrieval: MMR re-rank of each query's exact
       // top-10 cosine candidates (Similarity.mmrRerank — bounded
@@ -6067,15 +6240,7 @@ object SparkEntry {
     // closure taken recursively — banding on the Spark side must not
     // lose a single pair.
     "m06_phash_neardup" ->
-      """WITH RECURSIVE
-         ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 0),
-         g AS (SELECT id, list_transform(range(0, 64), i ->
-             ((i*4 + id) % 256) + ((i*2 + id*3) % 256) + ((i + id*7) % 256)) AS gray
-           FROM ids),
-         h AS (SELECT id, CAST(list_sum(list_transform(range(0, 63), i ->
-             CASE WHEN gray[i+1] * 64 > list_sum(gray)
-                  THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS sig
-           FROM g),
+      s"""WITH RECURSIVE $phashCtesSql,
          e AS (SELECT a.id AS u, b.id AS w FROM h a JOIN h b ON a.id < b.id
            WHERE bit_count(xor(a.sig, b.sig)) <= 2),
          ed AS (SELECT u, w FROM e UNION SELECT w, u FROM e),
@@ -6204,6 +6369,78 @@ object SparkEntry {
            (TRUE, 'drop', 1), (TRUE, 'keep', 233), (TRUE, 'uncertain', 2)
          ) AS t(k, p, n0)
          ORDER BY judge_kept, model_pred""",
+
+    // The streaming path's decisions depend only on the static index,
+    // so the brute-force NOT-EXISTS over the rebuilt hashes is the
+    // exact truth (x07/st05 convention).
+    "st22_stream_phash_dedup" ->
+      s"""WITH $phashCtesSql
+         SELECT n.id AS asset_id, n.sig AS phash
+         FROM h n WHERE n.id >= 400
+           AND NOT EXISTS (SELECT 1 FROM h i WHERE i.id < 400
+             AND bit_count(xor(i.sig, n.sig)) <= 2)
+         ORDER BY asset_id""",
+
+    "g05_cooccurrence" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events
+           WHERE user_id IS NOT NULL)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_users
+         FROM ut a JOIN ut b ON a.user_id = b.user_id
+           AND a.event_type < b.event_type
+         GROUP BY 1, 2 ORDER BY type_a, type_b""",
+
+    "ev21_resample_ffill" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour, value
+           FROM events WHERE user_id IS NOT NULL),
+         hr AS (SELECT user_id, hour, count(*) AS n_ev, max(value) AS v
+           FROM e GROUP BY 1, 2),
+         b AS (SELECT user_id, min(hour) AS hmin, max(hour) AS hmax
+           FROM hr GROUP BY 1),
+         grid AS (SELECT user_id, unnest(range(hmin, hmax + 1)) AS hour FROM b),
+         j AS (SELECT g.user_id, g.hour,
+             CAST(coalesce(hr.n_ev, 0) AS BIGINT) AS n_events, hr.v
+           FROM grid g LEFT JOIN hr ON g.user_id = hr.user_id AND g.hour = hr.hour)
+         SELECT user_id, hour, n_events,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+         FROM j ORDER BY user_id, hour""",
+
+    // Exact type-1 quantiles recomputed; the sketch-error bounds are
+    // pinned TRUE — a sketch regression (rank drift past n/accuracy)
+    // fails the gate even though the sketch value itself is not
+    // replayable.
+    "ev22_quantile_sketch" ->
+      """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+         r AS (SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM e)
+         SELECT p50.event_type, p50.p50, p95.p95,
+           TRUE AS ok50, TRUE AS ok95
+         FROM (SELECT event_type, min(value) AS p50 FROM r
+             WHERE rn = CEIL(0.5 * n) GROUP BY event_type) p50
+           JOIN (SELECT event_type, min(value) AS p95 FROM r
+             WHERE rn = CEIL(0.95 * n) GROUP BY event_type) p95 USING (event_type)
+         ORDER BY event_type""",
+
+    "q47_excess_share" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+           FROM lineitem GROUP BY 1, 2),
+         tot AS (SELECT l_partkey, sum(qty) AS tot_qty FROM ps GROUP BY 1)
+         SELECT l_partkey, s_name, qty, tot_qty
+         FROM ps JOIN tot USING (l_partkey)
+         JOIN supplier ON l_suppkey = s_suppkey
+         WHERE qty * 5 > tot_qty ORDER BY l_partkey, s_name""",
+
+    "ev20_transition_paths" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+           FROM events WHERE user_id IS NOT NULL),
+         l AS (SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY us, event_id), '__START__') AS from_type,
+             event_type AS to_type FROM e)
+         SELECT from_type, to_type, count(*) AS n_transitions
+         FROM l GROUP BY 1, 2 ORDER BY from_type, to_type""",
 
     "e12_mmr_rerank" -> mmrOracleSql,
 

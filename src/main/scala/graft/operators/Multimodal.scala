@@ -311,6 +311,13 @@ object Multimodal {
       }(enc)
   }
 
+  /** Public banding seam over phash signatures — (id, band_id,
+    * band_hash) rows for a persistable image near-dup index (the
+    * multimodal analogue of Dedup.bandIndex; st22 joins a stream of
+    * new image hashes against it statelessly). */
+  def phashBandRows(sigs: DataFrame, maxHamming: Int = 2): DataFrame =
+    Dedup.simhashBandRows(sigs, maxHamming, maxHamming + 1)
+
   /** Perceptual near-duplicate image clusters: aHash signatures,
     * SimHash-style pigeonhole banding (recall-guaranteed at the
     * Hamming radius), bucket-local candidate pairs with the skew cap,
