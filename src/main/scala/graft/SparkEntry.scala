@@ -252,6 +252,28 @@ object SparkEntry {
       when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
   }
 
+  /** Shared d65/d66 sentence synth (the corpus has no punctuation):
+    * 2/3/4 sentences per doc on doc_id strata, built from slices of
+    * the doc's own text. Spark Column and SQL CTE in lockstep. */
+  private def sentenceSynth: Column = {
+    def sl(i: Int) = substring(col("text"), 1 + (i - 1) * 12, 12)
+    when(col("doc_id") % 3 === 0, concat(sl(1), lit(". "), sl(2), lit(".")))
+      .when(col("doc_id") % 3 === 1,
+        concat(sl(1), lit(". "), sl(2), lit("! "), sl(3), lit(".")))
+      .otherwise(concat(sl(1), lit(". "), sl(2), lit("! "), sl(3),
+        lit("? "), sl(4), lit(".")))
+  }
+
+  /** SQL mirror of [[sentenceSynth]]: defines `sy(doc_id, t)`. */
+  private val sentenceSynthSql: String =
+    """sy AS (SELECT doc_id, CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 0 THEN substr(text,1,12) || '. ' || substr(text,13,12) || '.'
+         WHEN 1 THEN substr(text,1,12) || '. ' || substr(text,13,12) || '! '
+           || substr(text,25,12) || '.'
+         ELSE substr(text,1,12) || '. ' || substr(text,13,12) || '! '
+           || substr(text,25,12) || '? ' || substr(text,37,12) || '.'
+       END AS t FROM documents)"""
+
   /** SQL mirror of [[urlSynth]] as a CTE: defines `u(doc_id, url)`. */
   private val urlSynthSql: String =
     """u AS (SELECT doc_id,
@@ -3299,6 +3321,144 @@ object SparkEntry {
             .as("avg_file_bytes"),
           ceil(col("n_docs").cast("double") / col("n_files")).cast("long")
             .as("max_records_per_file"))
+        .orderBy("source")
+    }),
+
+    "d68_dedup_cascade" -> ((s, d) => {
+      // the production dedup CASCADE as one pipeline: exact (md5) →
+      // n-gram near-dup (MinHash-blocked, exact-verified) → semantic
+      // (embedding cosine), each stage consuming the previous stage's
+      // survivors — cheapest-first, so every expensive stage sees a
+      // smaller corpus (the ordering that matters at 100 TB). Stages
+      // are eager-checkpointed so each executes once (the d50 lesson);
+      // the audit sheet reports survivors per stage, and the oracle
+      // replays all three closures over the SAME survivor chain.
+      val all = docs(s, d).select("doc_id", "text")
+      val s1 = Dedup.exact(all, "doc_id", "text")
+        .select("doc_id", "text").localCheckpoint(true)
+      val s2 = Dedup.ngramJaccard(s1, "doc_id", "text", n = 3, threshold = 0.8)
+        .select("doc_id").localCheckpoint(true)
+      val e2 = emb(s, d).join(s2, col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("embedding"))
+      val s3 = Dedup.embeddingCosine(e2, "vec_id", "embedding", threshold = 0.97)
+        .select("vec_id")
+      Seq("0_input" -> all, "1_exact" -> s1, "2_ngram" -> s2,
+          "3_semantic" -> s3)
+        .map { case (nm, df0) =>
+          df0.agg(count(lit(1)).as("n_docs")).select(lit(nm).as("stage"), col("n_docs"))
+        }
+        .reduce(_ unionByName _)
+        .orderBy("stage")
+    }),
+
+    "d65_sentence_stats" -> ((s, d) => {
+      // sentence segmentation stats: a lookaround-free boundary rule
+      // ('[.!?]+' then whitespace-or-end) counts identically under
+      // Java regex and RE2. Sentences are synthesized on doc_id
+      // strata (2/3/4 per doc — the corpus itself has no
+      // punctuation). One zero-shuffle projection.
+      docs(s, d).select(col("doc_id"), sentenceSynth.as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit("[.!?]+(\\s|$)"), lit(0)))
+            .cast("long").as("n_sentences"),
+          TextFunctions.tokenCount(col("t")).cast("long").as("n_words"))
+        .withColumn("words_per_sentence",
+          round(col("n_words").cast("double") / col("n_sentences"), 4))
+        .orderBy("doc_id")
+    }),
+
+    "d66_readability" -> ((s, d) => {
+      // Flesch reading-ease (206.835 − 1.015·words/sentence −
+      // 84.6·syllables/word) with syllables approximated by
+      // vowel-group runs — the dictionary-free proxy every readability
+      // filter uses. The double expression tree is written in the
+      // same shape on both engines and rounded only at the edge.
+      docs(s, d).select(col("doc_id"), sentenceSynth.as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit("[.!?]+(\\s|$)"), lit(0)))
+            .cast("long").as("n_sentences"),
+          TextFunctions.tokenCount(col("t")).cast("long").as("n_words"),
+          size(regexp_extract_all(lower(col("t")), lit("[aeiouy]+"), lit(0)))
+            .cast("long").as("n_syllables"))
+        .withColumn("flesch",
+          round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 4))
+        .orderBy("doc_id")
+    }),
+
+    "d67_url_canonical_dedup" -> ((s, d) => {
+      // crawl-frontier URL dedup: every synthetic URL gets a
+      // tracking-decorated doppelganger (uppercased authority,
+      // trailing slash, utm_source+fbclid params prepended, #top
+      // fragment) — UrlFunctions.canonicalize must collapse each pair
+      // while keeping genuinely distinct resources apart. The
+      // decorated twin is built from the SAME regex decomposition the
+      // oracle replays; the canonical group-by is the only shuffle.
+      val base = docs(s, d).select(col("doc_id"), urlSynth.as("url"))
+      val auth = regexp_extract(col("url"), "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+      val q = UrlFunctions.query(col("url"))
+      val decorated = base.select(col("doc_id"),
+        concat(UrlFunctions.scheme(col("url")), lit("://"), upper(auth),
+          UrlFunctions.path(col("url")), lit("/"),
+          lit("?utm_source=feed&fbclid="), (col("doc_id") % 7).cast("string"),
+          when(q =!= "", concat(lit("&"), q)).otherwise(lit("")),
+          lit("#top")).as("url"))
+      base.unionByName(decorated)
+        .withColumn("canon", UrlFunctions.canonicalize(col("url")))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_urls"), countDistinct(col("url")).as("n_raw"))
+        .orderBy("canon")
+    }),
+
+    "p05_pseudonymize" -> ((s, d) => {
+      // privacy-preserving linkability: emails become stable hash
+      // pseudonyms (PiiFunctions.pseudonymizeEmail) instead of
+      // <EMAIL> holes — de-identified docs still JOIN on identity.
+      // The gate proves both properties at once: every pseudonym
+      // groups exactly the docs that shared the email (n_docs) and
+      // never crosses identities (n_sources = 1 unless md5-8
+      // collides). Zero shuffle until the bounded pseudonym group-by.
+      // The oracle derives the pseudonym from the synthesis seed
+      // (source), never seeing the extraction path.
+      val synth = concat(lit("reach me at "), col("source"),
+        lit("@example.com "), substring(col("text"), 1, 40))
+      docs(s, d).select(col("doc_id"), col("source"), synth.as("t"))
+        .withColumn("pseudo_text", PiiFunctions.pseudonymizeEmail(col("t")))
+        .withColumn("pseudonym",
+          regexp_extract(col("pseudo_text"), "user_[0-9a-f]{8}", 0))
+        .groupBy("pseudonym")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("pseudonym")
+    }),
+
+    "w12_manifest_swap" -> ((s, d) => {
+      // atomic publish-by-manifest — the snapshot-pointer pattern
+      // every table format builds on (Iceberg/Delta): snapshot v1
+      // lands, revised v2 lands BESIDE it (files immutable,
+      // directories never rewritten), and the one-line manifest
+      // rewrite is the only mutation a reader ever observes — v1 or
+      // v2 in full, never a mix. The gate writes both versions, swaps
+      // the pointer, reads THROUGH the manifest, and the oracle
+      // recomputes v2's expected per-source state from the raw table.
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_manifest_${math.abs(d.hashCode)}")
+      java.nio.file.Files.createDirectories(root)
+      val all = docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      all.write.mode("overwrite").parquet(s"$root/v1")
+      val minSrc = all.agg(min(col("source"))).head.getString(0)
+      all.withColumn("n_chars",
+          when(col("source") === minSrc, col("n_chars") + lit(500000L))
+            .otherwise(col("n_chars")))
+        .write.mode("overwrite").parquet(s"$root/v2")
+      val manifest = root.resolve("MANIFEST")
+      java.nio.file.Files.write(manifest, "v1".getBytes("UTF-8"))
+      java.nio.file.Files.write(manifest, "v2".getBytes("UTF-8")) // the swap
+      val current = new String(java.nio.file.Files.readAllBytes(manifest), "UTF-8")
+      s.read.parquet(s"$root/$current")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy("source")
     }),
 
@@ -6380,6 +6540,118 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM h i WHERE i.id < 400
              AND bit_count(xor(i.sig, n.sig)) <= 2)
          ORDER BY asset_id""",
+
+    // All three closures replayed over the SAME survivor chain: exact
+    // md5 pick, word-3gram Jaccard closure restricted to exact
+    // survivors, cosine-0.97 closure restricted to n-gram survivors.
+    "d68_dedup_cascade" ->
+      """WITH RECURSIVE
+         s1 AS (SELECT doc_id, text FROM (
+             SELECT doc_id, text, row_number() OVER (
+               PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+               ORDER BY doc_id) AS rn
+             FROM documents) WHERE rn = 1),
+         n AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+           FROM s1),
+         g AS (SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS gs
+           FROM n),
+         e AS (SELECT a.doc_id AS u, b.doc_id AS v FROM g a JOIN g b ON a.doc_id < b.doc_id
+             AND len(a.gs) >= 0.8 * len(b.gs) AND len(b.gs) >= 0.8 * len(a.gs)
+             WHERE len(list_intersect(a.gs, b.gs)) * 1.0
+               / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.8),
+         ed AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+         reach AS (SELECT u, v FROM ed
+           UNION SELECT r.u, ed.v FROM reach r JOIN ed ON r.v = ed.u WHERE ed.v != r.u),
+         comp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+         s2 AS (SELECT doc_id FROM s1 WHERE doc_id NOT IN
+             (SELECT doc_id FROM comp WHERE mn < doc_id)),
+         v2 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings JOIN s2 ON vec_id = doc_id),
+         e3 AS (SELECT a.vec_id AS u, b.vec_id AS w FROM v2 a JOIN v2 b ON a.vec_id < b.vec_id
+             WHERE list_sum(list_transform(list_zip(a.emb, b.emb), z -> z[1]*z[2]))
+               / (sqrt(list_sum(list_transform(a.emb, x -> x*x)))
+                  * sqrt(list_sum(list_transform(b.emb, x -> x*x)))) >= 0.97),
+         ed3 AS (SELECT u, w FROM e3 UNION SELECT w, u FROM e3),
+         reach3 AS (SELECT u, w FROM ed3
+           UNION SELECT r.u, ed3.w FROM reach3 r JOIN ed3 ON r.w = ed3.u WHERE ed3.w != r.u),
+         comp3 AS (SELECT u AS vec_id, min(w) AS mn FROM reach3 GROUP BY u),
+         s3 AS (SELECT vec_id FROM v2 WHERE vec_id NOT IN
+             (SELECT vec_id FROM comp3 WHERE mn < vec_id))
+         SELECT stage, n_docs FROM (
+           SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+           UNION ALL SELECT '1_exact', CAST(count(*) AS BIGINT) FROM s1
+           UNION ALL SELECT '2_ngram', CAST(count(*) AS BIGINT) FROM s2
+           UNION ALL SELECT '3_semantic', CAST(count(*) AS BIGINT) FROM s3)
+         ORDER BY stage""",
+
+    "d65_sentence_stats" ->
+      s"""WITH $sentenceSynthSql
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[.!?]+(\\s|$$)')) AS BIGINT) AS n_sentences,
+           CAST(len(string_split_regex(trim(t), '\\s+')) AS BIGINT) AS n_words,
+           round(CAST(len(string_split_regex(trim(t), '\\s+')) AS DOUBLE)
+             / len(regexp_extract_all(t, '[.!?]+(\\s|$$)')), 4) AS words_per_sentence
+         FROM sy ORDER BY doc_id""",
+
+    "d66_readability" ->
+      s"""WITH $sentenceSynthSql,
+         m AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '[.!?]+(\\s|$$)')) AS BIGINT) AS n_sentences,
+             CAST(len(string_split_regex(trim(t), '\\s+')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(lower(t), '[aeiouy]+')) AS BIGINT) AS n_syllables
+           FROM sy)
+         SELECT doc_id, n_sentences, n_words, n_syllables,
+           round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch
+         FROM m ORDER BY doc_id""",
+
+    "d67_url_canonical_dedup" ->
+      s"""WITH $urlSynthSql,
+         dec AS (SELECT doc_id,
+             regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) || '://' ||
+             upper(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)) ||
+             regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) || '/' ||
+             '?utm_source=feed&fbclid=' || CAST(doc_id % 7 AS VARCHAR) ||
+             CASE WHEN regexp_extract(url, '\\?([^#]*)', 1) <> ''
+                  THEN '&' || regexp_extract(url, '\\?([^#]*)', 1) ELSE '' END ||
+             '#top' AS url FROM u),
+         allu AS (SELECT doc_id, url FROM u UNION ALL SELECT doc_id, url FROM dec),
+         parts AS (SELECT doc_id, url,
+             regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS sch,
+             regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS hostport,
+             regexp_replace(regexp_extract(url,
+               '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$$', '') AS pth,
+             coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS q
+           FROM allu),
+         keptq AS (SELECT doc_id, url, sch, hostport, pth,
+             coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+               x -> x <> '' AND NOT regexp_matches(x,
+                 '^(utm_[a-z]+|gclid|fbclid|ref)='))), '&'), '') AS qk
+           FROM parts),
+         canon AS (SELECT doc_id, url, sch || '://' || lower(hostport) ||
+             CASE WHEN pth = '' THEN '/' ELSE pth END ||
+             CASE WHEN qk = '' THEN '' ELSE '?' || qk END AS canon
+           FROM keptq)
+         SELECT canon, count(*) AS n_urls, count(DISTINCT url) AS n_raw
+         FROM canon GROUP BY 1 ORDER BY canon""",
+
+    // Pseudonym derived from the synthesis seed — the oracle never
+    // sees the regex-extraction path, only the linkability contract.
+    "p05_pseudonymize" ->
+      """WITH s AS (SELECT doc_id, source,
+           'user_' || substr(md5(lower(source || '@example.com')), 1, 8) AS pseudonym
+         FROM documents)
+         SELECT pseudonym, count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources
+         FROM s GROUP BY 1 ORDER BY pseudonym""",
+
+    "w12_manifest_swap" ->
+      """SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars + CASE WHEN source = (SELECT min(source) FROM documents)
+             THEN 500000 ELSE 0 END) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY source ORDER BY source""",
 
     "g05_cooccurrence" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events

@@ -38,6 +38,22 @@ object PiiFunctions {
     regexp_replace(s4, PhonePattern, "<PHONE>")
   }
 
+  /** Stable pseudonymization: replace each email with a deterministic
+    * token derived from the value itself ('user_' + first 8 hex chars
+    * of md5(lower(email))), so identity JOINS keep working across a
+    * de-identified corpus — redaction destroys linkability,
+    * pseudonymization preserves it. Hex tokens contain no regex or
+    * replacement metacharacters, so the rewrite is injection-safe.
+    * (Assumes at most one distinct email per row — the corpus synth's
+    * shape; a multi-email row would need per-match rewriting.) */
+  def pseudonymizeEmail(c: Column): Column = {
+    val email = regexp_extract(c, EmailPattern, 0)
+    val token = concat(lit("user_"),
+      substring(md5(lower(email).cast("binary")), 1, 8))
+    when(email === "", c)
+      .otherwise(regexp_replace(c, lit(EmailPattern), token))
+  }
+
   /** Payment-card candidate: 13-19 digits, optional single space/dash
     * between digit groups. Lookaround-free and bounded-repeat, so Java
     * regex and RE2 match identically. */

@@ -56,6 +56,28 @@ object UrlFunctions {
     when(q === lit(""), lit(0))
       .otherwise(length(q) - length(regexp_replace(q, "&", "")) + lit(1))
 
+  /** Param names [[canonicalize]] strips (anchored prefix match on
+    * the `name=` form). */
+  val TrackingParamRegex = "^(utm_[a-z]+|gclid|fbclid|ref)="
+
+  /** URL canonicalization ahead of crawl-frontier dedup: lowercase
+    * the authority, drop the fragment, drop tracking parameters
+    * (utm_* and gclid, fbclid, ref), SORT the surviving parameters,
+    * and strip trailing slashes from non-root paths. The port
+    * survives — a different port is a different resource. Pure Column
+    * regex/array chain (zero shuffle, codegen'd); every step replays
+    * in SQL. */
+  def canonicalize(url: Column): Column = {
+    val sch = scheme(url)
+    val hostPort = regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    val p0 = regexp_replace(path(url), "/+$", "")
+    val p = when(p0 === lit(""), lit("/")).otherwise(p0)
+    val kept = array_join(array_sort(filter(split(query(url), "&"),
+      x => x =!= lit("") && !x.rlike(TrackingParamRegex))), "&")
+    concat(sch, lit("://"), lower(hostPort), p,
+      when(kept === lit(""), lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
   /** eTLD+1: the last label before the public suffix, plus the suffix.
     * `cdn.news.bbc.co.uk` → `bbc.co.uk`; `www.example.com` →
     * `example.com`; bare suffixes or single labels → ''. */
