@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.{PiiFunctions, UrlFunctions}
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization (d67) and stable pseudonymization (p05)
+  * properties, plus MMR candidate-exhaustion. */
+class UrlPiiOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(url: String): String =
+    Seq(url).toDF("u").select(UrlFunctions.canonicalize(col("u"))).as[String].head()
+
+  test("canonicalize strips tracking params, sorts survivors, folds case") {
+    assert(canon("https://EX.com/a/b/?b=2&utm_source=x&a=1&fbclid=z#frag")
+      === "https://ex.com/a/b?a=1&b=2")
+  }
+
+  test("canonicalize keeps ports, normalizes root path, leaves clean URLs") {
+    assert(canon("https://ex.com:8080/") === "https://ex.com:8080/")
+    assert(canon("https://ex.com:8080") === "https://ex.com:8080/")
+    assert(canon("https://ex.com/p?q=1") === "https://ex.com/p?q=1")
+    // ref= is tracking; a param merely CONTAINING ref survives
+    assert(canon("https://ex.com/p?ref=x&pref=1") === "https://ex.com/p?pref=1")
+  }
+
+  test("pseudonymizeEmail is stable, collision-separating, and email-free") {
+    val rows = Seq("mail a@x.com now", "also a@x.com here", "b@y.org wrote", "no email")
+    val out = rows.toDF("t")
+      .select(PiiFunctions.pseudonymizeEmail(col("t")).as("p")).as[String].collect()
+    val tok = "user_[0-9a-f]{8}".r
+    val t0 = tok.findFirstIn(out(0)).get
+    val t1 = tok.findFirstIn(out(1)).get
+    val t2 = tok.findFirstIn(out(2)).get
+    assert(t0 === t1, "same email, same pseudonym")
+    assert(t0 !== t2, "different emails, different pseudonyms")
+    assert(!out.exists(_.contains("@")), "no email survives")
+    assert(out(3) === "no email", "rows without email pass through")
+  }
+
+  test("mmrRerank stops when candidates are exhausted") {
+    val df = (0L to 3L).map(i => (i, Seq(1f, 0.1f * i, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(df.filter(col("vec_id") === 0), df,
+        "vec_id", "vec_id", "embedding", kCand = 3, kOut = 5)
+      .select("mmr_rank").as[Int].collect().sorted
+    assert(out === Array(1, 2, 3))
+  }
+}
