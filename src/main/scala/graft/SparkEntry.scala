@@ -177,6 +177,15 @@ object SparkEntry {
        ORDER BY query_id, mmr_rank"""
   }
 
+  /** Shared w07/st23 oracle: quarantine routing is a per-line
+    * decision, so batch PERMISSIVE parse and the streaming DLQ route
+    * gate on the same truth. */
+  private val corruptJsonlOracle: String =
+    """SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE substr(text, 1, 20) END AS v,
+         doc_id % 7 = 0 AS quarantined
+       FROM documents ORDER BY doc_id"""
+
   /** Shared ev15/st21 oracle: the integer-algebraized daily z-test —
     * batch and Complete-mode-streaming paths gate on identical
     * semantics, so one string serves both keys. */
@@ -3324,6 +3333,108 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "st23_stream_dlq" -> ((s, d) => {
+      // streaming malformed-record quarantine — w07 under Structured
+      // Streaming with a dead-letter channel: one JSONL text stream,
+      // TWO running sinks. Clean rows (from_json parses, doc_id
+      // lands) flow to the main sink; corrupt lines route to the DLQ
+      // sink with the id recovered by regex from the raw line — the
+      // at-scale contract that a bad record must never kill the
+      // ingest job NOR vanish silently. Per-line decisions → the
+      // batch oracle applies verbatim.
+      val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_dlq_${math.abs(d.hashCode)}")
+      val good = to_json(struct(col("doc_id"),
+        substring(col("text"), 1, 20).as("v")))
+      val line = when(col("doc_id") % 7 === 0,
+        concat(lit("{\"doc_id\":"), col("doc_id").cast("string"), lit(",\"v\":BROKEN")))
+        .otherwise(good)
+      docs(s, d).select(line.as("value")).write.mode("overwrite").text(tmp.toString)
+      s.catalog.dropTempView("st23_main")
+      s.catalog.dropTempView("st23_dlq")
+      val parsed = s.readStream.text(tmp.toString)
+        .select(col("value"),
+          from_json(col("value"),
+            org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, v STRING")).as("j"))
+      val clean = parsed.where(col("j.doc_id").isNotNull)
+        .select(col("j.doc_id").as("doc_id"), col("j.v").as("v"))
+      val dlq = parsed.where(col("j.doc_id").isNull)
+        .select(regexp_extract(col("value"), "\"doc_id\":([0-9]+)", 1)
+          .cast("long").as("doc_id"), col("value").as("raw"))
+      graft.streaming.Streaming.runToMemory(clean, "st23_main",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      graft.streaming.Streaming.runToMemory(dlq, "st23_dlq",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table("st23_main")
+        .select(col("doc_id"), col("v"), lit(false).as("quarantined"))
+        .unionByName(s.table("st23_dlq")
+          .select(col("doc_id"), lit(null).cast("string").as("v"),
+            lit(true).as("quarantined")))
+        .orderBy("doc_id")
+    }),
+
+    "d69_nfkc_normalize" -> ((s, d) => {
+      // the tokenizer's NFKC pass (reference nmt_nfkc) made
+      // oracle-visible: compatibility characters — ligatures,
+      // full-width forms, circled digits, unit squares — are injected
+      // on doc_id strata, the custom NormalizeNfkc expression folds
+      // them, and the oracle states every expected folding as an
+      // explicit replace chain. Java's Normalizer and the stated
+      // table must agree char-for-char; the ASCII corpus tail is
+      // NFKC-invariant by construction.
+      val decorated = concat(
+        when(col("doc_id") % 2 === 0, lit("ﬁle ")).otherwise(lit("ﬂow ")),
+        when(col("doc_id") % 3 === 0, lit("Ａ０ ")).otherwise(lit("① ")),
+        when(col("doc_id") % 5 === 0, lit("㎞ ")).otherwise(lit("")),
+        substring(col("text"), 1, 24))
+      docs(s, d).select(col("doc_id"), decorated.as("raw"))
+        .withColumn("norm",
+          graft.functions.HashFunctions.normalizeNfkc(col("raw")))
+        .withColumn("changed", col("norm") =!= col("raw"))
+        .orderBy("doc_id")
+    }),
+
+    "d70_containment_dedup" -> ((s, d) => {
+      // asymmetric (containment) near-dup — the quote/excerpt
+      // detector symmetric Jaccard misses: a 10-word snippet inside a
+      // long doc has tiny Jaccard but containment 1.0. Candidates
+      // come from an inverted word-3gram index with a document-
+      // frequency cap (common phrases can never explode the pair
+      // space — the scale guard); containment = shared grams /
+      // |contained grams| on the SAME df-capped gram sets, verified
+      // exactly. Snippets are synthesized word-aligned (words 5..14
+      // of every 4th doc) so the oracle brute-forces ground truth.
+      val wordsOf = split(TextFunctions.normalizeForDedup(col("text")), " ")
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val snip = base.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(wordsOf, 5, 10), " ").as("text"))
+      val all = base.unionByName(snip)
+      val grams = all.select(col("doc_id"),
+          explode(TextFunctions.wordShingleHashes(col("text"), 3)).as("g"))
+        .distinct()
+      val hot = grams.groupBy("g").agg(count(lit(1)).as("df"))
+        .where(col("df") > 50).select("g")
+      val g2 = grams.join(hot, Seq("g"), "left_anti")
+        .persist()
+      val sizes = g2.groupBy("doc_id").agg(count(lit(1)).as("n_g"))
+      val cand = g2.select(col("doc_id").as("contained_id"), col("g"))
+        .join(g2.select(col("doc_id").as("container_id"), col("g")), "g")
+        .where(col("contained_id") =!= col("container_id"))
+        .groupBy("contained_id", "container_id").agg(count(lit(1)).as("shared"))
+      cand
+        .join(sizes.select(col("doc_id").as("contained_id"), col("n_g").as("na")),
+          "contained_id")
+        .join(sizes.select(col("doc_id").as("container_id"), col("n_g").as("nb")),
+          "container_id")
+        .where(col("shared").cast("double") / col("na") >= 0.9
+          && (col("na") < col("nb")
+            || (col("na") === col("nb") && col("contained_id") < col("container_id"))))
+        .select(col("contained_id"), col("container_id"),
+          round(col("shared").cast("double") / col("na"), 6).as("containment"))
+        .orderBy("contained_id", "container_id")
+    }),
+
     "d68_dedup_cascade" -> ((s, d) => {
       // the production dedup CASCADE as one pipeline: exact (md5) →
       // n-gram near-dup (MinHash-blocked, exact-verified) → semantic
@@ -5569,11 +5680,11 @@ object SparkEntry {
     // Replays the corruption rule: doc_id % 7 == 0 lines are broken,
     // so they surface quarantined with a null payload and a recovered
     // id; everything else parses to the 20-char payload.
-    "w07_corrupt_jsonl" ->
-      """SELECT doc_id,
-           CASE WHEN doc_id % 7 = 0 THEN NULL ELSE substr(text, 1, 20) END AS v,
-           doc_id % 7 = 0 AS quarantined
-         FROM documents ORDER BY doc_id""",
+    "w07_corrupt_jsonl" -> corruptJsonlOracle,
+
+    // Streaming twin: per-line decisions, so the same batch truth
+    // gates the two-sink DLQ route (st12=d39 convention).
+    "st23_stream_dlq" -> corruptJsonlOracle,
 
     // The merged frame is the whole table; nulls exactly where the
     // old vintage (even ids) lacks the evolved column.
@@ -6540,6 +6651,49 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM h i WHERE i.id < 400
              AND bit_count(xor(i.sig, n.sig)) <= 2)
          ORDER BY asset_id""",
+
+    // The expected NFKC foldings stated as an explicit replace chain:
+    // ligatures, full-width letter/digit, circled digit, unit square.
+    "d69_nfkc_normalize" ->
+      """WITH raw0 AS (SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'ﬁle ' ELSE 'ﬂow ' END) ||
+           (CASE WHEN doc_id % 3 = 0 THEN 'Ａ０ ' ELSE '① ' END) ||
+           (CASE WHEN doc_id % 5 = 0 THEN '㎞ ' ELSE '' END) ||
+           substr(text, 1, 24) AS raw
+         FROM documents)
+         SELECT doc_id, raw,
+           replace(replace(replace(replace(replace(replace(raw,
+             'ﬁ', 'fi'), 'ﬂ', 'fl'), 'Ａ', 'A'), '０', '0'), '①', '1'),
+             '㎞', 'km') AS norm,
+           TRUE AS changed
+         FROM raw0 ORDER BY doc_id""",
+
+    "d70_containment_dedup" ->
+      """WITH n0 AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+           FROM documents),
+         snip AS (SELECT doc_id + 2000000 AS doc_id,
+             array_to_string(string_split(t, ' ')[5:14], ' ') AS t
+           FROM n0 WHERE doc_id % 4 = 0),
+         a AS (SELECT doc_id, t FROM n0 UNION ALL SELECT doc_id, t FROM snip),
+         g AS (SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS gs
+           FROM (SELECT doc_id, string_split(t, ' ') AS w FROM a)),
+         ex AS (SELECT doc_id, unnest(gs) AS gr FROM g),
+         dfc AS (SELECT gr, count(*) AS dn FROM ex GROUP BY gr),
+         ex2 AS (SELECT doc_id, gr FROM ex JOIN dfc USING (gr) WHERE dn <= 50),
+         sz AS (SELECT doc_id, count(*) AS n_g FROM ex2 GROUP BY doc_id),
+         cand AS (SELECT x.doc_id AS contained_id, y.doc_id AS container_id,
+             count(*) AS shared
+           FROM ex2 x JOIN ex2 y ON x.gr = y.gr AND x.doc_id <> y.doc_id
+           GROUP BY 1, 2)
+         SELECT contained_id, container_id,
+           round(CAST(shared AS DOUBLE) / sa.n_g, 6) AS containment
+         FROM cand
+         JOIN sz sa ON sa.doc_id = contained_id
+         JOIN sz sb ON sb.doc_id = container_id
+         WHERE CAST(shared AS DOUBLE) / sa.n_g >= 0.9
+           AND (sa.n_g < sb.n_g OR (sa.n_g = sb.n_g AND contained_id < container_id))
+         ORDER BY contained_id, container_id""",
 
     // All three closures replayed over the SAME survivor chain: exact
     // md5 pick, word-3gram Jaccard closure restricted to exact
