@@ -3333,6 +3333,48 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "e13_ivfpq_knn" -> ((s, d) => {
+      // IVF+PQ composed — the production ANN shape (FAISS IVFPQ):
+      // coarse cells prune the corpus per query, PQ reconstructions
+      // rank only the probed cells by exact ADC. Every decision
+      // (assignment, probe ranking, each distance) replays in SQL —
+      // unlike e04's pinned recall, this composition gate is fully
+      // oracle-exact.
+      val e = emb(s, d)
+      val cents = e.filter(pmod(col("vec_id"), lit(31)) === 7)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+      Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e,
+          "vec_id", "vec_id", "embedding", cents, m = 8, k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    "k08_chat_format" -> ((s, d) => {
+      // SFT chat-template rendering: (system, user, assistant) turn
+      // arrays flattened into one role-delimited training string —
+      // the post-training data-prep step every instruct corpus runs.
+      // Turns travel as an array<struct<role,content>> column and the
+      // render is a transform+array_join fold (zero shuffle,
+      // codegen'd); the gate checks the rendered fingerprint and the
+      // token accounting it feeds into packing.
+      val turns = array(
+        struct(lit("system").as("role"),
+          lit("You are a helpful assistant.").as("content")),
+        struct(lit("user").as("role"),
+          substring(col("text"), 1, 60).as("content")),
+        struct(lit("assistant").as("role"),
+          substring(col("text"), 61, 80).as("content")))
+      docs(s, d).select(col("doc_id"), turns.as("turns"))
+        .withColumn("rendered", concat(
+          array_join(transform(col("turns"), t =>
+            concat(lit("<|"), t.getField("role"), lit("|>\n"),
+              t.getField("content"), lit("\n"))), ""),
+          lit("<|end|>")))
+        .select(col("doc_id"), size(col("turns")).cast("long").as("n_turns"),
+          md5(col("rendered").cast("binary")).as("render_fp"),
+          TextFunctions.tokenCount(col("rendered")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "st23_stream_dlq" -> ((s, d) => {
       // streaming malformed-record quarantine — w07 under Structured
       // Streaming with a dead-letter channel: one JSONL text stream,
@@ -6651,6 +6693,63 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM h i WHERE i.id < 400
              AND bit_count(xor(i.sig, n.sig)) <= 2)
          ORDER BY asset_id""",
+
+    // Both IVFPQ stages replayed: cell assignment (e10's argmax), PQ
+    // reconstruction (e09's argmin chain), probe ranking, every ADC.
+    "e13_ivfpq_knn" ->
+      """WITH v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         cb AS (SELECT vec_id AS cid, emb AS cv FROM v WHERE vec_id % 31 = 7),
+         asg AS (SELECT vec_id, cid AS cell FROM (
+             SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY
+               list_sum(list_transform(list_zip(v.emb, c.cv), z -> z[1]*z[2]))
+                 / (sqrt(list_sum(list_transform(v.emb, x -> x*x)))
+                    * sqrt(list_sum(list_transform(c.cv, x -> x*x)))) DESC,
+               c.cid) AS rn
+             FROM v CROSS JOIN cb c) WHERE rn = 1),
+         sub AS (SELECT v.vec_id, jj.j, c.cid,
+             c.cv[jj.j*8+1 : jj.j*8+8] AS ent,
+             row_number() OVER (PARTITION BY v.vec_id, jj.j ORDER BY
+               list_sum(list_transform(range(1, 9),
+                 i -> (v.emb[jj.j*8+i] - c.cv[jj.j*8+i])
+                    * (v.emb[jj.j*8+i] - c.cv[jj.j*8+i]))),
+               c.cid) AS rn
+           FROM v CROSS JOIN range(0, 8) jj(j) CROSS JOIN cb c),
+         recon AS (SELECT vec_id, flatten(list(ent ORDER BY j)) AS rc
+           FROM sub WHERE rn = 1 GROUP BY vec_id),
+         q AS (SELECT vec_id AS query_id, emb AS qv FROM v WHERE vec_id < 10),
+         probe AS (SELECT query_id, cid AS cell FROM (
+             SELECT q.query_id, c.cid, row_number() OVER (PARTITION BY q.query_id ORDER BY
+               list_sum(list_transform(list_zip(q.qv, c.cv), z -> z[1]*z[2]))
+                 / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
+                    * sqrt(list_sum(list_transform(c.cv, x -> x*x)))) DESC,
+               c.cid) AS rn
+             FROM q CROSS JOIN cb c) WHERE rn <= 2),
+         s AS (SELECT p.query_id, r.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65),
+               i -> (q.qv[i]-r.rc[i])*(q.qv[i]-r.rc[i]))) AS adc
+           FROM probe p JOIN q USING (query_id)
+           JOIN asg ON asg.cell = p.cell
+           JOIN recon r ON r.vec_id = asg.vec_id
+           WHERE r.vec_id != p.query_id)
+         SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id,
+           round(adc, 6) AS adc_dist
+         FROM (SELECT query_id, neighbor_id, adc,
+             row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+           FROM s)
+         WHERE rn <= 5 ORDER BY query_id, rank""",
+
+    "k08_chat_format" ->
+      """WITH r AS (SELECT doc_id,
+           '<|system|>' || chr(10) || 'You are a helpful assistant.' || chr(10) ||
+           '<|user|>' || chr(10) || substr(text, 1, 60) || chr(10) ||
+           '<|assistant|>' || chr(10) || substr(text, 61, 80) || chr(10) ||
+           '<|end|>' AS rendered
+         FROM documents)
+         SELECT doc_id, CAST(3 AS BIGINT) AS n_turns, md5(rendered) AS render_fp,
+           CAST(len(string_split_regex(trim(rendered), '\s+')) AS BIGINT) AS n_tokens
+         FROM r ORDER BY doc_id""",
 
     // The expected NFKC foldings stated as an explicit replace chain:
     // ligatures, full-width letter/digit, circled digit, unit square.

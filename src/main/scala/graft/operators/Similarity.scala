@@ -363,6 +363,48 @@ object Similarity {
         col("neighbor_id"), round(col("adc_dist"), 6).as("adc_dist"))
   }
 
+  /** IVF+PQ two-stage ANN — the composition production vector stores
+    * run (FAISS IVFPQ): the coarse quantizer prunes the corpus to
+    * `nProbe` cells per query (zero-shuffle literal-argmax assignment,
+    * [[centroidAssign]]), and only the probed cells' PQ
+    * reconstructions are ranked by exact ADC squared-L2
+    * ([[pqEncode]]'s SQL-replayable form). Corpus work per query drops
+    * from |C| to the probed cells' mass; both stages' decisions —
+    * cell assignment, probe ranking, every distance — replay exactly
+    * in SQL, so the gate needs no pinned constants. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                queryId: String, corpusId: String, vecCol: String,
+                centroids: DataFrame, m: Int, k: Int,
+                nProbe: Int = 2): DataFrame = {
+    val cells = centroidAssign(corpus, corpusId, vecCol, centroids)
+      .select(col(corpusId).as("neighbor_id"), col("cell"))
+    val enc = pqEncode(corpus, corpusId, vecCol, centroids, m)
+      .select(col("id").as("neighbor_id"), col("recon"))
+    val cand = enc.join(cells, "neighbor_id")
+    val Array(cidCol, cvecCol) = centroids.columns.take(2)
+    val cb = centroids.select(col(cidCol).cast("long").as("centroid_id"),
+      col(cvecCol).as("centv"))
+    val q = queries.select(col(queryId).as("query_id"),
+      transform(col(vecCol), _.cast("double")).as("qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("centroid_id").asc)
+    val probed = q.crossJoin(broadcast(cb))
+      .withColumn("csim", cosine(col("qv"), col("centv")))
+      .withColumn("crank", row_number().over(probeW))
+      .where(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("centroid_id").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    cand.join(probed, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist",
+        graft.functions.HashFunctions.l2Sq(col("qv"), col("recon")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), round(col("adc_dist"), 6).as("adc_dist"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the 4×
     * storage/bandwidth compression step of a vector-search pipeline.
     * Per-row, zero shuffle: scale = max|v| / 127, q_i = round(v_i /
