@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** IVF+PQ composition properties (e13): probing every cell must
+  * degrade exactly to plain PQ ranking, and pruning must only ever
+  * shrink the candidate set. */
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus() = {
+    val rows = (0L until 60L).map { i =>
+      val v = Array.tabulate(16)(j =>
+        (math.sin(i * 0.37 + j * 1.13) + math.cos(i * 0.11 * (j + 1))).toFloat)
+      (i, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("probing all cells reproduces plain PQ ranking exactly") {
+    val df = corpus()
+    val cents = df.filter(col("vec_id") % 13 === 3)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+    val nCells = cents.count().toInt
+    val q = df.filter(col("vec_id") < 4)
+    val full = Similarity.ivfPqTopK(q, df, "vec_id", "vec_id", "embedding",
+        cents, m = 4, k = 5, nProbe = nCells)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    val pq = Similarity.pqTopK(q, df, "vec_id", "vec_id", "embedding",
+        cents, m = 4, k = 5)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(full.toSeq === pq.toSeq)
+  }
+
+  test("narrower probes return a subset of the all-cells candidates per query") {
+    val df = corpus()
+    val cents = df.filter(col("vec_id") % 13 === 3)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+    val nCells = cents.count().toInt
+    val q = df.filter(col("vec_id") < 4)
+    def neighbors(nProbe: Int) =
+      Similarity.ivfPqTopK(q, df, "vec_id", "vec_id", "embedding",
+          cents, m = 4, k = 50, nProbe = nProbe)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    val narrow = neighbors(1)
+    val wide = neighbors(nCells)
+    for ((qid, ns) <- narrow)
+      assert(ns.subsetOf(wide(qid)), s"query $qid: probe-1 must prune, not invent")
+  }
+
+  test("phash banding recall: every Hamming<=2 pair shares a band") {
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(40)(rnd.nextLong() & Long.MaxValue)
+    // plant pairs at Hamming 1 and 2
+    val planted = base.take(10).map(h => h ^ (1L << rnd.nextInt(63))) ++
+      base.slice(10, 20).map(h => h ^ (1L << rnd.nextInt(63)) ^ (1L << 62))
+    val sigs = (base ++ planted).zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }.toDF("id", "sig")
+    val banded = graft.operators.Multimodal.phashBandRows(sigs, maxHamming = 2)
+      .select("id", "band_id", "band_hash")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(r => (r._2, r._3)).values.map(_.map(_._1).toSet).toSeq
+    val hs = (base ++ planted).zipWithIndex.map { case (h, i) => i.toLong -> h }.toMap
+    for (a <- hs.keys; b <- hs.keys if a < b
+         if java.lang.Long.bitCount(hs(a) ^ hs(b)) <= 2) {
+      assert(banded.exists(s => s.contains(a) && s.contains(b)),
+        s"pair ($a,$b) at Hamming ${java.lang.Long.bitCount(hs(a) ^ hs(b))} missed by banding")
+    }
+  }
+}
