@@ -3333,6 +3333,141 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "k09_loss_mask" -> ((s, d) => {
+      // SFT loss masking: only assistant tokens train — the
+      // system/user context (and the assistant marker itself) is
+      // masked out of the loss. Token accounting per doc over k08's
+      // rendered segments; pieces join at newline boundaries so
+      // whitespace token counts add exactly. Pure arithmetic, zero
+      // shuffle; mask ratio feeds the packing budget (trainable
+      // tokens per packed sequence).
+      val masked = concat(lit("<|system|>\n"),
+        lit("You are a helpful assistant."),
+        lit("\n<|user|>\n"), substring(col("text"), 1, 60),
+        lit("\n<|assistant|>\n"))
+      val trainable = concat(substring(col("text"), 61, 80), lit("\n<|end|>"))
+      docs(s, d).select(col("doc_id"),
+          TextFunctions.tokenCount(masked).cast("long").as("n_masked"),
+          TextFunctions.tokenCount(trainable).cast("long").as("n_trainable"))
+        .withColumn("trainable_frac",
+          round(col("n_trainable").cast("double")
+            / (col("n_masked") + col("n_trainable")), 4))
+        .orderBy("doc_id")
+    }),
+
+    "ev24_funnel_timing" -> ((s, d) => {
+      // funnel TIMING — beyond ev09's conversion counts: how long
+      // each converting user took per transition (view→click,
+      // click→purchase), reported as exact p50/p90 of the duration
+      // distributions. Same three user-partitioned window passes as
+      // ev09 (high-cardinality), then the durations unpivot to
+      // (stage, dur) and the quantiles come from the scale-safe
+      // distributed-rank construction — never a single-task window.
+      val hours6 = 21600000000L
+      val w = Window.partitionBy("user_id")
+      val conv = ev(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("t"))
+        .withColumn("fv",
+          min(when(col("event_type") === "view", col("t"))).over(w))
+        .withColumn("fc",
+          min(when(col("event_type") === "click" && col("t") > col("fv")
+            && col("t") - col("fv") <= hours6, col("t"))).over(w))
+        .withColumn("fp",
+          min(when(col("event_type") === "purchase" && col("t") > col("fc")
+            && col("t") - col("fc") <= hours6, col("t"))).over(w))
+        .groupBy("user_id")
+        .agg(max("fv").as("fv"), max("fc").as("fc"), max("fp").as("fp"))
+      val durs = conv.select(col("user_id"),
+          (col("fc") - col("fv")).as("view_to_click"),
+          (col("fp") - col("fc")).as("click_to_purchase"))
+        .unpivot(Array(col("user_id")),
+          Array(col("view_to_click"), col("click_to_purchase")),
+          "stage", "dur_us")
+        .where(col("dur_us").isNotNull)
+      Ranking.exactQuantiles(durs, "stage", "dur_us",
+          Seq(0.5 -> "p50_us", 0.9 -> "p90_us"))
+        .join(durs.groupBy("stage").agg(count(lit(1)).as("n_converted")), "stage")
+        .select("stage", "n_converted", "p50_us", "p90_us")
+        .orderBy("stage")
+    }),
+
+    "d71_license_filter" -> ((s, d) => {
+      // license-hygiene filtering (the code/document-corpus curation
+      // rule): license markers injected on doc_id strata, classified
+      // by the standard marker regexes (SPDX tag, Apache header,
+      // all-rights-reserved), and the keep decision recorded —
+      // restrictive-licensed docs leave the training corpus. One
+      // zero-shuffle projection; both engines run RE2-safe patterns.
+      val lic = when(col("doc_id") % 11 === 0,
+          lit(" Licensed under the Apache License, Version 2.0 "))
+        .when(col("doc_id") % 11 === 1,
+          lit(" SPDX-License-Identifier: MIT "))
+        .when(col("doc_id") % 11 === 2, lit(" All Rights Reserved. "))
+        .otherwise(lit(" "))
+      val t = concat(substring(col("text"), 1, 40), lic,
+        substring(col("text"), 41, 40))
+      docs(s, d).select(col("doc_id"), t.as("t"))
+        .withColumn("license",
+          when(col("t").rlike("SPDX-License-Identifier: MIT"), "mit")
+            .when(col("t").rlike("Apache License, Version 2\\.0"), "apache-2.0")
+            .when(col("t").rlike("(?i)all rights reserved"), "restrictive")
+            .otherwise("none"))
+        .withColumn("kept", col("license") =!= "restrictive")
+        .select("doc_id", "license", "kept")
+        .orderBy("doc_id")
+    }),
+
+    "st24_foreachbatch_sink" -> ((s, d) => {
+      // the foreachBatch contract — Structured Streaming's
+      // arbitrary-sink API, the production answer to exactly-once
+      // into stores the built-in sinks don't speak: each micro-batch
+      // lands under its own batch_id directory with mode=overwrite,
+      // so a REPLAYED batch overwrites itself instead of duplicating
+      // (the checkpoint promises at-least-once; idempotence is the
+      // sink's job). The reassembled store must equal the batch truth
+      // regardless of how the stream was micro-batched — per-source
+      // counts AND content fingerprints gate completeness and
+      // no-duplication at once.
+      val stage = stageTableDir(d, "documents")
+      val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_febatch_${math.abs(d.hashCode)}")
+      if (java.nio.file.Files.exists(out)) { // stale batch dirs from a
+        // previous run would read back as phantom batches
+        java.nio.file.Files.walk(out)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      val stream = graft.streaming.Streaming.parquetStream(
+          s, stage, Tables.documents(s, d).schema)
+        .select("doc_id", "source", "text")
+      graft.streaming.Streaming.runForeachBatch(stream, (b, id) =>
+        b.write.mode("overwrite").parquet(s"$out/batch_id=$id"))
+      s.read.option("basePath", out.toString).parquet(s"$out/batch_id=*")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          md5(array_join(array_sort(
+            collect_list(md5(col("text").cast("binary")))), "").cast("binary"))
+            .as("content_fp"))
+        .orderBy("source")
+    }),
+
+    "ev23_burst_detection" -> ((s, d) => {
+      // rate-anomaly (bot/abuse) detection: events per (user, hour),
+      // hours at or above the burst threshold flagged, rolled up per
+      // user — the abuse-filter shape every event pipeline runs ahead
+      // of analytics. (user, hour) is high-cardinality; the per-user
+      // rollup is the second bounded-state aggregate.
+      val e = ev(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"), expr("(ts div 1000) div 3600000000").as("hour"))
+      e.groupBy("user_id", "hour").agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_active_hours"),
+          max("n").as("max_per_hour"),
+          sum(when(col("n") >= 3, 1L).otherwise(0L)).as("n_burst_hours"))
+        .withColumn("is_bursty", col("n_burst_hours") > 0)
+        .orderBy("user_id")
+    }),
+
     "e13_ivfpq_knn" -> ((s, d) => {
       // IVF+PQ composed — the production ANN shape (FAISS IVFPQ):
       // coarse cells prune the corpus per query, PQ reconstructions
@@ -6693,6 +6828,85 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM h i WHERE i.id < 400
              AND bit_count(xor(i.sig, n.sig)) <= 2)
          ORDER BY asset_id""",
+
+    "k09_loss_mask" ->
+      """WITH m AS (SELECT doc_id,
+           '<|system|>' || chr(10) || 'You are a helpful assistant.' || chr(10)
+             || '<|user|>' || chr(10) || substr(text, 1, 60) || chr(10)
+             || '<|assistant|>' || chr(10) AS masked,
+           substr(text, 61, 80) || chr(10) || '<|end|>' AS trainable
+         FROM documents),
+         c AS (SELECT doc_id,
+           CAST(len(string_split_regex(trim(masked), '\s+')) AS BIGINT) AS n_masked,
+           CAST(len(string_split_regex(trim(trainable), '\s+')) AS BIGINT) AS n_trainable
+         FROM m)
+         SELECT doc_id, n_masked, n_trainable,
+           round(CAST(n_trainable AS DOUBLE) / (n_masked + n_trainable), 4)
+             AS trainable_frac
+         FROM c ORDER BY doc_id""",
+
+    // ev09's v/c/p conversion CTEs with the duration tail: exact
+    // type-1 p50/p90 per transition (q30's rank construction).
+    "ev24_funnel_timing" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+           WHERE user_id IS NOT NULL),
+         v AS (SELECT user_id, min(t) AS fv FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, v.fv, min(e.t) AS fc FROM e JOIN v USING (user_id)
+           WHERE e.event_type = 'click' AND e.t > v.fv
+             AND e.t - v.fv <= 21600000000 GROUP BY e.user_id, v.fv),
+         p AS (SELECT e.user_id, c.fc, min(e.t) AS fp FROM e JOIN c USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.t > c.fc
+             AND e.t - c.fc <= 21600000000 GROUP BY e.user_id, c.fc),
+         d0 AS (SELECT user_id, 'view_to_click' AS stage, fc - fv AS dur_us FROM c
+           UNION ALL SELECT user_id, 'click_to_purchase', fp - fc FROM p),
+         r AS (SELECT stage, dur_us,
+             row_number() OVER (PARTITION BY stage ORDER BY dur_us) AS rn,
+             count(*) OVER (PARTITION BY stage) AS n
+           FROM d0)
+         SELECT p50.stage, n_converted, p50_us, p90_us FROM
+           (SELECT stage, min(dur_us) AS p50_us FROM r
+            WHERE rn = CEIL(0.5 * n) GROUP BY stage) p50
+           JOIN (SELECT stage, min(dur_us) AS p90_us FROM r
+             WHERE rn = CEIL(0.9 * n) GROUP BY stage) p90 USING (stage)
+           JOIN (SELECT stage, CAST(count(*) AS BIGINT) AS n_converted
+             FROM d0 GROUP BY stage) cnt USING (stage)
+         ORDER BY stage""",
+
+    "d71_license_filter" ->
+      """WITH t0 AS (SELECT doc_id,
+           substr(text, 1, 40) ||
+           (CASE CAST(doc_id % 11 AS INTEGER)
+              WHEN 0 THEN ' Licensed under the Apache License, Version 2.0 '
+              WHEN 1 THEN ' SPDX-License-Identifier: MIT '
+              WHEN 2 THEN ' All Rights Reserved. '
+              ELSE ' ' END) ||
+           substr(text, 41, 40) AS t
+         FROM documents),
+         lab AS (SELECT doc_id,
+           CASE WHEN regexp_matches(t, 'SPDX-License-Identifier: MIT') THEN 'mit'
+                WHEN regexp_matches(t, 'Apache License, Version 2\.0') THEN 'apache-2.0'
+                WHEN regexp_matches(t, '(?i)all rights reserved') THEN 'restrictive'
+                ELSE 'none' END AS license
+         FROM t0)
+         SELECT doc_id, license, license <> 'restrictive' AS kept
+         FROM lab ORDER BY doc_id""",
+
+    // Completeness + no-duplication in one shot: counts AND sorted
+    // content fingerprints per source, straight off the raw table.
+    "st24_foreachbatch_sink" ->
+      """SELECT source, count(*) AS n_docs,
+           md5(string_agg(md5(text), '' ORDER BY md5(text))) AS content_fp
+         FROM documents GROUP BY source ORDER BY source""",
+
+    "ev23_burst_detection" ->
+      """WITH pm AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+             count(*) AS n
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_active_hours, max(n) AS max_per_hour,
+           CAST(sum(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_burst_hours,
+           sum(CASE WHEN n >= 3 THEN 1 ELSE 0 END) > 0 AS is_bursty
+         FROM pm GROUP BY user_id ORDER BY user_id""",
 
     // Both IVFPQ stages replayed: cell assignment (e10's argmax), PQ
     // reconstruction (e09's argmin chain), probe ranking, every ADC.

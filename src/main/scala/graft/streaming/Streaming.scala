@@ -322,6 +322,21 @@ object Streaming {
       name
     }
 
+  /** Drain a stream through foreachBatch with AvailableNow — the
+    * arbitrary-sink API for stores the built-in sinks don't speak.
+    * The checkpoint only promises at-least-once delivery of each
+    * micro-batch; exactly-once is the HANDLER's job — it must be
+    * idempotent per batch id (overwrite its own batch's output,
+    * never blind-append). */
+  def runForeachBatch(df: DataFrame, handler: (DataFrame, Long) => Unit): Unit =
+    withShufflePartitions(df.sparkSession, 8) {
+      val q = df.writeStream
+        .foreachBatch(handler)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
   /** Stream → parquet sink with checkpointing (exactly-once file sink). */
   def runToParquet(df: DataFrame, dir: String, checkpoint: String): Unit = {
     val q = df.writeStream
