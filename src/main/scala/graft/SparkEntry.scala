@@ -3333,6 +3333,92 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q48_sql_frontend" -> ((s, d) => {
+      // the SQL entry point end-to-end: the custom Catalyst
+      // expressions registered through SparkSessionExtensions'
+      // injectFunction seam (GraftExtensions), documents exposed as a
+      // temp view, the whole query stated in SQL — the "point your
+      // SQL tool at this engine" path. The 25% sample is the d37
+      // md5-hex-prefix coin (engine-independent string compare);
+      // graft_nfkc runs inside the distinct fingerprint (identity on
+      // the ASCII corpus — the function's SQL plumbing is what's
+      // under test; d69 gates its semantics).
+      GraftExtensions.register(s)
+      docs(s, d).createOrReplaceTempView("docs_v")
+      s.sql("""
+        SELECT source, COUNT(*) AS n_docs,
+          SUM(CASE WHEN substr(md5(CAST(text AS BINARY)), 1, 2) < '40'
+              THEN 1 ELSE 0 END) AS n_sampled,
+          COUNT(DISTINCT md5(CAST(graft_nfkc(text) AS BINARY))) AS n_distinct
+        FROM docs_v GROUP BY source ORDER BY source""")
+    }),
+
+    "d72_term_map" -> ((s, d) => {
+      // map-typed analytics: per-doc term frequencies as a real
+      // MapType column, filtered with map algebra (map_filter keeps
+      // repeated terms), then serialized DETERMINISTICALLY — entries
+      // sorted as structs (field order: word, count) before joining,
+      // because map iteration order is not a contract anywhere. The
+      // (doc, word) count is the only shuffle.
+      val words = docs(s, d).select(col("doc_id"),
+        explode(split(TextFunctions.normalizeForDedup(col("text")), " ")).as("w"))
+      val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      tf.groupBy("doc_id")
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("w"), col("c"))))).as("tfm"))
+        .select(col("doc_id"),
+          size(col("tfm")).cast("long").as("n_terms"),
+          array_join(transform(
+            array_sort(map_entries(map_filter(col("tfm"), (_, v) => v >= 2))),
+            e => concat(e.getField("key"), lit(":"),
+              e.getField("value").cast("string"))), ",").as("repeated_terms"))
+        .orderBy("doc_id")
+    }),
+
+    "x13_dedup_idempotence" -> ((s, d) => {
+      // the fixed-point law a governed dedup pipeline asserts before
+      // shipping: near-dedup run on its OWN survivors must remove
+      // nothing (every surviving component representative is unique).
+      // Stage 2 executes the full banding/estimate/verify path again
+      // on stage-1 output; the law lands as an in-plan boolean (b02
+      // convention) — a canonical-pick regression (keeping a non-min
+      // member, or a pair the first pass should have caught) breaks
+      // idempotence and fails the gate.
+      val all = docs(s, d).select("doc_id", "text")
+      val s1 = Dedup.ngramJaccard(all, "doc_id", "text", n = 3, threshold = 0.8)
+        .select("doc_id", "text").localCheckpoint(true)
+      val s2 = Dedup.ngramJaccard(s1, "doc_id", "text", n = 3, threshold = 0.8)
+        .select("doc_id")
+      all.agg(count(lit(1)).as("n_input"))
+        .crossJoin(s1.agg(count(lit(1)).as("n_pass1")))
+        .crossJoin(s2.agg(count(lit(1)).as("n_pass2")))
+        .withColumn("idempotent", col("n_pass1") === col("n_pass2"))
+    }),
+
+    "ev25_active_users" -> ((s, d) => {
+      // DAU / WAU / MAU — rolling distinct actives, the engagement
+      // sheet every event warehouse serves: per-(user, day) presence
+      // first (the event table collapses to at most users x days
+      // rows), then each activity day feeds the 7- and 30-day windows
+      // ENDING on day..day+k via a bounded explode of the per-user-
+      // day table — never a sliding distinct over raw events — and
+      // one distinct count per window end. Window ends join back to
+      // real activity days so no phantom trailing days appear.
+      val ud = ev(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+        .distinct()
+        .persist()
+      val days = ud.select("day").distinct()
+      val dau = ud.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      def rolling(k: Int, name: String) = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + lit(k))).as("day"))
+        .join(days, "day")
+        .groupBy("day").agg(countDistinct("user_id").as(name))
+      dau.join(rolling(6, "wau"), "day").join(rolling(29, "mau"), "day")
+        .orderBy("day")
+    }),
+
     "k09_loss_mask" -> ((s, d) => {
       // SFT loss masking: only assistant tokens train — the
       // system/user context (and the assistant marker itself) is
@@ -6828,6 +6914,61 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM h i WHERE i.id < 400
              AND bit_count(xor(i.sig, n.sig)) <= 2)
          ORDER BY asset_id""",
+
+    // graft_nfkc is identity on the ASCII corpus (d69 gates its
+    // semantics), so the distinct fingerprint replays as md5(text).
+    "q48_sql_frontend" ->
+      """SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN substr(md5(text), 1, 2) < '40'
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           count(DISTINCT md5(text)) AS n_distinct
+         FROM documents GROUP BY source ORDER BY source""",
+
+    "d72_term_map" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS w
+           FROM documents),
+         tf AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           coalesce(string_agg(CASE WHEN c >= 2 THEN w || ':' || CAST(c AS VARCHAR) END,
+             ',' ORDER BY w), '') AS repeated_terms
+         FROM tf GROUP BY doc_id ORDER BY doc_id""",
+
+    // n_pass1 = the x03 closure's survivor count; the law pins
+    // n_pass2 equal and idempotent TRUE.
+    "x13_dedup_idempotence" ->
+      """WITH RECURSIVE
+         n AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         g AS (SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS gs
+           FROM n),
+         e AS (SELECT a.doc_id AS u, b.doc_id AS v FROM g a JOIN g b ON a.doc_id < b.doc_id
+             AND len(a.gs) >= 0.8 * len(b.gs) AND len(b.gs) >= 0.8 * len(a.gs)
+             WHERE len(list_intersect(a.gs, b.gs)) * 1.0
+               / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.8),
+         ed AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+         reach AS (SELECT u, v FROM ed
+           UNION SELECT r.u, ed.v FROM reach r JOIN ed ON r.v = ed.u WHERE ed.v != r.u),
+         comp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+         kept AS (SELECT count(*) AS k FROM documents WHERE doc_id NOT IN
+             (SELECT doc_id FROM comp WHERE mn < doc_id))
+         SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_input,
+           CAST(k AS BIGINT) AS n_pass1, CAST(k AS BIGINT) AS n_pass2,
+           TRUE AS idempotent
+         FROM kept""",
+
+    "ev25_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events WHERE user_id IS NOT NULL),
+         days AS (SELECT DISTINCT day FROM ud),
+         dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+         w AS (SELECT d.day, count(DISTINCT u.user_id) AS wau FROM days d
+           JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day GROUP BY d.day),
+         m AS (SELECT d.day, count(DISTINCT u.user_id) AS mau FROM days d
+           JOIN ud u ON u.day BETWEEN d.day - 29 AND d.day GROUP BY d.day)
+         SELECT day, dau, wau, mau
+         FROM dau JOIN w USING (day) JOIN m USING (day) ORDER BY day""",
 
     "k09_loss_mask" ->
       """WITH m AS (SELECT doc_id,
