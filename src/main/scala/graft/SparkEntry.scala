@@ -3333,6 +3333,75 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "b03_join_hints" -> ((s, d) => {
+      // join-strategy control under the gate: the SAME join computed
+      // under a merge hint and a shuffle_hash hint must agree
+      // bit-for-bit, and each plan must actually USE its hinted
+      // strategy — asserted from the executed physical plan and
+      // embedded in the output (b01's in-plan-assertion convention).
+      // The strategy lever matters at scale: SMJ spills gracefully
+      // on huge both-sides joins, SHJ skips the sort when one side
+      // fits per-task memory — the engine must honor the choice.
+      def agg(hint: String) = {
+        val l = li(s, d).select("l_orderkey", "l_extendedprice")
+        val o = ord(s, d).select("o_orderkey", "o_orderpriority").hint(hint)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(round(sum("l_extendedprice"), 2).as("revenue"),
+            count(lit(1)).as("n_lines"))
+      }
+      def planOf(df: DataFrame): String = {
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        def render(p: SparkPlan): String = p.toString + (p match {
+          case a: AdaptiveSparkPlanExec => render(a.executedPlan)
+          case st: QueryStageExec => render(st.plan)
+          case _ => ""
+        }) + p.children.map(render).mkString
+        render(df.queryExecution.executedPlan)
+      }
+      val smj = agg("merge"); val shj = agg("shuffle_hash")
+      val smjUsed = planOf(smj).contains("SortMergeJoin")
+      val shjUsed = planOf(shj).contains("ShuffledHashJoin")
+      smj.select(lit("merge").as("strategy"), col("o_orderpriority"),
+          col("revenue"), col("n_lines"), lit(smjUsed).as("hint_honored"))
+        .unionByName(shj.select(lit("shuffle_hash").as("strategy"),
+          col("o_orderpriority"), col("revenue"), col("n_lines"),
+          lit(shjUsed).as("hint_honored")))
+        .orderBy("strategy", "o_orderpriority")
+    }),
+
+    "ev26_markov_eval" -> ((s, d) => {
+      // next-event prediction eval: ev20's transition matrix turned
+      // into a predictor (argmax next type per current type, ties to
+      // the lexically smaller) and scored on the SAME transitions —
+      // the train-once/evaluate-distributed loop of any behavioral
+      // model, kept exact: the model is a bounded (types²) table,
+      // broadcast back onto the transition stream.
+      val e = ev(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("us"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val trans = e.withColumn("from_type", lag("event_type", 1).over(w))
+        .where(col("from_type").isNotNull)
+        .select(col("from_type"), col("event_type").as("to_type"))
+      val counts = trans.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      val predW = Window.partitionBy("from_type")
+        .orderBy(desc("n"), asc("to_type"))
+      val model = counts.withColumn("rn", row_number().over(predW))
+        .where(col("rn") === 1)
+        .select(col("from_type"), col("to_type").as("predicted"))
+      trans.join(broadcast(model), "from_type")
+        .groupBy("from_type")
+        .agg(count(lit(1)).as("n_transitions"),
+          max("predicted").as("predicted"),
+          sum(when(col("to_type") === col("predicted"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("accuracy",
+          round(col("n_correct").cast("double") / col("n_transitions"), 4))
+        .orderBy("from_type")
+    }),
+
     "q48_sql_frontend" -> ((s, d) => {
       // the SQL entry point end-to-end: the custom Catalyst
       // expressions registered through SparkSessionExtensions'
@@ -6914,6 +6983,39 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM h i WHERE i.id < 400
              AND bit_count(xor(i.sig, n.sig)) <= 2)
          ORDER BY asset_id""",
+
+    // Same aggregate twice; hint_honored pinned TRUE — a planner
+    // regression that ignores the hint fails the gate.
+    "b03_join_hints" ->
+      """WITH a AS (SELECT o_orderpriority,
+             round(sum(l_extendedprice), 2) AS revenue,
+             count(*) AS n_lines
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY o_orderpriority)
+         SELECT strategy, o_orderpriority, revenue, n_lines,
+           TRUE AS hint_honored
+         FROM a CROSS JOIN (VALUES ('merge'), ('shuffle_hash')) AS s(strategy)
+         ORDER BY strategy, o_orderpriority""",
+
+    "ev26_markov_eval" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+           FROM events WHERE user_id IS NOT NULL),
+         tr AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS from_type, event_type AS to_type
+           FROM e),
+         t2 AS (SELECT from_type, to_type FROM tr WHERE from_type IS NOT NULL),
+         cnt AS (SELECT from_type, to_type, count(*) AS n FROM t2 GROUP BY 1, 2),
+         model AS (SELECT from_type, to_type AS predicted FROM (
+             SELECT from_type, to_type, row_number() OVER (PARTITION BY from_type
+               ORDER BY n DESC, to_type) AS rn FROM cnt) WHERE rn = 1)
+         SELECT t2.from_type, count(*) AS n_transitions,
+           max(predicted) AS predicted,
+           CAST(sum(CASE WHEN to_type = predicted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           round(CAST(sum(CASE WHEN to_type = predicted THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS accuracy
+         FROM t2 JOIN model USING (from_type)
+         GROUP BY t2.from_type ORDER BY from_type""",
 
     // graft_nfkc is identity on the ASCII corpus (d69 gates its
     // semantics), so the distinct fingerprint replays as md5(text).
