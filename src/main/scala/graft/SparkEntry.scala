@@ -3333,6 +3333,51 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "a03_asof_stale_bound" -> ((s, d) => {
+      // feature-store staleness bound on the BACKWARD as-of join:
+      // each purchase takes the last click at-or-before it, but only
+      // within 30 minutes — staler features must surface as NULL,
+      // never silently join (the point-in-time correctness rule).
+      // Completes the as-of matrix: a01 backward unbounded, a02
+      // forward bounded, a03 backward bounded.
+      val e = ev(s, d).withColumn("us", expr("ts div 1000"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "us", "event_id")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us").as("cus"), col("event_id").as("click_id"))
+      AsOfJoin.backward(purchases, clicks, "user_id", "us", "cus",
+          Seq("click_id"), toleranceUs = 1800000000L)
+        .select(col("user_id"), col("event_id"), col("asof_click_id"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q49_not_in_nulls" -> ((s, d) => {
+      // the ANSI three-valued-logic trap, pinned as behavior: NOT IN
+      // against a list containing NULL can never be TRUE (x <> NULL
+      // is unknown), so the filter returns ZERO rows — while NOT
+      // EXISTS with the same intent returns the real complement, and
+      // NOT IN over the null-free list agrees with it. An engine that
+      // "helpfully" deviates corrupts anti-join semantics; both
+      // engines here implement the standard, and the gate documents
+      // it. Stated in SQL (the shape users actually write).
+      ord(s, d).createOrReplaceTempView("orders_v")
+      cust(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT 'not_exists' AS variant, count(*) AS n FROM customer_v c
+          WHERE NOT EXISTS (SELECT 1 FROM orders_v o
+            WHERE o.o_totalprice > 300000 AND o.o_custkey = c.c_custkey)
+        UNION ALL
+        SELECT 'not_in_clean', count(*) FROM customer_v
+          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders_v
+            WHERE o_totalprice > 300000 AND o_custkey IS NOT NULL)
+        UNION ALL
+        SELECT 'not_in_with_null', count(*) FROM customer_v
+          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders_v
+            WHERE o_totalprice > 300000
+            UNION ALL SELECT CAST(NULL AS BIGINT))
+        ORDER BY variant""")
+    }),
+
     "b03_join_hints" -> ((s, d) => {
       // join-strategy control under the gate: the SAME join computed
       // under a merge hint and a shuffle_hash hint must agree
@@ -6983,6 +7028,47 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM h i WHERE i.id < 400
              AND bit_count(xor(i.sig, n.sig)) <= 2)
          ORDER BY asset_id""",
+
+    // a01's union-window construction with the staleness guard on the
+    // matched click's own timestamp (both last_values align: the id
+    // and ts columns are null/non-null on exactly the same rows).
+    "a03_asof_stale_bound" ->
+      """WITH u AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id, 1 AS side,
+             NULL AS click_id, NULL AS click_us
+           FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT user_id, epoch_us(ts) AS us, event_id, 0 AS side,
+             event_id AS click_id, epoch_us(ts) AS click_us
+           FROM events WHERE event_type = 'click'),
+         w AS (
+           SELECT user_id, event_id, side, us,
+             last_value(click_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, side, click_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cid,
+             last_value(click_us IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, side, click_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cus2
+           FROM u)
+         SELECT user_id, event_id,
+           CASE WHEN cid IS NOT NULL AND us - cus2 <= 1800000000
+                THEN cid END AS asof_click_id
+         FROM w WHERE side = 1 ORDER BY user_id, event_id""",
+
+    "q49_not_in_nulls" ->
+      """SELECT 'not_exists' AS variant, count(*) AS n FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM orders o
+             WHERE o.o_totalprice > 300000 AND o.o_custkey = c.c_custkey)
+         UNION ALL
+         SELECT 'not_in_clean', count(*) FROM customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+             WHERE o_totalprice > 300000 AND o_custkey IS NOT NULL)
+         UNION ALL
+         SELECT 'not_in_with_null', count(*) FROM customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+             WHERE o_totalprice > 300000
+             UNION ALL SELECT CAST(NULL AS BIGINT))
+         ORDER BY variant""",
 
     // Same aggregate twice; hint_honored pinned TRUE — a planner
     // regression that ignores the hint fails the gate.
