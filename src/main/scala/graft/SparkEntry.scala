@@ -3333,6 +3333,57 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "x14_entity_resolution" -> ((s, d) => {
+      // multi-key entity resolution — the record-linkage move single-
+      // key dedup can't make: records merge when ANY identity key
+      // agrees (folded-content fingerprint OR canonical URL), and the
+      // transitive closure stitches chains A~B~C even when A and C
+      // share no key at all. Each key contributes star edges to its
+      // bucket minimum (n−1 per bucket, never C(n,2)); the union
+      // feeds the same distributed CC as every dedup family. The
+      // synth plants a content-only twin (accented text, unrelated
+      // URL) and a URL-only twin (reversed text, tracking-decorated
+      // URL) per doc — both must land in the base doc's cluster, so
+      // every cluster is >= 3 and the chain crosses keys.
+      val base = docs(s, d).select(col("doc_id"), col("text"), urlSynth.as("url"))
+        .persist()
+      val twinA = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        translate(col("text"), "aeiou", "áéíóú").as("text"),
+        concat(lit("https://alt.example.net/"),
+          (col("doc_id") % 97).cast("string"), lit("/"),
+          col("doc_id").cast("string")).as("url"))
+      val auth = regexp_extract(col("url"), "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+      val q = UrlFunctions.query(col("url"))
+      val twinB = base.select((col("doc_id") + 2000000L).as("doc_id"),
+        reverse(col("text")).as("text"),
+        concat(UrlFunctions.scheme(col("url")), lit("://"), upper(auth),
+          UrlFunctions.path(col("url")), lit("/"),
+          lit("?utm_source=feed&fbclid="), (col("doc_id") % 7).cast("string"),
+          when(q =!= "", concat(lit("&"), q)).otherwise(lit("")),
+          lit("#top")).as("url"))
+      val all = base.unionByName(twinA).unionByName(twinB).persist()
+      val k1 = all.select(col("doc_id"),
+        md5(translate(lower(col("text")), "áéíóú", "aeiou").cast("binary")).as("k"))
+      val k2 = all.select(col("doc_id"),
+        UrlFunctions.canonicalize(col("url")).as("k"))
+      def starEdges(keys: DataFrame) = {
+        val roots = keys.groupBy("k").agg(min("doc_id").as("root"))
+        keys.join(roots, "k").where(col("doc_id") =!= col("root"))
+          .select(col("root").as("src"), col("doc_id").as("dst"))
+      }
+      val comp = ConnectedComponents.run(
+        starEdges(k1).unionByName(starEdges(k2)).distinct())
+      val lab = all.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(coalesce(col("component"), col("doc_id")), col("doc_id"))
+            .as("cluster_id"))
+      lab.join(lab.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")),
+          "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
+        .orderBy("doc_id")
+    }),
+
     "a03_asof_stale_bound" -> ((s, d) => {
       // feature-store staleness bound on the BACKWARD as-of join:
       // each purchase takes the last click at-or-before it, but only
@@ -7028,6 +7079,62 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM h i WHERE i.id < 400
              AND bit_count(xor(i.sig, n.sig)) <= 2)
          ORDER BY asset_id""",
+
+    // Both identity keys rebuilt (the d63 fold chain and the d67
+    // canonicalize replay), equality cliques unioned with distinct
+    // key-space prefixes, closure taken recursively — the Spark
+    // star-edge construction must produce the identical clusters.
+    "x14_entity_resolution" ->
+      s"""WITH RECURSIVE $urlSynthSql,
+         base AS (SELECT d.doc_id, d.text, u.url FROM documents d JOIN u USING (doc_id)),
+         ta AS (SELECT doc_id + 1000000 AS doc_id,
+             translate(text, 'aeiou', 'áéíóú') AS text,
+             'https://alt.example.net/' || CAST(doc_id % 97 AS VARCHAR)
+               || '/' || CAST(doc_id AS VARCHAR) AS url
+           FROM base),
+         tb AS (SELECT doc_id + 2000000 AS doc_id, reverse(text) AS text,
+             regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) || '://' ||
+             upper(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)) ||
+             regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) || '/' ||
+             '?utm_source=feed&fbclid=' || CAST(doc_id % 7 AS VARCHAR) ||
+             CASE WHEN coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') <> ''
+                  THEN '&' || regexp_extract(url, '\\?([^#]*)', 1) ELSE '' END ||
+             '#top' AS url
+           FROM base),
+         al AS (SELECT * FROM base UNION ALL SELECT * FROM ta UNION ALL SELECT * FROM tb),
+         parts AS (SELECT doc_id, url,
+             regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS sch,
+             regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS hostport,
+             regexp_replace(regexp_extract(url,
+               '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$$', '') AS pth,
+             coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS q2
+           FROM al),
+         keptq AS (SELECT doc_id, sch, hostport, pth,
+             coalesce(array_to_string(list_sort(list_filter(string_split(q2, '&'),
+               x -> x <> '' AND NOT regexp_matches(x,
+                 '^(utm_[a-z]+|gclid|fbclid|ref)='))), '&'), '') AS qk
+           FROM parts),
+         kk AS (SELECT doc_id,
+             'c:' || md5(translate(lower(text), 'áéíóú', 'aeiou')) AS k FROM al
+           UNION ALL
+           SELECT doc_id, 'u:' || sch || '://' || lower(hostport) ||
+             CASE WHEN pth = '' THEN '/' ELSE pth END ||
+             CASE WHEN qk = '' THEN '' ELSE '?' || qk END AS k FROM keptq),
+         e AS (SELECT a1.doc_id AS u2, a2.doc_id AS w FROM kk a1 JOIN kk a2
+           ON a1.k = a2.k AND a1.doc_id < a2.doc_id),
+         ed AS (SELECT u2, w FROM e UNION SELECT w, u2 FROM e),
+         reach AS (SELECT u2, w FROM ed
+           UNION SELECT r.u2, ed.w FROM reach r JOIN ed ON r.w = ed.u2
+           WHERE ed.w != r.u2),
+         comp AS (SELECT u2 AS doc_id, min(w) AS mn FROM reach GROUP BY u2),
+         lab AS (SELECT ids.doc_id,
+             CASE WHEN c.mn IS NULL OR c.mn > ids.doc_id
+                  THEN ids.doc_id ELSE c.mn END AS cluster_id
+           FROM (SELECT DISTINCT doc_id FROM al) ids LEFT JOIN comp c USING (doc_id)),
+         sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM lab GROUP BY cluster_id)
+         SELECT doc_id, cluster_id, cluster_size
+         FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""",
 
     // a01's union-window construction with the staleness guard on the
     // matched click's own timestamp (both last_values align: the id
