@@ -1066,6 +1066,29 @@ object SparkEntry {
         .orderBy("lang", "lang_pred_model", "lang_heur")
     }),
 
+    "d73_wide_lid" -> ((s, d) => {
+      // M1 closure: the COMMITTED 24-language artifact (fixtures/
+      // models/lid24, written by graft.tools.TrainLidArtifact — char-
+      // 3gram NB over all the major script families: CJK, Cyrillic,
+      // Greek, Arabic, Hebrew, wide Latin) predicts over a fresh
+      // 24-language synth drawn with a DIFFERENT hash salt, so train
+      // and eval share vocabulary but no draw positions. Confusion
+      // matrix pinned at sf0.01 (d20 convention): clean diagonal
+      // across scripts, with whatever near-form confusion the
+      // Scandinavian trio (da/no/sv) really exhibits — a measured
+      // error surface, not a toy-separable one (d25 precedent).
+      val path = TrainedLid.defaultArtifactPath.getOrElse(
+        sys.error(s"missing committed artifact ${TrainedLid.DefaultArtifactDir}"))
+      val model = TrainedLid.loadModel(s, path)
+      val ids = docs(s, d).select("doc_id")
+      val synth = TrainedLid.synthFixture(ids,
+        wordLists = TrainedLid.WideFixtureWordLists, salt = "we")
+      TrainedLid.predict(synth, "text", model)
+        .groupBy(col("lang"), col("lang_pred_model"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred_model")
+    }),
+
     "d25_cognate_confusion" -> ((s, d) => {
       // the non-trivial error-surface gate: on the cognate fixture
       // (7 of 10 words identical across es/it/pt, 8 words/doc) the
@@ -3346,7 +3369,7 @@ object SparkEntry {
       // URL) per doc — both must land in the base doc's cluster, so
       // every cluster is >= 3 and the chain crosses keys.
       val base = docs(s, d).select(col("doc_id"), col("text"), urlSynth.as("url"))
-        .persist()
+        .localCheckpoint(true)
       val twinA = base.select((col("doc_id") + 1000000L).as("doc_id"),
         translate(col("text"), "aeiou", "áéíóú").as("text"),
         concat(lit("https://alt.example.net/"),
@@ -3361,7 +3384,7 @@ object SparkEntry {
           lit("?utm_source=feed&fbclid="), (col("doc_id") % 7).cast("string"),
           when(q =!= "", concat(lit("&"), q)).otherwise(lit("")),
           lit("#top")).as("url"))
-      val all = base.unionByName(twinA).unionByName(twinB).persist()
+      val all = base.unionByName(twinA).unionByName(twinB).localCheckpoint(true)
       val k1 = all.select(col("doc_id"),
         md5(translate(lower(col("text")), "áéíóú", "aeiou").cast("binary")).as("k"))
       val k2 = all.select(col("doc_id"),
@@ -3454,6 +3477,10 @@ object SparkEntry {
           case st: QueryStageExec => render(st.plan)
           case _ => ""
         }) + p.children.map(render).mkString
+        // execute FIRST: before an action, AdaptiveSparkPlanExec
+        // .executedPlan is the initial plan — a runtime re-plan away
+        // from the hinted strategy would go unseen
+        df.foreach(_ => ())
         render(df.queryExecution.executedPlan)
       }
       val smj = agg("merge"); val shj = agg("shuffle_hash")
@@ -3572,7 +3599,7 @@ object SparkEntry {
       val ud = ev(s, d).where(col("user_id").isNotNull)
         .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
         .distinct()
-        .persist()
+        .localCheckpoint(true)
       val days = ud.select("day").distinct()
       val dau = ud.groupBy("day").agg(countDistinct("user_id").as("dau"))
       def rolling(k: Int, name: String) = ud
@@ -3844,7 +3871,7 @@ object SparkEntry {
       val hot = grams.groupBy("g").agg(count(lit(1)).as("df"))
         .where(col("df") > 50).select("g")
       val g2 = grams.join(hot, Seq("g"), "left_anti")
-        .persist()
+        .localCheckpoint(true)
       val sizes = g2.groupBy("doc_id").agg(count(lit(1)).as("n_g"))
       val cand = g2.select(col("doc_id").as("contained_id"), col("g"))
         .join(g2.select(col("doc_id").as("container_id"), col("g")), "g")
@@ -4424,7 +4451,7 @@ object SparkEntry {
         .select(least(col("a"), col("b")).as("u"),
           greatest(col("a"), col("b")).as("v"))
         .distinct()
-        .persist()
+        .localCheckpoint(true)
       val wedges = e.select(col("u").as("x"), col("v").as("y"))
         .join(e.select(col("u").as("y"), col("v").as("z")), "y")
       val tri = wedges.join(e,
@@ -5045,6 +5072,23 @@ object SparkEntry {
            ('zh', 17125, 4.1335, 1.3333)
          ) AS t(lang, bpe_tokens, fertility, chars_per_token)
          ORDER BY lang""",
+
+    // Pinned at sf0.01 (d20 convention): the committed 24-language
+    // artifact is all-diagonal on the salt-disjoint eval draw — at 30
+    // words/doc even the Scandinavian near-forms accumulate enough
+    // distinctive-gram evidence. Re-pin on fixture/artifact/SF change.
+    "d73_wide_lid" ->
+      """SELECT lang, lang_pred_model, CAST(n_dec AS BIGINT) AS n FROM (VALUES
+           ('ar', 'ar', 21), ('cs', 'cs', 21), ('da', 'da', 21),
+           ('de', 'de', 21), ('el', 'el', 21), ('en', 'en', 21),
+           ('es', 'es', 21), ('fi', 'fi', 21), ('fr', 'fr', 21),
+           ('he', 'he', 21), ('hu', 'hu', 21), ('it', 'it', 21),
+           ('ja', 'ja', 21), ('ko', 'ko', 21), ('nl', 'nl', 21),
+           ('no', 'no', 21), ('pl', 'pl', 21), ('pt', 'pt', 21),
+           ('ro', 'ro', 21), ('ru', 'ru', 20), ('sv', 'sv', 21),
+           ('tr', 'tr', 20), ('uk', 'uk', 20), ('zh', 'zh', 20)
+         ) AS t(lang, lang_pred_model, n_dec)
+         ORDER BY lang, lang_pred_model""",
 
     "d20_trained_lid" ->
       """SELECT lang, lang_pred_model, CAST(n_dec AS BIGINT) AS n FROM (VALUES

@@ -35,7 +35,13 @@ object Pipeline {
       // optional trained-LID artifact (operators.TrainedLid.writeModel);
       // when set, QualityStep scores with the model instead of the
       // stopword heuristic — the reference's swappable lid.176.bin seam
-      lidModelPath: Option[String] = None)
+      lidModelPath: Option[String] = None,
+      // when lidModelPath is unset, QualityStep defaults to the
+      // committed 24-language artifact (fixtures/models/lid24) if it
+      // resolves — the reference's bundled-model default; set false to
+      // force the stopword heuristic (e.g. for corpora whose vocabulary
+      // is out-of-domain for the committed fixture model)
+      defaultLidArtifact: Boolean = true)
 
   case class StepStats(step: String, inputRows: Long, outputRows: Long,
                        elapsedSec: Double = 0, extra: Map[String, String] = Map.empty)

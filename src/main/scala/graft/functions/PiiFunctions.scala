@@ -38,20 +38,24 @@ object PiiFunctions {
     regexp_replace(s4, PhonePattern, "<PHONE>")
   }
 
-  /** Stable pseudonymization: replace each email with a deterministic
-    * token derived from the value itself ('user_' + first 8 hex chars
-    * of md5(lower(email))), so identity JOINS keep working across a
-    * de-identified corpus — redaction destroys linkability,
-    * pseudonymization preserves it. Hex tokens contain no regex or
-    * replacement metacharacters, so the rewrite is injection-safe.
-    * (Assumes at most one distinct email per row — the corpus synth's
-    * shape; a multi-email row would need per-match rewriting.) */
+  /** Stable pseudonymization: replace EACH email occurrence with a
+    * deterministic token derived from that value ('user_' + first 8
+    * hex chars of md5(lower(email))), so identity JOINS keep working
+    * across a de-identified corpus — redaction destroys linkability,
+    * pseudonymization preserves it. Per-match rewriting: the text is
+    * split on the email pattern and re-joined with each match's OWN
+    * token interleaved, so a row holding two different addresses keeps
+    * two distinct identities (a single-token substitution would merge
+    * them — silent cross-identity linkage corruption). Pure codegen'd
+    * array expressions, zero shuffle, no UDF. */
   def pseudonymizeEmail(c: Column): Column = {
-    val email = regexp_extract(c, EmailPattern, 0)
-    val token = concat(lit("user_"),
-      substring(md5(lower(email).cast("binary")), 1, 8))
-    when(email === "", c)
-      .otherwise(regexp_replace(c, lit(EmailPattern), token))
+    val segs = split(c, EmailPattern, -1)
+    val toks = transform(regexp_extract_all(c, lit(EmailPattern), lit(0)),
+      m => concat(lit("user_"), substring(md5(lower(m).cast("binary")), 1, 8)))
+    // interleave seg_i + tok_i (get() is NULL-safe past the end — the
+    // last segment has no following match)
+    array_join(transform(sequence(lit(1), size(segs)), i =>
+      concat(element_at(segs, i), coalesce(get(toks, i - 1), lit("")))), "")
   }
 
   /** Payment-card candidate: 13-19 digits, optional single space/dash

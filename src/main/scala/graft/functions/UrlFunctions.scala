@@ -61,21 +61,28 @@ object UrlFunctions {
   val TrackingParamRegex = "^(utm_[a-z]+|gclid|fbclid|ref)="
 
   /** URL canonicalization ahead of crawl-frontier dedup: lowercase
-    * the authority, drop the fragment, drop tracking parameters
-    * (utm_* and gclid, fbclid, ref), SORT the surviving parameters,
-    * and strip trailing slashes from non-root paths. The port
-    * survives — a different port is a different resource. Pure Column
-    * regex/array chain (zero shuffle, codegen'd); every step replays
-    * in SQL. */
+    * the scheme and authority, drop the fragment, drop tracking
+    * parameters (utm_* and gclid, fbclid, ref), SORT the surviving
+    * parameters, and strip trailing slashes from non-root paths. The
+    * port survives — a different port is a different resource.
+    * Scheme-less inputs (`example.com/a`) pass through UNCHANGED:
+    * collapsing every unparseable URL to one key would silently merge
+    * distinct frontier entries, the worst failure mode for a dedup
+    * key. Pure Column regex/array chain (zero shuffle, codegen'd);
+    * every step replays in SQL. */
   def canonicalize(url: Column): Column = {
-    val sch = scheme(url)
-    val hostPort = regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
-    val p0 = regexp_replace(path(url), "/+$", "")
+    val schRaw = regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    // parse on the scheme-stripped remainder so an uppercase scheme
+    // cannot break authority/path extraction
+    val rest = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = regexp_extract(rest, "^([^/?#]+)", 1)
+    val p0 = regexp_replace(regexp_extract(rest, "^[^/?#]+([^?#]*)", 1), "/+$", "")
     val p = when(p0 === lit(""), lit("/")).otherwise(p0)
-    val kept = array_join(array_sort(filter(split(query(url), "&"),
+    val kept = array_join(array_sort(filter(split(regexp_extract(rest, "\\?([^#]*)", 1), "&"),
       x => x =!= lit("") && !x.rlike(TrackingParamRegex))), "&")
-    concat(sch, lit("://"), lower(hostPort), p,
-      when(kept === lit(""), lit("")).otherwise(concat(lit("?"), kept)))
+    when(schRaw === lit(""), url).otherwise(
+      concat(lower(schRaw), lit("://"), lower(hostPort), p,
+        when(kept === lit(""), lit("")).otherwise(concat(lit("?"), kept))))
   }
 
   /** eTLD+1: the last label before the public suffix, plus the suffix.

@@ -320,28 +320,50 @@ object Multimodal {
 
   /** Perceptual near-duplicate image clusters: aHash signatures,
     * SimHash-style pigeonhole banding (recall-guaranteed at the
-    * Hamming radius), bucket-local candidate pairs with the skew cap,
-    * exact `bit_count(xor)` verify, then distributed connected
-    * components — the multimodal twin of text SimHash dedup (x02),
-    * sharing its banding/pair/CC machinery. Returns every image with
-    * its cluster id (component min) and cluster size. */
+    * Hamming radius), bucket-local candidate pairs, exact
+    * `bit_count(xor)` verify, then distributed connected components —
+    * the multimodal twin of text SimHash dedup (x02), sharing its
+    * banding/pair/CC machinery. Returns every image with its cluster
+    * id (component min) and cluster size.
+    *
+    * Skew is killed BEFORE banding: identical signatures (distance 0 —
+    * they always pass the verify) collapse to one representative per
+    * distinct sig, connected by a streaming min-star with no cap, and
+    * only representatives are banded. Real image corpora's mega-buckets
+    * are overwhelmingly exact-duplicate hashes (boilerplate logos,
+    * solid frames), so `maxBucket` binds on DISTINCT signatures per
+    * band — component-identical to the full clique+verify (any
+    * verified pair either shares a sig, reaching its rep by star, or
+    * its reps form the same verified pair), unlike a star-over-raw-ids
+    * shortcut, which would lose pairs whose bucket root fails the
+    * Hamming verify. */
   def phashClusters(assets: DataFrame, maxHamming: Int = 2,
                     maxBucket: Int = 1000): DataFrame = {
     val sigs = imagePhashes(assets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = Dedup.simhashBandRows(sigs, maxHamming, maxHamming + 1)
+    // exact-duplicate collapse: min-agg + join (never a per-sig array)
+    val reps = sigs.groupBy("sig").agg(min(col("id")).as("rep"))
+    val exactStars = sigs.join(reps, "sig")
+      .where(col("id") =!= col("rep"))
+      .select(col("rep").as("src"), col("id").as("dst"))
+    val repSigs = reps.select(col("rep").as("id"), col("sig"))
+    val banded = Dedup.simhashBandRows(repSigs, maxHamming, maxHamming + 1)
     val cand = Dedup.candidatePairs(banded,
       Dedup.MinHashConfig(maxBucket = maxBucket))
-    val pairs = cand
-      .join(sigs.select(col("id").as("src"), col("sig").as("sig1")), "src")
-      .join(sigs.select(col("id").as("dst"), col("sig").as("sig2")), "dst")
+    val nearPairs = cand
+      .join(repSigs.select(col("id").as("src"), col("sig").as("sig1")), "src")
+      .join(repSigs.select(col("id").as("dst"), col("sig").as("sig2")), "dst")
       .where(bit_count(col("sig1").bitwiseXOR(col("sig2"))) <= maxHamming)
       .select("src", "dst")
-    val comp = ConnectedComponents.run(pairs)
+    val comp = ConnectedComponents.run(nearPairs.unionByName(exactStars))
     val out = sigs.select(col("id"), col("sig"))
       .join(comp, Seq("id"), "left")
       .select(col("id").as("asset_id"), col("sig").as("phash"),
         least(coalesce(col("component"), col("id")), col("id")).as("cluster_id"))
+      // materialize before releasing the signature cache (this operator
+      // owns the sigs lifecycle; callers only see checkpointed blocks)
+      .localCheckpoint(true)
+    sigs.unpersist()
     val sizes = out.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     out.join(sizes, "cluster_id")
       .select("asset_id", "phash", "cluster_id", "cluster_size")

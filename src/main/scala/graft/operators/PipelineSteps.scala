@@ -95,9 +95,13 @@ object PipelineSteps {
     def run(spark: SparkSession, cfg: PipelineConfig): StepStats = {
       val in = readStep(spark, cfg, name)
       // model seam (reference lid.176.bin swap, quality/model.py:267-340):
-      // an artifact path routes labeling through the trained NB scorer;
-      // otherwise the table-driven stopword heuristic labels
-      val labeled = cfg.lidModelPath match {
+      // an artifact path routes labeling through the trained NB scorer —
+      // DEFAULTING to the committed 24-language artifact when present
+      // (fixtures/models/lid24), like the reference defaults to its
+      // bundled lid.176.bin; the table-driven stopword heuristic is the
+      // no-artifact fallback
+      val labeled = cfg.lidModelPath.orElse(
+          if (cfg.defaultLidArtifact) TrainedLid.defaultArtifactPath else None) match {
         case Some(p) =>
           val m = TrainedLid.loadModel(spark, p)
           TrainedLid.predict(in, "text", m, outCol = "__lid").

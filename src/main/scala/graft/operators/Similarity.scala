@@ -198,54 +198,90 @@ object Similarity {
     new KMeans().setK(k).setSeed(seed).setFeaturesCol("__features").fit(train)
   }
 
+  /** Bounded memo for fitted coarse quantizers. IVF index TRAINING is an
+    * offline build step in production ANN (a FAISS index is trained
+    * once and serves many queries); re-fitting per search call would
+    * bill the build to every query. Keyed by the canonicalized corpus
+    * plan's semantic hash + (k, seed): same corpus expression + fixed
+    * seed is deterministic, so memoization can never change a result.
+    * Values are model-sized (k×dim doubles); the map is cleared past 64
+    * entries rather than LRU-tracked — quantizer reuse in one process
+    * is a handful of distinct corpora. */
+  private val quantizerMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Seq[(Long, Seq[Double])]]()
+
+  private def fitQuantizerCached(c: DataFrame, idCol: String, vecCol: String,
+                                 k: Int, seed: Long): Seq[(Long, Seq[Double])] = {
+    if (quantizerMemo.size > 64) quantizerMemo.clear()
+    val key = (c.queryExecution.analyzed.semanticHash(), k, seed)
+    quantizerMemo.computeIfAbsent(key, _ =>
+      fitKmeansOnSample(c, idCol, vecCol, k, seed).clusterCenters.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray.toSeq) }.toSeq)
+  }
+
+  /** Nearest-cell id for `vec` against a literal centroid table:
+    * struct-max over (cosine, -centroid_id) — ties keep the smaller
+    * centroid id, the order a (csim DESC, id ASC) rank window would
+    * produce. Zero shuffle: the bounded centroid table ships inside the
+    * projection. */
+  private[operators] def cellArgmax(vecD: Column,
+                                    cents: Seq[(Long, Seq[Double])]): Column = {
+    val scored = transform(typedLit(cents), c => struct(
+      graft.functions.HashFunctions.cosineSim(vecD, c.getField("_2")).as("s"),
+      (-c.getField("_1")).as("ncid")))
+    -array_max(scored).getField("ncid")
+  }
+
+  /** Top-`nProbe` cell ids for a query vector, as an array, ordered
+    * (cosine DESC, centroid_id ASC): sort the literal-scored struct
+    * array ascending, reverse, slice. Same zero-shuffle shape as
+    * [[cellArgmax]]. */
+  private[operators] def probeCells(vecD: Column, cents: Seq[(Long, Seq[Double])],
+                                    nProbe: Int): Column = {
+    val scored = transform(typedLit(cents), c => struct(
+      graft.functions.HashFunctions.cosineSim(vecD, c.getField("_2")).as("s"),
+      (-c.getField("_1")).as("ncid")))
+    transform(slice(reverse(array_sort(scored)), 1, nProbe),
+      s => -s.getField("ncid"))
+  }
+
   /** IVF-style approximate top-k: corpus is assigned to the nearest of
     * `nCentroids` centroids, queries probe the `nProbe` nearest centroid
     * cells. The cell assignment is the partition key at scale: each
-    * query only scans nProbe/nCentroids of the corpus.
+    * query only scans nProbe/nCentroids of the corpus. Both assignments
+    * are literal-argmax projections ([[cellArgmax]]/[[probeCells]]) —
+    * the corpus is scanned ONCE with zero shuffle before the final
+    * per-query top-k window; the probe side (query-sized × nProbe) is
+    * broadcast into the cell join.
     *
     * `kmeansCentroids = true` (default) trains the centroids with MLlib
     * k-means|| (fixed seed) — the standard IVF coarse quantizer, which
-    * follows the corpus's actual cluster structure; `false` falls back
-    * to a training-free deterministic sample (rows with the smallest
-    * hashed id), cheaper but with visibly worse cell quality. */
+    * follows the corpus's actual cluster structure; the fit is memoized
+    * per (corpus plan, k, seed) like a persisted index
+    * ([[fitQuantizerCached]]). `false` falls back to a training-free
+    * deterministic sample (rows with the smallest hashed id), cheaper
+    * but with visibly worse cell quality. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               queryId: String, corpusId: String, vecCol: String,
               k: Int, nCentroids: Int = 16, nProbe: Int = 4,
               kmeansCentroids: Boolean = true, seed: Long = 42L): DataFrame = {
-    val spark = corpus.sparkSession
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"))
-    val centroids =
-      if (kmeansCentroids) {
-        val model = fitKmeansOnSample(c, "neighbor_id", "cv", nCentroids, seed)
-        import spark.implicits._
-        model.clusterCenters.zipWithIndex
-          .map { case (v, i) => (i.toLong, v.toArray) }.toSeq
-          .toDF("centroid_id", "centv0")
-          // match the corpus element type so cosine() sees same-typed sides
-          .select(col("centroid_id"), col("centv0").as("centv"))
-      } else {
+    val cents: Seq[(Long, Seq[Double])] =
+      if (kmeansCentroids) fitQuantizerCached(c, "neighbor_id", "cv", nCentroids, seed)
+      else collectCentroids(
         c.withColumn("h", xxhash64(col("neighbor_id")))
           .orderBy(col("h")).limit(nCentroids)
-          .select(col("neighbor_id").as("centroid_id"), col("cv").as("centv"))
-      }
-    val assignW = Window.partitionBy(col("neighbor_id"))
-      .orderBy(col("csim").desc, col("centroid_id").asc)
-    val assigned = c.crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine(col("cv"), col("centv")))
-      .withColumn("crank", row_number().over(assignW))
-      .where(col("crank") === 1)
-      .select(col("neighbor_id"), col("cv"), col("centroid_id"))
+          .select(col("neighbor_id").as("centroid_id"), col("cv").as("centv")))
+    val assigned = c.select(col("neighbor_id"), col("cv"),
+      cellArgmax(transform(col("cv"), _.cast("double")), cents).as("centroid_id"))
     val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("csim").desc, col("centroid_id").asc)
-    val probed = q.crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine(col("qv"), col("centv")))
-      .withColumn("crank", row_number().over(probeW))
-      .where(col("crank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("centroid_id"))
+    val probed = q
+      .select(col("query_id"), col("qv"),
+        explode(probeCells(transform(col("qv"), _.cast("double")), cents, nProbe))
+          .as("centroid_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
-    assigned.join(probed, "centroid_id")
+    assigned.join(broadcast(probed), "centroid_id")
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
@@ -308,18 +344,26 @@ object Similarity {
     * ordering a rank window would produce. */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
                centroids: DataFrame, m: Int): DataFrame = {
+    val staged0 = df.select(col(idCol).as("id"),
+      transform(col(vecCol), _.cast("double")).as("__pq_v"))
+    pqCodeRecon(staged0, "__pq_v", collectCentroids(centroids), m)
+      .select(col("id"), col("code"), col("recon"))
+  }
+
+  /** Appends `code` and `recon` to `df` (all existing columns kept);
+    * `vecDCol` must already be `array<double>`. The codebooks ship as
+    * literals — one narrow map pass, zero shuffle. */
+  private def pqCodeRecon(df: DataFrame, vecDCol: String,
+                          cents: Seq[(Long, Seq[Double])], m: Int): DataFrame = {
     require(m > 0, "need m > 0 subspaces")
-    val cents = collectCentroids(centroids)
     val dim = cents.head._2.size
     require(cents.forall(_._2.size == dim), "centroid dims must agree")
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val ds = dim / m
-    val v = col("__pq_v")
-    val staged0 = df.select(col(idCol).as("id"),
-      transform(col(vecCol), _.cast("double")).as("__pq_v"))
+    val v = col(vecDCol)
     // one staged struct-min column per subspace: each is read twice
     // (code id + recon slice) but evaluated once
-    val staged = (0 until m).foldLeft(staged0) { (acc, j) =>
+    val staged = (0 until m).foldLeft(df) { (acc, j) =>
       val entries = typedLit(cents.map { case (cid, cv) =>
         (cid, cv.slice(j * ds, (j + 1) * ds))
       })
@@ -329,9 +373,12 @@ object Similarity {
         e.getField("_1").as("cid"),
         e.getField("_2").as("cv")))))
     }
-    staged.select(col("id"),
-        array((0 until m).map(j => col(s"__pq_c$j").getField("cid")): _*).as("code"),
-        flatten(array((0 until m).map(j => col(s"__pq_c$j").getField("cv")): _*)).as("recon"))
+    staged
+      .withColumn("code",
+        array((0 until m).map(j => col(s"__pq_c$j").getField("cid")): _*))
+      .withColumn("recon",
+        flatten(array((0 until m).map(j => col(s"__pq_c$j").getField("cv")): _*)))
+      .drop((0 until m).map(j => s"__pq_c$j"): _*)
   }
 
   /** PQ approximate top-k: corpus vectors are PQ-encoded once, queries
@@ -376,26 +423,24 @@ object Similarity {
                 queryId: String, corpusId: String, vecCol: String,
                 centroids: DataFrame, m: Int, k: Int,
                 nProbe: Int = 2): DataFrame = {
-    val cells = centroidAssign(corpus, corpusId, vecCol, centroids)
-      .select(col(corpusId).as("neighbor_id"), col("cell"))
-    val enc = pqEncode(corpus, corpusId, vecCol, centroids, m)
-      .select(col("id").as("neighbor_id"), col("recon"))
-    val cand = enc.join(cells, "neighbor_id")
-    val Array(cidCol, cvecCol) = centroids.columns.take(2)
-    val cb = centroids.select(col(cidCol).cast("long").as("centroid_id"),
-      col(cvecCol).as("centv"))
+    val cents = collectCentroids(centroids)
+    // ONE corpus scan computes both the coarse cell and the PQ
+    // reconstruction (both are literal-table map columns) — the
+    // two-frame formulation this replaces re-derived them separately
+    // and paid a corpus self-join shuffle on neighbor_id to reunite
+    // them, nonsense at 100 TB.
+    val base = corpus.select(col(corpusId).as("neighbor_id"),
+        transform(col(vecCol), _.cast("double")).as("__pq_v"))
+      .withColumn("cell", cellArgmax(col("__pq_v"), cents))
+    val cand = pqCodeRecon(base, "__pq_v", cents, m)
+      .select(col("neighbor_id"), col("cell"), col("recon"))
     val q = queries.select(col(queryId).as("query_id"),
       transform(col(vecCol), _.cast("double")).as("qv"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("csim").desc, col("centroid_id").asc)
-    val probed = q.crossJoin(broadcast(cb))
-      .withColumn("csim", cosine(col("qv"), col("centv")))
-      .withColumn("crank", row_number().over(probeW))
-      .where(col("crank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("centroid_id").as("cell"))
+    val probed = q.select(col("query_id"), col("qv"),
+      explode(probeCells(col("qv"), cents, nProbe)).as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
-    cand.join(probed, "cell")
+    cand.join(broadcast(probed), "cell")
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_dist",
         graft.functions.HashFunctions.l2Sq(col("qv"), col("recon")))

@@ -213,9 +213,22 @@ object TextAnalysis {
     * distinct words before the shuffle), top-V is a TakeOrdered (never
     * a full sort), and the bigram pass counts over ALREADY unk-mapped
     * tokens, so its shuffle key space is collapsed to <= (V+1)^2
-    * regardless of corpus size. */
+    * regardless of corpus size.
+    *
+    * `maxBigrams` bounds the DRIVER side of the bigram table: (V+1)^2
+    * is 10^9 entries at V=32k — a driver OOM at real vocab sizes even
+    * though the shuffle is fine. When the corpus exhibits more distinct
+    * bigrams than `maxBigrams`, the top-M by (count DESC, bigram ASC)
+    * are kept via the same TakeOrdered move as the vocab cut (never a
+    * full sort); dropped tail bigrams score as unseen under add-one
+    * smoothing — the standard count-pruning n-gram LM trade (e.g.
+    * KenLM's pruning), deterministic for a fixed corpus. The default
+    * keeps every bigram (pre-cap behavior) — callers with a real vocab
+    * must set it. */
   def trainBigramLm(df: DataFrame, textCol: String,
-                    vocabSize: Int): BigramLmModel = {
+                    vocabSize: Int,
+                    maxBigrams: Int = Int.MaxValue): BigramLmModel = {
+    require(maxBigrams > 0, "need maxBigrams > 0")
     // cached between the two count passes: the bigram pass re-reads
     // token ARRAYS instead of re-scanning and re-splitting the source
     // (MEMORY_AND_DISK — spills rather than recomputes at corpus
@@ -233,16 +246,20 @@ object TextAnalysis {
         (v, uni.agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0))
       } finally uni.unpersist()
     val bigrams =
-      try toks
-        .select(graft.functions.LookupFunctions
-          .unkMapTokens(col("toks"), vocab.keys, UnkToken).as("tu"))
-        .where(size(col("tu")) >= 2) // guard BEFORE sequence: seq(1,0) descends
-        .select(explode(transform(sequence(lit(1), size(col("tu")) - 1), i =>
-          concat(element_at(col("tu"), i), lit(" "),
-            element_at(col("tu"), i + 1)))).as("bg"))
-        .groupBy("bg").agg(count(lit(1)).as("c"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      finally toks.unpersist()
+      try {
+        val counts = toks
+          .select(graft.functions.LookupFunctions
+            .unkMapTokens(col("toks"), vocab.keys, UnkToken).as("tu"))
+          .where(size(col("tu")) >= 2) // guard BEFORE sequence: seq(1,0) descends
+          .select(explode(transform(sequence(lit(1), size(col("tu")) - 1), i =>
+            concat(element_at(col("tu"), i), lit(" "),
+              element_at(col("tu"), i + 1)))).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("c"))
+        val capped =
+          if (maxBigrams == Int.MaxValue) counts
+          else counts.orderBy(desc("c"), asc("bg")).limit(maxBigrams)
+        capped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      } finally toks.unpersist()
     BigramLmModel(vocab, total - vocab.values.sum, bigrams)
   }
 

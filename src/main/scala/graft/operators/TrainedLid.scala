@@ -47,6 +47,66 @@ object TrainedLid {
     "pt" -> Seq("como", "mais", "dos", "ele", "isso", "muito", "sem", "pela", "seus", "onde"),
     "sv" -> Seq("och", "att", "som", "detta", "vilket", "inte", "har", "den", "efter", "mellan"))
 
+  /** 24-language wordlists for the committed wide-coverage artifact —
+    * the [[FixtureWordLists]] Latin-script eight plus sixteen more
+    * spanning the major script families a crawl corpus actually
+    * contains: CJK (zh/ja/ko), Cyrillic (ru/uk), Greek, Arabic, Hebrew
+    * and wider Latin (tr/pl/cs/ro/hu/fi/da/no). Each list is ten
+    * high-frequency function/content words of that language (public
+    * common-vocabulary knowledge, same construction as the eight-lang
+    * fixture). Scandinavian near-forms (da "efter"/"mellem" vs sv
+    * "efter"/"mellan", no "etter"/"mellom") are kept deliberately — the
+    * committed model should have a REAL confusion surface among close
+    * relatives, like the cognate gate (d25), not a toy-separable one. */
+  val WideFixtureWordLists: Seq[(String, Seq[String])] = FixtureWordLists ++ Seq(
+    "ar" -> Seq("في", "من", "على", "هذا", "التي", "كان", "أن", "مع", "عن", "الوقت"),
+    "cs" -> Seq("jsem", "být", "člověk", "práce", "čas", "škola", "město", "dnes", "protože", "děkuji"),
+    "da" -> Seq("og", "at", "som", "det", "ikke", "har", "den", "efter", "mellem", "være"),
+    "el" -> Seq("και", "το", "να", "είναι", "αυτό", "χρόνος", "άνθρωπος", "εργασία", "επειδή", "ευχαριστώ"),
+    "fi" -> Seq("ja", "on", "ei", "että", "mutta", "aika", "ihminen", "työ", "koulu", "kiitos"),
+    "he" -> Seq("של", "את", "על", "זה", "לא", "עם", "היה", "אני", "הוא", "זמן"),
+    "hu" -> Seq("és", "hogy", "nem", "van", "de", "idő", "ember", "munka", "iskola", "köszönöm"),
+    "ja" -> Seq("の", "です", "ます", "こと", "これ", "ありがとう", "日本", "時間", "仕事", "学校"),
+    "ko" -> Seq("그리고", "하지만", "사람", "시간", "한국", "학교", "감사합니다", "우리", "때문에", "오늘"),
+    "no" -> Seq("og", "ikke", "være", "etter", "mellom", "arbeid", "tid", "menneske", "skole", "takk"),
+    "pl" -> Seq("jest", "nie", "się", "człowiek", "praca", "czas", "szkoła", "dzisiaj", "ponieważ", "dziękuję"),
+    "ro" -> Seq("și", "este", "nu", "pentru", "timp", "om", "muncă", "școală", "astăzi", "mulțumesc"),
+    "ru" -> Seq("и", "в", "не", "что", "это", "как", "время", "работа", "человек", "потому"),
+    "tr" -> Seq("ve", "bir", "bu", "için", "zaman", "insan", "çalışma", "okul", "bugün", "teşekkür"),
+    "uk" -> Seq("і", "що", "це", "як", "час", "робота", "людина", "тому", "але", "дуже"),
+    "zh" -> Seq("的", "是", "不", "我们", "这个", "因为", "所以", "中国", "时间", "工作"))
+
+  /** Repo location of the committed wide-coverage LID artifact (written
+    * by [[trainWideArtifact]] / `graft.tools.TrainLidArtifact`). */
+  val DefaultArtifactDir = "fixtures/models/lid24"
+
+  /** The committed artifact's path when present under the current
+    * working directory (the sbt/driver convention) — QualityStep's
+    * default model route, mirroring the reference's bundled lid.176.bin
+    * (reference: src/llm_data_pipeline/quality/model.py:267-340). */
+  def defaultArtifactPath: Option[String] = {
+    val f = new java.io.File(DefaultArtifactDir)
+    if (f.isDirectory) Some(f.getAbsolutePath) else None
+  }
+
+  /** Train the wide artifact on a deterministic synthesized corpus —
+    * `docsPerLang` docs per language drawn from
+    * [[WideFixtureWordLists]] via the [[synthFixture]] hash draw, so
+    * the artifact is reproducible bit-for-bit from the repo alone (no
+    * external corpus at zero egress). 2^12 hash buckets: 24 langs ×
+    * 4096 doubles ≈ 0.8 MB raw, and distinct scripts separate at far
+    * coarser resolution than that. */
+  def trainWideArtifact(spark: SparkSession, path: String,
+                        docsPerLang: Int = 200): LidModel = {
+    import spark.implicits._
+    val n = WideFixtureWordLists.length * docsPerLang
+    val ids = (0L until n.toLong).toDF("doc_id")
+    val synth = synthFixture(ids, wordLists = WideFixtureWordLists, salt = "wide")
+    val m = train(synth, "lang", "text", buckets = 1 << 12)
+    writeModel(spark, path, m)
+    m
+  }
+
   /** Stopword-FREE per-language content vocabulary for the hard
     * evaluation fixture: none of these words is in any
     * `TextAnalysis.LangStopwords` list, so the stopword heuristic scores

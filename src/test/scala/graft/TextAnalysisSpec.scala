@@ -137,6 +137,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(lm.bigrams == Map("a b" -> 1L, "b a" -> 1L, s"a $U" -> 1L))
   }
 
+  test("bigram LM maxBigrams cap engages: top-M by (count desc, bg asc) kept") {
+    // 9 distinct bigrams (x1 y1 .. x9 y9) with counts 1..9, plus
+    // "a a" seen 20 times — well over the cap of 3
+    val rows = (1 to 9).flatMap(i => Seq.fill(i)((i.toLong, s"x$i y$i"))) ++
+      Seq.fill(20)((99L, "a a"))
+    val corpus = rows.toDF("doc_id", "text")
+    val lm = TextAnalysis.trainBigramLm(corpus, "text", vocabSize = 100,
+      maxBigrams = 3)
+    assert(lm.bigrams == Map("a a" -> 20L, "x9 y9" -> 9L, "x8 y8" -> 8L))
+    // uncapped default keeps all 10
+    val full = TextAnalysis.trainBigramLm(corpus, "text", vocabSize = 100)
+    assert(full.bigrams.size == 10)
+  }
+
   test("bigram perplexity matches hand-computed add-one smoothing") {
     val corpus = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
     val lm = TextAnalysis.trainBigramLm(corpus, "text", vocabSize = 2)

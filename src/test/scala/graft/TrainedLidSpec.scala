@@ -111,6 +111,34 @@ class TrainedLidSpec extends SparkSpec {
     assert(kept.select("lang").collect().forall(_.getString(0) == "__label__de"))
   }
 
+  test("committed 24-language artifact: loads, covers all scripts, wired by default") {
+    import org.apache.spark.sql.functions._
+    // the committed fixture (graft.tools.TrainLidArtifact output) must
+    // resolve from the repo CWD and classify a salt-disjoint eval draw
+    // of every language correctly — the M1 closure contract
+    val path = TrainedLid.defaultArtifactPath.getOrElse(
+      fail(s"committed artifact missing: ${TrainedLid.DefaultArtifactDir}"))
+    val m = TrainedLid.loadModel(spark, path)
+    assert(m.langs.length == 24 && m.buckets == (1 << 12))
+    assert(Seq("ar", "he", "ja", "ko", "ru", "uk", "zh", "el").forall(m.langs.contains))
+    val ids = spark.range(0, 240).toDF("doc_id")
+    val eval = TrainedLid.synthFixture(ids,
+      wordLists = TrainedLid.WideFixtureWordLists, salt = "specsalt")
+    val pred = TrainedLid.predict(eval, "text", m)
+    assert(pred.where(col("lang_pred_model") === col("lang")).count() == 240)
+    // QualityStep picks the artifact up with NO explicit config — the
+    // reference's bundled-model default
+    val outBase = java.nio.file.Files.createTempDirectory("lidwide").toString
+    eval.where(col("lang").isin("zh", "ru")).select(col("text"))
+      .write.mode("overwrite").parquet(s"$outBase/cleaned_parquet")
+    val cfg = graft.core.Pipeline.PipelineConfig(dataDir = ".", outputBase = outBase,
+      langs = Seq("zh"), langThreshold = 0.0)
+    graft.operators.PipelineSteps.QualityStep().run(spark, cfg)
+    val kept = spark.read.parquet(s"$outBase/quality_parquet")
+    assert(kept.count() == 10 &&
+      kept.select("lang").collect().forall(_.getString(0) == "__label__zh"))
+  }
+
   test("null text predicts a null label instead of crashing the job") {
     val m = TrainedLid.train(corpus, "lang", "text")
     val withNull = Seq((1L, "the cat and the dog"), (2L, null))

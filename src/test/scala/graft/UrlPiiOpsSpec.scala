@@ -25,6 +25,14 @@ class UrlPiiOpsSpec extends SparkSpec {
     assert(canon("https://ex.com/p?ref=x&pref=1") === "https://ex.com/p?pref=1")
   }
 
+  test("canonicalize: uppercase scheme folds, scheme-less passes through") {
+    assert(canon("HTTP://EX.com/A/?utm_source=x") === "http://ex.com/A")
+    // no scheme -> unchanged (never collapse unparseable URLs to one key)
+    assert(canon("example.com/a?b=1") === "example.com/a?b=1")
+    assert(canon("") === "")
+    assert(canon("not a url") === "not a url")
+  }
+
   test("pseudonymizeEmail is stable, collision-separating, and email-free") {
     val rows = Seq("mail a@x.com now", "also a@x.com here", "b@y.org wrote", "no email")
     val out = rows.toDF("t")
@@ -37,6 +45,18 @@ class UrlPiiOpsSpec extends SparkSpec {
     assert(t0 !== t2, "different emails, different pseudonyms")
     assert(!out.exists(_.contains("@")), "no email survives")
     assert(out(3) === "no email", "rows without email pass through")
+  }
+
+  test("pseudonymizeEmail rewrites each match with its own token") {
+    val out = Seq("a@x.com wrote to b@y.org and a@x.com")
+      .toDF("t").select(PiiFunctions.pseudonymizeEmail(col("t")).as("p"))
+      .as[String].head()
+    val toks = "user_[0-9a-f]{8}".r.findAllIn(out).toSeq
+    assert(toks.size === 3, s"three matches rewritten: $out")
+    assert(toks(0) === toks(2), "same email, same pseudonym")
+    assert(toks(0) !== toks(1), "different emails, different pseudonyms")
+    assert(!out.contains("@"))
+    assert(out.startsWith(toks(0) + " wrote to "))
   }
 
   test("mmrRerank stops when candidates are exhausted") {
