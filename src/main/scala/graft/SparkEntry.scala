@@ -2480,6 +2480,58 @@ object SparkEntry {
           count(col("fp")).as("n_full_funnel"))
     }),
 
+    "st25_stream_funnel_ooo" -> ((s, d) => {
+      // st09's funnel under ADVERSARIAL arrival: ~20% of events are
+      // hash-displaced one micro-batch LATE and each batch's rows are
+      // fed in hash-scrambled order — a click can arrive before its
+      // view. streamingFunnelUnordered buffers per user under an
+      // event-time lateness bound (half the feed's time range, safely
+      // covering the one-batch displacement) and finalizes in
+      // event-time order, so the LAST emission per user must equal the
+      // batch truth: the oracle string is SHARED with ev09/st09.
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val mem = MemoryStream[(Long, String, Long, Int)]
+      s.catalog.dropTempView("st25_tbl")
+      val rows = ev(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"), expr("ts div 1000"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(r => (r._3, r._1, r._2))
+      val n = rows.length
+      val range = rows.last._3 - rows.head._3
+      val fun2 = graft.streaming.Streaming.streamingFunnelUnordered(
+        mem.toDF().toDF("user_id", "event_type", "t", "batch"),
+        windowUs = 21600000000L, latenessUs = math.max(range / 2, 1L))
+      graft.streaming.Streaming.withShufflePartitions(s, 8) {
+        val q = fun2.toDF().writeStream.format("memory")
+          .queryName("st25_tbl").outputMode("append").start()
+        try {
+          val assigned = rows.zipWithIndex.map { case ((u, e, t), i) =>
+            val b0 = math.min(3, i * 4 / n)
+            val h = scala.util.hashing.MurmurHash3.productHash((u, e, t))
+            val b = math.min(3, b0 + (if (((h % 5) + 5) % 5 == 0) 1 else 0))
+            (u, e, t, b, h)
+          }
+          (0 until 4).foreach { b =>
+            val chunk = assigned.filter(_._4 == b)
+              .sortBy(_._5) // hash-scrambled processing order
+              .map { case (u, e, t, bb, _) => (u, e, t, bb) }
+            mem.addData(chunk.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      val w = Window.partitionBy("user_id").orderBy(desc("batch"))
+      s.table("st25_tbl")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .agg(count(lit(1)).as("n_users"),
+          count(col("fv")).as("n_view"),
+          count(col("fc")).as("n_view_click"),
+          count(col("fp")).as("n_full_funnel"))
+    }),
+
     "st07_stream_online_dedup" -> ((s, d) => {
       // stream-vs-ITSELF near-dedup with cross-batch keyed state: docs
       // arrive in 4 deterministic micro-batches (batch = doc_id % 4,
@@ -4929,6 +4981,8 @@ object SparkEntry {
     "ev09_funnel" -> funnelOracleSql,
 
     "st09_stream_funnel" -> funnelOracleSql,
+
+    "st25_stream_funnel_ooo" -> funnelOracleSql,
 
     "ev02_sessionize" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions FROM (

@@ -142,35 +142,56 @@ object BpeTrainer {
     * reference's 32k-vocab scale. Argmax semantics are identical to the
     * naive loop: max count, ties by lexicographic pair (the equivalence
     * is property-tested against a naive reference implementation). */
-  def train(wordFreqs: Seq[(String, Long)], vocabSize: Int): BpeModel = {
+  def train(wordFreqs: Seq[(String, Long)], vocabSize: Int,
+            characterCoverage: Double = 1.0): BpeModel = {
     // specials (4) + byte tokens (256) are fixed overhead; at least one
     // symbol slot must remain or every text would be pure byte fallback
     require(vocabSize > FirstSymbolId,
       s"vocabSize=$vocabSize must exceed ${FirstSymbolId} " +
       "(4 special + 256 byte-fallback ids are fixed overhead)")
+    require(characterCoverage > 0.0 && characterCoverage <= 1.0,
+      s"characterCoverage=$characterCoverage must be in (0, 1]")
     // words as symbol sequences with the end-of-word marker
     val words: Array[Array[String]] =
       wordFreqs.map(wf => (codePointSymbols(wf._1) :+ EndOfWord).toArray).toArray
     val wfreq: Array[Long] = wordFreqs.map(_._2).toArray
     val allBase = mutable.LinkedHashSet[String](EndOfWord)
     wordFreqs.foreach(wf => codePointSymbols(wf._1).foreach(allBase += _))
-    // cap the alphabet to the symbol budget (SentencePiece's
-    // character-coverage analogue: the RAREST chars lose their own token
-    // and ride byte fallback instead), so symbol ids provably stay
-    // < vocabSize — the id-bound invariant the export path relies on.
+    // Alphabet cut — SentencePiece's character_coverage knob (reference:
+    // src/llm_data_pipeline/tokenizer/train.py:111-134 passes 0.9995):
+    // keep the minimal most-frequent-first prefix of characters whose
+    // occurrence mass reaches `characterCoverage`; the tail rides byte
+    // fallback. Independently, the alphabet never exceeds the symbol
+    // budget (so symbol ids provably stay < vocabSize — the id-bound
+    // invariant the export path relies on); whichever bound is tighter
+    // wins. coverage=1.0 with a fitting alphabet keeps every char.
     val symbolBudget = vocabSize - FirstSymbolId
     val baseSymbols: mutable.LinkedHashSet[String] =
-      if (allBase.size <= symbolBudget) allBase
+      if (allBase.size <= symbolBudget && characterCoverage >= 1.0) allBase
       else {
         val charFreq = mutable.HashMap[String, Long]().withDefaultValue(0L)
         wordFreqs.foreach { case (w, f) =>
           codePointSymbols(w).foreach(s => charFreq(s) += f)
         }
-        val kept = allBase.toSeq.filterNot(_ == EndOfWord)
-          .sortBy(s => (-charFreq(s), s)).take(symbolBudget - 1)
+        val sorted = allBase.toSeq.filterNot(_ == EndOfWord)
+          .sortBy(s => (-charFreq(s), s))
+        val total = sorted.iterator.map(charFreq).sum
+        val target = math.ceil(characterCoverage * total).toLong
+        var cum = 0L
+        var k = 0
+        while (k < sorted.size && cum < target) { cum += charFreq(sorted(k)); k += 1 }
+        val kept = sorted.take(math.min(k, symbolBudget - 1))
         mutable.LinkedHashSet(EndOfWord) ++ kept
       }
 
+    // only kept-alphabet symbols (and their merge products) may form
+    // merge candidates: without this, a coverage-cut char would sneak
+    // back into the vocab through a merged pair (e.g. cut 'z' + '</w>'
+    // -> learned 'z</w>'), defeating the alphabet cut. Membership is
+    // decided once per symbol (base chars at the cut, merge products at
+    // creation) and never changes, so add/remove bookkeeping stays
+    // symmetric. No cut -> every symbol mergeable -> prior behavior.
+    val mergeable = mutable.HashSet[String]() ++ baseSymbols
     val counts = mutable.HashMap[(String, String), Long]()
     val occ = mutable.HashMap[(String, String), mutable.HashSet[Int]]()
     val bestFirst: Ordering[(Long, String, String)] =
@@ -189,9 +210,11 @@ object BpeTrainer {
       val syms = words(wi); val f = wfreq(wi)
       var i = 0
       while (i < syms.length - 1) {
-        val p = (syms(i), syms(i + 1))
-        bump(p, -f)
-        occ.get(p).foreach { s => s -= wi; if (s.isEmpty && !counts.contains(p)) occ.remove(p) }
+        if (mergeable(syms(i)) && mergeable(syms(i + 1))) {
+          val p = (syms(i), syms(i + 1))
+          bump(p, -f)
+          occ.get(p).foreach { s => s -= wi; if (s.isEmpty && !counts.contains(p)) occ.remove(p) }
+        }
         i += 1
       }
     }
@@ -199,9 +222,11 @@ object BpeTrainer {
       val syms = words(wi); val f = wfreq(wi)
       var i = 0
       while (i < syms.length - 1) {
-        val p = (syms(i), syms(i + 1))
-        bump(p, f)
-        occ.getOrElseUpdate(p, mutable.HashSet.empty[Int]) += wi
+        if (mergeable(syms(i)) && mergeable(syms(i + 1))) {
+          val p = (syms(i), syms(i + 1))
+          bump(p, f)
+          occ.getOrElseUpdate(p, mutable.HashSet.empty[Int]) += wi
+        }
         i += 1
       }
     }
@@ -219,6 +244,7 @@ object BpeTrainer {
       else {
         val (_, a, b) = ranked.head
         merges += ((a, b))
+        mergeable += a + b
         val affected = occ.getOrElse((a, b), mutable.HashSet.empty[Int]).toArray.sorted
         affected.foreach { wi =>
           removeWord(wi)
@@ -249,17 +275,36 @@ object BpeTrainer {
 
   /** Distributed word counting → driver merge loop. `maxWords` bounds
     * the frequency table (the long tail below it cannot affect early
-    * merges materially — standard trainer practice). */
+    * merges materially — standard trainer practice).
+    *
+    * `inputSentenceSize` is SentencePiece's input_sentence_size knob
+    * (the reference passes 5M + shuffle, tokenizer/train.py:111-134):
+    * train on a bounded corpus sample instead of every row. The sample
+    * is the `n` rows with the smallest hashed text — deterministic
+    * (same corpus → same model at any partitioning, the
+    * fitKmeansOnSample convention) and a TakeOrdered, never a full
+    * sort. None (default) trains on the whole corpus.
+    *
+    * `characterCoverage` maps to the alphabet cut in [[train]]. */
   def trainFromCorpus(df: DataFrame, textCol: String, vocabSize: Int,
-                      maxWords: Int = 100000): BpeModel = {
-    val freqs = df
+                      maxWords: Int = 100000,
+                      inputSentenceSize: Option[Int] = None,
+                      characterCoverage: Double = 1.0): BpeModel = {
+    val rows = inputSentenceSize match {
+      case Some(n) =>
+        require(n > 0, "need inputSentenceSize > 0")
+        df.select(col(textCol))
+          .orderBy(xxhash64(col(textCol)), col(textCol)).limit(n)
+      case None => df.select(col(textCol))
+    }
+    val freqs = rows
       .select(explode(split(normalizeForTokenize(col(textCol)), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("f"))
       .orderBy(desc("f"), asc("w"))
       .limit(maxWords)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-    train(freqs, vocabSize)
+    train(freqs, vocabSize, characterCoverage)
   }
 
   /** Distributed encoding with the broadcast model — the executor-

@@ -233,6 +233,28 @@ object Streaming {
   case class FunnelRow(user_id: Long, fv: Option[Long], fc: Option[Long],
                        fp: Option[Long])
 
+  /** The set-once greedy funnel fold: over events in EVENT-TIME order it
+    * computes exactly the batch definition (first view; first click
+    * strictly after it within the window; first purchase likewise after
+    * the click). Shared by the ordered and out-of-order variants. */
+  private def foldFunnel(s0: FunnelState, evs: Iterable[(String, Long)],
+                         windowUs: Long): FunnelState = {
+    var s = s0
+    evs.foreach { case (et, t) =>
+      et match {
+        case "view" if s.fv.isEmpty => s = s.copy(fv = Some(t))
+        case "click" if s.fc.isEmpty &&
+          s.fv.exists(v => t > v && t - v <= windowUs) =>
+          s = s.copy(fc = Some(t))
+        case "purchase" if s.fp.isEmpty &&
+          s.fc.exists(c => t > c && t - c <= windowUs) =>
+          s = s.copy(fp = Some(t))
+        case _ =>
+      }
+    }
+    s
+  }
+
   /** Stateful streaming funnel (the ev09 semantics on a stream): one
     * keyed state record per user — three optional longs, bounded
     * regardless of stream length — updated across micro-batches.
@@ -252,21 +274,74 @@ object Streaming {
       .flatMapGroupsWithState[FunnelState, FunnelRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (uid, rows, state: GroupState[FunnelState]) =>
-          var s = state.getOption.getOrElse(FunnelState(None, None, None))
-          rows.toVector.sortBy(r => (r.batch, r.t)).foreach { e =>
-            e.event_type match {
-              case "view" if s.fv.isEmpty => s = s.copy(fv = Some(e.t))
-              case "click" if s.fc.isEmpty &&
-                s.fv.exists(v => e.t > v && e.t - v <= windowUs) =>
-                s = s.copy(fc = Some(e.t))
-              case "purchase" if s.fp.isEmpty &&
-                s.fc.exists(c => e.t > c && e.t - c <= windowUs) =>
-                s = s.copy(fp = Some(e.t))
-              case _ =>
-            }
-          }
+          val evs = rows.toVector.sortBy(r => (r.batch, r.t))
+            .map(e => (e.event_type, e.t))
+          val s = foldFunnel(
+            state.getOption.getOrElse(FunnelState(None, None, None)),
+            evs, windowUs)
           state.update(s)
           Iterator(FunnelRow(uid, s.fv, s.fc, s.fp))
+      }
+  }
+
+  /** One user's out-of-order funnel state: the funnel finalized up to
+    * the event-time frontier, the still-revisable event buffer past it,
+    * and the max event time seen (the per-user watermark clock). */
+  case class OooFunnelState(fin: FunnelState, buf: Vector[(String, Long)],
+                            maxTs: Long)
+  case class OooFunnelRow(user_id: Long, batch: Int, fv: Option[Long],
+                          fc: Option[Long], fp: Option[Long])
+
+  /** Out-of-order-tolerant streaming funnel — lifts [[streamingFunnel]]'s
+    * documented ordered-arrival assumption. The greedy set-once fold is
+    * order-SENSITIVE (a click arriving before its view in processing
+    * order but after it in event time must still qualify), so state
+    * buffers events until they are `latenessUs` older than the user's
+    * max seen event time, then folds the ripe prefix into the finalized
+    * funnel in EVENT-TIME order — the manual spelling of a watermark +
+    * sort-within-watermark stage, with the frontier advanced per key.
+    * Each batch emits the user's current best estimate: the finalized
+    * funnel re-folded over the sorted provisional buffer (revisable
+    * until the frontier passes — an earlier-timestamped view arriving
+    * late can still retract a provisionally-qualified click). With
+    * lateness >= the feed's maximum event-time displacement, the LAST
+    * emission per user equals the batch funnel truth for ANY arrival
+    * order; events arriving beyond the lateness bound are dropped, the
+    * standard watermark trade. State per user is bounded by one
+    * lateness window of events — watermark-bounded, never
+    * stream-length-bounded. */
+  def streamingFunnelUnordered(events: DataFrame, windowUs: Long,
+                               latenessUs: Long): Dataset[OooFunnelRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long").as("user_id"),
+        col("event_type"), col("t").cast("long").as("t"),
+        col("batch").cast("int").as("batch"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OooFunnelState, OooFunnelRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[OooFunnelState]) =>
+          val incoming = rows.toVector
+          val st = state.getOption.getOrElse(
+            OooFunnelState(FunnelState(None, None, None), Vector.empty, Long.MinValue))
+          val maxTs = (st.maxTs +: incoming.map(_.t)).max
+          val frontier =
+            if (maxTs == Long.MinValue) Long.MinValue else maxTs - latenessUs
+          // true late data (older than the already-finalized frontier of
+          // a PREVIOUS batch) cannot be replayed — drop, like any
+          // watermarked operator
+          val prevFrontier =
+            if (st.maxTs == Long.MinValue) Long.MinValue else st.maxTs - latenessUs
+          val all = st.buf ++ incoming.filter(_.t > prevFrontier)
+            .map(e => (e.event_type, e.t))
+          val sorted = all.sortBy { case (et, t) => (t, et) }
+          val (ripe, keep) = sorted.partition(_._2 <= frontier)
+          val fin = foldFunnel(st.fin, ripe, windowUs)
+          val cur = foldFunnel(fin, keep, windowUs)
+          state.update(OooFunnelState(fin, keep, maxTs))
+          val b = if (incoming.isEmpty) -1 else incoming.map(_.batch).max
+          Iterator(OooFunnelRow(uid, b, cur.fv, cur.fc, cur.fp))
       }
   }
 

@@ -58,6 +58,45 @@ class BpeTrainerSpec extends SparkSpec {
     }
   }
 
+  test("characterCoverage cuts the alphabet by occurrence mass, tail rides byte fallback") {
+    // char mass: 'a' 90, 'b' 9, 'z' 1 — coverage 0.9 keeps only 'a'
+    // (minimal most-frequent-first prefix reaching 90/100), 0.99 adds
+    // 'b', 1.0 keeps all three
+    val words = Seq("a" -> 90L, "b" -> 9L, "z" -> 1L)
+    def hasCharToken(m: BpeTrainer.BpeModel, c: String) =
+      m.vocab.contains(c) && m.vocab(c) >= BpeTrainer.FirstSymbolId
+    val m90 = BpeTrainer.train(words, vocabSize = 300, characterCoverage = 0.9)
+    assert(hasCharToken(m90, "a") && !hasCharToken(m90, "b") && !hasCharToken(m90, "z"))
+    val m99 = BpeTrainer.train(words, vocabSize = 300, characterCoverage = 0.99)
+    assert(hasCharToken(m99, "a") && hasCharToken(m99, "b") && !hasCharToken(m99, "z"))
+    val mAll = BpeTrainer.train(words, vocabSize = 300)
+    assert(hasCharToken(mAll, "z"))
+    // cut chars still encode (byte tokens) and decode losslessly
+    val ids = m90.encodeWord("z")
+    assert(!ids.contains(BpeTrainer.UnkId))
+    assert(ids.exists(id => id >= BpeTrainer.ByteIdBase && id < BpeTrainer.FirstSymbolId))
+    assert(m90.decode(ids) == "z")
+  }
+
+  test("inputSentenceSize trains on the deterministic hash-ordered sample") {
+    val corpus = (0 until 60).map(i => (i.toLong, s"row$i sentence with shared words"))
+      .toDF("doc_id", "text")
+    // the bounded trainer must equal training on the manually-computed
+    // hash-min-10 rows — sampling is part of the model's determinism
+    // contract, not an approximation knob
+    val sampled = BpeTrainer.trainFromCorpus(corpus, "text", vocabSize = 300,
+      inputSentenceSize = Some(10))
+    val manual = corpus.select(col("text"))
+      .orderBy(xxhash64(col("text")), col("text")).limit(10)
+    val expected = BpeTrainer.trainFromCorpus(manual, "text", vocabSize = 300)
+    assert(sampled.merges == expected.merges && sampled.vocab == expected.vocab)
+    // a bound >= corpus size is the identity
+    val all = BpeTrainer.trainFromCorpus(corpus, "text", vocabSize = 300,
+      inputSentenceSize = Some(1000))
+    val unbounded = BpeTrainer.trainFromCorpus(corpus, "text", vocabSize = 300)
+    assert(all.merges == unbounded.merges && all.vocab == unbounded.vocab)
+  }
+
   test("NFKC normalization is applied before training and tokenize") {
     // full-width latin and the ﬁ ligature must compose to ascii, so the
     // full-width corpus trains the SAME model as its ascii form and both

@@ -51,6 +51,73 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L), (2L, 1L)))
   }
 
+  test("out-of-order funnel matches batch truth under shuffled micro-batches") {
+    implicit val sq = spark.sqlContext
+    val w = 100L // window
+    // user 1: view@10, click@15, purchase@20 (full funnel)
+    // user 2: click@5 BEFORE any view, view@10, click@12 (view+click)
+    // user 3: view@50 only
+    // events are fed deliberately scrambled ACROSS batches: user 1's
+    // click arrives a batch before its view; user 2's early click
+    // arrives last. An ordered-greedy fold would miss u1's click
+    // (view unseen when it processes) — the buffered fold must not.
+    val batches = Seq(
+      Seq((1L, "click", 15L, 0), (2L, "click", 12L, 0), (3L, "view", 50L, 0)),
+      Seq((1L, "view", 10L, 1), (1L, "purchase", 20L, 1)),
+      Seq((2L, "view", 10L, 2), (2L, "click", 5L, 2)))
+    val mem = MemoryStream[(Long, String, Long, Int)]
+    val out = Streaming.streamingFunnelUnordered(
+      mem.toDF().toDF("user_id", "event_type", "t", "batch"),
+      windowUs = w, latenessUs = 1000L)
+    Streaming.withShufflePartitions(spark, 4) {
+      val q = out.toDF().writeStream.format("memory")
+        .queryName("ooo_funnel").outputMode("append").start()
+      try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    }
+    import org.apache.spark.sql.expressions.Window
+    val last = spark.table("ooo_funnel")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(desc("batch"))))
+      .where(col("rn") === 1)
+      .select("user_id", "fv", "fc", "fp")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toSet
+    // batch truth: u1 full funnel; u2 fv=10 fc=12 (click@5 precedes the
+    // view — never qualifies); u3 view only
+    assert(last == Set(
+      (1L, Some(10L), Some(15L), Some(20L)),
+      (2L, Some(10L), Some(12L), None),
+      (3L, Some(50L), None, None)))
+  }
+
+  test("out-of-order funnel retracts a provisional click when an earlier view arrives") {
+    implicit val sq = spark.sqlContext
+    // view@10 + click@12 arrive first (provisional fc=12, window 5);
+    // then view@3 arrives within lateness — the true first view. Click
+    // @12 is 9 > window after view@3, so the final funnel has NO click.
+    val mem = MemoryStream[(Long, String, Long, Int)]
+    val out = Streaming.streamingFunnelUnordered(
+      mem.toDF().toDF("user_id", "event_type", "t", "batch"),
+      windowUs = 5L, latenessUs = 1000L)
+    Streaming.withShufflePartitions(spark, 4) {
+      val q = out.toDF().writeStream.format("memory")
+        .queryName("ooo_retract").outputMode("append").start()
+      try {
+        mem.addData(Seq((7L, "view", 10L, 0), (7L, "click", 12L, 0)))
+        q.processAllAvailable()
+        mem.addData(Seq((7L, "view", 3L, 1)))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val rows = spark.table("ooo_retract").orderBy("batch")
+      .select("batch", "fv", "fc").collect()
+      .map(r => (r.getInt(0), Option(r.get(1)), Option(r.get(2))))
+    assert(rows.toSeq == Seq(
+      (0, Some(10L), Some(12L)),  // provisional
+      (1, Some(3L), None)))       // revised once the earlier view lands
+  }
+
   test("streaming dedup drops duplicate ids within the watermark") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
