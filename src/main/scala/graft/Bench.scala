@@ -64,11 +64,20 @@ object Bench {
     // variance on a noisy 32-thread container (r04: 111M tok/s, r05
     // first run: 56M) — one more window costs ~10 s and cuts the tail.
     def bestOf3(run: () => Double): Double = math.min(bestOf2(run), run())
+    // Adaptive noise rejection (the BENCH_r05 lesson: a contended final
+    // sweep recorded 1.75x-inflated tails): when the two windows
+    // disagree by >1.5x, the row is machine noise, not plan cost — pay
+    // for a third window and keep the min. Stable rows stay at two.
+    def bestOfAdaptive(run: () => Double): Double = {
+      val a = run(); val b = run()
+      val lo = math.min(a, b)
+      if (lo > 0.05 && math.max(a, b) / lo > 1.5) math.min(lo, run()) else lo
+    }
     // Each run executes the FULL plan via a noop-sink write — a count()
     // here would let Catalyst prune deterministic projections and
     // eliminate the final sort, under-measuring map-shaped queries.
     val results = selected.map { case (name, fn) =>
-      val t = bestOf2 { () =>
+      val t = bestOfAdaptive { () =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -214,6 +223,86 @@ object Bench {
 
     corpus.unpersist(); docs.unpersist()
 
+    // --- composed nine-step pipeline wall clock (the orchestrator
+    // path: ingest → clean → quality → pii → minhash → clustering →
+    // train_tokenizer → tokenize → export as ONE tracked number, not
+    // just per-operator queries). Input: the sf documents WET-ified
+    // into gz shards (untimed fixture build — the reference starts
+    // from .wet.gz too). Parity gate: ingest must land every doc and
+    // the clean step's kept count must equal the direct-query judge
+    // count over the same table (the x08 chain's first stage) — the
+    // composed path and the query path must agree on real data or the
+    // row reports failed. */
+    var pipelineSec = 0.0
+    var pipelineDocs = 0L
+    var pipelineParity = false
+    var pipelineStepsJson = "{}"
+    try {
+      val wetDir = java.nio.file.Files.createTempDirectory("bench_wet")
+      val outBase = java.nio.file.Files.createTempDirectory("bench_pipe")
+      val docRows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text")).collect()
+      pipelineDocs = docRows.length.toLong
+      val shards = 8
+      (0 until shards).foreach { sId =>
+        val os = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(
+          wetDir.resolve(f"shard$sId%02d.wet.gz").toFile))
+        var i = sId
+        while (i < docRows.length) {
+          val r = docRows(i)
+          val text = r.getString(1)
+          val payload = text.getBytes("UTF-8")
+          val rec = "WARC/1.0\r\nWARC-Type: conversion\r\n" +
+            s"WARC-Target-URI: http://bench/${r.get(0)}\r\n" +
+            "WARC-Date: 2025-01-01T00:00:00Z\r\n" +
+            s"WARC-Record-ID: <urn:uuid:${r.get(0)}>\r\n" +
+            s"Content-Length: ${payload.length}\r\n\r\n" + text + "\r\n\r\n"
+          os.write(rec.getBytes("UTF-8"))
+          i += shards
+        }
+        os.close()
+      }
+      val cfg = graft.core.Pipeline.PipelineConfig(
+        dataDir = wetDir.toString, outputBase = outBase.toString,
+        langs = Seq("en", "und"), langThreshold = 0.0,
+        seqLen = 512, vocabSize = 2000,
+        // the synthetic corpus vocabulary is out-of-domain for the
+        // committed 24-lang artifact; heuristic labeling keeps rows
+        defaultLidArtifact = false)
+      // threshold 0.8 turns on the signature-estimate pair verify: the
+      // synthetic docs share a ~30-word template vocabulary, so every
+      // doc band-collides with SOMETHING — collision-only clustering
+      // would (correctly, but uselessly for a bench) collapse the whole
+      // corpus to one canonical doc
+      val steps = Seq(
+        graft.operators.PipelineSteps.IngestStep(
+          wetCfg = graft.sources.WetSource.WetConfig(minChars = 1)),
+        graft.operators.PipelineSteps.CleanStep(),
+        graft.operators.PipelineSteps.QualityStep(),
+        graft.operators.PipelineSteps.PiiStep(),
+        graft.operators.PipelineSteps.MinhashStep(),
+        graft.operators.PipelineSteps.ClusteringStep(
+          mh = graft.operators.Dedup.MinHashConfig(jaccardThreshold = 0.8)),
+        graft.operators.PipelineSteps.TrainTokenizerStep(),
+        graft.operators.PipelineSteps.TokenizeStep(),
+        graft.operators.PipelineSteps.ExportStep())
+      val t0 = System.nanoTime()
+      val stats = graft.core.Pipeline.run(spark, cfg, steps)
+      pipelineSec = (System.nanoTime() - t0) / 1e9
+      val byStep = stats.map(s => s.step -> s).toMap
+      val directJudgeOk = spark.read.parquet(s"$sfDir/documents.parquet")
+        .where(graft.functions.TextFunctions.judgeReason(
+          graft.functions.TextFunctions.normalizeNewlines(col("text")),
+          graft.functions.TextFunctions.CleanThresholds()) === "ok")
+        .count()
+      pipelineParity = byStep("ingest").outputRows == pipelineDocs &&
+        byStep("clean").outputRows == directJudgeOk &&
+        byStep("export").outputRows > 0
+      if (!pipelineParity) failed += "pipeline_e2e"
+      pipelineStepsJson = stats.map(s =>
+        "\"" + s.step + "\":" + s.elapsedSec).mkString("{", ",", "}")
+    } catch { case _: Throwable => failed += "pipeline_e2e" }
+
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
 
@@ -227,7 +316,7 @@ object Bench {
     // summarized as other_sec.
     val detailQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val detailJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$detailQs,"sf":"$sfDir","failed":$failedJson,"tokenize_tokens":$totalTokens,"tokenize_sec":$tokSec,"tokens_per_sec":$tokensPerSec,"minhash_docs":$nSigs,"minhash_sec":$mhSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens":$bpeTokens,"bpe_sec":$bpeSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"compare_corpus_chars":$totalChars,"compare_bpe_per_word_ratio":$bpePerWordRatio,"compare_bpe_chars_per_token":$bpeCharsPerToken,"compare_word_chars_per_token":$wordCharsPerToken,"lid_eval_docs":$lidN,"lid_trained_acc":$lidTrainedAcc,"lid_heuristic_acc":$lidHeuristicAcc,"lid_hard_trained_acc":$lidHardTrainedAcc,"lid_hard_heuristic_acc":$lidHardHeuristicAcc}"""
+    val detailJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$detailQs,"sf":"$sfDir","failed":$failedJson,"tokenize_tokens":$totalTokens,"tokenize_sec":$tokSec,"tokens_per_sec":$tokensPerSec,"minhash_docs":$nSigs,"minhash_sec":$mhSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens":$bpeTokens,"bpe_sec":$bpeSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"compare_corpus_chars":$totalChars,"compare_bpe_per_word_ratio":$bpePerWordRatio,"compare_bpe_chars_per_token":$bpeCharsPerToken,"compare_word_chars_per_token":$wordCharsPerToken,"lid_eval_docs":$lidN,"lid_trained_acc":$lidTrainedAcc,"lid_heuristic_acc":$lidHeuristicAcc,"lid_hard_trained_acc":$lidHardTrainedAcc,"lid_hard_heuristic_acc":$lidHardHeuristicAcc,"pipeline_e2e_sec":$pipelineSec,"pipeline_docs":$pipelineDocs,"pipeline_parity":$pipelineParity,"pipeline_steps_sec":$pipelineStepsJson}"""
     try {
       val out = java.nio.file.Paths.get("target", "bench_detail.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -240,7 +329,7 @@ object Bench {
     val otherSec = bySlowest.drop(28).map(_._2).sum
     val compactQs = top.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfDir","failed":$failedJson,"n_queries":${results.size},"other_sec":${f3(otherSec)},"tokens_per_sec":$tokensPerSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"bpe_chars_per_token":${f3(bpeCharsPerToken)},"lid_eval_docs":$lidN,"lid_trained_acc":${f3(lidTrainedAcc)},"lid_heuristic_acc":${f3(lidHeuristicAcc)},"lid_hard_trained_acc":${f3(lidHardTrainedAcc)},"lid_hard_heuristic_acc":${f3(lidHardHeuristicAcc)}}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfDir","failed":$failedJson,"n_queries":${results.size},"other_sec":${f3(otherSec)},"tokens_per_sec":$tokensPerSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"bpe_chars_per_token":${f3(bpeCharsPerToken)},"lid_eval_docs":$lidN,"lid_trained_acc":${f3(lidTrainedAcc)},"lid_heuristic_acc":${f3(lidHeuristicAcc)},"lid_hard_trained_acc":${f3(lidHardTrainedAcc)},"lid_hard_heuristic_acc":${f3(lidHardHeuristicAcc)},"pipeline_e2e_sec":${f3(pipelineSec)},"pipeline_parity":$pipelineParity}""")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharEntropy, CosineSim, L2SqDist, MaxMultiplicity, MinHashSignature, NormalizeNfkc, RollingHash64, SimHash64, XxHash64String}
+import graft.functions.{CharEntropy, CharShingleHashes, CosineSim, L2SqDist, MaxMultiplicity, MinHashSignature, NormalizeNfkc, RollingHash64, SignBuckets, SimHash64, XxHash64String}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -96,6 +96,22 @@ object GraftExtensions {
       args match {
         case Seq(c) => MaxMultiplicity(c)
         case _ => throw new IllegalArgumentException("graft_max_multiplicity(array<bigint>)")
+      }
+    },
+    "graft_sign_buckets" -> { args =>
+      args match {
+        case Seq(v)          => SignBuckets(v, 12, 7L, 1)
+        case Seq(v, p)       => SignBuckets(v, intArg(p, "planes"), 7L, 1)
+        case Seq(v, p, s)    => SignBuckets(v, intArg(p, "planes"), longArg(s, "seed"), 1)
+        case Seq(v, p, s, t) => SignBuckets(v, intArg(p, "planes"), longArg(s, "seed"), intArg(t, "tables"))
+        case _ => throw new IllegalArgumentException("graft_sign_buckets(vec[, planes[, seed[, tables]]])")
+      }
+    },
+    "graft_char_shingles" -> { args =>
+      args match {
+        case Seq(c)    => CharShingleHashes(c, 5)
+        case Seq(c, n) => CharShingleHashes(c, intArg(n, "ngram"))
+        case _ => throw new IllegalArgumentException("graft_char_shingles(text[, ngram])")
       }
     })
 

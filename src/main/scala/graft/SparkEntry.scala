@@ -3663,6 +3663,25 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    "k10_unigram_tokenize" -> ((s, d) => {
+      // unigram-LM tokenizer (Kudo 2018 — SentencePiece's default
+      // model type, the reference's actual trainer): hard-EM piece
+      // probabilities over the distributed word-frequency table,
+      // Viterbi max-likelihood segmentation, byte fallback, ▁ word
+      // boundaries. Per-source fertility pinned at sf0.01 (d20
+      // convention — the model itself is not SQL-replayable): exact
+      // Long counts + deterministic training make the numbers
+      // partitioning-invariant constants.
+      val dd = docs(s, d).select(col("doc_id"), col("source"), col("text"))
+      val m = UnigramTrainer.trainFromCorpus(dd, "text", vocabSize = 800)
+      UnigramTrainer.tokenize(dd, "text", m)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("ids"))).cast("long").as("n_pieces"),
+          sum(TextFunctions.tokenCount(col("text"))).cast("long").as("n_words"))
+        .orderBy("source")
+    }),
+
     "k09_loss_mask" -> ((s, d) => {
       // SFT loss masking: only assistant tokens train — the
       // system/user context (and the assistant marker itself) is
@@ -7362,6 +7381,28 @@ object SparkEntry {
            JOIN ud u ON u.day BETWEEN d.day - 29 AND d.day GROUP BY d.day)
          SELECT day, dau, wau, mau
          FROM dau JOIN w USING (day) JOIN m USING (day) ORDER BY day""",
+
+    // Pinned at sf0.01 (d20 convention — the unigram model is not SQL-
+    // replayable): deterministic hard-EM training + exact Long counts
+    // make the per-source fertility partitioning-invariant constants.
+    // n_pieces ~ 1.03x n_words: the 800-piece budget learns the tiny
+    // template vocabulary's words whole. Re-pin on fixture/SF change.
+    "k10_unigram_tokenize" ->
+      """SELECT source, CAST(nd AS BIGINT) AS n_docs,
+           CAST(np AS BIGINT) AS n_pieces, CAST(nw AS BIGINT) AS n_words
+         FROM (VALUES
+           ('src0', 25, 1494, 1435), ('src1', 25, 1590, 1540),
+           ('src10', 25, 1357, 1303), ('src11', 25, 1566, 1522),
+           ('src12', 25, 1317, 1272), ('src13', 25, 1593, 1553),
+           ('src14', 25, 1361, 1318), ('src15', 25, 1354, 1298),
+           ('src16', 25, 1400, 1351), ('src17', 25, 1413, 1373),
+           ('src18', 25, 1409, 1364), ('src19', 25, 1187, 1147),
+           ('src2', 25, 1453, 1407), ('src3', 25, 1436, 1384),
+           ('src4', 25, 1346, 1294), ('src5', 25, 1372, 1329),
+           ('src6', 25, 1311, 1266), ('src7', 25, 1554, 1507),
+           ('src8', 25, 1177, 1136), ('src9', 25, 1409, 1366)
+         ) AS t(source, nd, np, nw)
+         ORDER BY source""",
 
     "k09_loss_mask" ->
       """WITH m AS (SELECT doc_id,

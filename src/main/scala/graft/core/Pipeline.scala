@@ -30,7 +30,7 @@ object Pipeline {
       keepPiiStats: Boolean = false,
       seqLen: Int = 4096,
       vocabSize: Int = 32000,
-      tokenizer: String = "word",       // "word" | "bpe"
+      tokenizer: String = "word",       // "word" | "bpe" | "unigram"
       exportDtype: String = "uint16",
       // optional trained-LID artifact (operators.TrainedLid.writeModel);
       // when set, QualityStep scores with the model instead of the

@@ -174,7 +174,14 @@ object PipelineSteps {
       val in = readStep(spark, cfg, name).persist(StorageLevel.MEMORY_AND_DISK)
       val inRows = in.count()
       val sigs = in.select(col("doc_id").as("id"), col("signature"))
-      val pairs = Dedup.candidatePairs(Dedup.bandRows(sigs, mh), mh, chainOnly = true)
+      // band-collision-only by default (the reference's mode, star
+      // edges); a positive jaccardThreshold adds the signature-estimate
+      // verify — needed on templated corpora where every doc collides
+      // in SOME band (the minhashLsh convention)
+      val pairs = Dedup.verifyPairs(
+        Dedup.candidatePairs(Dedup.bandRows(sigs, mh), mh,
+          chainOnly = mh.jaccardThreshold <= 0.0),
+        sigs, mh.jaccardThreshold)
       // canonical pick: per component keep max (length, doc_id) — via
       // struct-max aggregation + join, not a window: a window would sort
       // an entire mega-component inside one partition, while the
@@ -244,6 +251,12 @@ object PipelineSteps {
         model.vocab.toSeq.map { case (w, i) => (w, 0L, i) }.toDF("word", "freq", "id")
           .coalesce(1).write.mode("overwrite").parquet(s"${cfg.outputBase}/bpe_vocab_parquet")
       }
+      if (cfg.tokenizer == "unigram") {
+        // unigram-LM training (SentencePiece's default model type):
+        // probabilities are the model, persisted explicitly
+        val model = UnigramTrainer.trainFromCorpus(in, "text", cfg.vocabSize)
+        UnigramTrainer.writeModel(spark, s"${cfg.outputBase}/unigram_model_parquet", model)
+      }
       val n = spark.read.parquet(s"${cfg.outputBase}/vocab_parquet").count()
       StepStats(name, -1, n)
     }
@@ -266,6 +279,11 @@ object PipelineSteps {
             .select("word", "id").as[(String, Int)].collect().toMap
           BpeTrainer.tokenize(in.select("doc_id", "text"), "text",
               BpeTrainer.BpeModel(merges, bvocab))
+            .select(col("doc_id"), concat(col("ids"), array(lit(eos))).as("ids"))
+        } else if (cfg.tokenizer == "unigram") {
+          val model = UnigramTrainer.loadModel(spark,
+            s"${cfg.outputBase}/unigram_model_parquet")
+          UnigramTrainer.tokenize(in.select("doc_id", "text"), "text", model)
             .select(col("doc_id"), concat(col("ids"), array(lit(eos))).as("ids"))
         } else {
           val vocab = spark.read.parquet(s"${cfg.outputBase}/vocab_parquet")

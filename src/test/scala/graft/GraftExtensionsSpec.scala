@@ -38,6 +38,16 @@ class GraftExtensionsSpec extends SparkSpec {
     val entApi = spark.table("gx_docs")
       .select(HashFunctions.charEntropy(col("text"))).head().getDouble(0)
     assert(entSql == entApi && entSql > 0.0)
+    val sbSql = spark.sql("SELECT graft_sign_buckets(a, 8, 7, 2) FROM gx_vecs")
+      .head().getSeq[Long](0)
+    val sbApi = spark.table("gx_vecs")
+      .select(HashFunctions.signBuckets(col("a"), 8, 7L, 2)).head().getSeq[Long](0)
+    assert(sbSql == sbApi && sbSql.size == 2)
+    val csSql = spark.sql("SELECT graft_char_shingles(text, 5) FROM gx_docs")
+      .head().getSeq[Long](0)
+    val csApi = spark.table("gx_docs")
+      .select(HashFunctions.charShingleHashes(col("text"), 5)).head().getSeq[Long](0)
+    assert(csSql == csApi && csSql.nonEmpty)
   }
 
   test("withExtensions injection works at session build time") {
@@ -47,6 +57,6 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(GraftExtensions.builders.map(_._1).toSet ==
       Set("graft_minhash", "graft_simhash", "graft_xxhash64", "graft_rolling_hash",
         "graft_nfkc", "graft_cosine_sim", "graft_l2_sq", "graft_char_entropy",
-        "graft_max_multiplicity"))
+        "graft_max_multiplicity", "graft_sign_buckets", "graft_char_shingles"))
   }
 }

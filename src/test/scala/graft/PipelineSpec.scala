@@ -197,6 +197,21 @@ class PipelineSpec extends SparkSpec {
     // manifest reader over the rewritten int32 shards
     assert(graft.sources.ExportReader.tokenSlice(hconf, shardsUri, "int32",
       0, allIds.length).toSeq == allIds.toSeq)
+
+    // unigram tokenizer path: resume from train_tokenizer with the
+    // unigram-LM model — ids stay under the vocab budget, packing and
+    // export flow end-to-end
+    val cfgUni = cfg.copy(tokenizer = "unigram")
+    Pipeline.run(spark, cfgUni, PipelineSteps.all(dataDir.toString),
+      Some("train_tokenizer"))
+    val packedU = spark.read.parquet(s"$outBase/token_packing_parquet")
+    assert(packedU.count() > 0)
+    assert(packedU.selectExpr("size(input_ids)").collect().forall(_.getInt(0) == 64))
+    val idsU = packedU.orderBy("part_id", "chunk_in_part")
+      .collect().flatMap(_.getSeq[Int](2))
+    assert(idsU.forall(id => id >= 0 && id < 500))
+    assert(idsU.exists(_ >= graft.operators.UnigramTrainer.FirstPieceId),
+      "at least one learned piece id in the stream")
   }
 
   test("pii step with NER enabled redacts gated capitalized names") {
