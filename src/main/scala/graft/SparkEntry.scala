@@ -3408,6 +3408,16 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "x15_span_trim" -> ((s, d) =>
+      // overlapping-window ExactSubstr excision: stride-1 8-token
+      // fingerprints, global-first-occurrence survivor, gaps-and-
+      // islands span merge, token-level cut. The oracle rebuilds the
+      // identical construction in SQL (windows, duplicate marking,
+      // island merge, anti-join reassembly), so this asserts the
+      // FULL span pipeline, not just counts.
+      Dedup.spanTrim(docs(s, d), "doc_id", "text", window = 8)
+        .orderBy("doc_id")),
+
     "x14_entity_resolution" -> ((s, d) => {
       // multi-key entity resolution — the record-linkage move single-
       // key dedup can't make: records merge when ANY identity key
@@ -7196,6 +7206,51 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM h i WHERE i.id < 400
              AND bit_count(xor(i.sig, n.sig)) <= 2)
          ORDER BY asset_id""",
+
+    // Mirrors Dedup.spanTrim bit for bit: stride-1 8-token md5
+    // windows, duplicated = corpus count >= 2, survivor = min
+    // (doc, pos) via the fp-partitioned row_number, islands by the
+    // running-max-end break rule (adjacent merges), excision by
+    // anti-joining token positions against the merged spans, ordered
+    // string_agg reassembly. Docs < 8 tokens emit no windows.
+    "x15_span_trim" ->
+      """WITH b AS (SELECT doc_id,
+             string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS tk
+           FROM documents),
+         base AS (SELECT doc_id, tk, len(tk) AS n FROM b),
+         wins AS (SELECT doc_id, unnest(range(0, greatest(n - 7, 0))) AS pos, tk
+           FROM base),
+         winf AS (SELECT doc_id, pos,
+             md5(array_to_string(tk[pos+1:pos+8], ' ')) AS fp FROM wins),
+         marked AS (SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY fp) AS c,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+           FROM winf),
+         dup AS (SELECT doc_id, pos, pos + 7 AS e FROM marked
+           WHERE c >= 2 AND rn > 1),
+         isl AS (SELECT doc_id, pos, e,
+             CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -2) + 1 THEN 1 ELSE 0 END AS brk FROM dup),
+         gid AS (SELECT doc_id, pos, e,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl),
+         spans AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e
+           FROM gid GROUP BY doc_id, g),
+         rem AS (SELECT doc_id, sum(e - s + 1) AS removed
+           FROM spans GROUP BY doc_id),
+         tokrows AS (SELECT doc_id, unnest(range(0, n)) AS ti, tk FROM base),
+         tok2 AS (SELECT doc_id, ti, tk[ti+1] AS tok FROM tokrows),
+         keptt AS (SELECT t.doc_id, t.ti, t.tok FROM tok2 t
+           LEFT JOIN spans s ON t.doc_id = s.doc_id AND t.ti BETWEEN s.s AND s.e
+           WHERE s.doc_id IS NULL),
+         re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS trimmed
+           FROM keptt GROUP BY doc_id)
+         SELECT base.doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(coalesce(rem.removed, 0) AS BIGINT) AS n_removed,
+           coalesce(re.trimmed, '') AS text_trimmed
+         FROM base LEFT JOIN rem USING (doc_id) LEFT JOIN re USING (doc_id)
+         ORDER BY base.doc_id""",
 
     // Both identity keys rebuilt (the d63 fold chain and the d67
     // canonicalize replay), equality cliques unioned with distinct

@@ -119,6 +119,88 @@ object Dedup {
         coalesce(col("n_blocks_kept"), lit(0L)).as("n_blocks_kept"))
   }
 
+  /** Duplicate-SPAN excision with OVERLAPPING windows — the closest
+    * distributed rendering of Lee et al. 2022's ExactSubstr semantics
+    * (reference approximates it block-aligned in its clustering step;
+    * [[passageTrim]] mirrors that). Where [[passageTrim]] can only cut
+    * on `window`-token block boundaries (a duplicated sentence
+    * straddling two blocks survives both), this slides a `window`-token
+    * fingerprint at stride 1, so every duplicated run of >= `window`
+    * tokens is caught wherever it starts, and overlapping hits are
+    * merged into maximal spans (gaps-and-islands) before excision —
+    * the paper's "remove the repeated span, keep the first occurrence"
+    * rule at token granularity.
+    *
+    * Semantics: a window is duplicated when its fingerprint occurs
+    * >= 2 times corpus-wide (across docs or repeated within one); the
+    * single global first occurrence (min (doc, pos)) survives, every
+    * other occurrence contributes the covered token interval
+    * [pos, pos+window-1]. Per doc the intervals are merged
+    * (overlap-or-adjacent) and the covered tokens excised; the doc
+    * reassembles from survivors with single spaces — possibly to "".
+    *
+    * Scale shape: stride-1 windows are ~1 row per corpus token — the
+    * same cardinality [[lineDedup]] pays per line, shuffled once on a
+    * 16-byte md5 key with map-side partial aggregation (a window
+    * repeated a billion times collapses before the shuffle; no
+    * collect_list on the fingerprint side). The island merge is a
+    * per-document window function — state bounded by
+    * duplicate-windows-per-doc, never corpus-global. The excision HOF
+    * runs over each doc's own bounded span array. At 100 TB the knob
+    * is `window` (bigger = fewer, colder fingerprints): the paper
+    * uses 50 tokens.
+    *
+    * Output: (idCol, n_tokens, n_removed, text_trimmed) where
+    * text_trimmed is whitespace-normalized. Docs shorter than
+    * `window` tokens emit no fingerprints and are never trimmed. */
+  def spanTrim(df: DataFrame, idCol: String, textCol: String,
+               window: Int = 8): DataFrame = {
+    require(window > 0, "window must be positive")
+    val toks = split(regexp_replace(trim(col(textCol)), "\\s+", " "), " ")
+    val base = df.select(col(idCol), toks.as("__tk"))
+      .withColumn("__n", size(col("__tk")))
+    // stride-1 fingerprints; sequence() would count DOWN for short
+    // docs, so guard to an empty array (no windows => never trimmed)
+    val winArr = when(col("__n") >= window,
+      transform(sequence(lit(0), col("__n") - window),
+        i => md5(array_join(slice(col("__tk"), i + 1, lit(window)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val wins = base.select(col(idCol), posexplode(winArr))
+      .toDF(idCol, "__pos", "__fp")
+    val winners = wins.groupBy("__fp").agg(
+      count(lit(1)).as("__c"),
+      min(struct(col(idCol).as("d"), col("__pos").as("p"))).as("__w"))
+    val dup = wins.join(winners, "__fp")
+      .where(col("__c") >= 2 &&
+        !(col(idCol) === col("__w.d") && col("__pos") === col("__w.p")))
+      .select(col(idCol), col("__pos"),
+        (col("__pos") + window - 1).as("__e"))
+    // gaps-and-islands: a row starts a new span when it clears the
+    // running max end of all earlier intervals (adjacent merges too)
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val prevMax = max(col("__e"))
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = dup
+      .withColumn("__brk",
+        when(prevMax.isNull || col("__pos") > prevMax + 1, 1).otherwise(0))
+      .withColumn("__gid", sum(col("__brk")).over(byPos))
+      .groupBy(col(idCol), col("__gid"))
+      .agg(min("__pos").as("s"), max("__e").as("e"))
+    val spanList = spans.groupBy(idCol).agg(
+      collect_list(struct(col("s"), col("e"))).as("__sp"),
+      sum(col("e") - col("s") + 1).as("__removed"))
+    base.join(spanList, Seq(idCol), "left")
+      .select(col(idCol),
+        col("__n").cast("long").as("n_tokens"),
+        coalesce(col("__removed"), lit(0L)).as("n_removed"),
+        when(col("__sp").isNull, array_join(col("__tk"), " "))
+          .otherwise(array_join(
+            filter(col("__tk"), (_, i) => !exists(col("__sp"),
+              sp => i >= sp.getField("s") && i <= sp.getField("e"))),
+            " "))
+          .as("text_trimmed"))
+  }
+
   /** Duplicate-PASSAGE detection (the token-window formulation of
     * Lee et al. 2022, "Deduplicating Training Data Makes Language
     * Models Better": repeated long substrings across documents, found

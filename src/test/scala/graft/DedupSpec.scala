@@ -242,6 +242,62 @@ class DedupSpec extends SparkSpec {
     assert(r(0).getLong(2) == 3L && r(0).getLong(3) == 2L)
   }
 
+  test("spanTrim catches a duplicated run that straddles block boundaries") {
+    // the case block-aligned passageTrim misses: "a b c" sits at
+    // different offsets in the two docs, so no block boundary lines up
+    val df = Seq(
+      (1L, "u1 u2 a b c u3 u4"),
+      (2L, "v1 a b c v2 v3 v4")
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanTrim(df, "doc_id", "text", window = 3)
+      .orderBy("doc_id").collect()
+    assert(r(0).getString(3) == "u1 u2 a b c u3 u4" && r(0).getLong(2) == 0L)
+    assert(r(1).getString(3) == "v1 v2 v3 v4" && r(1).getLong(2) == 3L)
+  }
+
+  test("spanTrim merges overlapping window hits into one maximal span") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "z1 w1 w2 w3 w4 w5 w6 z2")
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanTrim(df, "doc_id", "text", window = 3)
+      .orderBy("doc_id").collect()
+    assert(r(0).getString(3) == "w1 w2 w3 w4 w5 w6")
+    assert(r(1).getString(3) == "z1 z2" && r(1).getLong(2) == 6L)
+  }
+
+  test("spanTrim removes within-doc repetition, keeps first occurrence") {
+    val df = Seq((9L, "p q r s p q r s")).toDF("doc_id", "text")
+    val r = Dedup.spanTrim(df, "doc_id", "text", window = 4).collect()
+    assert(r(0).getString(3) == "p q r s")
+    assert(r(0).getLong(1) == 8L && r(0).getLong(2) == 4L)
+  }
+
+  test("spanTrim leaves sub-window docs alone and empties verbatim copies") {
+    val df = Seq(
+      (1L, "s t"), (2L, "s t"),                 // shorter than window: kept
+      (3L, "m1 m2 m3 m4 m5 m6"),
+      (4L, "m1 m2 m3 m4 m5 m6")                 // verbatim copy: cut to ""
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanTrim(df, "doc_id", "text", window = 3)
+      .orderBy("doc_id").collect()
+    assert(r(0).getString(3) == "s t" && r(1).getString(3) == "s t")
+    assert(r(2).getString(3) == "m1 m2 m3 m4 m5 m6")
+    assert(r(3).getString(3) == "" && r(3).getLong(2) == 6L)
+  }
+
+  test("spanTrim is partitioning-invariant") {
+    val df = Seq(
+      (1L, "u1 u2 a b c u3 u4"),
+      (2L, "v1 a b c v2 v3 v4"),
+      (3L, "z1 a b c z2 z3 a b c z4")
+    ).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.spanTrim(d, "doc_id", "text", window = 3)
+        .orderBy("doc_id").collect().toSeq
+    assert(run(df) == run(df.repartition(7)))
+  }
+
   test("brute-force knn returns exact neighbors in cosine order") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
