@@ -59,4 +59,65 @@ class GraftExtensionsSpec extends SparkSpec {
         "graft_nfkc", "graft_cosine_sim", "graft_l2_sq", "graft_char_entropy",
         "graft_max_multiplicity", "graft_sign_buckets", "graft_char_shingles"))
   }
+
+  test("pure-SQL near-dedup: banding + verify + recursive-CTE closure") {
+    // The WHOLE near-dedup pipeline expressed in the SQL dialect:
+    // graft_minhash -> LSH banding (builtin xxhash64 over signature
+    // slices, the bandRows convention) -> exact char-5gram Jaccard
+    // verify -> transitive closure via Spark 4's recursive CTE ->
+    // min-id canonical keep. Matches Dedup.minhashVerifiedPairs +
+    // ConnectedComponents semantics on a planted corpus.
+    //
+    // DIALECT DEMO, deliberately NOT a driver gate: Spark recursion
+    // is UNION ALL-only, so closure must enumerate depth-capped walks
+    // (guarded to origin-root < next node for termination) — walk
+    // count grows exponentially with component density (measured: the
+    // sf0.1 template corpus exceeds the engine's 1M recursion row
+    // limit). The scale path for closure is the distributed
+    // alternating-star ConnectedComponents every x-gate uses; this
+    // spec pins that the DIALECT can express the whole pipeline on
+    // bounded-diameter graphs.
+    GraftExtensions.register(spark)
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val alt = (1 to 60).map(i => s"alt$i").mkString(" ")
+    Seq(
+      (1L, base), (2L, base + " tiny suffix"), (3L, base + " other tail"),
+      (4L, alt), (5L, alt + " x"), (6L, "wholly unrelated text here")
+    ).toDF("doc_id", "text").createOrReplaceTempView("gxsql_docs")
+    val edges = spark.sql(
+      """WITH
+        |n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ')) AS t
+        |      FROM gxsql_docs),
+        |sig AS (SELECT doc_id, graft_minhash(t, 128, 5, 42) AS sg FROM n),
+        |band AS (SELECT doc_id, b.band_id, b.bh
+        |  FROM sig LATERAL VIEW explode(transform(sequence(0, 31),
+        |    i -> named_struct('band_id', i,
+        |      'bh', xxhash64(i, slice(sg, i*4+1, 4))))) AS b),
+        |cand AS (SELECT DISTINCT a.doc_id AS src, c.doc_id AS dst
+        |  FROM band a JOIN band c
+        |    ON a.band_id = c.band_id AND a.bh = c.bh AND a.doc_id < c.doc_id),
+        |g AS (SELECT doc_id, array_distinct(CASE WHEN length(t) < 5 THEN array(t)
+        |    ELSE transform(sequence(1, length(t) - 4), i -> substring(t, i, 5))
+        |  END) AS gs FROM n),
+        |verified AS (SELECT src, dst FROM cand
+        |  JOIN g ga ON ga.doc_id = src JOIN g gb ON gb.doc_id = dst
+        |  WHERE size(array_intersect(ga.gs, gb.gs)) * 1.0
+        |      / size(array_distinct(concat(ga.gs, gb.gs))) >= 0.8)
+        |SELECT src AS a, dst AS b FROM verified
+        |UNION ALL SELECT dst, src FROM verified""".stripMargin)
+      .localCheckpoint(true) // materialize: recursion re-evaluates its inputs per step
+    edges.createOrReplaceTempView("gxsql_und")
+    val kept = spark.sql(
+      """WITH RECURSIVE reach(node, r, d) AS (
+        |  SELECT doc_id, doc_id, 0 FROM gxsql_docs
+        |  UNION ALL
+        |  SELECT u.b, reach.r, reach.d + 1 FROM reach
+        |    JOIN gxsql_und u ON u.a = reach.node
+        |  WHERE reach.r < u.b AND reach.d < 20),
+        |root AS (SELECT node, min(r) AS root FROM reach GROUP BY node)
+        |SELECT node AS doc_id FROM root WHERE root = node ORDER BY doc_id""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    // {1,2,3} chain-cluster to 1; {4,5} to 4; 6 alone
+    assert(kept == Seq(1L, 4L, 6L))
+  }
 }
