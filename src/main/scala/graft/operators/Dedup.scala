@@ -156,7 +156,10 @@ object Dedup {
   def spanTrim(df: DataFrame, idCol: String, textCol: String,
                window: Int = 8): DataFrame = {
     require(window > 0, "window must be positive")
-    val toks = split(regexp_replace(trim(col(textCol)), "\\s+", " "), " ")
+    // null-safe: a null doc behaves as the empty doc (1 empty token,
+    // no windows) instead of poisoning n_tokens/text_trimmed to null
+    val toks =
+      split(regexp_replace(trim(coalesce(col(textCol), lit(""))), "\\s+", " "), " ")
     val base = df.select(col(idCol), toks.as("__tk"))
       .withColumn("__n", size(col("__tk")))
     // stride-1 fingerprints; sequence() would count DOWN for short

@@ -101,6 +101,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.forall(_.getDouble(3) == 7.5))
   }
 
+  test("spanTrim is null-safe and empty-safe") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, null), (2L, ""), (3L, "   "),
+      (4L, "a1 a2 a3 a4"), (5L, "a1 a2 a3 a4")
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.spanTrim(df, "doc_id", "text", window = 3)
+      .orderBy("doc_id").collect()
+    // null/empty/blank all behave as the empty doc: 1 empty token,
+    // no windows, nothing trimmed, nothing null in the output
+    (0 to 2).foreach { i =>
+      assert(r(i).getLong(1) == 1L && r(i).getLong(2) == 0L)
+      assert(r(i).getString(3) == "")
+    }
+    assert(r(3).getString(3) == "a1 a2 a3 a4")
+    assert(r(4).getString(3) == "" && r(4).getLong(2) == 4L)
+  }
+
   test("lineDedup and dupPassageReport on empty input return empty, not crash") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.lineDedup(empty, "doc_id", "text").count() == 0)
