@@ -2570,6 +2570,44 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    "st26_stream_span_filter" -> ((s, d) => {
+      // streaming twin of x15 with first-ARRIVAL-wins canonical: docs
+      // arrive in 4 deterministic micro-batches (batch = doc_id % 4);
+      // every stride-1 8-token fingerprint consults a cross-batch
+      // keyed state of already-seen fingerprints, so an occurrence is
+      // excised iff an occurrence of the same window arrived STRICTLY
+      // EARLIER in (batch, doc_id, pos) order — a previous batch, an
+      // earlier doc of the same batch, or an earlier position of the
+      // same doc. The per-doc island merge + cut runs as the batch
+      // spanExcise over the emitted evidence (st07's convention: the
+      // rollup tail is a bounded batch step).
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val all = docs(s, d).select("doc_id", "text")
+      val mem = MemoryStream[(Long, Int, String)]
+      val evidence = graft.streaming.Streaming.onlineSpanDupEvidence(
+        mem.toDF().toDF("id", "batch", "text"), window = 8)
+      s.catalog.dropTempView("st26_tbl")
+      graft.streaming.Streaming.withShufflePartitions(s, 8) {
+        val q = evidence.toDF().writeStream.format("memory")
+          .queryName("st26_tbl").outputMode("append").start()
+        try {
+          val rows = all
+            .select(col("doc_id"), pmod(col("doc_id"), lit(4)).cast("int"), col("text"))
+            .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+          (0 until 4).foreach { b => // fixture harness: 500 rows at gate SF
+            mem.addData(rows.filter(_._2 == b).sortBy(_._1).toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      Dedup.spanExcise(all, "doc_id", "text", window = 8,
+          dupOcc = s.table("st26_tbl")
+            .select(col("id").as("doc_id"), col("pos").as("__pos")))
+        .orderBy("doc_id")
+    }),
+
     "st10_stream_merge" -> ((s, d) => {
       // streaming twin of d44: the same change log folds into keyed
       // state across two deterministic micro-batches (batch 0 = the
@@ -7206,6 +7244,49 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM h i WHERE i.id < 400
              AND bit_count(xor(i.sig, n.sig)) <= 2)
          ORDER BY asset_id""",
+
+    // x15's construction with the canonical occurrence re-ranked in
+    // ARRIVAL order (batch = doc_id % 4, then doc_id, then pos) — the
+    // streaming path's first-arrival-wins rule. Everything after the
+    // dup marking (island merge, excision, reassembly) is shared with
+    // x15 verbatim.
+    "st26_stream_span_filter" ->
+      """WITH b AS (SELECT doc_id,
+             string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS tk
+           FROM documents),
+         base AS (SELECT doc_id, tk, len(tk) AS n FROM b),
+         wins AS (SELECT doc_id, unnest(range(0, greatest(n - 7, 0))) AS pos, tk
+           FROM base),
+         winf AS (SELECT doc_id, pos,
+             md5(array_to_string(tk[pos+1:pos+8], ' ')) AS fp FROM wins),
+         marked AS (SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY fp
+               ORDER BY doc_id % 4, doc_id, pos) AS rn
+           FROM winf),
+         dup AS (SELECT doc_id, pos, pos + 7 AS e FROM marked WHERE rn > 1),
+         isl AS (SELECT doc_id, pos, e,
+             CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -2) + 1 THEN 1 ELSE 0 END AS brk FROM dup),
+         gid AS (SELECT doc_id, pos, e,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl),
+         spans AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e
+           FROM gid GROUP BY doc_id, g),
+         rem AS (SELECT doc_id, sum(e - s + 1) AS removed
+           FROM spans GROUP BY doc_id),
+         tokrows AS (SELECT doc_id, unnest(range(0, n)) AS ti, tk FROM base),
+         tok2 AS (SELECT doc_id, ti, tk[ti+1] AS tok FROM tokrows),
+         keptt AS (SELECT t.doc_id, t.ti, t.tok FROM tok2 t
+           LEFT JOIN spans s ON t.doc_id = s.doc_id AND t.ti BETWEEN s.s AND s.e
+           WHERE s.doc_id IS NULL),
+         re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS trimmed
+           FROM keptt GROUP BY doc_id)
+         SELECT base.doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(coalesce(rem.removed, 0) AS BIGINT) AS n_removed,
+           coalesce(re.trimmed, '') AS text_trimmed
+         FROM base LEFT JOIN rem USING (doc_id) LEFT JOIN re USING (doc_id)
+         ORDER BY base.doc_id""",
 
     // Mirrors Dedup.spanTrim bit for bit: stride-1 8-token md5
     // windows, duplicated = corpus count >= 2, survivor = min

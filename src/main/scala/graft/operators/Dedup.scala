@@ -156,11 +156,31 @@ object Dedup {
   def spanTrim(df: DataFrame, idCol: String, textCol: String,
                window: Int = 8): DataFrame = {
     require(window > 0, "window must be positive")
-    // null-safe: a null doc behaves as the empty doc (1 empty token,
-    // no windows) instead of poisoning n_tokens/text_trimmed to null
-    val toks =
-      split(regexp_replace(trim(coalesce(col(textCol), lit(""))), "\\s+", " "), " ")
-    val base = df.select(col(idCol), toks.as("__tk"))
+    val wins = spanWindowRows(df, idCol, textCol, window)
+    val winners = wins.groupBy("__fp").agg(
+      count(lit(1)).as("__c"),
+      min(struct(col(idCol).as("d"), col("__pos").as("p"))).as("__w"))
+    val dup = wins.join(winners, "__fp")
+      .where(col("__c") >= 2 &&
+        !(col(idCol) === col("__w.d") && col("__pos") === col("__w.p")))
+      .select(col(idCol), col("__pos"))
+    spanExcise(df, idCol, textCol, window, dup)
+  }
+
+  /** Null-safe whitespace tokenization shared by the span operators: a
+    * null doc behaves as the empty doc (1 empty token, no windows). */
+  private def spanTokens(textCol: String): Column =
+    split(regexp_replace(trim(coalesce(col(textCol), lit(""))), "\\s+", " "), " ")
+
+  /** doc → stride-1 `window`-token fingerprint rows
+    * (idCol, carryCols..., __pos, __fp) — [[spanTrim]]'s candidate
+    * generation, exposed so stream/batch variants share one window
+    * convention (the [[bandRows]] pattern). */
+  def spanWindowRows(df: DataFrame, idCol: String, textCol: String,
+                     window: Int, carryCols: Seq[String] = Nil): DataFrame = {
+    require(window > 0, "window must be positive")
+    val base = df.select((col(idCol) +: carryCols.map(col)) :+
+        spanTokens(textCol).as("__tk"): _*)
       .withColumn("__n", size(col("__tk")))
     // stride-1 fingerprints; sequence() would count DOWN for short
     // docs, so guard to an empty array (no windows => never trimmed)
@@ -168,16 +188,23 @@ object Dedup {
       transform(sequence(lit(0), col("__n") - window),
         i => md5(array_join(slice(col("__tk"), i + 1, lit(window)), " "))))
       .otherwise(array().cast("array<string>"))
-    val wins = base.select(col(idCol), posexplode(winArr))
-      .toDF(idCol, "__pos", "__fp")
-    val winners = wins.groupBy("__fp").agg(
-      count(lit(1)).as("__c"),
-      min(struct(col(idCol).as("d"), col("__pos").as("p"))).as("__w"))
-    val dup = wins.join(winners, "__fp")
-      .where(col("__c") >= 2 &&
-        !(col(idCol) === col("__w.d") && col("__pos") === col("__w.p")))
-      .select(col(idCol), col("__pos"),
-        (col("__pos") + window - 1).as("__e"))
+    base.select((col(idCol) +: carryCols.map(col)) :+ posexplode(winArr): _*)
+      .toDF(Seq(idCol) ++ carryCols ++ Seq("__pos", "__fp"): _*)
+  }
+
+  /** Excise the `window`-token intervals starting at `dupOcc`'s
+    * (idCol, __pos) rows from each document: merge overlapping /
+    * adjacent intervals per doc (gaps-and-islands — state bounded by
+    * occurrences-per-doc), cut the covered tokens, reassemble with
+    * single spaces. The span assembly half of [[spanTrim]], shared by
+    * the streaming arrival-order variant. */
+  def spanExcise(df: DataFrame, idCol: String, textCol: String,
+                 window: Int, dupOcc: DataFrame): DataFrame = {
+    require(window > 0, "window must be positive")
+    val base = df.select(col(idCol), spanTokens(textCol).as("__tk"))
+      .withColumn("__n", size(col("__tk")))
+    val dup = dupOcc.select(col(idCol), col("__pos"),
+      (col("__pos") + window - 1).as("__e"))
     // gaps-and-islands: a row starts a new span when it clears the
     // running max end of all earlier intervals (adjacent merges too)
     val byPos = Window.partitionBy(col(idCol)).orderBy(col("__pos"))

@@ -172,6 +172,51 @@ object Streaming {
       }
   }
 
+  case class WindowArrival(fp: String, id: Long, batch: Int, pos: Int)
+  case class SpanDup(id: Long, pos: Int)
+
+  /** Online duplicate-SPAN evidence — the streaming twin of
+    * [[graft.operators.Dedup.spanTrim]]'s candidate side with
+    * first-ARRIVAL-wins semantics: docs arrive in micro-batches, every
+    * stride-1 `window`-token fingerprint (the batch op's
+    * `spanWindowRows` convention, shared code) checks a cross-batch
+    * keyed state of fingerprints already seen, and occurrences whose
+    * fingerprint was seen EARLIER — in a previous batch, an earlier doc
+    * of the same batch, or an earlier position of the same doc — emit
+    * (id, pos) excision evidence. The caller runs the batch
+    * `spanExcise` rollup over the evidence (st07's convention: the
+    * per-doc merge is a bounded batch step, `foreachBatch` in
+    * production).
+    *
+    * Scale shape: the shuffle key is the fingerprint — exactly the
+    * batch op's aggregation key; state per fingerprint is ONE boolean
+    * (16-byte key + tag), the online-index trade every streaming dedup
+    * in this file documents (the batch/incremental path persists the
+    * index instead). Within a trigger a fingerprint group folds its
+    * arrivals in (batch, id, pos) order, so arrival order is
+    * deterministic end-to-end. */
+  def onlineSpanDupEvidence(docs: DataFrame, window: Int = 8): Dataset[SpanDup] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wins = graft.operators.Dedup.spanWindowRows(
+        docs, "id", "text", window, carryCols = Seq("batch"))
+      .select(col("__fp").as("fp"), col("id").cast("long"),
+        col("batch").cast("int"), col("__pos").cast("int").as("pos"))
+      .as[WindowArrival]
+    wins.groupByKey(_.fp)
+      .flatMapGroupsWithState[Boolean, SpanDup](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          var seen = state.getOption.getOrElse(false)
+          val out = Vector.newBuilder[SpanDup]
+          rows.toVector.sortBy(r => (r.batch, r.id, r.pos)).foreach { a =>
+            if (seen) out += SpanDup(a.id, a.pos) else seen = true
+          }
+          state.update(true)
+          out.result().iterator
+      }
+  }
+
   case class UpsertEvent(id: Long, batch: Int, op: String, text: Option[String])
   case class SnapshotEmit(id: Long, batch: Int, action: String,
                           text: Option[String], alive: Boolean)

@@ -213,6 +213,42 @@ class StreamingSpec extends SparkSpec {
     assert(!pairs.exists { case (n, e) => n == 3L || e == 3L || n == 5L || e == 5L })
   }
 
+  test("online span filter excises by first ARRIVAL, not by doc id") {
+    implicit val sq = spark.sqlContext
+    // doc 10 arrives in batch 1 but OWNS the lower id; doc 20 arrives
+    // first (batch 0) and therefore keeps the shared run "a b c":
+    // arrival order beats id order — the exact point where the
+    // streaming semantics diverge from batch spanTrim's min-(doc,pos)
+    val mem = MemoryStream[(Long, Int, String)]
+    val evidence = Streaming.onlineSpanDupEvidence(
+      mem.toDF().toDF("id", "batch", "text"), window = 3)
+    spark.catalog.dropTempView("online_span")
+    val q = evidence.toDF().writeStream.format("memory")
+      .queryName("online_span").outputMode("append").start()
+    try {
+      mem.addData((20L, 0, "x1 a b c x2 x3"))
+      q.processAllAvailable()
+      mem.addData((10L, 1, "y1 y2 a b c y3"), (30L, 1, "p q r s p q r s"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val docsDf = Seq((10L, "y1 y2 a b c y3"), (20L, "x1 a b c x2 x3"),
+      (30L, "p q r s p q r s")).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.spanExcise(docsDf, "doc_id", "text", window = 3,
+        spark.table("online_span")
+          .select(col("id").as("doc_id"), col("pos").as("__pos")))
+      .orderBy("doc_id").collect()
+    assert(r(0).getString(3) == "y1 y2 y3" && r(0).getLong(2) == 3L) // late arrival trimmed
+    assert(r(1).getString(3) == "x1 a b c x2 x3")                    // first arrival kept
+    // within-doc repeat trimmed online too (window 3 over 8 tokens:
+    // positions 4 and 5 repeat windows seen at 0 and 1 -> cut [4,7])
+    assert(r(2).getString(3) == "p q r s" && r(2).getLong(2) == 4L)
+    // batch spanTrim on the same corpus keeps doc 10 instead (min id)
+    val batch = graft.operators.Dedup.spanTrim(docsDf, "doc_id", "text", window = 3)
+      .orderBy("doc_id").collect()
+    assert(batch(0).getString(3) == "y1 y2 a b c y3")
+    assert(batch(1).getString(3) == "x1 x2 x3")
+  }
+
   test("online dedup state cap bounds bucket membership but keeps emitting") {
     implicit val sq = spark.sqlContext
     val txt = (1 to 60).map(i => s"same$i").mkString(" ")
