@@ -166,6 +166,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("spanTrim matches a brute-force reference on random collision-heavy corpora") {
+    import spark.implicits._
+    // tiny vocab forces heavy window sharing: overlaps, within-doc
+    // repeats, docs trimmed to empty, sub-window docs — all regimes
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")
+    val docGen = Gen.chooseNum(0, 24).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpusGen = Gen.chooseNum(4, 10).flatMap(n => Gen.listOfN(n, docGen))
+    val cases = samples(corpusGen.flatMap(c => Gen.chooseNum(2, 5).map(c -> _)), 12)
+    assert(cases.nonEmpty)
+    cases.foreach { case (texts, w) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // independent reference: window TEXT as the fingerprint, global
+      // min-(doc,pos) canonical, covered-position set per doc
+      val toks = docs.map { case (id, t) =>
+        id -> t.trim.replaceAll("\\s+", " ").split(" ", -1).toVector }
+      val occ = for {
+        (id, tk) <- toks if tk.length >= w
+        i <- 0 to tk.length - w
+      } yield (tk.slice(i, i + w).mkString(" "), id, i)
+      val cover = scala.collection.mutable.Map[Long, Set[Int]]().withDefaultValue(Set.empty)
+      occ.groupBy(_._1).valuesIterator.filter(_.size >= 2).foreach { os =>
+        val (_, cd, cp) = os.minBy(o => (o._2, o._3))
+        os.foreach { case (_, id, p) =>
+          if ((id, p) != ((cd, cp))) cover(id) = cover(id) ++ (p until p + w)
+        }
+      }
+      val expect = toks.map { case (id, tk) =>
+        val cov = cover(id)
+        (id, tk.length.toLong, cov.size.toLong,
+          tk.zipWithIndex.collect { case (t, i) if !cov.contains(i) => t }.mkString(" "))
+      }.sortBy(_._1)
+      val got = graft.operators.Dedup
+        .spanTrim(docs.toDF("doc_id", "text").repartition(5), "doc_id", "text", w)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      assert(got == expect, s"w=$w corpus=$texts")
+    }
+  }
+
   test("passageTrim output is partition-invariant") {
     import spark.implicits._
     // random docs over a tiny vocabulary so cross-doc block collisions
