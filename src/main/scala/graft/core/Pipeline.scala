@@ -31,6 +31,12 @@ object Pipeline {
       seqLen: Int = 4096,
       vocabSize: Int = 32000,
       tokenizer: String = "word",       // "word" | "bpe" | "unigram"
+      // SentencePiece training knobs (reference train.py:111-134 uses
+      // character_coverage=0.9995, input_sentence_size=5_000_000);
+      // engine defaults are the identity so fixture-trained artifacts
+      // stay reproducible — set the reference values to match it
+      characterCoverage: Double = 1.0,
+      inputSentenceSize: Option[Int] = None,
       exportDtype: String = "uint16",
       // optional trained-LID artifact (operators.TrainedLid.writeModel);
       // when set, QualityStep scores with the model instead of the

@@ -244,7 +244,9 @@ object PipelineSteps {
         // real BPE training: distributed word counts + in-memory merges;
         // persist the merge table as the model artifact
         import spark.implicits._
-        val model = BpeTrainer.trainFromCorpus(in, "text", cfg.vocabSize)
+        val model = BpeTrainer.trainFromCorpus(in, "text", cfg.vocabSize,
+          inputSentenceSize = cfg.inputSentenceSize,
+          characterCoverage = cfg.characterCoverage)
         model.merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
           .toDF("rank", "left", "right")
           .coalesce(1).write.mode("overwrite").parquet(s"${cfg.outputBase}/bpe_merges_parquet")
@@ -254,7 +256,9 @@ object PipelineSteps {
       if (cfg.tokenizer == "unigram") {
         // unigram-LM training (SentencePiece's default model type):
         // probabilities are the model, persisted explicitly
-        val model = UnigramTrainer.trainFromCorpus(in, "text", cfg.vocabSize)
+        val model = UnigramTrainer.trainFromCorpus(in, "text", cfg.vocabSize,
+          inputSentenceSize = cfg.inputSentenceSize,
+          characterCoverage = cfg.characterCoverage)
         UnigramTrainer.writeModel(spark, s"${cfg.outputBase}/unigram_model_parquet", model)
       }
       val n = spark.read.parquet(s"${cfg.outputBase}/vocab_parquet").count()

@@ -153,11 +153,38 @@ object UnigramTrainer {
     * with [[BpeTrainer.train]]). */
   def train(wordFreqs: Seq[(String, Long)], vocabSize: Int,
             maxPieceLen: Int = 8, seedFactor: Int = 8,
-            emRounds: Int = 2): UnigramModel = {
+            emRounds: Int = 2, characterCoverage: Double = 1.0): UnigramModel = {
     require(vocabSize > FirstPieceId,
       s"vocabSize=$vocabSize must exceed $FirstPieceId (specials + byte ids)")
+    require(characterCoverage > 0.0 && characterCoverage <= 1.0,
+      s"characterCoverage=$characterCoverage must be in (0, 1]")
     val words: Seq[(Vector[String], Long)] =
       wordFreqs.map { case (w, f) => (codePoints(Boundary + w), f) }
+
+    // Alphabet cut — SentencePiece's character_coverage knob, the same
+    // rule as BpeTrainer.train: keep the minimal most-frequent-first
+    // prefix of characters whose occurrence mass reaches the coverage;
+    // the tail rides the segmenter's byte fallback. The boundary
+    // marker is structural and always kept. Seed substrings containing
+    // a cut char are excluded up front, so (unlike BPE merges, which
+    // need the product guard) a cut char can never re-enter the vocab.
+    val keptChars: Option[Set[String]] =
+      if (characterCoverage >= 1.0) None
+      else {
+        val charFreq = mutable.HashMap[String, Long]().withDefaultValue(0L)
+        words.foreach { case (cps, f) =>
+          cps.foreach(c => if (c != Boundary) charFreq(c) += f)
+        }
+        val sorted = charFreq.keysIterator.toSeq.sortBy(s => (-charFreq(s), s))
+        val total = sorted.iterator.map(charFreq).sum
+        val target = math.ceil(characterCoverage * total).toLong
+        var cum = 0L
+        var k = 0
+        while (k < sorted.size && cum < target) { cum += charFreq(sorted(k)); k += 1 }
+        Some(sorted.take(k).toSet + Boundary)
+      }
+    def covered(piece: String): Boolean =
+      keptChars.forall(ks => codePoints(piece).forall(ks))
 
     // ---- seed: every substring up to maxPieceLen, scored freq·len
     // (the suffix-array seeding shortcut — same ranking signal) ----
@@ -177,14 +204,14 @@ object UnigramTrainer {
       }
     }
     val singles: Seq[String] = score.keysIterator
-      .filter(p => codePoints(p).size == 1).toSeq.sorted
+      .filter(p => codePoints(p).size == 1 && covered(p)).toSeq.sorted
     val budgetTotal = vocabSize - FirstPieceId
     require(budgetTotal > singles.size,
       s"vocabSize=$vocabSize leaves no room for multi-char pieces over " +
       s"${singles.size} single-char pieces")
     val budgetMulti = budgetTotal - singles.size
     val seedMulti = score.iterator
-      .filter { case (p, _) => codePoints(p).size > 1 }
+      .filter { case (p, _) => codePoints(p).size > 1 && covered(p) }
       .toSeq.sortBy { case (p, s) => (-s, p) }
       .take(seedFactor * budgetMulti).map(_._1)
 
@@ -244,7 +271,8 @@ object UnigramTrainer {
     * sample). */
   def trainFromCorpus(df: DataFrame, textCol: String, vocabSize: Int,
                       maxWords: Int = 100000,
-                      inputSentenceSize: Option[Int] = None): UnigramModel = {
+                      inputSentenceSize: Option[Int] = None,
+                      characterCoverage: Double = 1.0): UnigramModel = {
     val rows = inputSentenceSize match {
       case Some(n) =>
         require(n > 0, "need inputSentenceSize > 0")
@@ -259,7 +287,7 @@ object UnigramTrainer {
       .orderBy(desc("f"), asc("w"))
       .limit(maxWords)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-    train(freqs, vocabSize)
+    train(freqs, vocabSize, characterCoverage = characterCoverage)
   }
 
   /** Distributed encode with the broadcast model (tokens as `ids`) —

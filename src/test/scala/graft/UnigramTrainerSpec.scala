@@ -65,6 +65,27 @@ class UnigramTrainerSpec extends SparkSpec {
     assert(out.forall(_.nonEmpty))
   }
 
+  test("characterCoverage cuts rare chars to byte fallback, identity at 1.0") {
+    // 'z' and 'q' carry a tiny share of the occurrence mass; at 0.95
+    // coverage they must not surface in ANY single or multi piece,
+    // and words containing them must still roundtrip via byte ids
+    val f = Seq("alpha" -> 50L, "alps" -> 40L, "lapse" -> 30L,
+      "zq" -> 1L, "quartz" -> 1L)
+    val cut = UnigramTrainer.train(f, vocabSize = 300, characterCoverage = 0.95)
+    val pieceChars = cut.pieces.keysIterator
+      .flatMap(_.codePoints().toArray.toSeq).map(cp =>
+        new String(Character.toChars(cp))).toSet
+    assert(!pieceChars.contains("z") && !pieceChars.contains("q"))
+    val ids = cut.encodeWord("quartz")
+    assert(ids.exists(id => id >= UnigramTrainer.ByteIdBase &&
+      id < UnigramTrainer.FirstPieceId)) // byte-fallback ids present
+    assert(cut.decode(cut.encodeText("quartz alps")) == "quartz alps")
+    // coverage 1.0 is the identity: same model as the default path
+    val full = UnigramTrainer.train(f, vocabSize = 300)
+    val one = UnigramTrainer.train(f, vocabSize = 300, characterCoverage = 1.0)
+    assert(full.pieces == one.pieces && full.vocab == one.vocab)
+  }
+
   test("pruning shrinks an oversized seed to the piece budget") {
     // many distinct words -> large seed; tight budget forces rounds of
     // 25% shrink; singles survive, multis land exactly <= budget
