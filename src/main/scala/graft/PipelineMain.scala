@@ -15,7 +15,11 @@ import org.apache.spark.sql.SparkSession
   *     [--langs en,zh] [--seq-len 4096] [--vocab-size 32000]
   */
 object PipelineMain {
-  def main(args: Array[String]): Unit = {
+
+  /** CLI → config (factored for spec coverage). Tokenizer-training
+    * flags mirror the reference train CLI (model type,
+    * character_coverage, input_sentence_size — train.py:341-346). */
+  private[graft] def parseConfig(args: Array[String]): (Pipeline.PipelineConfig, Set[String]) = {
     val flags = args.filter(_ == "--enable-ner").toSet
     val kvArgs = args.filterNot(_ == "--enable-ner")
     val opts = kvArgs.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
@@ -25,7 +29,19 @@ object PipelineMain {
       limit = opts.get("--limit").map(_.toInt),
       langs = opts.get("--langs").map(_.split(",").toSeq).getOrElse(Seq("en", "zh")),
       seqLen = opts.get("--seq-len").map(_.toInt).getOrElse(4096),
-      vocabSize = opts.get("--vocab-size").map(_.toInt).getOrElse(32000))
+      vocabSize = opts.get("--vocab-size").map(_.toInt).getOrElse(32000),
+      tokenizer = opts.getOrElse("--tokenizer", "word"),
+      characterCoverage =
+        opts.get("--character-coverage").map(_.toDouble).getOrElse(1.0),
+      inputSentenceSize = opts.get("--input-sentence-size").map(_.toInt),
+      exportDtype = opts.getOrElse("--export-dtype", "uint16"))
+    (cfg, flags)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (cfg, flags) = parseConfig(args)
+    val opts = args.filterNot(_ == "--enable-ner")
+      .sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
       .appName("graft-pipeline")

@@ -214,6 +214,23 @@ class PipelineSpec extends SparkSpec {
       "at least one learned piece id in the stream")
   }
 
+  test("CLI flags parse into the pipeline config, tokenizer knobs included") {
+    val (cfg, flags) = PipelineMain.parseConfig(Array(
+      "--data-dir", "/in", "--output-base", "/out", "--limit", "100",
+      "--tokenizer", "unigram", "--character-coverage", "0.9995",
+      "--input-sentence-size", "5000000", "--export-dtype", "int32",
+      "--enable-ner"))
+    assert(cfg.dataDir == "/in" && cfg.outputBase == "/out")
+    assert(cfg.limit.contains(100) && cfg.tokenizer == "unigram")
+    assert(cfg.characterCoverage == 0.9995)
+    assert(cfg.inputSentenceSize.contains(5000000))
+    assert(cfg.exportDtype == "int32" && flags("--enable-ner"))
+    // defaults are the identity knobs
+    val (d, _) = PipelineMain.parseConfig(Array.empty)
+    assert(d.tokenizer == "word" && d.characterCoverage == 1.0 &&
+      d.inputSentenceSize.isEmpty && d.exportDtype == "uint16")
+  }
+
   test("pii step with NER enabled redacts gated capitalized names") {
     import spark.implicits._
     val outBase = Files.createTempDirectory("piiout").toString
