@@ -2878,6 +2878,55 @@ object SparkEntry {
         .orderBy("seq_len")
     }),
 
+    "k11_pack_provenance" -> ((s, d) => {
+      // provenance accounting of the packed training stream — the
+      // "what mix did training actually see" audit: per SOURCE, how
+      // many tokens land in full chunks (trained), how many die in the
+      // dropped tail, and which chunks each source touches (both
+      // doc-chunk incidences and distinct chunks). Computed
+      // analytically from the global doc-order token stream: the
+      // distributed prefix sum gives each doc its global start (no
+      // single-task window — the k05/d60 construction), chunk indices
+      // are integer division, and the per-doc chunk range explode is
+      // bounded by tokens/seqLen. Tied to the REAL packer by asserting
+      // the analytic chunk count equals packExact's output count.
+      val L = 512
+      val toks = docs(s, d).select(col("doc_id"), col("source"),
+        (size(split(trim(col("text")), "\\s+")) + 1).cast("long").as("wtok"))
+      val cums = graft.core.Partitioning.distributedPrefixSum(
+        toks, Seq(col("doc_id").asc), Seq("wtok" -> "run"))
+      val totalV = toks.agg(sum("wtok")).head().getLong(0)
+      val ids = docs(s, d).select(col("doc_id"),
+        expr("transform(sequence(1, size(split(trim(text), '\\\\s+'))), i -> i)")
+          .as("ids"))
+      val nChunks = Packer.packExact(ids, "doc_id", "ids", seqLen = L,
+        eosId = 0, numPartitions = 8).count()
+      require(nChunks == totalV / L,
+        s"analytic chunk count ${totalV / L} != packExact output $nChunks")
+      val lastFull = (totalV / L) * L
+      val perDoc = cums
+        .withColumn("st", col("run") - col("wtok"))
+        .withColumn("trained",
+          greatest(lit(0L), least(lit(lastFull) - col("st"), col("wtok"))))
+        .withColumn("fc", expr(s"if(trained > 0, st div $L, null)"))
+        .withColumn("lc", expr(s"if(trained > 0, (st + trained - 1) div $L, null)"))
+      val incid = perDoc.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("trained").as("trained_tokens"),
+        sum(col("wtok") - col("trained")).as("tail_tokens"),
+        sum(when(col("trained") > 0, col("lc") - col("fc") + 1).otherwise(0L))
+          .as("chunk_incidences"))
+      val distinctChunks = perDoc.where(col("trained") > 0)
+        .select(col("source"),
+          explode(sequence(col("fc"), col("lc"))).as("chunk"))
+        .groupBy("source").agg(countDistinct("chunk").as("distinct_chunks"))
+      incid.join(distinctChunks, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("trained_tokens"),
+          col("tail_tokens"), col("chunk_incidences"),
+          coalesce(col("distinct_chunks"), lit(0L)).as("distinct_chunks"))
+        .orderBy("source")
+    }),
+
     "d46_train_order" -> ((s, d) => {
       // deterministic global training-order shuffle + shard layout (the
       // write plan for the sharded sinks): order key = md5(doc_id), the
@@ -6595,6 +6644,44 @@ object SparkEntry {
     "k01_pack_conservation" ->
       """SELECT CAST(sum(cnt + 1) // 512 AS BIGINT) AS n_chunks
          FROM (SELECT len(string_split_regex(trim(text), '\s+')) AS cnt FROM documents)""",
+
+    // Mirrors k11's analytic construction: exclusive prefix sum over
+    // doc_id order (k05's window), trained = clamp to the last full
+    // chunk boundary, chunk indices by integer division, distinct
+    // chunks via the bounded per-doc range unnest.
+    "k11_pack_provenance" ->
+      """WITH t AS (SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\s+')) + 1 AS wtok
+           FROM documents),
+         o AS (SELECT doc_id, source, wtok,
+             coalesce(sum(wtok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+           FROM t),
+         g AS (SELECT (sum(wtok) // 512) * 512 AS last_full FROM t),
+         p AS (SELECT doc_id, source, wtok, st,
+             greatest(0, least(g.last_full - st, wtok)) AS trained
+           FROM o, g),
+         pc AS (SELECT *,
+             CAST(CASE WHEN trained > 0 THEN st // 512 END AS BIGINT) AS fc,
+             CAST(CASE WHEN trained > 0 THEN (st + trained - 1) // 512 END
+               AS BIGINT) AS lc
+           FROM p),
+         inc AS (SELECT source, count(*) AS n_docs,
+             sum(trained) AS trained_tokens,
+             sum(wtok - trained) AS tail_tokens,
+             sum(CASE WHEN trained > 0 THEN lc - fc + 1 ELSE 0 END)
+               AS chunk_incidences
+           FROM pc GROUP BY source),
+         dc AS (SELECT source, count(DISTINCT c) AS distinct_chunks
+           FROM (SELECT source, unnest(range(fc, lc + 1)) AS c
+             FROM pc WHERE trained > 0)
+           GROUP BY source)
+         SELECT inc.source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(trained_tokens AS BIGINT) AS trained_tokens,
+           CAST(tail_tokens AS BIGINT) AS tail_tokens,
+           CAST(chunk_incidences AS BIGINT) AS chunk_incidences,
+           CAST(coalesce(distinct_chunks, 0) AS BIGINT) AS distinct_chunks
+         FROM inc LEFT JOIN dc USING (source) ORDER BY inc.source""",
 
     // Tokenizer invariant gate: lossless roundtrip and zero unk on every
     // document — byte fallback must cover the full corpus alphabet.
