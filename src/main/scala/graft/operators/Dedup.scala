@@ -184,15 +184,18 @@ object Dedup {
       .withColumn("__n", size(col("__tk")))
     // stride-1 fingerprints; sequence() would count DOWN for short
     // docs, so guard to an empty array (no windows => never trimmed)
-    // 8-byte xxhash64 fingerprints (not md5): the shuffle key is 4×
-    // smaller and the hash is codegen'd; the oracle compares the
-    // FINAL trimmed output, not fingerprints, so any collision-free
-    // hash yields the identical result (a 64-bit collision would
-    // surface as an oracle hash mismatch)
+    // 128-bit fingerprints as 16-byte BINARY (unhex'd md5) instead of
+    // md5's 32-char hex string (~44-byte shuffle payload). The oracle
+    // compares the FINAL trimmed output, not fingerprints, so any
+    // collision-free key is result-identical — and it must be 128-bit:
+    // at the 100 TB design point (~1e13 windows) a single 64-bit hash
+    // expects ~3e6 birthday collisions, each one a false excision,
+    // while 128 bits expects ~3e-13.
+    val fpOf = (w: Column) => unhex(md5(w))
     val winArr = when(col("__n") >= window,
       transform(sequence(lit(0), col("__n") - window),
-        i => xxhash64(array_join(slice(col("__tk"), i + 1, lit(window)), " "))))
-      .otherwise(array().cast("array<bigint>"))
+        i => fpOf(array_join(slice(col("__tk"), i + 1, lit(window)), " "))))
+      .otherwise(array().cast("array<binary>"))
     base.select((col(idCol) +: carryCols.map(col)) :+ posexplode(winArr): _*)
       .toDF(Seq(idCol) ++ carryCols ++ Seq("__pos", "__fp"): _*)
   }

@@ -172,7 +172,7 @@ object Streaming {
       }
   }
 
-  case class WindowArrival(fp: Long, id: Long, batch: Int, pos: Int)
+  case class WindowArrival(fp: Array[Byte], id: Long, batch: Int, pos: Int)
   case class SpanDup(id: Long, pos: Int)
 
   /** Online duplicate-SPAN evidence — the streaming twin of
@@ -203,7 +203,12 @@ object Streaming {
       .select(col("__fp").as("fp"), col("id").cast("long"),
         col("batch").cast("int"), col("__pos").cast("int").as("pos"))
       .as[WindowArrival]
-    wins.groupByKey(_.fp)
+    // the 16-byte binary fingerprint maps injectively onto (Long, Long)
+    // — a value-comparable shuffle key (raw Array[Byte] equality is
+    // referential, never group on it directly)
+    wins.groupByKey { r =>
+      val bb = java.nio.ByteBuffer.wrap(r.fp); (bb.getLong, bb.getLong)
+    }
       .flatMapGroupsWithState[Boolean, SpanDup](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (_, rows, state: GroupState[Boolean]) =>
