@@ -73,17 +73,66 @@ object Bench {
       val lo = math.min(a, b)
       if (lo > 0.05 && math.max(a, b) / lo > 1.5) math.min(lo, run()) else lo
     }
+    // --- Load canary (the BENCH_r06 lesson): bestOfAdaptive rejects
+    // SPIKE noise (two windows disagreeing >1.5x) but SUSTAINED
+    // contention inflates both windows equally and slips through —
+    // round 6's recorded file showed 80.9 s for 8 rows that idle-measure
+    // 13.0 s. The canary is a fixed CPU-bound job (xxhash64 sum over a
+    // 4M range across all cores, ~50 ms idle) timed before every row;
+    // its session minimum approximates the idle machine. A pre-row
+    // canary >1.5x the minimum means the window is contended: wait
+    // (bounded) for it to clear; if a heavy row still closes in a
+    // contended window, re-measure it once after the canary clears and
+    // keep the min. Rows whose final value never saw a clean canary are
+    // listed in `contended` — the artifact self-reports which values to
+    // distrust instead of presenting inflated tails as plan cost.
+    // max, not sum: ANSI mode makes a 4M-row sum of xxhash64 Longs an
+    // overflow error; max still forces the hash for every row
+    val canaryDf = spark.range(0L, 4000000L, 1L, cpus.toInt)
+      .agg(max(xxhash64(col("id"))))
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime(); canaryDf.head(); (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce() // codegen warm-up, discarded
+    var canaryMin = (1 to 3).map(_ => canaryOnce()).min
+    def contendedAt(c: Double): Boolean = c > 1.5 * canaryMin
+    val canarySeries = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    val contendedRows = scala.collection.mutable.LinkedHashSet[String]()
+    // returns the last canary reading after waiting (bounded) for an
+    // un-contended window; every reading can only LOWER canaryMin
+    def awaitClearWindow(): Double = {
+      var c = canaryOnce(); canaryMin = math.min(canaryMin, c)
+      var tries = 0
+      while (contendedAt(c) && tries < 8) {
+        Thread.sleep(1000L)
+        c = canaryOnce(); canaryMin = math.min(canaryMin, c); tries += 1
+      }
+      c
+    }
+
     // Each run executes the FULL plan via a noop-sink write — a count()
     // here would let Catalyst prune deterministic projections and
     // eliminate the final sort, under-measuring map-shaped queries.
     val results = selected.map { case (name, fn) =>
-      val t = bestOfAdaptive { () =>
+      val cPre = awaitClearWindow()
+      def run(): Double = {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         } catch { case _: Throwable => failed += name }
         (System.nanoTime() - t0) / 1e9
       }
+      var t = bestOfAdaptive(() => run())
+      val cPost = { val c = canaryOnce(); canaryMin = math.min(canaryMin, c); c }
+      if (contendedAt(cPost) && t > 1.0) {
+        // a heavy row closed in a contended window: its value may be
+        // inflated even if both adaptive windows agreed — re-measure
+        // once after the canary clears and keep the min
+        val cRetry = awaitClearWindow()
+        t = math.min(t, bestOfAdaptive(() => run()))
+        if (contendedAt(cRetry)) contendedRows += name
+      } else if (contendedAt(cPre) && contendedAt(cPost)) contendedRows += name
+      canarySeries += name -> cPre
       // Queries persist intermediates by design and rely on session-LRU
       // cleanup; across 150+ back-to-back queries that leak compounds
       // into eviction pressure + GC that bleeds into LATER rows'
@@ -100,12 +149,30 @@ object Bench {
       name -> t
     }
 
+    def contendedJson: String =
+      contendedRows.map("\"" + _ + "\"").mkString("[", ",", "]")
+
     if (only.isDefined) { // focused profiling: skip the throughput suites
       val qs0 = results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${results.values.sum},"unit":"sec","queries":$qs0,"sf":"$sfDir","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
+      println(s"""{"metric":"total","value":${results.values.sum},"unit":"sec","queries":$qs0,"sf":"$sfDir","failed":${failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")},"canary_min_sec":$canaryMin,"contended":$contendedJson}""")
       spark.stop()
       return
+    }
+
+    // throughput suites get the same canary guard: they are the numbers
+    // compared against BASELINE.md (r06's recorded tokens/s was 2.6x
+    // below the same-day idle measurement purely from contention)
+    def bestOf3Guarded(name: String)(run: () => Double): Double = {
+      awaitClearWindow()
+      var v = bestOf3(run)
+      val cPost = { val c = canaryOnce(); canaryMin = math.min(canaryMin, c); c }
+      if (contendedAt(cPost)) {
+        val cRetry = awaitClearWindow()
+        v = math.min(v, run())
+        if (contendedAt(cRetry)) contendedRows += name
+      }
+      v
     }
 
     // --- tokenize-equivalent throughput (M5) ---
@@ -127,7 +194,7 @@ object Bench {
     // bestOf2 (shared with the query loop): the first throughput window
     // on a cold JIT/page-cache has shown up to 3x run-to-run variance
     var totalTokens = 0L
-    val tokSec = bestOf3 { () =>
+    val tokSec = bestOf3Guarded("tokenize_throughput") { () =>
       val t0 = System.nanoTime()
       totalTokens = corpus.mapPartitions { it =>
         val v = bc.value
@@ -148,7 +215,7 @@ object Bench {
 
     // minhash signature throughput over the same replicated corpus
     val nSigs = corpus.count() // known size; excluded from the timed window
-    val mhSec = bestOf3 { () =>
+    val mhSec = bestOf3Guarded("minhash_throughput") { () =>
       val t1 = System.nanoTime()
       // max over a signature element so Catalyst cannot prune the compute
       corpus.toDF("text").select(
@@ -168,7 +235,7 @@ object Bench {
       docs.toDF(), "text", vocabSize = 8000)
     val bcModel = spark.sparkContext.broadcast(bpeModel)
     var bpeTokens = 0L
-    val bpeSec = bestOf3 { () =>
+    val bpeSec = bestOf3Guarded("bpe_throughput") { () =>
       val t2 = System.nanoTime()
       bpeTokens = corpus.mapPartitions { it =>
         val m = bcModel.value
@@ -286,9 +353,18 @@ object Bench {
         graft.operators.PipelineSteps.TrainTokenizerStep(),
         graft.operators.PipelineSteps.TokenizeStep(),
         graft.operators.PipelineSteps.ExportStep())
+      // one-shot and ~minutes long: not worth a re-run, but flag the
+      // row when its whole window was bracketed by a contended canary
+      val cPipePre = awaitClearWindow()
       val t0 = System.nanoTime()
       val stats = graft.core.Pipeline.run(spark, cfg, steps)
       pipelineSec = (System.nanoTime() - t0) / 1e9
+      // drop the pipeline's own cache/state residue before reading the
+      // post canary, or its trailing GC self-flags the row
+      spark.catalog.clearCache()
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      val cPipePost = { val c = canaryOnce(); canaryMin = math.min(canaryMin, c); c }
+      if (contendedAt(cPipePre) && contendedAt(cPipePost)) contendedRows += "pipeline_e2e"
       val byStep = stats.map(s => s.step -> s).toMap
       val directJudgeOk = spark.read.parquet(s"$sfDir/documents.parquet")
         .where(graft.functions.TextFunctions.judgeReason(
@@ -304,7 +380,7 @@ object Bench {
     } catch { case _: Throwable => failed += "pipeline_e2e" }
 
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // Full-precision per-query detail goes to a file; stdout gets ONE
     // compact line. The round driver captures only the trailing ~2000
@@ -316,7 +392,9 @@ object Bench {
     // summarized as other_sec.
     val detailQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val detailJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$detailQs,"sf":"$sfDir","failed":$failedJson,"tokenize_tokens":$totalTokens,"tokenize_sec":$tokSec,"tokens_per_sec":$tokensPerSec,"minhash_docs":$nSigs,"minhash_sec":$mhSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens":$bpeTokens,"bpe_sec":$bpeSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"compare_corpus_chars":$totalChars,"compare_bpe_per_word_ratio":$bpePerWordRatio,"compare_bpe_chars_per_token":$bpeCharsPerToken,"compare_word_chars_per_token":$wordCharsPerToken,"lid_eval_docs":$lidN,"lid_trained_acc":$lidTrainedAcc,"lid_heuristic_acc":$lidHeuristicAcc,"lid_hard_trained_acc":$lidHardTrainedAcc,"lid_hard_heuristic_acc":$lidHardHeuristicAcc,"pipeline_e2e_sec":$pipelineSec,"pipeline_docs":$pipelineDocs,"pipeline_parity":$pipelineParity,"pipeline_steps_sec":$pipelineStepsJson}"""
+    val canarySeriesJson = canarySeries.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val detailJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$detailQs,"sf":"$sfDir","failed":$failedJson,"canary_min_sec":$canaryMin,"contended":$contendedJson,"canary_series":$canarySeriesJson,"tokenize_tokens":$totalTokens,"tokenize_sec":$tokSec,"tokens_per_sec":$tokensPerSec,"minhash_docs":$nSigs,"minhash_sec":$mhSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens":$bpeTokens,"bpe_sec":$bpeSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"compare_corpus_chars":$totalChars,"compare_bpe_per_word_ratio":$bpePerWordRatio,"compare_bpe_chars_per_token":$bpeCharsPerToken,"compare_word_chars_per_token":$wordCharsPerToken,"lid_eval_docs":$lidN,"lid_trained_acc":$lidTrainedAcc,"lid_heuristic_acc":$lidHeuristicAcc,"lid_hard_trained_acc":$lidHardTrainedAcc,"lid_hard_heuristic_acc":$lidHardHeuristicAcc,"pipeline_e2e_sec":$pipelineSec,"pipeline_docs":$pipelineDocs,"pipeline_parity":$pipelineParity,"pipeline_steps_sec":$pipelineStepsJson}"""
     try {
       val out = java.nio.file.Paths.get("target", "bench_detail.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -329,7 +407,7 @@ object Bench {
     val otherSec = bySlowest.drop(28).map(_._2).sum
     val compactQs = top.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfDir","failed":$failedJson,"n_queries":${results.size},"other_sec":${f3(otherSec)},"tokens_per_sec":$tokensPerSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"bpe_chars_per_token":${f3(bpeCharsPerToken)},"lid_eval_docs":$lidN,"lid_trained_acc":${f3(lidTrainedAcc)},"lid_heuristic_acc":${f3(lidHeuristicAcc)},"lid_hard_trained_acc":${f3(lidHardTrainedAcc)},"lid_hard_heuristic_acc":${f3(lidHardHeuristicAcc)},"pipeline_e2e_sec":${f3(pipelineSec)},"pipeline_parity":$pipelineParity}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfDir","failed":$failedJson,"n_queries":${results.size},"other_sec":${f3(otherSec)},"canary_min_sec":${f3(canaryMin)},"contended":$contendedJson,"tokens_per_sec":$tokensPerSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"bpe_chars_per_token":${f3(bpeCharsPerToken)},"lid_eval_docs":$lidN,"lid_trained_acc":${f3(lidTrainedAcc)},"lid_heuristic_acc":${f3(lidHeuristicAcc)},"lid_hard_trained_acc":${f3(lidHardTrainedAcc)},"lid_hard_heuristic_acc":${f3(lidHardHeuristicAcc)},"pipeline_e2e_sec":${f3(pipelineSec)},"pipeline_parity":$pipelineParity}""")
     spark.stop()
   }
 }

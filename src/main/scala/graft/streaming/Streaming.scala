@@ -117,7 +117,8 @@ object Streaming {
   }
 
   /** One arriving (band, doc) row of the online dedup index. */
-  case class BandArrival(band_id: Int, band_hash: Long, id: Long, batch: Int)
+  case class BandArrival(band_id: Int, band_hash: Long, id: Long, batch: Int,
+                         ts: Option[java.sql.Timestamp])
 
   /** `__new_id` shares an LSH band bucket with the earlier-arrived
     * `__idx_id` — column names match
@@ -142,37 +143,65 @@ object Streaming {
     * at the cap but keep emitting evidence against the stored members:
     * bounded state, documented recall trade, same contract as the batch
     * path's `maxBucket`). The shuffle key is the band bucket, exactly
-    * the batch LSH join's key. */
+    * the batch LSH join's key.
+    *
+    * State lifetime: by default a bucket's member list lives forever
+    * (bounded per bucket by `maxState` but unbounded in bucket COUNT).
+    * Pass `retention = Some("7 days")` (plus an event-time `tsCol` on
+    * `docs`) for `withWatermark`-style eviction: a bucket whose latest
+    * arrival falls `retention` behind the watermark drops its whole
+    * member list — an aged-out near-dup is then treated as first-seen,
+    * the documented retention trade. Defaults keep every existing gate
+    * bit-identical. */
   def onlineCollisionEvidence(docs: DataFrame,
                               cfg: graft.operators.Dedup.MinHashConfig =
                                 graft.operators.Dedup.MinHashConfig(),
-                              maxState: Int = 128): Dataset[CollisionEvidence] = {
+                              maxState: Int = 128,
+                              retention: Option[String] = None,
+                              tsCol: String = "ts"): Dataset[CollisionEvidence] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigs = docs.select(col("id"), col("batch"),
+    val src = retention.fold(docs)(r => docs.withWatermark(tsCol, r))
+    val sigs = src.select((Seq(col("id"), col("batch")) ++
+      retention.map(_ => col(tsCol)) :+
       graft.functions.HashFunctions.minhash(
         graft.functions.TextFunctions.normalizeForDedup(col("text")),
-        cfg.k, cfg.ngram, cfg.seed).as("signature"))
-    val bandDs = graft.operators.Dedup.bandRows(sigs, cfg, carryCols = Seq("batch"))
+        cfg.k, cfg.ngram, cfg.seed).as("signature")): _*)
+    val carry = Seq("batch") ++ retention.map(_ => tsCol)
+    val bandDs = graft.operators.Dedup.bandRows(sigs, cfg, carryCols = carry)
       .select(col("band_id").cast("int").as("band_id"), col("band_hash"),
-        col("id").cast("long").as("id"), col("batch").cast("int").as("batch"))
+        col("id").cast("long").as("id"), col("batch").cast("int").as("batch"),
+        (if (retention.isDefined) col(tsCol)
+         else lit(null).cast("timestamp")).as("ts"))
       .as[BandArrival]
+    val timeoutConf =
+      if (retention.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     bandDs.groupByKey(r => (r.band_id, r.band_hash))
       .flatMapGroupsWithState[Seq[Long], CollisionEvidence](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         case (_, rows, state: GroupState[Seq[Long]]) =>
-          var members = state.getOption.getOrElse(Seq.empty[Long]).toVector
-          val out = Vector.newBuilder[CollisionEvidence]
-          rows.toVector.sortBy(r => (r.batch, r.id)).foreach { a =>
-            members.foreach(m => out += CollisionEvidence(a.id, m))
-            if (members.size < maxState) members = members :+ a.id
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var members = state.getOption.getOrElse(Seq.empty[Long]).toVector
+            val out = Vector.newBuilder[CollisionEvidence]
+            val arr = rows.toVector.sortBy(r => (r.batch, r.id))
+            arr.foreach { a =>
+              members.foreach(m => out += CollisionEvidence(a.id, m))
+              if (members.size < maxState) members = members :+ a.id
+            }
+            state.update(members)
+            retention.foreach { r =>
+              val times = arr.flatMap(_.ts.map(_.getTime))
+              if (times.nonEmpty) state.setTimeoutTimestamp(times.max, r)
+            }
+            out.result().iterator
           }
-          state.update(members)
-          out.result().iterator
       }
   }
 
-  case class WindowArrival(fp: Array[Byte], id: Long, batch: Int, pos: Int)
+  case class WindowArrival(fp: Array[Byte], id: Long, batch: Int, pos: Int,
+                           ts: Option[java.sql.Timestamp])
   case class SpanDup(id: Long, pos: Int)
 
   /** Online duplicate-SPAN evidence — the streaming twin of
@@ -194,15 +223,37 @@ object Streaming {
     * in this file documents (the batch/incremental path persists the
     * index instead). Within a trigger a fingerprint group folds its
     * arrivals in (batch, id, pos) order, so arrival order is
-    * deterministic end-to-end. */
-  def onlineSpanDupEvidence(docs: DataFrame, window: Int = 8): Dataset[SpanDup] = {
+    * deterministic end-to-end.
+    *
+    * State lifetime: by default (`retention = None`) a fingerprint's
+    * boolean lives FOREVER — at stride 1 that is ~1 state entry per
+    * corpus token, which grows without bound on a long-running stream.
+    * Pass `retention = Some("7 days")` (and an event-time column
+    * `tsCol` on `docs`) to bound it: the input gets
+    * `withWatermark(tsCol, retention)` and each fingerprint's state is
+    * dropped once the watermark passes `retention` beyond its latest
+    * arrival (`EventTimeTimeout`, the `withWatermark` semantics). The
+    * trade is explicit: a span whose previous occurrence aged out is
+    * treated as first-seen again — the same retention trade the
+    * incremental index documents for its persisted bands. Defaults
+    * keep every existing gate bit-identical. */
+  def onlineSpanDupEvidence(docs: DataFrame, window: Int = 8,
+                            retention: Option[String] = None,
+                            tsCol: String = "ts"): Dataset[SpanDup] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val src = retention.fold(docs)(r => docs.withWatermark(tsCol, r))
+    val carry = Seq("batch") ++ retention.map(_ => tsCol)
     val wins = graft.operators.Dedup.spanWindowRows(
-        docs, "id", "text", window, carryCols = Seq("batch"))
+        src, "id", "text", window, carryCols = carry)
       .select(col("__fp").as("fp"), col("id").cast("long"),
-        col("batch").cast("int"), col("__pos").cast("int").as("pos"))
+        col("batch").cast("int"), col("__pos").cast("int").as("pos"),
+        (if (retention.isDefined) col(tsCol)
+         else lit(null).cast("timestamp")).as("ts"))
       .as[WindowArrival]
+    val timeoutConf =
+      if (retention.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     // the 16-byte binary fingerprint maps injectively onto (Long, Long)
     // — a value-comparable shuffle key (raw Array[Byte] equality is
     // referential, never group on it directly)
@@ -210,15 +261,25 @@ object Streaming {
       val bb = java.nio.ByteBuffer.wrap(r.fp); (bb.getLong, bb.getLong)
     }
       .flatMapGroupsWithState[Boolean, SpanDup](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         case (_, rows, state: GroupState[Boolean]) =>
-          var seen = state.getOption.getOrElse(false)
-          val out = Vector.newBuilder[SpanDup]
-          rows.toVector.sortBy(r => (r.batch, r.id, r.pos)).foreach { a =>
-            if (seen) out += SpanDup(a.id, a.pos) else seen = true
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(false)
+            val out = Vector.newBuilder[SpanDup]
+            val arr = rows.toVector.sortBy(r => (r.batch, r.id, r.pos))
+            arr.foreach { a =>
+              if (seen) out += SpanDup(a.id, a.pos) else seen = true
+            }
+            state.update(true)
+            retention.foreach { r =>
+              // null-ts arrivals (shouldn't occur under a watermark)
+              // simply don't extend the key's lifetime
+              val times = arr.flatMap(_.ts.map(_.getTime))
+              if (times.nonEmpty) state.setTimeoutTimestamp(times.max, r)
+            }
+            out.result().iterator
           }
-          state.update(true)
-          out.result().iterator
       }
   }
 

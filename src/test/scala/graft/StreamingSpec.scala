@@ -249,6 +249,73 @@ class StreamingSpec extends SparkSpec {
     assert(batch(1).getString(3) == "x1 x2 x3")
   }
 
+  test("span-filter retention evicts aged fingerprint state (event-time TTL)") {
+    implicit val sq = spark.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val mem = MemoryStream[(Long, Int, String, Timestamp)]
+    val evidence = Streaming.onlineSpanDupEvidence(
+      mem.toDF().toDF("id", "batch", "text", "ts"),
+      window = 3, retention = Some("5 seconds"))
+    spark.catalog.dropTempView("span_ttl")
+    val q = evidence.toDF().writeStream.format("memory")
+      .queryName("span_ttl").outputMode("append").start()
+    try {
+      // doc 1 seeds "a b c d" (2 fingerprints) at t=10s
+      mem.addData((1L, 0, "a b c d", ts(10)))
+      q.processAllAvailable()
+      // doc 2 repeats it INSIDE retention -> both windows flagged
+      mem.addData((2L, 1, "a b c d", ts(12)))
+      q.processAllAvailable()
+      // doc 3 (6 distinct fingerprints) pushes the watermark to 995s,
+      // far past doc 1/2's timeout (12s + 5s retention)
+      mem.addData((3L, 2, (1 to 8).map(i => s"flood$i").mkString(" "), ts(1000)))
+      q.processAllAvailable()
+      // state assertion: only doc 3's 6 fingerprints survive eviction —
+      // without the TTL the operator would hold 8 (6 + the 2 seeded ones)
+      val aliveAfterFlood =
+        q.lastProgress.stateOperators.head.numRowsTotal
+      assert(aliveAfterFlood == 6L,
+        s"expected doc-3-only state after eviction, got $aliveAfterFlood rows")
+      // doc 4 repeats the seeded run AFTER eviction -> treated as
+      // first-seen again (the documented retention trade): no evidence
+      mem.addData((4L, 3, "a b c d", ts(1010)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("span_ttl").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows == Set((2L, 0), (2L, 1)), s"unexpected evidence: $rows")
+  }
+
+  test("collision-evidence retention evicts aged band buckets (event-time TTL)") {
+    implicit val sq = spark.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val flood = (1 to 60).map(i => s"alt$i").mkString(" ")
+    val mem = MemoryStream[(Long, Int, String, Timestamp)]
+    val evidence = Streaming.onlineCollisionEvidence(
+      mem.toDF().toDF("id", "batch", "text", "ts"),
+      retention = Some("5 seconds"))
+    spark.catalog.dropTempView("coll_ttl")
+    val q = evidence.toDF().writeStream.format("memory")
+      .queryName("coll_ttl").outputMode("append").start()
+    try {
+      mem.addData((1L, 0, base, ts(10)))
+      q.processAllAvailable()
+      // inside retention: collides against the indexed doc 1
+      mem.addData((2L, 1, base + " tail", ts(12)))
+      q.processAllAvailable()
+      // unrelated flood pushes the watermark past doc 1/2's buckets
+      mem.addData((3L, 2, flood, ts(1000)))
+      q.processAllAvailable()
+      // after eviction the same content is first-seen again: no evidence
+      mem.addData((4L, 3, base + " suffix", ts(1010)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("coll_ttl").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 1L)), s"unexpected evidence: $pairs")
+  }
+
   test("online dedup state cap bounds bucket membership but keeps emitting") {
     implicit val sq = spark.sqlContext
     val txt = (1 to 60).map(i => s"same$i").mkString(" ")
