@@ -1308,6 +1308,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d74_bigram_ppl_capped" -> ((s, d) => {
+      // d34's LM with the count-pruning cap ENGAGED: the fixture
+      // exhibits 916 distinct bigrams at V=64, so maxBigrams=256
+      // demonstrably binds — the driver-side table is top-256 by
+      // (count DESC, bigram ASC) and every dropped tail bigram scores
+      // as unseen under add-one smoothing (the KenLM-style pruning
+      // trade trainBigramLm documents). Scoring stays the same
+      // zero-shuffle position-order fold; the oracle replays the
+      // identical top-256 cut in SQL before building its bigram map.
+      val all = docs(s, d)
+      val lm = TextAnalysis.trainBigramLm(all, "text", vocabSize = 64,
+        maxBigrams = 256)
+      TextAnalysis.bigramPerplexity(all.select("doc_id", "text"), "text", lm)
+        .select("doc_id", "n_bigrams", "avg_logp", "ppl")
+        .orderBy("doc_id")
+    }),
+
     "d24_repetition" -> ((s, d) =>
       // Gopher-style repetition quality signals (Rae et al. 2021
       // §A.1.1): duplicate word-3gram fraction and top word-2gram
@@ -5513,6 +5530,17 @@ object SparkEntry {
            round(exp(-(lsum / (n - 1))), 4) AS ppl
          FROM scored ORDER BY doc_id"""),
 
+    // d34's CTEs with the top-256 (count DESC, bigram ASC) pruning cut
+    // applied before the bigram map — the cap binds (916 distinct
+    // bigrams on the fixture), so these ppl values provably differ
+    // from d34's unless both engines replay the same cut.
+    "d74_bigram_ppl_capped" -> (bigramPplOracleCtes(256) +
+      """
+         SELECT doc_id, CAST(n - 1 AS BIGINT) AS n_bigrams,
+           round(lsum / (n - 1), 6) AS avg_logp,
+           round(exp(-(lsum / (n - 1))), 4) AS ppl
+         FROM scored ORDER BY doc_id"""),
+
     // d34's LM CTEs + the d47-style rank-filter tercile mirror; the
     // bucket CASE compares the 4dp-rounded ppl both engines share.
     "d50_ppl_buckets" -> (bigramPplOracleCtes +
@@ -8109,8 +8137,13 @@ object SparkEntry {
   /** d34's bigram-LM mirror through the per-doc `scored(doc_id, n,
     * lsum)` CTE — shared by d34 (per-doc ppl report) and d50 (CCNet
     * tercile buckets). */
-  private def bigramPplOracleCtes: String =
-    """WITH t AS (SELECT doc_id,
+  private def bigramPplOracleCtes: String = bigramPplOracleCtes(Int.MaxValue)
+
+  /** d34/d50/d74 shared LM CTEs; a finite `maxBigrams` replays
+    * `trainBigramLm`'s top-M (count DESC, bigram ASC) count-pruning cut
+    * before the bigram map is built (d74). */
+  private def bigramPplOracleCtes(maxBigrams: Int): String = {
+    val base = """WITH t AS (SELECT doc_id,
              string_split_regex(lower(trim(text)), '\s+') AS toks
            FROM documents),
          uni AS (SELECT w, count(*) AS c
@@ -8138,6 +8171,10 @@ object SparkEntry {
                  (a, b) -> a + b)
              ELSE NULL END AS lsum
            FROM tm, vm, bm, stats)"""
+    if (maxBigrams == Int.MaxValue) base
+    else base.replace("AS bmap FROM big)",
+      s"AS bmap FROM (SELECT bg, c FROM big ORDER BY c DESC, bg LIMIT $maxBigrams))")
+  }
 
   private def mergeUpsertOracleSql: String =
     """WITH base AS (SELECT doc_id, text FROM documents),
