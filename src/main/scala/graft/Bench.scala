@@ -307,28 +307,33 @@ object Bench {
     try {
       val wetDir = java.nio.file.Files.createTempDirectory("bench_wet")
       val outBase = java.nio.file.Files.createTempDirectory("bench_pipe")
-      val docRows = spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(col("doc_id"), col("text")).collect()
-      pipelineDocs = docRows.length.toLong
+      // shards are built EXECUTOR-side (one gzip writer per partition,
+      // untimed like the driver loop it replaces): the corpus is never
+      // materialized on the driver, so the fixture construction scales
+      // with the SF instead of capping the e2e row at driver heap. On a
+      // cluster the writers would target shared storage; local mode
+      // shares the tmp dir.
+      val docsSrc = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      pipelineDocs = docsSrc.count()
       val shards = 8
-      (0 until shards).foreach { sId =>
-        val os = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(
-          wetDir.resolve(f"shard$sId%02d.wet.gz").toFile))
-        var i = sId
-        while (i < docRows.length) {
-          val r = docRows(i)
-          val text = r.getString(1)
-          val payload = text.getBytes("UTF-8")
-          val rec = "WARC/1.0\r\nWARC-Type: conversion\r\n" +
-            s"WARC-Target-URI: http://bench/${r.get(0)}\r\n" +
-            "WARC-Date: 2025-01-01T00:00:00Z\r\n" +
-            s"WARC-Record-ID: <urn:uuid:${r.get(0)}>\r\n" +
-            s"Content-Length: ${payload.length}\r\n\r\n" + text + "\r\n\r\n"
-          os.write(rec.getBytes("UTF-8"))
-          i += shards
+      val wetDirStr = wetDir.toString
+      docsSrc.repartition(shards)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val sId = org.apache.spark.TaskContext.getPartitionId()
+          val os = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(
+            new java.io.File(wetDirStr, f"shard$sId%02d.wet.gz")))
+          try it.foreach { r =>
+            val text = r.getString(1)
+            val payload = text.getBytes("UTF-8")
+            val rec = "WARC/1.0\r\nWARC-Type: conversion\r\n" +
+              s"WARC-Target-URI: http://bench/${r.get(0)}\r\n" +
+              "WARC-Date: 2025-01-01T00:00:00Z\r\n" +
+              s"WARC-Record-ID: <urn:uuid:${r.get(0)}>\r\n" +
+              s"Content-Length: ${payload.length}\r\n\r\n" + text + "\r\n\r\n"
+            os.write(rec.getBytes("UTF-8"))
+          } finally os.close()
         }
-        os.close()
-      }
       val cfg = graft.core.Pipeline.PipelineConfig(
         dataDir = wetDir.toString, outputBase = outBase.toString,
         langs = Seq("en", "und"), langThreshold = 0.0,
