@@ -1,9 +1,11 @@
 package graft.tools
 
 import graft.core.Tables
-import graft.operators.{Dedup, Packer}
+import graft.operators.{Dedup, Packer, Similarity}
+import graft.streaming.Streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 /** Empirical scaling probe (not part of the API): replicates the sf
   * corpus N× with salted near-duplicate copies and times the heavy
@@ -17,17 +19,26 @@ import org.apache.spark.sql.functions._
   * windows) shows up here as a ratio far above the data ratio; the
   * bucketed/star constructions should stay near-linear.
   *
-  * Usage: runMain graft.tools.ScaleProbe [sfDir] [factor]
+  * Suites: `dedup` (default — dedup/span/pack plus the incremental
+  * corpus-index path), `ann` (e04/e13 shapes: IVF and IVF+PQ over an
+  * N× vector corpus with FIXED queries and codebook, so growth
+  * isolates index+probe cost), `stream` (st07/st26 shapes: the N×
+  * corpus replayed through the online keyed-state operators as 4
+  * file-source micro-batches), or `all`.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [sfDir] [factor] [suite]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(8)
+    val suite = args.lift(2).getOrElse("dedup")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def in(suites: String*) = suite == "all" || suites.contains(suite)
 
     def time(label: String)(f: => Long): Double = {
       val t0 = System.nanoTime()
@@ -36,44 +47,139 @@ object ScaleProbe {
       println(f"[scale] $label%-28s ${s}%8.2f s   (result rows: $n)")
       s
     }
+    def ratio(name: String, t1: Double, tN: Double): Unit =
+      println(f"[scale] $name%-28s time ratio ${tN / t1}%.1fx vs data ratio ${factor}x")
+
+    // replica k shifts ids into a disjoint range (shift derived from
+    // the actual max id — a fixed constant would silently alias ids if
+    // the source ever exceeded it) and appends a tiny salt so copies
+    // are NEAR-dups (high Jaccard), not exact ones — the worst case
+    // for LSH candidate volume
+    def replicate(df: DataFrame, idCol: String, salted: Boolean): (DataFrame, Long) = {
+      val shift = df.agg(max(idCol)).head().getLong(0) + 1L
+      val rep = (0 until factor).map { k =>
+        val idc = (col(idCol) + lit(k.toLong * shift)).as(idCol)
+        val rest = df.columns.filterNot(_ == idCol).toSeq.map {
+          case "text" if salted && k > 0 =>
+            concat(col("text"), lit(s" rep$k")).as("text")
+          case c => col(c)
+        }
+        df.select(idc +: rest: _*)
+      }
+      (rep.reduce(_ unionByName _).repartition(64).localCheckpoint(true), shift)
+    }
 
     val docs1 = Tables.documents(spark, d).select("doc_id", "text")
       .localCheckpoint(true)
     val n1 = docs1.count()
-    // replica k shifts ids into a disjoint range and appends a tiny
-    // salt so copies are NEAR-dups (high Jaccard), not exact ones —
-    // the worst case for LSH candidate volume
-    val docsN = (0 until factor).map { k =>
-      docs1.select((col("doc_id") + lit(k.toLong * 100000000L)).as("doc_id"),
-        (if (k == 0) col("text")
-         else concat(col("text"), lit(s" rep$k"))).as("text"))
-    }.reduce(_ unionByName _).repartition(64).localCheckpoint(true)
+    val (docsN, idShift) = replicate(docs1, "doc_id", salted = true)
     val nN = docsN.count()
     println(s"[scale] corpus 1x=$n1 docs, ${factor}x=$nN docs")
 
-    val results = Seq(
-      "minhashLsh" -> ((df: DataFrame) =>
-        Dedup.minhashLsh(df, "doc_id", "text").count()),
-      "spanTrim w=8" -> ((df: DataFrame) =>
-        Dedup.spanTrim(df, "doc_id", "text", window = 8)
-          .agg(sum("n_removed")).head().getLong(0)),
-      "passageTrim w=10" -> ((df: DataFrame) =>
-        Dedup.passageTrim(df, "doc_id", "text", window = 10)
-          .agg(sum("n_blocks_kept")).head().getLong(0)),
-      "exact dedup" -> ((df: DataFrame) =>
-        Dedup.exact(df, "doc_id", "text").count()),
-      "packExact 2048" -> ((df: DataFrame) => {
-        val toks = df.select(col("doc_id"),
-          transform(split(col("text"), " "),
-            t => pmod(xxhash64(t), lit(30000)).cast("int")).as("tokens"))
-        Packer.packExact(toks, "doc_id", "tokens", seqLen = 2048, eosId = 2)
-          .count()
-      })
-    )
-    results.foreach { case (name, op) =>
-      val t1 = time(s"$name 1x")(op(docs1))
-      val tN = time(s"$name ${factor}x")(op(docsN))
-      println(f"[scale] $name%-28s time ratio ${tN / t1}%.1fx vs data ratio ${factor}x")
+    if (in("dedup")) {
+      // fixed-size new batch for the incremental (st05/x07 corpus-index)
+      // path: the scale axis is the INDEX size, not the batch
+      val newBatch = docs1.select(
+          (col("doc_id") + lit((factor + 1).toLong * idShift)).as("doc_id"),
+          concat(col("text"), lit(" fresh")).as("text"))
+        .localCheckpoint(true)
+      val results = Seq(
+        "minhashLsh" -> ((df: DataFrame) =>
+          Dedup.minhashLsh(df, "doc_id", "text").count()),
+        "spanTrim w=8" -> ((df: DataFrame) =>
+          Dedup.spanTrim(df, "doc_id", "text", window = 8)
+            .agg(sum("n_removed")).head().getLong(0)),
+        "passageTrim w=10" -> ((df: DataFrame) =>
+          Dedup.passageTrim(df, "doc_id", "text", window = 10)
+            .agg(sum("n_blocks_kept")).head().getLong(0)),
+        "exact dedup" -> ((df: DataFrame) =>
+          Dedup.exact(df, "doc_id", "text").count()),
+        "packExact 2048" -> ((df: DataFrame) => {
+          val toks = df.select(col("doc_id"),
+            transform(split(col("text"), " "),
+              t => pmod(xxhash64(t), lit(30000)).cast("int")).as("tokens"))
+          Packer.packExact(toks, "doc_id", "tokens", seqLen = 2048, eosId = 2)
+            .count()
+        }),
+        "incMinhash (idx Nx)" -> ((df: DataFrame) =>
+          Dedup.incrementalMinhash(newBatch, "doc_id", "text",
+            df, Dedup.bandIndex(df, "doc_id", "text")).count())
+      )
+      results.foreach { case (name, op) =>
+        val t1 = time(s"$name 1x")(op(docs1))
+        val tN = time(s"$name ${factor}x")(op(docsN))
+        ratio(name, t1, tN)
+      }
+    }
+
+    if (in("ann")) {
+      val emb1 = Tables.embeddings(spark, d).select("vec_id", "embedding")
+        .localCheckpoint(true)
+      val ne1 = emb1.count()
+      val (embN, _) = replicate(emb1, "vec_id", salted = false)
+      println(s"[scale] embeddings 1x=$ne1 vecs, ${factor}x=${embN.count()} vecs")
+      // queries and the e13 codebook stay FIXED (base corpus) across
+      // scales — time growth isolates assignment + probe-join cost,
+      // the FAISS deployment shape (codebooks are trained once)
+      val q20 = emb1.filter(col("vec_id") < 20).localCheckpoint(true)
+      val cents = emb1.filter(pmod(col("vec_id"), lit(31)) === 7)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+        .localCheckpoint(true)
+      val annOps = Seq(
+        "ivfTopK k=5 probe=8" -> ((c: DataFrame) =>
+          Similarity.ivfTopK(q20, c, "vec_id", "vec_id", "embedding",
+            5, nCentroids = 16, nProbe = 8).count()),
+        "ivfPqTopK m=8 probe=2" -> ((c: DataFrame) =>
+          Similarity.ivfPqTopK(q20, c, "vec_id", "vec_id", "embedding",
+            cents, m = 8, k = 5, nProbe = 2).count())
+      )
+      annOps.foreach { case (name, op) =>
+        val t1 = time(s"$name 1x")(op(emb1))
+        val tN = time(s"$name ${factor}x")(op(embN))
+        ratio(name, t1, tN)
+      }
+    }
+
+    if (in("stream")) {
+      // the st07/st26 harness shape at probe scale: batch b = id % 4,
+      // each batch one parquet file, maxFilesPerTrigger=1 replays them
+      // as 4 ordered micro-batches through the keyed-state operator
+      // into a noop sink (first-arrival semantics preserved — files
+      // list oldest-mtime-first and groups fold in (batch, id) order)
+      val schema = StructType(Seq(StructField("id", LongType),
+        StructField("batch", IntegerType), StructField("text", StringType)))
+      def streamProbe(label: String, src: DataFrame)
+                     (mk: DataFrame => DataFrame): Double = {
+        val dir = java.nio.file.Files.createTempDirectory("probe_stream")
+        val ckpt = java.nio.file.Files.createTempDirectory("probe_ckpt")
+        (0 until 4).foreach { b =>
+          src.where(pmod(col("doc_id"), lit(4)) === b)
+            .select(col("doc_id").as("id"), lit(b).cast("int").as("batch"),
+              col("text"))
+            .coalesce(1).write.mode("append").parquet(dir.toString)
+        }
+        val t0 = System.nanoTime()
+        val q = mk(Streaming.parquetStream(spark, dir.toString, schema,
+            maxFilesPerTrigger = 1))
+          .writeStream.format("noop")
+          .option("checkpointLocation", ckpt.toString).start()
+        q.processAllAvailable(); q.stop()
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] $label%-28s ${s}%8.2f s")
+        s
+      }
+      val streamOps = Seq[(String, DataFrame => DataFrame)](
+        "st26 onlineSpanDup w=8" ->
+          (df => Streaming.onlineSpanDupEvidence(df, window = 8).toDF()),
+        "st07 onlineCollision" ->
+          (df => Streaming.onlineCollisionEvidence(df).toDF())
+      )
+      streamOps.foreach { case (name, mk) =>
+        val t1 = streamProbe(s"$name 1x", docs1)(mk)
+        val tN = streamProbe(s"$name ${factor}x", docsN)(mk)
+        ratio(name, t1, tN)
+      }
     }
     spark.stop()
   }
