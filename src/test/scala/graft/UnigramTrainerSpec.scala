@@ -96,4 +96,68 @@ class UnigramTrainerSpec extends SparkSpec {
     assert(m.vocab.valuesIterator.max < 280)
     assert(multis.size + singles.size + UnigramTrainer.FirstPieceId <= 280)
   }
+
+  test("soft-EM cross-check: the hard-EM substitution's divergence, quantified") {
+    // The native trainer's E-step (Kudo 2018 §3; SentencePiece
+    // --model_type=unigram, the model the reference trains) accumulates
+    // EXPECTED piece counts over ALL segmentations via forward-backward;
+    // this trainer substitutes Viterbi (hard-EM) counts — each word's
+    // frequency goes wholly to its single best segmentation
+    // (UnigramTrainer.scala header, bullet 1). This case pins the
+    // divergence numerically on a hand-derivable lattice, so the
+    // "documented substitution" is a QUANTIFIED one.
+    //
+    // Corpus: the single word "ab" (marked "▁ab"), freq 1.
+    // Model pieces and probabilities (sum to 1.0):
+    //   ▁ = .30   a = .20   b = .20   ab = .25   ▁a = .05
+    // The three segmentations of ▁ab and their likelihoods:
+    //   ▁|a|b : .30·.20·.20 = .012
+    //   ▁|ab  : .30·.25     = .075   <- the Viterbi path
+    //   ▁a|b  : .05·.20     = .010
+    //   Z = .097
+    // Soft-EM expected counts (posterior-weighted occurrences):
+    //   ▁  (.012+.075)/Z = .896907…   a  .012/Z = .123711…
+    //   b  (.012+.010)/Z = .226804…   ab .075/Z = .773196…
+    //   ▁a .010/Z        = .103093…
+    // Hard-EM (ours): ▁ 1, ab 1, all other pieces 0.
+    val probs = Map("▁" -> 0.30, "a" -> 0.20, "b" -> 0.20,
+      "ab" -> 0.25, "▁a" -> 0.05)
+    val ids = probs.keys.toSeq.sorted.zipWithIndex
+      .map { case (p, i) => p -> (UnigramTrainer.FirstPieceId + i) }.toMap
+    val m = UnigramTrainer.UnigramModel(
+      probs.map { case (p, v) => p -> math.log(v) }, ids)
+
+    // our E-step: the whole count lands on the Viterbi path ▁|ab
+    assert(m.encodeWord("ab") == Seq(ids("▁"), ids("ab")))
+
+    // in-spec soft-EM reference: exhaustive lattice enumeration (the
+    // forward-backward result, computed the brute-force way)
+    def segs(cs: Vector[String]): List[List[String]] =
+      if (cs.isEmpty) List(Nil)
+      else (1 to cs.length).toList.flatMap { l =>
+        val p = cs.take(l).mkString
+        if (probs.contains(p)) segs(cs.drop(l)).map(p :: _) else Nil
+      }
+    val all = segs(Vector("▁", "a", "b"))
+    assert(all.size == 3) // the three lattice paths above
+    val z = all.map(_.map(probs).product).sum
+    assert(math.abs(z - 0.097) < 1e-15)
+    val soft = all.flatMap(s => s.map(p => p -> s.map(probs).product / z))
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val exp = Map("▁" -> 0.087 / 0.097, "a" -> 0.012 / 0.097,
+      "b" -> 0.022 / 0.097, "ab" -> 0.075 / 0.097, "▁a" -> 0.010 / 0.097)
+    exp.foreach { case (p, e) => assert(math.abs(soft(p) - e) < 1e-12, p) }
+
+    // the quantified divergence: Viterbi overcounts the winning pieces
+    // by the posterior mass of the losing paths (+.23 on ab here) and
+    // zeroes the losers entirely (soft keeps .12 on a, .10 on ▁a) —
+    // after one M-step the soft model would hold ~2.3 log-prob mass
+    // points more on the losing pieces than ours. The trade bought:
+    // counts stay exact Longs, so training is partitioning- and
+    // float-order-invariant (the oracle-gate requirement).
+    assert(math.abs(1.0 - soft("ab")) > 0.22 && math.abs(1.0 - soft("ab")) < 0.23)
+    assert(soft("a") > 0.12 && soft("▁a") > 0.10)
+    val viterbiPieces = m.encodeWord("ab").map(ids.map(_.swap)).toSet
+    assert(!viterbiPieces("a") && !viterbiPieces("▁a"))
+  }
 }
