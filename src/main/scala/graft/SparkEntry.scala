@@ -1067,11 +1067,11 @@ object SparkEntry {
     }),
 
     "d73_wide_lid" -> ((s, d) => {
-      // M1 closure: the COMMITTED 24-language artifact (fixtures/
-      // models/lid24, written by graft.tools.TrainLidArtifact — char-
+      // M1 closure: the COMMITTED 40-language artifact (fixtures/
+      // models/lid40, written by graft.tools.TrainLidArtifact — char-
       // 3gram NB over all the major script families: CJK, Cyrillic,
       // Greek, Arabic, Hebrew, wide Latin) predicts over a fresh
-      // 24-language synth drawn with a DIFFERENT hash salt, so train
+      // 40-language synth drawn with a DIFFERENT hash salt, so train
       // and eval share vocabulary but no draw positions. Confusion
       // matrix pinned at sf0.01 (d20 convention): clean diagonal
       // across scripts, with whatever near-form confusion the
@@ -5260,20 +5260,26 @@ object SparkEntry {
          ) AS t(lang, bpe_tokens, fertility, chars_per_token)
          ORDER BY lang""",
 
-    // Pinned at sf0.01 (d20 convention): the committed 24-language
+    // Pinned at sf0.01 (d20 convention): the committed 40-language
     // artifact is all-diagonal on the salt-disjoint eval draw — at 30
     // words/doc even the Scandinavian near-forms accumulate enough
     // distinctive-gram evidence. Re-pin on fixture/artifact/SF change.
     "d73_wide_lid" ->
       """SELECT lang, lang_pred_model, CAST(n_dec AS BIGINT) AS n FROM (VALUES
-           ('ar', 'ar', 21), ('cs', 'cs', 21), ('da', 'da', 21),
-           ('de', 'de', 21), ('el', 'el', 21), ('en', 'en', 21),
-           ('es', 'es', 21), ('fi', 'fi', 21), ('fr', 'fr', 21),
-           ('he', 'he', 21), ('hu', 'hu', 21), ('it', 'it', 21),
-           ('ja', 'ja', 21), ('ko', 'ko', 21), ('nl', 'nl', 21),
-           ('no', 'no', 21), ('pl', 'pl', 21), ('pt', 'pt', 21),
-           ('ro', 'ro', 21), ('ru', 'ru', 20), ('sv', 'sv', 21),
-           ('tr', 'tr', 20), ('uk', 'uk', 20), ('zh', 'zh', 20)
+           ('ar', 'ar', 13), ('bg', 'bg', 12), ('bn', 'bn', 12),
+           ('cs', 'cs', 13), ('da', 'da', 13), ('de', 'de', 13),
+           ('el', 'el', 13), ('en', 'en', 13), ('es', 'es', 13),
+           ('et', 'et', 12), ('fa', 'fa', 12), ('fi', 'fi', 13),
+           ('fr', 'fr', 13), ('he', 'he', 13), ('hi', 'hi', 12),
+           ('hu', 'hu', 13), ('hy', 'hy', 12), ('id', 'id', 12),
+           ('it', 'it', 13), ('ja', 'ja', 13), ('ka', 'ka', 12),
+           ('ko', 'ko', 13), ('lt', 'lt', 12), ('lv', 'lv', 12),
+           ('nl', 'nl', 13), ('no', 'no', 13), ('pl', 'pl', 13),
+           ('pt', 'pt', 13), ('ro', 'ro', 13), ('ru', 'ru', 12),
+           ('sv', 'sv', 13), ('sw', 'sw', 12), ('ta', 'ta', 12),
+           ('te', 'te', 12), ('th', 'th', 12), ('tl', 'tl', 12),
+           ('tr', 'tr', 12), ('uk', 'uk', 12), ('vi', 'vi', 12),
+           ('zh', 'zh', 12)
          ) AS t(lang, lang_pred_model, n_dec)
          ORDER BY lang, lang_pred_model""",
 

@@ -47,15 +47,17 @@ object TrainedLid {
     "pt" -> Seq("como", "mais", "dos", "ele", "isso", "muito", "sem", "pela", "seus", "onde"),
     "sv" -> Seq("och", "att", "som", "detta", "vilket", "inte", "har", "den", "efter", "mellan"))
 
-  /** 24-language wordlists for the committed wide-coverage artifact —
-    * the [[FixtureWordLists]] Latin-script eight plus sixteen more
-    * spanning the major script families a crawl corpus actually
-    * contains: CJK (zh/ja/ko), Cyrillic (ru/uk), Greek, Arabic, Hebrew
-    * and wider Latin (tr/pl/cs/ro/hu/fi/da/no). Each list is ten
-    * high-frequency function/content words of that language (public
+  /** 40-language wordlists for the committed wide-coverage artifact —
+    * the [[FixtureWordLists]] Latin-script eight plus thirty-two more
+    * spanning the script families a crawl corpus actually contains:
+    * CJK (zh/ja/ko), Cyrillic (ru/uk/bg), Greek, Arabic-script (ar/fa),
+    * Hebrew, Indic (hi/bn/ta/te), Thai, Georgian, Armenian, and wider
+    * Latin (tr/pl/cs/ro/hu/fi/da/no/vi/id/sw/et/lt/lv/tl). Each list is
+    * ten high-frequency function/content words of that language (public
     * common-vocabulary knowledge, same construction as the eight-lang
-    * fixture). Scandinavian near-forms (da "efter"/"mellem" vs sv
-    * "efter"/"mellan", no "etter"/"mellom") are kept deliberately — the
+    * fixture). Near-form relatives are kept deliberately — Scandinavian
+    * (da "efter"/"mellem" vs sv "efter"/"mellan", no "etter"/"mellom"),
+    * Finnic (fi "aika"/"työ" vs et "aeg"/"töö"), Baltic (lt/lv) — the
     * committed model should have a REAL confusion surface among close
     * relatives, like the cognate gate (d25), not a toy-separable one. */
   val WideFixtureWordLists: Seq[(String, Seq[String])] = FixtureWordLists ++ Seq(
@@ -74,11 +76,27 @@ object TrainedLid {
     "ru" -> Seq("и", "в", "не", "что", "это", "как", "время", "работа", "человек", "потому"),
     "tr" -> Seq("ve", "bir", "bu", "için", "zaman", "insan", "çalışma", "okul", "bugün", "teşekkür"),
     "uk" -> Seq("і", "що", "це", "як", "час", "робота", "людина", "тому", "але", "дуже"),
-    "zh" -> Seq("的", "是", "不", "我们", "这个", "因为", "所以", "中国", "时间", "工作"))
+    "zh" -> Seq("的", "是", "不", "我们", "这个", "因为", "所以", "中国", "时间", "工作"),
+    "bg" -> Seq("това", "като", "съм", "ще", "защото", "училище", "държава", "книга", "днес", "благодаря"),
+    "bn" -> Seq("এবং", "আছে", "না", "সময়", "মানুষ", "কাজ", "বিদ্যালয়", "আজ", "কারণ", "ধন্যবাদ"),
+    "et" -> Seq("ja", "ei", "aeg", "inimene", "töö", "kool", "täna", "sest", "aitäh", "mina"),
+    "fa" -> Seq("از", "که", "را", "این", "با", "برای", "زمان", "کار", "مدرسه", "متشکرم"),
+    "hi" -> Seq("और", "है", "नहीं", "समय", "आदमी", "काम", "स्कूल", "आज", "क्योंकि", "धन्यवाद"),
+    "hy" -> Seq("և", "է", "ոչ", "ժամանակ", "մարդ", "աշխատանք", "դպրոց", "այսօր", "որովհետև", "շնորհակալություն"),
+    "id" -> Seq("dan", "tidak", "orang", "waktu", "kerja", "sekolah", "hari", "karena", "terima", "kasih"),
+    "ka" -> Seq("და", "არის", "არა", "დრო", "ადამიანი", "სამუშაო", "სკოლა", "დღეს", "იმიტომ", "მადლობა"),
+    "lt" -> Seq("ir", "yra", "ne", "laikas", "žmogus", "darbas", "mokykla", "šiandien", "nes", "ačiū"),
+    "lv" -> Seq("un", "nav", "bet", "laiks", "cilvēks", "darbs", "skola", "šodien", "jo", "paldies"),
+    "sw" -> Seq("na", "si", "watu", "wakati", "kazi", "shule", "leo", "kwa", "sababu", "asante"),
+    "ta" -> Seq("மற்றும்", "இல்லை", "நேரம்", "மனிதன்", "வேலை", "பள்ளி", "இன்று", "ஏனெனில்", "நன்றி", "நான்"),
+    "te" -> Seq("మరియు", "లేదు", "సమయం", "మనిషి", "పని", "పాఠశాల", "ఈరోజు", "ఎందుకంటే", "ధన్యవాదాలు", "నేను"),
+    "th" -> Seq("และ", "ไม่", "เวลา", "คน", "งาน", "โรงเรียน", "วันนี้", "เพราะ", "ขอบคุณ", "ฉัน"),
+    "tl" -> Seq("ang", "hindi", "oras", "tao", "trabaho", "paaralan", "ngayon", "dahil", "salamat", "ako"),
+    "vi" -> Seq("và", "không", "người", "được", "của", "cũng", "trường", "bởi", "hôm", "cảm"))
 
   /** Repo location of the committed wide-coverage LID artifact (written
     * by [[trainWideArtifact]] / `graft.tools.TrainLidArtifact`). */
-  val DefaultArtifactDir = "fixtures/models/lid24"
+  val DefaultArtifactDir = "fixtures/models/lid40"
 
   /** The committed artifact's path when present under the current
     * working directory (the sbt/driver convention) — QualityStep's
@@ -93,8 +111,8 @@ object TrainedLid {
     * `docsPerLang` docs per language drawn from
     * [[WideFixtureWordLists]] via the [[synthFixture]] hash draw, so
     * the artifact is reproducible bit-for-bit from the repo alone (no
-    * external corpus at zero egress). 2^12 hash buckets: 24 langs ×
-    * 4096 doubles ≈ 0.8 MB raw, and distinct scripts separate at far
+    * external corpus at zero egress). 2^12 hash buckets: 40 langs ×
+    * 4096 doubles ≈ 1.3 MB raw, and distinct scripts separate at far
     * coarser resolution than that. */
   def trainWideArtifact(spark: SparkSession, path: String,
                         docsPerLang: Int = 200): LidModel = {

@@ -107,7 +107,7 @@ class PipelineSpec extends SparkSpec {
       dataDir = dataDir.toString, outputBase = outBase,
       langs = Seq("en", "und"), langThreshold = 0.0,
       // the WET fixture's synthetic vocabulary is out-of-domain for the
-      // committed 24-lang artifact; the heuristic is the right labeler
+      // committed 40-lang artifact; the heuristic is the right labeler
       defaultLidArtifact = false,
       seqLen = 64, vocabSize = 500, exportDtype = "uint16")
     val stats = Pipeline.run(spark, cfg, PipelineSteps.all(dataDir.toString))

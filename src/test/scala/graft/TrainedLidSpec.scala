@@ -111,7 +111,7 @@ class TrainedLidSpec extends SparkSpec {
     assert(kept.select("lang").collect().forall(_.getString(0) == "__label__de"))
   }
 
-  test("committed 24-language artifact: loads, covers all scripts, wired by default") {
+  test("committed 40-language artifact: loads, covers all scripts, wired by default") {
     import org.apache.spark.sql.functions._
     // the committed fixture (graft.tools.TrainLidArtifact output) must
     // resolve from the repo CWD and classify a salt-disjoint eval draw
@@ -119,13 +119,14 @@ class TrainedLidSpec extends SparkSpec {
     val path = TrainedLid.defaultArtifactPath.getOrElse(
       fail(s"committed artifact missing: ${TrainedLid.DefaultArtifactDir}"))
     val m = TrainedLid.loadModel(spark, path)
-    assert(m.langs.length == 24 && m.buckets == (1 << 12))
-    assert(Seq("ar", "he", "ja", "ko", "ru", "uk", "zh", "el").forall(m.langs.contains))
-    val ids = spark.range(0, 240).toDF("doc_id")
+    assert(m.langs.length == 40 && m.buckets == (1 << 12))
+    assert(Seq("ar", "he", "ja", "ko", "ru", "uk", "zh", "el",
+      "hi", "bn", "ta", "te", "th", "ka", "hy", "fa", "bg").forall(m.langs.contains))
+    val ids = spark.range(0, 400).toDF("doc_id")
     val eval = TrainedLid.synthFixture(ids,
       wordLists = TrainedLid.WideFixtureWordLists, salt = "specsalt")
     val pred = TrainedLid.predict(eval, "text", m)
-    assert(pred.where(col("lang_pred_model") === col("lang")).count() == 240)
+    assert(pred.where(col("lang_pred_model") === col("lang")).count() == 400)
     // QualityStep picks the artifact up with NO explicit config — the
     // reference's bundled-model default
     val outBase = java.nio.file.Files.createTempDirectory("lidwide").toString
