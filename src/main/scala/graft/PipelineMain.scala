@@ -13,13 +13,27 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.PipelineMain --data-dir DIR --output-base DIR
   *     [--steps ingest,clean,...] [--resume-from STEP] [--limit N]
   *     [--langs en,zh] [--seq-len 4096] [--vocab-size 32000]
+  *     [--tokenizer word|bpe|unigram] [--character-coverage F]
+  *     [--input-sentence-size N] [--export-dtype uint16|int32]
+  *
+  * NOTE the tokenizer-training defaults deliberately diverge from the
+  * reference train CLI's: this build defaults to the IDENTITY knobs
+  * (--character-coverage 1.0, no sentence sampling) so fixture-trained
+  * artifacts are bit-reproducible, while the reference defaults to
+  * 0.9995 coverage and a 5,000,000-sentence sample (train.py:341-346).
+  * For reference-parity behavior pass
+  * `--character-coverage 0.9995 --input-sentence-size 5000000`.
   */
 object PipelineMain {
 
   /** CLI → config (factored for spec coverage). Tokenizer-training
     * flags mirror the reference train CLI (model type,
-    * character_coverage, input_sentence_size — train.py:341-346). */
-  private[graft] def parseConfig(args: Array[String]): (Pipeline.PipelineConfig, Set[String]) = {
+    * character_coverage, input_sentence_size — train.py:341-346).
+    * Also returns the raw key→value map so orchestration-only flags
+    * (--steps, --resume-from) share THIS pairing logic — main() must
+    * not re-derive it. */
+  private[graft] def parseConfig(args: Array[String])
+      : (Pipeline.PipelineConfig, Set[String], Map[String, String]) = {
     val flags = args.filter(_ == "--enable-ner").toSet
     val kvArgs = args.filterNot(_ == "--enable-ner")
     val opts = kvArgs.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
@@ -35,13 +49,11 @@ object PipelineMain {
         opts.get("--character-coverage").map(_.toDouble).getOrElse(1.0),
       inputSentenceSize = opts.get("--input-sentence-size").map(_.toInt),
       exportDtype = opts.getOrElse("--export-dtype", "uint16"))
-    (cfg, flags)
+    (cfg, flags, opts)
   }
 
   def main(args: Array[String]): Unit = {
-    val (cfg, flags) = parseConfig(args)
-    val opts = args.filterNot(_ == "--enable-ner")
-      .sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val (cfg, flags, opts) = parseConfig(args)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
       .appName("graft-pipeline")

@@ -215,18 +215,21 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("CLI flags parse into the pipeline config, tokenizer knobs included") {
-    val (cfg, flags) = PipelineMain.parseConfig(Array(
+    val (cfg, flags, opts) = PipelineMain.parseConfig(Array(
       "--data-dir", "/in", "--output-base", "/out", "--limit", "100",
       "--tokenizer", "unigram", "--character-coverage", "0.9995",
       "--input-sentence-size", "5000000", "--export-dtype", "int32",
-      "--enable-ner"))
+      "--enable-ner", "--steps", "ingest,clean", "--resume-from", "clean"))
     assert(cfg.dataDir == "/in" && cfg.outputBase == "/out")
     assert(cfg.limit.contains(100) && cfg.tokenizer == "unigram")
     assert(cfg.characterCoverage == 0.9995)
     assert(cfg.inputSentenceSize.contains(5000000))
     assert(cfg.exportDtype == "int32" && flags("--enable-ner"))
+    // orchestration flags ride the SAME pairing (the standalone flag
+    // is filtered before sliding, so it can sit anywhere between pairs)
+    assert(opts("--steps") == "ingest,clean" && opts("--resume-from") == "clean")
     // defaults are the identity knobs
-    val (d, _) = PipelineMain.parseConfig(Array.empty)
+    val (d, _, _) = PipelineMain.parseConfig(Array.empty)
     assert(d.tokenizer == "word" && d.characterCoverage == 1.0 &&
       d.inputSentenceSize.isEmpty && d.exportDtype == "uint16")
   }
