@@ -113,6 +113,22 @@ object GraftExtensions {
         case Seq(c, n) => CharShingleHashes(c, intArg(n, "ngram"))
         case _ => throw new IllegalArgumentException("graft_char_shingles(text[, ngram])")
       }
+    },
+    // the span-dedup family's candidate kernel (x15/st26): text →
+    // array<binary> of stride-1 window-token 16-byte fingerprints,
+    // bit-identical to the Column-API operators' candidates — a SQL
+    // user can state the whole ExactSubstr pipeline (see q49). Built
+    // by Column composition rather than a bespoke Expression: the
+    // let-binding shape in Dedup.spanFingerprints is the logic.
+    "graft_span_fingerprints" -> { args =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      args match {
+        case Seq(c) => ColumnBridge.eagerExpression(
+          graft.operators.Dedup.spanFingerprints(ColumnBridge.column(c), 8))
+        case Seq(c, w) => ColumnBridge.eagerExpression(
+          graft.operators.Dedup.spanFingerprints(ColumnBridge.column(c), intArg(w, "window")))
+        case _ => throw new IllegalArgumentException("graft_span_fingerprints(text[, window])")
+      }
     })
 
   /** Register on an already-built session. */

@@ -3711,6 +3711,57 @@ object SparkEntry {
         FROM docs_v GROUP BY source ORDER BY source""")
     }),
 
+    "q49_sql_span_trim" -> ((s, d) => {
+      // the SQL frontend reaching the span-dedup family: the FULL
+      // ExactSubstr excision (x15's semantics) stated as ONE
+      // spark.sql query over the graft_span_fingerprints kernel
+      // registered through the SparkSessionExtensions seam —
+      // candidates are bit-identical to the Column-API operator's,
+      // so this gate shares x15's oracle string verbatim. Same scale
+      // shape as the operator: one shuffle on the 16-byte fingerprint,
+      // windows partitioned by fp / doc_id (corpus-cardinality keys),
+      // no driver loops.
+      GraftExtensions.register(s)
+      docs(s, d).createOrReplaceTempView("docs_v")
+      s.sql("""
+        WITH w AS (
+          SELECT doc_id, pos, fp
+          FROM docs_v
+          LATERAL VIEW posexplode(graft_span_fingerprints(text, 8)) t AS pos, fp),
+        marked AS (
+          SELECT doc_id, pos,
+            count(*)     OVER (PARTITION BY fp) AS c,
+            row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+          FROM w),
+        dup AS (SELECT doc_id, pos, pos + 7 AS e FROM marked
+                WHERE c >= 2 AND rn > 1),
+        isl AS (
+          SELECT doc_id, pos, e,
+            CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id
+              ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -2) + 1 THEN 1 ELSE 0 END AS brk
+          FROM dup),
+        gid AS (SELECT doc_id, pos, e,
+            sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl),
+        spans AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e
+          FROM gid GROUP BY doc_id, g),
+        sl AS (SELECT doc_id, collect_list(struct(s, e)) AS sp,
+            sum(e - s + 1) AS removed
+          FROM spans GROUP BY doc_id),
+        base AS (SELECT doc_id,
+            split(regexp_replace(trim(coalesce(text, '')), '\\s+', ' '), ' ') AS tk
+          FROM docs_v)
+        SELECT b.doc_id,
+          CAST(size(b.tk) AS BIGINT) AS n_tokens,
+          CAST(coalesce(sl.removed, 0) AS BIGINT) AS n_removed,
+          CASE WHEN sl.sp IS NULL THEN array_join(b.tk, ' ')
+               ELSE array_join(filter(b.tk, (tok, i) ->
+                 NOT exists(sl.sp, x -> i >= x.s AND i <= x.e)), ' ')
+          END AS text_trimmed
+        FROM base b LEFT JOIN sl USING (doc_id)
+        ORDER BY doc_id""")
+    }),
+
     "d72_term_map" -> ((s, d) => {
       // map-typed analytics: per-doc term frequencies as a real
       // MapType column, filtered with map algebra (map_filter keeps
@@ -7415,44 +7466,12 @@ object SparkEntry {
     // running-max-end break rule (adjacent merges), excision by
     // anti-joining token positions against the merged spans, ordered
     // string_agg reassembly. Docs < 8 tokens emit no windows.
-    "x15_span_trim" ->
-      """WITH b AS (SELECT doc_id,
-             string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS tk
-           FROM documents),
-         base AS (SELECT doc_id, tk, len(tk) AS n FROM b),
-         wins AS (SELECT doc_id, unnest(range(0, greatest(n - 7, 0))) AS pos, tk
-           FROM base),
-         winf AS (SELECT doc_id, pos,
-             md5(array_to_string(tk[pos+1:pos+8], ' ')) AS fp FROM wins),
-         marked AS (SELECT doc_id, pos,
-             count(*) OVER (PARTITION BY fp) AS c,
-             row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
-           FROM winf),
-         dup AS (SELECT doc_id, pos, pos + 7 AS e FROM marked
-           WHERE c >= 2 AND rn > 1),
-         isl AS (SELECT doc_id, pos, e,
-             CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id
-               ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-               -2) + 1 THEN 1 ELSE 0 END AS brk FROM dup),
-         gid AS (SELECT doc_id, pos, e,
-             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl),
-         spans AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e
-           FROM gid GROUP BY doc_id, g),
-         rem AS (SELECT doc_id, sum(e - s + 1) AS removed
-           FROM spans GROUP BY doc_id),
-         tokrows AS (SELECT doc_id, unnest(range(0, n)) AS ti, tk FROM base),
-         tok2 AS (SELECT doc_id, ti, tk[ti+1] AS tok FROM tokrows),
-         keptt AS (SELECT t.doc_id, t.ti, t.tok FROM tok2 t
-           LEFT JOIN spans s ON t.doc_id = s.doc_id AND t.ti BETWEEN s.s AND s.e
-           WHERE s.doc_id IS NULL),
-         re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS trimmed
-           FROM keptt GROUP BY doc_id)
-         SELECT base.doc_id,
-           CAST(n AS BIGINT) AS n_tokens,
-           CAST(coalesce(rem.removed, 0) AS BIGINT) AS n_removed,
-           coalesce(re.trimmed, '') AS text_trimmed
-         FROM base LEFT JOIN rem USING (doc_id) LEFT JOIN re USING (doc_id)
-         ORDER BY base.doc_id""",
+    "x15_span_trim" -> spanTrimOracleSql,
+
+    // the SQL-frontend twin states the identical pipeline in Spark
+    // SQL over graft_span_fingerprints — one oracle serves both (the
+    // x07/st05 shared-string convention)
+    "q49_sql_span_trim" -> spanTrimOracleSql,
 
     // Both identity keys rebuilt (the d63 fold chain and the d67
     // canonicalize replay), equality cliques unioned with distinct
@@ -8143,6 +8162,50 @@ object SparkEntry {
   /** d34's bigram-LM mirror through the per-doc `scored(doc_id, n,
     * lsum)` CTE — shared by d34 (per-doc ppl report) and d50 (CCNet
     * tercile buckets). */
+  /** x15/q49 shared oracle: Dedup.spanTrim's full construction in
+    * DuckDB — stride-1 8-token md5 windows, min-(doc,pos) survivor,
+    * gaps-and-islands merge, anti-join excision, ordered reassembly.
+    * The Column-API operator (x15) and the graft_span_fingerprints SQL
+    * frontend (q49) must both land on this exact output. */
+  private val spanTrimOracleSql: String =
+    """WITH b AS (SELECT doc_id,
+             string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS tk
+           FROM documents),
+         base AS (SELECT doc_id, tk, len(tk) AS n FROM b),
+         wins AS (SELECT doc_id, unnest(range(0, greatest(n - 7, 0))) AS pos, tk
+           FROM base),
+         winf AS (SELECT doc_id, pos,
+             md5(array_to_string(tk[pos+1:pos+8], ' ')) AS fp FROM wins),
+         marked AS (SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY fp) AS c,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+           FROM winf),
+         dup AS (SELECT doc_id, pos, pos + 7 AS e FROM marked
+           WHERE c >= 2 AND rn > 1),
+         isl AS (SELECT doc_id, pos, e,
+             CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -2) + 1 THEN 1 ELSE 0 END AS brk FROM dup),
+         gid AS (SELECT doc_id, pos, e,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl),
+         spans AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e
+           FROM gid GROUP BY doc_id, g),
+         rem AS (SELECT doc_id, sum(e - s + 1) AS removed
+           FROM spans GROUP BY doc_id),
+         tokrows AS (SELECT doc_id, unnest(range(0, n)) AS ti, tk FROM base),
+         tok2 AS (SELECT doc_id, ti, tk[ti+1] AS tok FROM tokrows),
+         keptt AS (SELECT t.doc_id, t.ti, t.tok FROM tok2 t
+           LEFT JOIN spans s ON t.doc_id = s.doc_id AND t.ti BETWEEN s.s AND s.e
+           WHERE s.doc_id IS NULL),
+         re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS trimmed
+           FROM keptt GROUP BY doc_id)
+         SELECT base.doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(coalesce(rem.removed, 0) AS BIGINT) AS n_removed,
+           coalesce(re.trimmed, '') AS text_trimmed
+         FROM base LEFT JOIN rem USING (doc_id) LEFT JOIN re USING (doc_id)
+         ORDER BY base.doc_id"""
+
   private def bigramPplOracleCtes: String = bigramPplOracleCtes(Int.MaxValue)
 
   /** d34/d50/d74 shared LM CTEs; a finite `maxBigrams` replays

@@ -172,18 +172,35 @@ object Dedup {
   private def spanTokens(textCol: String): Column =
     split(regexp_replace(trim(coalesce(col(textCol), lit(""))), "\\s+", " "), " ")
 
+  /** The span operators' fingerprint kernel as ONE scalar column:
+    * text → array of stride-1 `window`-token 16-byte fingerprints
+    * (`unhex(md5(window))` — see [[spanWindowRows]] for why 128-bit).
+    * Shared by the batch/stream operators AND the SQL frontend
+    * (`graft_span_fingerprints` in GraftExtensions), so a SQL user
+    * gets bit-identical candidates to the Column-API path. */
+  def spanFingerprints(text: Column, window: Int): Column = {
+    require(window > 0, "window must be positive")
+    val tk = split(regexp_replace(trim(coalesce(text, lit(""))), "\\s+", " "), " ")
+    // let-bind the token array as a lambda variable (transform over a
+    // 1-element array): a lambda BODY re-evaluates any outer
+    // sub-expression per element, so referencing the split directly
+    // inside the window transform would re-tokenize the doc once per
+    // window — quadratic per doc. A lambda VARIABLE is evaluated once.
+    // stride-1 fingerprints; sequence() would count DOWN for short
+    // docs, so guard to an empty array (no windows => never trimmed)
+    element_at(transform(array(tk), a =>
+      when(size(a) >= window,
+        transform(sequence(lit(0), size(a) - window),
+          i => unhex(md5(array_join(slice(a, i + 1, lit(window)), " ")))))
+        .otherwise(array().cast("array<binary>"))), 1)
+  }
+
   /** doc → stride-1 `window`-token fingerprint rows
     * (idCol, carryCols..., __pos, __fp) — [[spanTrim]]'s candidate
     * generation, exposed so stream/batch variants share one window
     * convention (the [[bandRows]] pattern). */
   def spanWindowRows(df: DataFrame, idCol: String, textCol: String,
                      window: Int, carryCols: Seq[String] = Nil): DataFrame = {
-    require(window > 0, "window must be positive")
-    val base = df.select((col(idCol) +: carryCols.map(col)) :+
-        spanTokens(textCol).as("__tk"): _*)
-      .withColumn("__n", size(col("__tk")))
-    // stride-1 fingerprints; sequence() would count DOWN for short
-    // docs, so guard to an empty array (no windows => never trimmed)
     // 128-bit fingerprints as 16-byte BINARY (unhex'd md5) instead of
     // md5's 32-char hex string (~44-byte shuffle payload). The oracle
     // compares the FINAL trimmed output, not fingerprints, so any
@@ -191,12 +208,8 @@ object Dedup {
     // at the 100 TB design point (~1e13 windows) a single 64-bit hash
     // expects ~3e6 birthday collisions, each one a false excision,
     // while 128 bits expects ~3e-13.
-    val fpOf = (w: Column) => unhex(md5(w))
-    val winArr = when(col("__n") >= window,
-      transform(sequence(lit(0), col("__n") - window),
-        i => fpOf(array_join(slice(col("__tk"), i + 1, lit(window)), " "))))
-      .otherwise(array().cast("array<binary>"))
-    base.select((col(idCol) +: carryCols.map(col)) :+ posexplode(winArr): _*)
+    val winArr = spanFingerprints(col(textCol), window)
+    df.select((col(idCol) +: carryCols.map(col)) :+ posexplode(winArr): _*)
       .toDF(Seq(idCol) ++ carryCols ++ Seq("__pos", "__fp"): _*)
   }
 
