@@ -57,7 +57,24 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(GraftExtensions.builders.map(_._1).toSet ==
       Set("graft_minhash", "graft_simhash", "graft_xxhash64", "graft_rolling_hash",
         "graft_nfkc", "graft_cosine_sim", "graft_l2_sq", "graft_char_entropy",
-        "graft_max_multiplicity", "graft_sign_buckets", "graft_char_shingles"))
+        "graft_max_multiplicity", "graft_sign_buckets", "graft_char_shingles",
+        "graft_span_fingerprints"))
+  }
+
+  test("graft_span_fingerprints matches the Column-API span kernel") {
+    spark.sql("SELECT 1").count() // session live
+    GraftExtensions.register(spark)
+    Seq((1L, "a b c d e"), (2L, "too short"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text").createOrReplaceTempView("gx_span")
+    val sql = spark.sql(
+      "SELECT id, graft_span_fingerprints(text, 3) AS fp FROM gx_span")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Array[Byte]](1).map(_.toSeq)).toMap
+    val api = spark.table("gx_span")
+      .select(col("id"), graft.operators.Dedup.spanFingerprints(col("text"), 3).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Array[Byte]](1).map(_.toSeq)).toMap
+    assert(sql == api)
+    assert(sql(1L).size == 3 && sql(1L).forall(_.size == 16)) // 5 toks, w=3
+    assert(sql(2L).isEmpty && sql(3L).isEmpty) // short + null -> no windows
   }
 
   test("pure-SQL near-dedup: banding + verify + recursive-CTE closure") {
