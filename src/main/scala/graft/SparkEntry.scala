@@ -2625,6 +2625,62 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "st27_stream_span_ttl" -> ((s, d) => {
+      // st26 with a BINDING retention bound — the event-time TTL of
+      // Streaming.onlineSpanDupEvidence exercised as gate evidence
+      // (the d74 convention: the scale knob must bind on the fixture,
+      // not just exist in code). Batches carry event times 400 s apart
+      // and retention is 100 s, so fingerprint state survives exactly
+      // one batch gap: the cleanup micro-batch after batch b runs at
+      // watermark ts(b)-100s, which passes a key's timeout ts(t)+100s
+      // iff b-t > 0.5 — any key NOT refreshed in batch t+1 is evicted
+      // before batch t+2's data arrives. An occurrence is therefore
+      // excised iff its previous occurrence (in (batch, doc, pos)
+      // arrival order — dup or not, every arrival refreshes the
+      // timeout) is at most ONE batch older; an aged-out span is
+      // first-seen AGAIN, the documented retention trade. The oracle
+      // replays exactly that rule with a lag(batch) window in place of
+      // st26's unconditional rn>1 marking.
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val all = docs(s, d).select("doc_id", "text")
+      val mem = MemoryStream[(Long, Int, String, java.sql.Timestamp)]
+      val evidence = graft.streaming.Streaming.onlineSpanDupEvidence(
+        mem.toDF().toDF("id", "batch", "text", "ts"), window = 8,
+        retention = Some("100 seconds"))
+      s.catalog.dropTempView("st27_tbl")
+      graft.streaming.Streaming.withShufflePartitions(s, 8) {
+        val q = evidence.toDF().writeStream.format("memory")
+          .queryName("st27_tbl").outputMode("append").start()
+        try {
+          val base = 1700000000000L // fixed epoch: determinism, not wall time
+          val rows = all
+            .select(col("doc_id"), pmod(col("doc_id"), lit(4)).cast("int"), col("text"))
+            .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+          (0 until 4).foreach { b => // fixture harness: 500 rows at gate SF
+            mem.addData(rows.filter(_._2 == b).sortBy(_._1)
+              .map(t => (t._1, t._2, t._3,
+                new java.sql.Timestamp(base + b * 400000L))).toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      // the bound must BIND: strictly fewer dup occurrences than the
+      // no-TTL first-arrival rule would mark — i.e. at least one span
+      // aged out and was treated as first-seen again
+      val ttlDups = s.table("st27_tbl").count()
+      val noTtlDups = Dedup.spanWindowRows(all, "doc_id", "text", 8)
+        .groupBy("__fp").agg(count(lit(1)).as("__c")).where(col("__c") >= 2)
+        .agg(sum(col("__c") - 1)).head().getLong(0)
+      require(ttlDups > 0 && ttlDups < noTtlDups,
+        s"retention did not bind on the fixture: ttl=$ttlDups no-ttl=$noTtlDups")
+      Dedup.spanExcise(all, "doc_id", "text", window = 8,
+          dupOcc = s.table("st27_tbl")
+            .select(col("id").as("doc_id"), col("pos").as("__pos")))
+        .orderBy("doc_id")
+    }),
+
     "st10_stream_merge" -> ((s, d) => {
       // streaming twin of d44: the same change log folds into keyed
       // state across two deterministic micro-batches (batch 0 = the
@@ -7436,6 +7492,53 @@ object SparkEntry {
                ORDER BY doc_id % 4, doc_id, pos) AS rn
            FROM winf),
          dup AS (SELECT doc_id, pos, pos + 7 AS e FROM marked WHERE rn > 1),
+         isl AS (SELECT doc_id, pos, e,
+             CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -2) + 1 THEN 1 ELSE 0 END AS brk FROM dup),
+         gid AS (SELECT doc_id, pos, e,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl),
+         spans AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e
+           FROM gid GROUP BY doc_id, g),
+         rem AS (SELECT doc_id, sum(e - s + 1) AS removed
+           FROM spans GROUP BY doc_id),
+         tokrows AS (SELECT doc_id, unnest(range(0, n)) AS ti, tk FROM base),
+         tok2 AS (SELECT doc_id, ti, tk[ti+1] AS tok FROM tokrows),
+         keptt AS (SELECT t.doc_id, t.ti, t.tok FROM tok2 t
+           LEFT JOIN spans s ON t.doc_id = s.doc_id AND t.ti BETWEEN s.s AND s.e
+           WHERE s.doc_id IS NULL),
+         re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS trimmed
+           FROM keptt GROUP BY doc_id)
+         SELECT base.doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(coalesce(rem.removed, 0) AS BIGINT) AS n_removed,
+           coalesce(re.trimmed, '') AS text_trimmed
+         FROM base LEFT JOIN rem USING (doc_id) LEFT JOIN re USING (doc_id)
+         ORDER BY base.doc_id""",
+
+    // st26's construction with the retention rule spliced into the dup
+    // marking: an occurrence is excised iff its PREVIOUS occurrence in
+    // arrival order (batch = doc_id % 4, doc_id, pos) is at most one
+    // batch older — the exact eviction boundary of the 400 s batch
+    // spacing vs 100 s retention (see the gate comment). Everything
+    // after the marking (island merge, excision, reassembly) is st26's
+    // text verbatim.
+    "st27_stream_span_ttl" ->
+      """WITH b AS (SELECT doc_id,
+             string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS tk
+           FROM documents),
+         base AS (SELECT doc_id, tk, len(tk) AS n FROM b),
+         wins AS (SELECT doc_id, unnest(range(0, greatest(n - 7, 0))) AS pos, tk
+           FROM base),
+         winf AS (SELECT doc_id, pos,
+             md5(array_to_string(tk[pos+1:pos+8], ' ')) AS fp FROM wins),
+         lagb AS (SELECT doc_id, pos,
+             CAST(doc_id % 4 AS INTEGER) AS bt,
+             lag(CAST(doc_id % 4 AS INTEGER)) OVER (PARTITION BY fp
+               ORDER BY doc_id % 4, doc_id, pos) AS pbt
+           FROM winf),
+         dup AS (SELECT doc_id, pos, pos + 7 AS e FROM lagb
+           WHERE pbt IS NOT NULL AND bt - pbt <= 1),
          isl AS (SELECT doc_id, pos, e,
              CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id
                ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
