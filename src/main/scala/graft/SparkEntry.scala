@@ -1325,6 +1325,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d75_semantic_decontaminate" -> ((s, d) => {
+      // Embedding-space decontamination: the n-gram paths (d23/d33)
+      // catch verbatim leaks; this drops corpus rows COSINE-near any
+      // eval-suite embedding, the semantic leak audit. Eval here = 22
+      // simulated leaked items at sf0.01: the vec_id % 23 draw scaled
+      // by 2 — cosine is scale-invariant, so each eval vector scores
+      // EXACTLY 1.0 against its leaked source while the corpus's
+      // highest cross cosine is 0.477 at any SF — tau 0.99 sits a
+      // numerically bulletproof 0.51 margin from the nearest
+      // non-planted value (measured across sf0.001/0.01/0.1). Eval
+      // side broadcast; the anti-join is a BroadcastNestedLoopJoin
+      // over ONE corpus scan — zero shuffle at any corpus size.
+      val e = emb(s, d)
+      val evalSet = e.filter(col("vec_id") % 23 === 0)
+        .select(transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      Decontamination.semanticDecontaminate(e, evalSet, "embedding", tau = 0.99)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    }),
+
     "d24_repetition" -> ((s, d) =>
       // Gopher-style repetition quality signals (Rae et al. 2021
       // §A.1.1): duplicate word-3gram fraction and top word-2gram
@@ -3021,6 +3041,21 @@ object SparkEntry {
     // ---------------- corpus curation battery (beyond-reference:
     // C4 page rules, per-domain caps, MERGE maintenance, Zipf health,
     // embedding outliers) ----------------
+    "d76_c4_badwords" -> ((s, d) => {
+      // C4's word-blocklist page rule (the §2.2 battery member d42
+      // doesn't carry): any case-folded token on the list drops the
+      // whole page. Fixture list = {"dup", "leak"}: 'dup' binds on 25
+      // of 500 docs at the gate SF (a rare-word split, not a
+      // degenerate wipe), 'leak' never occurs (the no-match member).
+      // The real pipeline's external list is injectable through the
+      // same parameter — the documented zero-egress substitution.
+      docs(s, d)
+        .select(col("doc_id"),
+          TextFunctions.c4BadwordKeep(col("text"), Seq("dup", "leak"))
+            .as("c4_badword_keep"))
+        .orderBy("doc_id")
+    }),
+
     "d42_c4_filters" -> ((s, d) => {
       // C4 cleaning battery (Raffel et al. 2020 §2.2): terminal-
       // punctuation + min-words line rule, brace / lorem-ipsum page
@@ -5654,6 +5689,18 @@ object SparkEntry {
            round(exp(-(lsum / (n - 1))), 4) AS ppl
          FROM scored ORDER BY doc_id"""),
 
+    // the planted leaks (vec_id % 23 scaled by 2) score cosine 1.0
+    // exactly; the highest non-planted cross cosine is 0.477 at any
+    // SF, so the 0.99 cut is 0.51 from the nearest value on either
+    // side — float-path differences between engines cannot flip it
+    "d75_semantic_decontaminate" ->
+      """WITH ev AS (SELECT list_transform(embedding, x -> x * 2) AS ev
+           FROM embeddings WHERE vec_id % 23 = 0)
+         SELECT vec_id, label FROM embeddings c
+         WHERE NOT EXISTS (SELECT 1 FROM ev
+           WHERE list_cosine_similarity(ev.ev, c.embedding) >= 0.99)
+         ORDER BY vec_id""",
+
     // d34's LM CTEs + the d47-style rank-filter tercile mirror; the
     // bucket CASE compares the 4dp-rounded ppl both engines share.
     "d50_ppl_buckets" -> (bigramPplOracleCtes +
@@ -6833,6 +6880,13 @@ object SparkEntry {
     // Same 24-char-slice line synth as the Spark side (CASE precedence:
     // brace line 2 / lorem line 3 override the %3 punctuation rule);
     // the C4 battery itself is the filter + the two page flags.
+    "d76_c4_badwords" ->
+      """SELECT doc_id,
+           NOT list_has_any(
+             string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+             ['dup', 'leak']) AS c4_badword_keep
+         FROM documents ORDER BY doc_id""",
+
     "d42_c4_filters" ->
       """WITH l AS (SELECT doc_id,
              list_transform(range(1, 7), i ->

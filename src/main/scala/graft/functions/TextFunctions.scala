@@ -325,4 +325,21 @@ object TextFunctions {
   def c4DocFlags(lines: Column): Column = struct(
     exists(lines, l => instr(l, "{") > 0).as("has_brace"),
     lower(array_join(lines, "\n")).contains("lorem ipsum").as("has_lorem"))
+
+  /** C4 word-blocklist page rule (Raffel et al. 2020 §2.2): a page is
+    * dropped wholesale if ANY of its case-folded whitespace tokens is
+    * on the blocklist. The published pipeline uses the external "List
+    * of Dirty, Naughty, Obscene..." file; the list is a parameter here
+    * (injectable exactly like the LID artifact seam) and the gates use
+    * a committed fixture list — the documented zero-egress
+    * substitution. Pure codegen'd Column (lower → split →
+    * arrays_overlap against the literal array): zero shuffle, and the
+    * blocklist ships inside the expression, so at any corpus size the
+    * cost is one token-set membership pass per row. Returns TRUE when
+    * the page is KEPT (no blocklisted token). Null text keeps (no
+    * tokens to match), mirroring the other per-row judges. */
+  def c4BadwordKeep(text: Column, badwords: Seq[String]): Column =
+    !arrays_overlap(
+      split(regexp_replace(trim(lower(coalesce(text, lit("")))), "\\s+", " "), " "),
+      lit(badwords.map(_.toLowerCase).toArray))
 }

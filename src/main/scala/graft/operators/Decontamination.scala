@@ -141,6 +141,33 @@ object Decontamination {
     corpus.join(bad, Seq(idCol), "left_anti") // AQE broadcasts when small
   }
 
+  /** SEMANTIC decontamination — the embedding-space member of this
+    * file's hygiene family: drop every corpus row whose embedding has
+    * cosine >= `tau` to ANY eval-suite embedding. The n-gram paths
+    * above catch verbatim and near-verbatim leaks; an eval item that
+    * was paraphrased into the corpus shares no 13-gram but still sits
+    * next to its source in embedding space, which is how the
+    * open-data pipelines audit test-set leakage semantically.
+    *
+    * Scale shape: the eval side is benchmark-sized (KBs..MBs of
+    * vectors) and is force-BROADCAST; the anti-join's cosine
+    * predicate lowers to a BroadcastNestedLoopJoin(anti), so the
+    * corpus is scanned exactly once and never shuffled — per-row cost
+    * is |eval| codegen'd dot products with early-out on the first
+    * match, the same per-row shape as the brute-force ANN scan
+    * (`Similarity.bruteForceTopK`) that e01 gates. For eval suites
+    * too large to broadcast, pre-reduce them with
+    * [[graft.operators.Similarity.kmeansFit]] cells or an LSH prefilter
+    * before calling this — tau against cell centroids bounds the
+    * corpus-side work the same way IVF bounds the probe. */
+  def semanticDecontaminate(corpus: DataFrame, evalVecs: DataFrame,
+                            vecCol: String, tau: Double): DataFrame = {
+    val ev = broadcast(evalVecs.select(col(vecCol).as("__ev_vec")))
+    corpus.join(ev,
+      graft.operators.Similarity.cosine(col(vecCol), col("__ev_vec")) >= tau,
+      "left_anti")
+  }
+
   /** The full Gopher document-quality gate (Rae et al. 2021 §A.1.1),
     * composing the published rule set into per-row signal columns and
     * one ordered short-circuit judge — the same judge shape as the

@@ -43,6 +43,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(flags(Seq("x {", "lorem ipsum")) === ((true, true)))
   }
 
+  test("c4BadwordKeep drops any-match pages case-insensitively, keeps null/empty") {
+    def keep(t: Option[String], bw: Seq[String] = Seq("bad", "worse")): Boolean =
+      Seq(Tuple1(t)).toDF("text")
+        .select(TextFunctions.c4BadwordKeep(col("text"), bw).as("k"))
+        .head().getBoolean(0)
+    assert(keep(Some("all clean words here")))
+    assert(!keep(Some("one bad word")))
+    assert(!keep(Some("shouting WORSE still matches")))  // case-folded
+    assert(keep(Some("badge isn't bad")) === false)      // exact token 'bad' present
+    assert(keep(Some("badge alone is fine")))            // substring does NOT match
+    assert(keep(Some("  spaced\t\ttokens   ok  ")))      // whitespace flattening
+    assert(keep(None))                                   // null text keeps
+    assert(keep(Some("")))                               // empty keeps
+    assert(keep(Some("MiXeD BaD"), Seq("BAD")) === false) // list case-folded too
+  }
+
   // ---------------- MERGE upsert ----------------
 
   private def baseDf = Seq(

@@ -137,4 +137,34 @@ class DecontaminationSpec extends SparkSpec {
     assert(r(0).schema.fieldNames.toSeq ===
       Seq("doc_id", "text", "dup_3gram_frac", "top_2gram_frac"))
   }
+
+  test("semanticDecontaminate drops cosine-near rows, keeps the rest, invariant to partitioning") {
+    // corpus: 1/2 colinear with eval (scaled copies -> cosine 1.0),
+    // 3 orthogonal, 4 anti-parallel (cosine -1), 5 ~0.707 to eval A
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 3.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 2.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f)),
+      (5L, Array(1.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val evalSet = Seq(
+      Tuple1(Array(2.0f, 0.0f, 0.0f)),   // A: catches 1 (cosine 1.0)
+      Tuple1(Array(0.0f, 0.5f, 0.0f))    // B: catches 2 (cosine 1.0)
+    ).toDF("embedding")
+    def kept(c: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Decontamination.semanticDecontaminate(c, evalSet, "embedding", tau = 0.9)
+        .select("vec_id").orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(kept(corpus) === Seq(3L, 4L, 5L))
+    assert(kept(corpus.repartition(7)) === Seq(3L, 4L, 5L))
+    // tau above every cross cosine: nothing dropped
+    val all = Decontamination.semanticDecontaminate(
+      corpus, evalSet.limit(1), "embedding", tau = 1.5).count()
+    assert(all === 5L)
+    // tau 0.7: eval A additionally catches 5 (cos = 1/sqrt(2) ~ .7071)
+    assert(Decontamination.semanticDecontaminate(
+        corpus, evalSet, "embedding", tau = 0.7)
+      .select("vec_id").orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+      === Seq(3L, 4L))
+  }
 }
