@@ -125,13 +125,23 @@ object ScaleProbe {
       val cents = emb1.filter(pmod(col("vec_id"), lit(31)) === 7)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
         .localCheckpoint(true)
+      // d75's shape: eval suite FIXED (benchmark-sized by nature),
+      // corpus replicated — the broadcast anti-join should scale with
+      // the single corpus scan, nothing else
+      val evalSet = emb1.filter(col("vec_id") % 23 === 0)
+        .select(transform(col("embedding"),
+          x => x * lit(2.0f)).as("embedding"))
+        .localCheckpoint(true)
       val annOps = Seq(
         "ivfTopK k=5 probe=8" -> ((c: DataFrame) =>
           Similarity.ivfTopK(q20, c, "vec_id", "vec_id", "embedding",
             5, nCentroids = 16, nProbe = 8).count()),
         "ivfPqTopK m=8 probe=2" -> ((c: DataFrame) =>
           Similarity.ivfPqTopK(q20, c, "vec_id", "vec_id", "embedding",
-            cents, m = 8, k = 5, nProbe = 2).count())
+            cents, m = 8, k = 5, nProbe = 2).count()),
+        "semanticDecon tau=.99" -> ((c: DataFrame) =>
+          graft.operators.Decontamination.semanticDecontaminate(
+            c, evalSet, "embedding", tau = 0.99).count())
       )
       annOps.foreach { case (name, op) =>
         val t1 = time(s"$name 1x")(op(emb1))
