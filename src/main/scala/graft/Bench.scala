@@ -103,6 +103,11 @@ object Bench {
     def canaryRead(): Double = math.min(canaryOnce(), canaryOnce())
     canaryOnce() // codegen warm-up, discarded
     var canaryMin = (1 to 3).map(_ => canaryOnce()).min
+    // every post-row reading goes through this so the reading rule and
+    // the canaryMin bookkeeping live in exactly one place
+    def canaryReadTracked(): Double = {
+      val c = canaryRead(); canaryMin = math.min(canaryMin, c); c
+    }
     // Ratio AND absolute floor: at local[32] the canary runs ~35 ms and
     // 15-20 ms of scheduler/GC jitter is routine on a VERIFIED idle
     // machine — a pure 1.5x threshold flagged 84/240 rows and the
@@ -116,11 +121,11 @@ object Bench {
     // returns the last canary reading after waiting (bounded) for an
     // un-contended window; every reading can only LOWER canaryMin
     def awaitClearWindow(): Double = {
-      var c = canaryRead(); canaryMin = math.min(canaryMin, c)
+      var c = canaryReadTracked()
       var tries = 0
       while (contendedAt(c) && tries < 8) {
         Thread.sleep(1000L)
-        c = canaryRead(); canaryMin = math.min(canaryMin, c); tries += 1
+        c = canaryReadTracked(); tries += 1
       }
       c
     }
@@ -138,7 +143,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       var t = bestOfAdaptive(() => run())
-      val cPost = { val c = canaryRead(); canaryMin = math.min(canaryMin, c); c }
+      val cPost = canaryReadTracked()
       if (contendedAt(cPost) && t > 1.0) {
         // a heavy row closed in a contended window: its value may be
         // inflated even if both adaptive windows agreed — re-measure
@@ -181,7 +186,7 @@ object Bench {
     def bestOf3Guarded(name: String)(run: () => Double): Double = {
       awaitClearWindow()
       var v = bestOf3(run)
-      val cPost = { val c = canaryRead(); canaryMin = math.min(canaryMin, c); c }
+      val cPost = canaryReadTracked()
       if (contendedAt(cPost)) {
         val cRetry = awaitClearWindow()
         v = math.min(v, run())
@@ -383,7 +388,7 @@ object Bench {
       // post canary, or its trailing GC self-flags the row
       spark.catalog.clearCache()
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-      val cPipePost = { val c = canaryRead(); canaryMin = math.min(canaryMin, c); c }
+      val cPipePost = canaryReadTracked()
       if (contendedAt(cPipePre) && contendedAt(cPipePost)) contendedRows += "pipeline_e2e"
       val byStep = stats.map(s => s.step -> s).toMap
       val directJudgeOk = spark.read.parquet(s"$sfDir/documents.parquet")

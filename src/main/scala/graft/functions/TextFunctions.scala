@@ -341,5 +341,8 @@ object TextFunctions {
   def c4BadwordKeep(text: Column, badwords: Seq[String]): Column =
     !arrays_overlap(
       split(regexp_replace(trim(lower(coalesce(text, lit("")))), "\\s+", " "), " "),
-      lit(badwords.map(_.toLowerCase).toArray))
+      // Locale.ROOT: Spark's lower() is locale-independent; folding the
+      // list with the JVM default locale would mismatch it (tr_TR folds
+      // "KILL" to dotless-i "kıll" and the blocklisted page survives)
+      lit(badwords.map(_.toLowerCase(java.util.Locale.ROOT)).toArray))
 }

@@ -177,23 +177,31 @@ object Streaming {
     val timeoutConf =
       if (retention.isDefined) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()
+    // state carries (members, maxTsSeen): GroupState DROPS a pending
+    // timeout on every invocation unless it is re-set, so the timeout
+    // base must be recoverable from state — otherwise a batch whose
+    // arrivals all have null ts would clear the key's eviction and
+    // make its state immortal. maxTsSeen is monotone, so a late
+    // (smaller-ts) arrival can never SHRINK the promised lifetime
+    // ("retention behind the latest arrival") either.
     bandDs.groupByKey(r => (r.band_id, r.band_hash))
-      .flatMapGroupsWithState[Seq[Long], CollisionEvidence](
+      .flatMapGroupsWithState[(Seq[Long], Long), CollisionEvidence](
         OutputMode.Append(), timeoutConf) {
-        case (_, rows, state: GroupState[Seq[Long]]) =>
+        case (_, rows, state: GroupState[(Seq[Long], Long)]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var members = state.getOption.getOrElse(Seq.empty[Long]).toVector
+            val (members0, maxTs0) = state.getOption.getOrElse((Seq.empty[Long], Long.MinValue))
+            var members = members0.toVector
             val out = Vector.newBuilder[CollisionEvidence]
             val arr = rows.toVector.sortBy(r => (r.batch, r.id))
             arr.foreach { a =>
               members.foreach(m => out += CollisionEvidence(a.id, m))
               if (members.size < maxState) members = members :+ a.id
             }
-            state.update(members)
+            val maxTs = (maxTs0 +: arr.flatMap(_.ts.map(_.getTime))).max
+            state.update((members, maxTs))
             retention.foreach { r =>
-              val times = arr.flatMap(_.ts.map(_.getTime))
-              if (times.nonEmpty) state.setTimeoutTimestamp(times.max, r)
+              if (maxTs != Long.MinValue) state.setTimeoutTimestamp(maxTs, r)
             }
             out.result().iterator
           }
@@ -260,23 +268,29 @@ object Streaming {
     wins.groupByKey { r =>
       val bb = java.nio.ByteBuffer.wrap(r.fp); (bb.getLong, bb.getLong)
     }
-      .flatMapGroupsWithState[Boolean, SpanDup](
+      .flatMapGroupsWithState[(Boolean, Long), SpanDup](
         OutputMode.Append(), timeoutConf) {
-        case (_, rows, state: GroupState[Boolean]) =>
+        case (_, rows, state: GroupState[(Boolean, Long)]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var seen = state.getOption.getOrElse(false)
+            // state = (seen, maxTsSeen): GroupState drops a pending
+            // timeout on every invocation unless re-set, so the
+            // timeout base must live IN the state — a batch of
+            // null-ts arrivals would otherwise clear the key's
+            // eviction and make it immortal; monotone maxTsSeen also
+            // keeps a late smaller-ts arrival from shrinking the
+            // promised "retention behind the latest arrival"
+            val (seen0, maxTs0) = state.getOption.getOrElse((false, Long.MinValue))
+            var seen = seen0
             val out = Vector.newBuilder[SpanDup]
             val arr = rows.toVector.sortBy(r => (r.batch, r.id, r.pos))
             arr.foreach { a =>
               if (seen) out += SpanDup(a.id, a.pos) else seen = true
             }
-            state.update(true)
+            val maxTs = (maxTs0 +: arr.flatMap(_.ts.map(_.getTime))).max
+            state.update((true, maxTs))
             retention.foreach { r =>
-              // null-ts arrivals (shouldn't occur under a watermark)
-              // simply don't extend the key's lifetime
-              val times = arr.flatMap(_.ts.map(_.getTime))
-              if (times.nonEmpty) state.setTimeoutTimestamp(times.max, r)
+              if (maxTs != Long.MinValue) state.setTimeoutTimestamp(maxTs, r)
             }
             out.result().iterator
           }

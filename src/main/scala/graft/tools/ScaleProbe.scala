@@ -33,6 +33,10 @@ object ScaleProbe {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(8)
     val suite = args.lift(2).getOrElse("dedup")
+    // fail fast on a typo'd suite name: otherwise the expensive corpus
+    // replication runs and the probe exits having measured nothing
+    require(Set("dedup", "ann", "stream", "all")(suite),
+      s"unknown suite '$suite' (expected dedup | ann | stream | all)")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")

@@ -286,6 +286,40 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((2L, 0), (2L, 1)), s"unexpected evidence: $rows")
   }
 
+  test("span-filter retention survives a null-ts batch (timeout re-set from state)") {
+    // GroupState drops a pending timeout on every invocation unless it
+    // is re-set; a batch whose arrivals all carry null event time used
+    // to clear the key's eviction and make its state immortal. The
+    // timeout base now lives in the state (monotone maxTsSeen), so the
+    // seeded fingerprint must still age out.
+    implicit val sq = spark.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val mem = MemoryStream[(Long, Int, String, Timestamp)]
+    val evidence = Streaming.onlineSpanDupEvidence(
+      mem.toDF().toDF("id", "batch", "text", "ts"),
+      window = 3, retention = Some("5 seconds"))
+    spark.catalog.dropTempView("span_ttl_null")
+    val q = evidence.toDF().writeStream.format("memory")
+      .queryName("span_ttl_null").outputMode("append").start()
+    try {
+      mem.addData((1L, 0, "a b c", ts(10)))  // seed: 1 fingerprint
+      q.processAllAvailable()
+      mem.addData((2L, 1, "a b c", null))    // null-ts dup arrival
+      q.processAllAvailable()
+      mem.addData((3L, 2, (1 to 8).map(i => s"flood$i").mkString(" "), ts(1000)))
+      q.processAllAvailable()
+      // the seeded fingerprint must be EVICTED despite the null-ts
+      // batch: only the flood's 6 fingerprints survive
+      val alive = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(alive == 6L, s"expected seed evicted after flood, got $alive state rows")
+      mem.addData((4L, 3, "a b c", ts(1010))) // first-seen again: no evidence
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("span_ttl_null").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows == Set((2L, 0)), s"unexpected evidence: $rows")
+  }
+
   test("collision-evidence retention evicts aged band buckets (event-time TTL)") {
     implicit val sq = spark.sqlContext
     def ts(s: Long) = new Timestamp(s * 1000L)
