@@ -2645,6 +2645,65 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "st28_stream_decontaminate" -> ((s, d) => {
+      // decontamination deployed on the ingest stream (the st06
+      // design/apply split): the eval-gram set — benchmark-sized by
+      // nature — is computed ONCE from the static eval suite, reduced
+      // to a sorted literal array + a bloom sketch; the stream is
+      // flagged by the STATELESS two-stage overlapFlag (might_contain
+      // exists-guard first, exact array_intersect only on bloom
+      // survivors). No join, no state — micro-batch boundaries cannot
+      // move a per-row flag, and the bloom must be invisible in the
+      // output (exact verify kills false positives) or this row
+      // hash-fails against d23-shaped SQL on the % 101 = 1 split.
+      val all = docs(s, d)
+      val evalDocs = all.filter(col("doc_id") % 101 === 1)
+      val evalG = Decontamination.evalGrams(evalDocs, "text", n = 5)
+      val hashes = evalG.collect().map(_.getLong(0))
+      val bloom = Decontamination.gramBloom(evalG, "gram",
+        expectedItems = 10000L, numBits = 80000L)
+      s.catalog.dropTempView("st28_tbl")
+      val stream = graft.streaming.Streaming
+        .parquetStream(s, stageTableDir(d, "documents"), all.schema)
+      val flagged = Decontamination.overlapFlag(stream, "doc_id", "text",
+        n = 5, hashes, Some(bloom))
+      graft.streaming.Streaming.runToMemory(flagged, "st28_tbl",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table("st28_tbl").orderBy("doc_id")
+    }),
+
+    "st29_stream_preference_pairs" -> ((s, d) => {
+      // k12 on the response stream: per-prompt chosen/rejected as a
+      // STREAMING aggregation — max/min structs and a count are
+      // arrival-order-insensitive and merge associatively, so the
+      // state store holds exactly two structs + a long per prompt and
+      // the complete-mode result equals the batch run no matter how
+      // micro-batches slice the responses. The margin/min-size gate
+      // is applied on the drained table (a filter can't run above a
+      // complete-mode agg inside the stream); oracle shared with k12
+      // verbatim.
+      val all = docs(s, d)
+      s.catalog.dropTempView("st29_tbl")
+      val stream = graft.streaming.Streaming
+        .parquetStream(s, stageTableDir(d, "documents"), all.schema)
+        .select((col("doc_id") % 97).as("prompt_id"), col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("q"))
+        .groupBy("prompt_id").agg(
+          max(struct(col("q").as("s"), col("doc_id").as("i"))).as("ch"),
+          min(struct(col("q").as("s"), col("doc_id").as("i"))).as("rj"),
+          count(lit(1)).as("n"))
+      graft.streaming.Streaming.runToMemory(stream, "st29_tbl",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      s.table("st29_tbl")
+        .where(col("n") >= 2 && (col("ch.s") - col("rj.s")) >= 0.05)
+        .select(col("prompt_id"),
+          col("ch.i").as("chosen_id"), col("rj.i").as("rejected_id"),
+          round(col("ch.s"), 6).as("chosen_score"),
+          round(col("rj.s"), 6).as("rejected_score"),
+          round(col("ch.s") - col("rj.s"), 6).as("margin"))
+        .orderBy("prompt_id")
+    }),
+
     "st27_stream_span_ttl" -> ((s, d) => {
       // st26 with a BINDING retention bound — the event-time TTL of
       // Streaming.onlineSpanDupEvidence exercised as gate evidence
@@ -3020,6 +3079,23 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "k12_preference_pairs" -> ((s, d) => {
+      // DPO/RLHF preference-pair prep (Rafailov et al. 2023): prompts
+      // = doc_id % 97 buckets, reward = the d06 quality scalar; per
+      // prompt, chosen/rejected = the (score, id)-struct argmax/argmin
+      // with a 0.05 margin gate (near-tied pairs are noise). ONE
+      // shuffle — the max/min structs partial-aggregate map-side, so
+      // each partition ships at most one candidate pair per prompt no
+      // matter how many responses a prompt has; no window, no
+      // per-group sort.
+      val scored = docs(s, d).select(
+        (col("doc_id") % 97).as("prompt_id"), col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      Ranking.preferencePairs(scored, "prompt_id", col("q"), "doc_id",
+          minMargin = 0.05)
+        .orderBy("prompt_id")
+    }),
+
     "d46_train_order" -> ((s, d) => {
       // deterministic global training-order shuffle + shard layout (the
       // write plan for the sharded sinks): order key = md5(doc_id), the
@@ -3053,6 +3129,24 @@ object SparkEntry {
         .select(col("doc_id"),
           TextFunctions.c4BadwordKeep(col("text"), Seq("dup", "leak"))
             .as("c4_badword_keep"))
+        .orderBy("doc_id")
+    }),
+
+    "d77_trigram_backoff_ppl" -> ((s, d) => {
+      // Stupid-backoff trigram scoring (Brants et al. 2007) — the
+      // distributed-LM counterpart of d34's smoothed bigram: backoff
+      // scores need NO normalization pass, so the count tables build
+      // in one vocab-collapsed shuffle per order at any corpus size.
+      // The LM trains on the EVEN doc_ids and scores ALL docs, so the
+      // held-out half demonstrably exercises every backoff level
+      // (seen trigram / 0.4-discounted bigram / add-one unigram
+      // floor); scoring is the same zero-shuffle position-order fold
+      // as d34 — one hashed-table codegen expression per row.
+      val all = docs(s, d)
+      val lm = TextAnalysis.trainBackoffLm(
+        all.filter(col("doc_id") % 2 === 0), "text", vocabSize = 64)
+      TextAnalysis.backoffPerplexity(all.select("doc_id", "text"), "text", lm)
+        .select("doc_id", "n_trigrams", "avg_logp", "ppl")
         .orderBy("doc_id")
     }),
 
@@ -4369,6 +4463,24 @@ object SparkEntry {
       a.join(b, "user_id").where(col("type_a") < col("type_b"))
         .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_users"))
         .orderBy("type_a", "type_b")
+    }),
+
+    "g06_label_propagation" -> ((s, d) => {
+      // community detection over g01/g03's deterministic host graph:
+      // 3 synchronous LPA rounds (Raghavan et al. 2007) with the
+      // total-order vote tiebreak (max weighted vote, then smallest
+      // label) that makes the run partition-count-reproducible — the
+      // classic random-tie/async variant is neither. Per round: one
+      // label-onto-edges join + two partial-agg vote aggregations, no
+      // window; the oracle unrolls the identical 3 rounds as CTE
+      // blocks with row_number replaying the (votes DESC, lbl ASC)
+      // argmax.
+      val edges = docs(s, d).select(
+        concat(lit("h"), (col("doc_id") % 37).cast("string")).as("src"),
+        concat(lit("h"), ((col("doc_id") * 7) % 41).cast("string")).as("dst"),
+        ((col("doc_id") % 5) + 1).as("w"))
+      LabelPropagation.run(edges, weightCol = Some("w"), iterations = 3)
+        .orderBy("node")
     }),
 
     "ev21_resample_ffill" -> ((s, d) => {
@@ -6871,6 +6983,15 @@ object SparkEntry {
            CAST(coalesce(distinct_chunks, 0) AS BIGINT) AS distinct_chunks
          FROM inc LEFT JOIN dc USING (source) ORDER BY inc.source""",
 
+    // k12's struct argmax/argmin replayed as deterministic windows:
+    // chosen rn=1 by (q DESC, id DESC), rejected rn=1 by (q ASC, id
+    // ASC) — exactly the (score, id) lexicographic tie policy. The
+    // streaming deployment (st29) must land on the same pairs — max/
+    // min structs are arrival-order-insensitive — so one string
+    // serves both keys (the ev09/st09 convention).
+    "k12_preference_pairs" -> preferencePairsOracleSql,
+    "st29_stream_preference_pairs" -> preferencePairsOracleSql,
+
     // Tokenizer invariant gate: lossless roundtrip and zero unk on every
     // document — byte fallback must cover the full corpus alphabet.
     "k02_bpe_roundtrip" ->
@@ -6886,6 +7007,61 @@ object SparkEntry {
              string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
              ['dup', 'leak']) AS c4_badword_keep
          FROM documents ORDER BY doc_id""",
+
+    // d34's CTE conventions with the stupid-backoff three-level CASE;
+    // the count CTEs see only the even-doc training split, the scoring
+    // fold sees every doc. Every arithmetic expression mirrors the
+    // driver-side StrictMath.log terms token-for-token.
+    "d77_trigram_backoff_ppl" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         tr AS (SELECT toks FROM t WHERE doc_id % 2 = 0),
+         uni AS (SELECT w, count(*) AS c
+           FROM (SELECT unnest(toks) AS w FROM tr) GROUP BY w),
+         vocab AS (SELECT w, c FROM uni ORDER BY c DESC, w LIMIT 64),
+         stats AS (SELECT (SELECT sum(c) FROM uni) AS n,
+                          (SELECT sum(c) FROM uni) - (SELECT sum(c) FROM vocab) AS unk_c,
+                          (SELECT count(*) FROM vocab) AS v),
+         vm AS (SELECT map_from_entries(list({'k': w, 'v': c} ORDER BY w)) AS m FROM vocab),
+         tmr AS (SELECT list_transform(toks, x -> CASE WHEN len(map_extract(m, x)) > 0
+               THEN x ELSE chr(1) END) AS tu
+           FROM tr, vm),
+         big AS (SELECT bg, count(*) AS c FROM
+             (SELECT unnest(list_transform(range(1, len(tu)),
+                i -> tu[i] || ' ' || tu[i+1])) AS bg FROM tmr)
+           GROUP BY bg),
+         bm AS (SELECT map_from_entries(list({'k': bg, 'v': c} ORDER BY bg)) AS bmap FROM big),
+         tri AS (SELECT tg, count(*) AS c FROM
+             (SELECT unnest(list_transform(range(1, len(tu) - 1),
+                i -> tu[i] || ' ' || tu[i+1] || ' ' || tu[i+2])) AS tg
+              FROM tmr WHERE len(tu) >= 3)
+           GROUP BY tg),
+         trm AS (SELECT map_from_entries(list({'k': tg, 'v': c} ORDER BY tg)) AS tmap FROM tri),
+         tm AS (SELECT doc_id, list_transform(toks, x -> CASE WHEN len(map_extract(m, x)) > 0
+               THEN x ELSE chr(1) END) AS tu
+           FROM t, vm),
+         scored AS (
+           SELECT doc_id, len(tu) AS nt,
+             CASE WHEN len(tu) >= 3 THEN
+               list_reduce(list_transform(range(2, len(tu)), i ->
+                 CASE WHEN len(map_extract(tmap, tu[i-1] || ' ' || tu[i] || ' ' || tu[i+1])) > 0
+                   THEN ln(CAST(map_extract(tmap, tu[i-1] || ' ' || tu[i] || ' ' || tu[i+1])[1] AS DOUBLE)
+                         / CAST(map_extract(bmap, tu[i-1] || ' ' || tu[i])[1] AS DOUBLE))
+                 WHEN len(map_extract(bmap, tu[i] || ' ' || tu[i+1])) > 0
+                   THEN ln(0.4 * (CAST(map_extract(bmap, tu[i] || ' ' || tu[i+1])[1] AS DOUBLE)
+                         / CAST(CASE WHEN tu[i] = chr(1) THEN unk_c
+                                ELSE map_extract(m, tu[i])[1] END AS DOUBLE)))
+                 ELSE ln(0.16 * ((CAST(CASE WHEN tu[i+1] = chr(1) THEN unk_c
+                                  ELSE map_extract(m, tu[i+1])[1] END AS DOUBLE) + 1.0)
+                         / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE) + 1.0)))
+                 END), (a, b) -> a + b)
+             ELSE NULL END AS lsum
+           FROM tm, vm, bm, trm, stats)
+         SELECT doc_id, CAST(greatest(nt - 2, 0) AS BIGINT) AS n_trigrams,
+           round(lsum / (nt - 2), 6) AS avg_logp,
+           round(exp(-(lsum / (nt - 2))), 4) AS ppl
+         FROM scored ORDER BY doc_id""",
 
     "d42_c4_filters" ->
       """WITH l AS (SELECT doc_id,
@@ -7527,6 +7703,28 @@ object SparkEntry {
              AND bit_count(xor(i.sig, n.sig)) <= 2)
          ORDER BY asset_id""",
 
+    // d23's plain SQL on the % 101 = 1 eval split — the stream's flag
+    // is stateless, so the batch overlap report IS the truth; the
+    // bloom prefilter and the literal-array intersect are execution
+    // details the output must not show.
+    "st28_stream_decontaminate" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+           FROM documents),
+         g AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) < 5
+             THEN [array_to_string(ws, ' ')]
+             ELSE list_transform(range(1, len(ws) - 3),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])
+           END) AS grams FROM w),
+         e AS (SELECT DISTINCT gram FROM
+           (SELECT unnest(grams) AS gram FROM g WHERE doc_id % 101 = 1)),
+         c AS (SELECT doc_id, count(*) AS n_overlap FROM
+             (SELECT doc_id, unnest(grams) AS gram FROM g) x
+           JOIN e USING (gram) GROUP BY doc_id)
+         SELECT g.doc_id, coalesce(c.n_overlap, 0) AS n_overlap,
+           coalesce(c.n_overlap, 0) > 0 AS contaminated
+         FROM g LEFT JOIN c USING (doc_id) ORDER BY g.doc_id""",
+
     // x15's construction with the canonical occurrence re-ranked in
     // ARRIVAL order (batch = doc_id % 4, then doc_id, then pos) — the
     // streaming path's first-arrival-wins rule. Everything after the
@@ -8128,6 +8326,36 @@ object SparkEntry {
              THEN 500000 ELSE 0 END) AS BIGINT) AS sum_chars
          FROM documents GROUP BY source ORDER BY source""",
 
+    // the engine's 3 synchronous LPA rounds unrolled: each (v_i,
+    // lab_i) block replays one round — weighted votes from iteration
+    // i-1's labels, argmax by (votes DESC, lbl ASC) via row_number.
+    "g06_label_propagation" ->
+      """WITH e0 AS (SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS src,
+             'h' || CAST((doc_id * 7) % 41 AS VARCHAR) AS dst,
+             (doc_id % 5) + 1 AS w
+           FROM documents),
+         sym AS (SELECT u, v, sum(w) AS w FROM (
+             SELECT src AS u, dst AS v, w FROM e0
+             UNION ALL SELECT dst AS u, src AS v, w FROM e0)
+           WHERE u != v GROUP BY u, v),
+         lab0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+         v1 AS (SELECT s.u, l.lbl, sum(s.w) AS votes
+           FROM sym s JOIN lab0 l ON s.v = l.node GROUP BY s.u, l.lbl),
+         lab1 AS (SELECT u AS node, lbl FROM (SELECT u, lbl,
+             row_number() OVER (PARTITION BY u ORDER BY votes DESC, lbl ASC) AS rn
+           FROM v1) WHERE rn = 1),
+         v2 AS (SELECT s.u, l.lbl, sum(s.w) AS votes
+           FROM sym s JOIN lab1 l ON s.v = l.node GROUP BY s.u, l.lbl),
+         lab2 AS (SELECT u AS node, lbl FROM (SELECT u, lbl,
+             row_number() OVER (PARTITION BY u ORDER BY votes DESC, lbl ASC) AS rn
+           FROM v2) WHERE rn = 1),
+         v3 AS (SELECT s.u, l.lbl, sum(s.w) AS votes
+           FROM sym s JOIN lab2 l ON s.v = l.node GROUP BY s.u, l.lbl),
+         lab3 AS (SELECT u AS node, lbl FROM (SELECT u, lbl,
+             row_number() OVER (PARTITION BY u ORDER BY votes DESC, lbl ASC) AS rn
+           FROM v3) WHERE rn = 1)
+         SELECT node, lbl AS label FROM lab3 ORDER BY node""",
+
     "g05_cooccurrence" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events
            WHERE user_id IS NOT NULL)
@@ -8421,6 +8649,33 @@ object SparkEntry {
               WHEN op = 'U' THEN 'insert' ELSE 'keep' END AS action,
          md5(coalesce(ntext, btext)) AS fp
        FROM m WHERE op IS NULL OR op != 'D' ORDER BY doc_id"""
+
+  /** k12/st29 shared oracle: the batch struct argmax/argmin and the
+    * streaming complete-mode aggregation must land on the SAME pairs
+    * (max/min structs are arrival-order-insensitive), so one string
+    * serves both keys. The windows replay the (score, id)
+    * lexicographic tie policy: chosen rn=1 by (q DESC, id DESC),
+    * rejected rn=1 by (q ASC, id ASC). */
+  private val preferencePairsOracleSql: String =
+    """WITH s AS (SELECT doc_id % 97 AS prompt_id, doc_id,
+           round(greatest(0.0,
+             least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+             + (CAST(length(text) - length(regexp_replace(text, '[A-Za-z一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 0.35
+             + (CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / length(text)) * 0.25
+             + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w\s一-鿿]', '', 'g')) AS DOUBLE) / length(text)) * 2.0, 1.0)) * 0.15), 6) AS q
+           FROM documents),
+         ch AS (SELECT prompt_id, doc_id AS chosen_id, q AS cq FROM
+           (SELECT *, row_number() OVER (PARTITION BY prompt_id
+              ORDER BY q DESC, doc_id DESC) AS rn FROM s) WHERE rn = 1),
+         rj AS (SELECT prompt_id, doc_id AS rejected_id, q AS rq, n FROM
+           (SELECT *, row_number() OVER (PARTITION BY prompt_id
+              ORDER BY q ASC, doc_id ASC) AS rn,
+              count(*) OVER (PARTITION BY prompt_id) AS n FROM s) WHERE rn = 1)
+         SELECT prompt_id, chosen_id, rejected_id,
+           round(cq, 6) AS chosen_score, round(rq, 6) AS rejected_score,
+           round(cq - rq, 6) AS margin
+         FROM ch JOIN rj USING (prompt_id)
+         WHERE n >= 2 AND cq - rq >= 0.05 ORDER BY prompt_id"""
 
   /** ev09/st09 shared oracle (the x07/st05 convention): batch
     * window-chain and streaming keyed-state funnel must land on the

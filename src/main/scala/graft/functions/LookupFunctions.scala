@@ -57,6 +57,26 @@ object LookupFunctions {
       constDef, unkToken))
   }
 
+  /** Σ over token TRIPLES of
+    * `triTable("w1' w2' w3'") orElse biTable("w2' w3'") orElse
+    * uniTable(w3')` with tokens unk-mapped against `vocab` — the
+    * stupid-backoff fold (Brants et al. 2007). `uniTable` must cover
+    * every vocab word plus the unk token, so the final level always
+    * hits. Fewer than three tokens → 0.0 (callers keep their outer
+    * `when(size>=3,...)` null guard); null array → null. */
+  def trigramBackoffLogSum(toks: Column, vocab: Iterable[String],
+                           triTable: Map[String, Double],
+                           biTable: Map[String, Double],
+                           uniTable: Map[String, Double],
+                           unkToken: String): Column = {
+    val tk = triTable.keys.toArray.sorted.toSeq
+    val bk = biTable.keys.toArray.sorted.toSeq
+    val uk = uniTable.keys.toArray.sorted.toSeq
+    ExpressionUtils.column(TrigramBackoffLogSum(ExpressionUtils.expression(toks),
+      vocab.toArray.sorted.toSeq, tk, tk.map(triTable), bk, bk.map(biTable),
+      uk, uk.map(uniTable), unkToken))
+  }
+
   private[functions] def buildSet(keys: Seq[String]): java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String](keys.length * 2)
     keys.foreach(k => s.add(UTF8String.fromString(k)))
@@ -168,4 +188,55 @@ case class BigramLogSum(child: Expression, vocabKeys: Seq[String],
   }
   override protected def withNewChildInternal(c: Expression): BigramLogSum = copy(child = c)
   override def prettyName: String = "bigram_log_sum"
+}
+
+/** See [[LookupFunctions.trigramBackoffLogSum]]. The three levels are
+  * probed longest-context-first per position; accumulation is the same
+  * strict left-to-right position fold as the sibling scorers, so the
+  * result is bit-identical to the SQL `list_reduce` replay. */
+case class TrigramBackoffLogSum(child: Expression, vocabKeys: Seq[String],
+                                triKeys: Seq[String], triValues: Seq[Double],
+                                biKeys: Seq[String], biValues: Seq[Double],
+                                uniKeys: Seq[String], uniValues: Seq[Double],
+                                unkToken: String)
+    extends UnaryExpression with RefEvalCodegen {
+  override def dataType: DataType = DoubleType
+  override protected def javaResultType: String = "Double"
+  @transient private lazy val vocab = LookupFunctions.buildSet(vocabKeys)
+  @transient private lazy val triTable = LookupFunctions.buildMap(triKeys, triValues)
+  @transient private lazy val biTable = LookupFunctions.buildMap(biKeys, biValues)
+  @transient private lazy val uniTable = LookupFunctions.buildMap(uniKeys, uniValues)
+  @transient private lazy val unk = UTF8String.fromString(unkToken)
+  @transient private lazy val space = UTF8String.fromString(" ")
+  private def mapped(a: ArrayData, i: Int): UTF8String = {
+    val w = if (a.isNullAt(i)) null else a.getUTF8String(i)
+    if (w != null && vocab.contains(w)) w else unk
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n < 3) return 0.0d
+    var s = 0.0d
+    var w1 = mapped(a, 0)
+    var w2 = mapped(a, 1)
+    var i = 2
+    while (i < n) {
+      val w3 = mapped(a, i)
+      val tri = triTable.get(UTF8String.concat(w1, space, w2, space, w3))
+      val term =
+        if (tri != null) tri.doubleValue()
+        else {
+          val bi = biTable.get(UTF8String.concat(w2, space, w3))
+          if (bi != null) bi.doubleValue()
+          else uniTable.get(w3).doubleValue() // total: covers vocab + unk
+        }
+      s += term
+      w1 = w2
+      w2 = w3
+      i += 1
+    }
+    s
+  }
+  override protected def withNewChildInternal(c: Expression): TrigramBackoffLogSum = copy(child = c)
+  override def prettyName: String = "trigram_backoff_log_sum"
 }

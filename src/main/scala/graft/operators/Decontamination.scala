@@ -130,6 +130,41 @@ object Decontamination {
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** [[overlapReport]] as a STATELESS per-row flag — the streaming
+    * deployment shape (and the join-free batch shape when the eval
+    * suite is benchmark-sized): the distinct eval-gram hashes travel
+    * as one sorted literal array, `n_overlap` is an in-row
+    * `array_intersect` size, and no join, shuffle, or state exists
+    * anywhere — micro-batch boundaries cannot move a per-row flag.
+    *
+    * With `bloom` set (built once via [[gramBloom]] over the same
+    * grams), a might_contain `exists` guard runs FIRST: a clean row
+    * costs k hash probes and only bloom survivors (true overlaps +
+    * the fpp fraction) pay the set intersection. False positives are
+    * killed by the exact intersect and false negatives don't exist,
+    * so output is identical with or without the sketch.
+    *
+    * Regime note: the literal array is the right vehicle up to
+    * benchmark-suite sizes (KBs..MBs of grams). Decontaminating
+    * against a corpus-sized eval side belongs to
+    * [[bloomOverlapReport]]'s verify-join geometry instead. */
+  def overlapFlag(df: DataFrame, idCol: String, textCol: String, n: Int,
+                  evalGramHashes: Array[Long],
+                  bloom: Option[Array[Byte]] = None): DataFrame = {
+    val grams = array_distinct(
+      TextFunctions.wordShingleHashes(col(textCol), n))
+    val exact = size(array_intersect(grams,
+      lit(evalGramHashes.sorted))).cast("long")
+    val flagExpr = bloom.filter(_ != null) match {
+      case Some(b) =>
+        when(exists(grams, g => mightContainHash(b, g)), exact)
+          .otherwise(lit(0L))
+      case None => exact
+    }
+    df.select(col(idCol), flagExpr.as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
   /** Drop contaminated rows: broadcast anti-join of the corpus against
     * the (small) contaminated-id set — the production-shaped output of
     * decontamination. `minOverlap` sets how many shared n-grams convict. */

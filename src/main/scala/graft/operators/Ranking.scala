@@ -135,4 +135,34 @@ object Ranking {
         .groupBy(groupCol).agg(min("__v").as(name))
     }.reduce(_.join(_, groupCol))
   }
+
+  /** DPO/RLHF preference-pair construction (Rafailov et al. 2023 train
+    * on (prompt, chosen, rejected) triples): per `groupCol` (the
+    * prompt), chosen = the row with the lexicographically greatest
+    * `(score, id)` struct, rejected = the least; groups with fewer
+    * than two candidates or a score margin below `minMargin` are
+    * dropped (margin filtering is the standard pair-quality gate —
+    * near-tied pairs teach the reward model nothing).
+    *
+    * Scale shape: ONE shuffle — a groupBy whose max/min structs
+    * partial-aggregate map-side, so each partition contributes at most
+    * one candidate pair per prompt regardless of responses-per-prompt;
+    * no window, no per-group sort, no driver collect. Ties on score
+    * break deterministically by id (chosen toward the larger id,
+    * rejected toward the smaller), so the output is
+    * partitioning-invariant. */
+  def preferencePairs(df: DataFrame, groupCol: String, scoreCol: Column,
+                      idCol: String, minMargin: Double): DataFrame = {
+    val g = df.groupBy(col(groupCol)).agg(
+      max(struct(scoreCol.as("s"), col(idCol).as("i"))).as("__ch"),
+      min(struct(scoreCol.as("s"), col(idCol).as("i"))).as("__rj"),
+      count(lit(1)).as("__n"))
+    g.where(col("__n") >= 2 &&
+        (col("__ch.s") - col("__rj.s")) >= minMargin)
+      .select(col(groupCol),
+        col("__ch.i").as("chosen_id"), col("__rj.i").as("rejected_id"),
+        round(col("__ch.s"), 6).as("chosen_score"),
+        round(col("__rj.s"), 6).as("rejected_score"),
+        round(col("__ch.s") - col("__rj.s"), 6).as("margin"))
+  }
 }

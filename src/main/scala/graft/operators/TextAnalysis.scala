@@ -315,6 +315,119 @@ object TextAnalysis {
       .drop(s"${p}_tk", s"${p}_ls")
   }
 
+  /** Trigram stupid-backoff LM: top-V vocabulary with unigram counts,
+    * the aggregated `<unk>` mass, the corpus token total, and bigram +
+    * trigram counts over unk-mapped token streams (keys "w1 w2" /
+    * "w1 w2 w3"). Bounded by construction like [[BigramLmModel]]:
+    * every table is capped by the vocab collapse (and by `maxNgrams`
+    * when set), never corpus-sized, so it ships to executors whole. */
+  final case class BackoffLmModel(vocab: Map[String, Long], unkCount: Long,
+                                  total: Long, bigrams: Map[String, Long],
+                                  trigrams: Map[String, Long]) {
+    def vocabSize: Int = vocab.size
+  }
+
+  /** Train a [[BackoffLmModel]] — the count passes behind stupid
+    * backoff (Brants et al. 2007, "Large Language Models in Machine
+    * Translation": a backoff scheme designed precisely so distributed
+    * count tables need NO normalization pass, the 100 TB-friendly LM).
+    *
+    * Scale shape mirrors [[trainBigramLm]]: ONE shuffle per order
+    * (unigram, bigram, trigram), each over unk-mapped tokens so the
+    * key space is vocab-collapsed, with map-side partial aggregation;
+    * the vocab cut and the `maxNgrams` caps are TakeOrdered
+    * (count DESC, gram ASC — deterministic), never full sorts.
+    * `maxNgrams` bounds the DRIVER tables per order — the same
+    * KenLM-style count-pruning trade `trainBigramLm` documents; a
+    * pruned gram backs off one level at score time. */
+  def trainBackoffLm(df: DataFrame, textCol: String, vocabSize: Int,
+                     maxNgrams: Int = Int.MaxValue): BackoffLmModel = {
+    require(maxNgrams > 0, "need maxNgrams > 0")
+    val toks = df.select(toksExpr(col(textCol)).as("toks"))
+      .where(col("toks").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (vocab, total) =
+      try {
+        val v = uni.orderBy(desc("c"), asc("w")).limit(vocabSize)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        (v, uni.agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0))
+      } finally uni.unpersist()
+    def gramCounts(order: Int): Map[String, Long] = {
+      val counts = toks
+        .select(graft.functions.LookupFunctions
+          .unkMapTokens(col("toks"), vocab.keys, UnkToken).as("tu"))
+        .where(size(col("tu")) >= order) // guard BEFORE sequence: it descends
+        .select(explode(transform(sequence(lit(1), size(col("tu")) - (order - 1)),
+          i => concat_ws(" ", (0 until order).map(o =>
+            element_at(col("tu"), i + o)): _*))).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+      val capped =
+        if (maxNgrams == Int.MaxValue) counts
+        else counts.orderBy(desc("c"), asc("g")).limit(maxNgrams)
+      capped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    try {
+      val bigrams = gramCounts(2)
+      val trigrams = gramCounts(3)
+      BackoffLmModel(vocab, total - vocab.values.sum, total, bigrams, trigrams)
+    } finally toks.unpersist()
+  }
+
+  /** Score documents with a trained [[BackoffLmModel]] under stupid
+    * backoff: per position (from the third token), with unk-mapped
+    * context `w1 w2` and word `w3`,
+    * `S = C(w1w2w3)/C(w1w2)` when the trigram was seen, else
+    * `0.4 · C(w2w3)/C(w2)` when the bigram was seen, else
+    * `0.16 · (C(w3)+1)/(N+V+1)` — the unigram floor add-one smoothed
+    * so no score is ever zero. Appends `n_trigrams`, `avg_logp`, and
+    * `ppl`. Docs with fewer than three tokens score null.
+    *
+    * Deployment shape matches [[bigramPerplexity]]: the per-level log
+    * terms are precomputed at the driver with StrictMath.log (bit-equal
+    * to the SQL replay), the model travels as hashed tables inside ONE
+    * codegen'd expression, and the per-doc fold is strict left-to-right
+    * position order — zero shuffle, float-deterministic by
+    * construction. A trigram whose prefix bigram was pruned by
+    * `maxNgrams` is dropped to the backoff path at table-build time
+    * (its conditional is uncomputable without `C(w1w2)`) — determinstic
+    * on both engines for a fixed corpus. */
+  def backoffPerplexity(df: DataFrame, textCol: String,
+                        model: BackoffLmModel): DataFrame = {
+    val lowerCols = df.columns.map(_.toLowerCase).toSet
+    val p = Iterator.iterate("__blm")(_ + "_")
+      .dropWhile(x => lowerCols.exists(_.startsWith(x))).next()
+    val tk = col(s"${p}_tk")
+    def uc(w: String): Double =
+      (if (w == UnkToken) model.unkCount else model.vocab(w)).toDouble
+    val triLogMap = model.trigrams.flatMap { case (tg, c) =>
+      val prefix = tg.substring(0, tg.lastIndexOf(' '))
+      model.bigrams.get(prefix).map(c12 =>
+        tg -> StrictMath.log(c.toDouble / c12.toDouble))
+    }
+    val biLogMap = model.bigrams.map { case (bg, c) =>
+      bg -> StrictMath.log(0.4 * (c.toDouble / uc(bg.substring(0, bg.indexOf(' ')))))
+    }
+    val nv1 = model.total.toDouble + model.vocabSize.toDouble + 1.0
+    val uniLogMap =
+      (model.vocab.keys.toSeq :+ UnkToken).map { w =>
+        w -> StrictMath.log(0.16 * ((uc(w) + 1.0) / nv1))
+      }.toMap
+    val staged = df
+      .withColumn(s"${p}_tk", toksExpr(col(textCol)))
+      .withColumn(s"${p}_ls", when(size(tk) >= 3,
+        graft.functions.LookupFunctions.trigramBackoffLogSum(tk,
+          model.vocab.keys, triLogMap, biLogMap, uniLogMap, UnkToken)))
+    val avg = col(s"${p}_ls") / (size(tk) - 2).cast("double")
+    staged
+      .withColumn("n_trigrams", greatest(size(tk) - 2, lit(0)).cast("long"))
+      .withColumn("avg_logp", round(avg, 6))
+      .withColumn("ppl", round(exp(-avg), 4))
+      .drop(s"${p}_tk", s"${p}_ls")
+  }
+
   /** DSIR-style importance weights for target-domain data selection
     * (Xie et al. 2023, "Data Selection for Language Models via
     * Importance Resampling"): score every document by how much more

@@ -35,8 +35,8 @@ object ScaleProbe {
     val suite = args.lift(2).getOrElse("dedup")
     // fail fast on a typo'd suite name: otherwise the expensive corpus
     // replication runs and the probe exits having measured nothing
-    require(Set("dedup", "ann", "stream", "all")(suite),
-      s"unknown suite '$suite' (expected dedup | ann | stream | all)")
+    require(Set("dedup", "ann", "stream", "lm", "all")(suite),
+      s"unknown suite '$suite' (expected dedup | ann | stream | lm | all)")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
@@ -150,6 +150,44 @@ object ScaleProbe {
       annOps.foreach { case (name, op) =>
         val t1 = time(s"$name 1x")(op(emb1))
         val tN = time(s"$name ${factor}x")(op(embN))
+        ratio(name, t1, tN)
+      }
+    }
+
+    if (in("lm")) {
+      // LM/prep family: training cost scales with the count shuffles
+      // (vocab-collapsed keys — the table sizes do NOT grow with the
+      // corpus), scoring + pair-prep + the stateless decon flag are
+      // single-scan map/agg passes against FIXED 1x-built artifacts
+      // (the deployment shape: models train once)
+      val lm1 = graft.operators.TextAnalysis.trainBackoffLm(
+        docs1, "text", vocabSize = 64)
+      val evalG = graft.operators.Decontamination.evalGrams(
+        docs1.filter(col("doc_id") % 101 === 1), "text", n = 5)
+      val gramArr = evalG.collect().map(_.getLong(0))
+      val bloom = graft.operators.Decontamination.gramBloom(
+        evalG, "gram", 100000L, 800000L)
+      val lmOps = Seq(
+        "trainBackoffLm V=64" -> ((df: DataFrame) => {
+          graft.operators.TextAnalysis.trainBackoffLm(df, "text", 64)
+            .trigrams.size.toLong
+        }),
+        "backoffPpl (1x model)" -> ((df: DataFrame) =>
+          graft.operators.TextAnalysis.backoffPerplexity(df, "text", lm1)
+            .agg(count(col("avg_logp"))).head().getLong(0)),
+        "preferencePairs m=.05" -> ((df: DataFrame) =>
+          graft.operators.Ranking.preferencePairs(
+            df.select((col("doc_id") % 9973).as("p"), col("doc_id"),
+              graft.functions.TextFunctions.qualityScore(col("text")).as("q")),
+            "p", col("q"), "doc_id", 0.05).count()),
+        "overlapFlag bloom+exact" -> ((df: DataFrame) =>
+          graft.operators.Decontamination.overlapFlag(df, "doc_id",
+            "text", 5, gramArr, Some(bloom))
+            .where(col("contaminated")).count())
+      )
+      lmOps.foreach { case (name, op) =>
+        val t1 = time(s"$name 1x")(op(docs1))
+        val tN = time(s"$name ${factor}x")(op(docsN))
         ratio(name, t1, tN)
       }
     }

@@ -39,6 +39,26 @@ class DecontaminationSpec extends SparkSpec {
     assert(lenient === Seq(2L, 3L))
   }
 
+  test("overlapFlag (stateless literal-array form) matches overlapReport, bloom or not") {
+    val expected = Decontamination.overlapReport(corpus, evalSet, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect().toSeq
+    val evalG = Decontamination.evalGrams(evalSet, "text", n = 5)
+    val hashes = evalG.collect().map(_.getLong(0))
+    val plain = Decontamination.overlapFlag(corpus, "doc_id", "text", 5, hashes)
+      .orderBy("doc_id").collect().toSeq
+    assert(plain === expected)
+    val bloom = Decontamination.gramBloom(evalG, "gram", 100L, 4096L)
+    val guarded = Decontamination
+      .overlapFlag(corpus, "doc_id", "text", 5, hashes, Some(bloom))
+      .orderBy("doc_id").collect().toSeq
+    assert(guarded === expected) // the sketch must be invisible
+    // empty eval set: everything clean, both forms
+    val none = Decontamination
+      .overlapFlag(corpus, "doc_id", "text", 5, Array.empty[Long], None)
+      .collect().map(r => (r.getLong(1), r.getBoolean(2)))
+    assert(none.forall(_ == ((0L, false))))
+  }
+
   test("bloomOverlapReport is bit-identical to overlapReport") {
     val exact = Decontamination.overlapReport(corpus, evalSet, "doc_id", "text", n = 5)
       .orderBy("doc_id").collect().toSeq

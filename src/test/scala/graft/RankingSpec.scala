@@ -65,4 +65,34 @@ class RankingSpec extends SparkSpec {
     val df = Seq.empty[(Long, String, Double)].toDF("id", "grp", "v")
     assert(Ranking.exactQuantiles(df, "grp", "v", Seq(0.5 -> "p50")).count() == 0)
   }
+
+  test("preferencePairs: argmax/argmin per prompt, margin gate, tie policy") {
+    val df = Seq(
+      // prompt 1: clear spread -> (id 12 chosen, id 10 rejected)
+      (1L, 10L, 0.2), (1L, 11L, 0.5), (1L, 12L, 0.9),
+      // prompt 2: margin 0.04 < 0.05 -> dropped
+      (2L, 20L, 0.50), (2L, 21L, 0.54),
+      // prompt 3: singleton -> dropped
+      (3L, 30L, 0.9),
+      // prompt 4: all tied, margin 0 -> dropped at minMargin 0.05,
+      // kept at 0.0 with chosen = larger id, rejected = smaller id
+      (4L, 40L, 0.7), (4L, 41L, 0.7), (4L, 42L, 0.7)
+    ).toDF("prompt_id", "doc_id", "score")
+    val got = Ranking.preferencePairs(df, "prompt_id", col("score"),
+        "doc_id", minMargin = 0.05)
+      .select("prompt_id", "chosen_id", "rejected_id", "margin")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(got == Seq((1L, 12L, 10L, 0.7)))
+    val ties = Ranking.preferencePairs(df, "prompt_id", col("score"),
+        "doc_id", minMargin = 0.0)
+      .select("prompt_id", "chosen_id", "rejected_id")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(ties == Seq((1L, 12L, 10L), (2L, 21L, 20L), (4L, 42L, 40L)))
+    // partitioning invariance: one shuffle with partial agg, same rows
+    val wide = Ranking.preferencePairs(df.repartition(17), "prompt_id",
+        col("score"), "doc_id", minMargin = 0.0)
+      .select("prompt_id", "chosen_id", "rejected_id")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(wide == ties)
+  }
 }

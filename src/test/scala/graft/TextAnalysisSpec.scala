@@ -178,6 +178,61 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1).getLong(2) == 1L && r(1).getDouble(4) == 4.0)
   }
 
+  test("stupid-backoff trigram scoring engages all three levels as derived by hand") {
+    // training: one doc "a b c a b d" -> N=6, V=4 (a:2 b:2 c:1 d:1),
+    // bigrams {a b:2, b c:1, c a:1, b d:1}, trigrams each count 1
+    val train = Seq((0L, "a b c a b d")).toDF("doc_id", "text")
+    val lm = TextAnalysis.trainBackoffLm(train, "text", vocabSize = 4)
+    assert(lm.vocab == Map("a" -> 2L, "b" -> 2L, "c" -> 1L, "d" -> 1L))
+    assert(lm.total == 6L && lm.unkCount == 0L)
+    assert(lm.bigrams == Map("a b" -> 2L, "b c" -> 1L, "c a" -> 1L, "b d" -> 1L))
+    assert(lm.trigrams.keySet ==
+      Set("a b c", "b c a", "c a b", "a b d") && lm.trigrams.values.forall(_ == 1L))
+    val score = Seq((1L, "a b c"),   // seen trigram: ln(1/2)
+                    (2L, "x a b c"), // (U,a,b) backs off to 0.4*C(a b)/C(a): ln(0.4*2/2); then ln(1/2)
+                    (3L, "d d d"),   // both unseen -> floor ln(0.16*(1+1)/(6+4+1))
+                    (4L, "a b"),     // too short: 0 trigrams, null score
+                    (5L, "solo")).toDF("doc_id", "text")
+    val r = TextAnalysis.backoffPerplexity(score, "text", lm)
+      .orderBy("doc_id").select("n_trigrams", "avg_logp", "ppl").collect()
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(r(0).getLong(0) == 1L && r(0).getDouble(1) == r6(math.log(1.0 / 2.0)))
+    assert(r(1).getLong(0) == 2L &&
+      r(1).getDouble(1) == r6((math.log(0.4 * (2.0 / 2.0)) + math.log(1.0 / 2.0)) / 2.0))
+    assert(r(2).getLong(0) == 1L &&
+      r(2).getDouble(1) == r6(math.log(0.16 * ((1.0 + 1.0) / (6.0 + 4.0 + 1.0)))))
+    assert(r(3).getLong(0) == 0L && r(3).isNullAt(1) && r(3).isNullAt(2))
+    assert(r(4).getLong(0) == 0L && r(4).isNullAt(1))
+  }
+
+  test("backoff LM maxNgrams cap: a trigram with a pruned prefix bigram backs off") {
+    // 3 decoy pairs seen 10x each dominate the bigram cut; "q r s" (5x)
+    // keeps its trigram (only one in the table) but loses BOTH its
+    // bigrams to the cap, so scoring it must fall through to the
+    // unigram floor — the documented count-pruning trade.
+    val rows = (1 to 3).flatMap(i => Seq.fill(10)((i.toLong, s"x$i y$i"))) ++
+      Seq.fill(5)((99L, "q r s"))
+    val corpus = rows.toDF("doc_id", "text")
+    val lm = TextAnalysis.trainBackoffLm(corpus, "text", vocabSize = 100,
+      maxNgrams = 3)
+    assert(lm.bigrams.keySet == Set("x1 y1", "x2 y2", "x3 y3"))
+    assert(lm.trigrams == Map("q r s" -> 5L))
+    val r = TextAnalysis.backoffPerplexity(
+        Seq((1L, "q r s")).toDF("doc_id", "text"), "text", lm)
+      .select("avg_logp").head()
+    // N = 3*2*10 + 5*3 = 75, V = 9, C(s) = 5
+    val floor = math.log(0.16 * ((5.0 + 1.0) / (75.0 + 9.0 + 1.0)))
+    assert(r.getDouble(0) == math.rint(floor * 1e6) / 1e6)
+  }
+
+  test("backoff LM training is partitioning-invariant") {
+    val corpus = (1 to 40).map(i =>
+      (i.toLong, s"w${i % 7} w${i % 5} w${i % 3} w${i % 7}")).toDF("doc_id", "text")
+    val one = TextAnalysis.trainBackoffLm(corpus.coalesce(1), "text", vocabSize = 5)
+    val many = TextAnalysis.trainBackoffLm(corpus.repartition(13), "text", vocabSize = 5)
+    assert(one == many)
+  }
+
   test("dsirResample upweights the target domain and selects exactly N") {
     // corpus: 30 "english" docs + 10 "target" docs with a distinct
     // vocabulary; target = the distinct-vocab docs. DSIR must rank
