@@ -161,7 +161,9 @@ object Decontamination {
           .otherwise(lit(0L))
       case None => exact
     }
-    df.select(col(idCol), flagExpr.as("n_overlap"))
+    // null text -> null gram array -> null flag; surface it as clean
+    // (overlapReport's left-join + coalesce semantics, kept total here)
+    df.select(col(idCol), coalesce(flagExpr, lit(0L)).as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") > 0)
   }
 

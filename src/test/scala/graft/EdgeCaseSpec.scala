@@ -183,4 +183,37 @@ class EdgeCaseSpec extends SparkSpec {
     // null text: explodes to nothing -> reported as empty with 0 blocks
     assert(r(2).getString(1) == "" && r(2).getLong(3) == 0L)
   }
+
+  test("backoff LM trained on an empty corpus scores everything at the unk floor") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val lm = graft.operators.TextAnalysis.trainBackoffLm(empty, "text", 8)
+    assert(lm.vocab.isEmpty && lm.total == 0L && lm.trigrams.isEmpty)
+    // every position backs off to ln(0.16 * (0+1)/(0+0+1)) = ln(0.16)
+    val r = graft.operators.TextAnalysis
+      .backoffPerplexity(Seq((1L, "a b c d")).toDF("doc_id", "text"), "text", lm)
+      .select("n_trigrams", "avg_logp").head()
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(1) == math.rint(math.log(0.16) * 1e6) / 1e6)
+  }
+
+  test("preferencePairs and labelPropagation on empty inputs return empty frames") {
+    val noDocs = Seq.empty[(Long, Long, Double)].toDF("p", "doc_id", "q")
+    assert(graft.operators.Ranking
+      .preferencePairs(noDocs, "p", col("q"), "doc_id", 0.0).count() == 0L)
+    val noEdges = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(graft.operators.LabelPropagation.run(noEdges).count() == 0L)
+  }
+
+  test("overlapFlag on an empty corpus and on null text is total") {
+    val evalG = Array(1L, 2L, 3L)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Decontamination.overlapFlag(empty, "doc_id", "text", 5, evalG).count() == 0L)
+    // null text: null gram array -> the flag coalesces to clean
+    // (overlapReport's left-join semantics), never null, never a crash
+    val withNull = Seq((1L, null.asInstanceOf[String]), (2L, "x y")).toDF("doc_id", "text")
+    val r = Decontamination.overlapFlag(withNull, "doc_id", "text", 5, evalG)
+      .orderBy("doc_id").collect()
+    assert(r.map(x => (x.getLong(1), x.getBoolean(2))).toSeq ==
+      Seq((0L, false), (0L, false)))
+  }
 }

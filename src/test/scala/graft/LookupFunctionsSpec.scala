@@ -60,6 +60,42 @@ class LookupFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("trigramBackoffLogSum matches the HOF chain bit-for-bit (tri -> bi -> uni)") {
+    val triLog = Map("the cat sat" -> -0.05, s"cat sat $unk" -> -0.15)
+    val biLog2 = Map("cat sat" -> -0.3, s"sat $unk" -> -0.6, s"$unk $unk" -> -0.8)
+    val uniLog = Map("the" -> -5.0, "cat" -> -5.5, "sat" -> -6.0, unk -> -7.0)
+    val vLit = typedLit(vocab)
+    val triLit = typedLit(triLog)
+    val biLit = typedLit(biLog2)
+    val uniLit = typedLit(uniLog)
+    val tu = transform(col("toks"), x =>
+      when(element_at(vLit, x).isNotNull, x).otherwise(lit(unk)))
+    val hof = when(size(col("toks")) >= 3,
+      aggregate(transform(sequence(lit(1), size(tu) - 2), i =>
+        coalesce(
+          element_at(triLit, concat(element_at(tu, i), lit(" "),
+            element_at(tu, i + 1), lit(" "), element_at(tu, i + 2))),
+          element_at(biLit, concat(element_at(tu, i + 1), lit(" "),
+            element_at(tu, i + 2))),
+          element_at(uniLit, element_at(tu, i + 2)))),
+        lit(0.0), (a, x) => a + x))
+    val fast = when(size(col("toks")) >= 3,
+      LookupFunctions.trigramBackoffLogSum(col("toks"), vocab.keys,
+        triLog, biLog2, uniLog, unk))
+    val got = docs.select(fast.as("fast"), hof.as("ref")).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)), r.toString)
+    }
+    // the fold itself (unguarded): n<3 gives 0.0, null array gives null
+    val raw = docs.select(LookupFunctions.trigramBackoffLogSum(col("toks"),
+      vocab.keys, triLog, biLog2, uniLog, unk)).collect()
+    assert(raw(3).getDouble(0) == 0.0) // "the": one token
+    assert(raw(5).isNullAt(0))         // null text
+  }
+
   test("bigramLogSum: n<2 gives 0.0, null array gives null, empty def table falls to const") {
     val out = docs.select(LookupFunctions.bigramLogSum(
       col("toks"), vocab.keys, biLog, Map.empty, -11.5, unk).as("s")).collect()
