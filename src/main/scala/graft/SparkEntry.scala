@@ -3150,6 +3150,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d78_span_dup_profile" -> ((s, d) => {
+      // window-size tuning curve for ExactSubstr excision (x15/st26):
+      // the width choice (Lee et al. run 50 tokens) trades recall
+      // against false excision, and the right evidence is this
+      // profile — per candidate width, how many windows exist and how
+      // many would be excised under first-wins (count-1 per repeated
+      // fingerprint, the exact quantity st27 bounds). One fingerprint
+      // shuffle per width — each is x15's kernel with map-side
+      // partial counts and an all-aggregate tail; no excision run, no
+      // driver pull beyond three 1-row aggregates.
+      val all = docs(s, d)
+      Seq(4, 8, 16).map { w =>
+        Dedup.spanWindowRows(all, "doc_id", "text", w)
+          .groupBy("__fp").agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(col("c")), lit(0L)).as("n_windows"),
+            coalesce(sum(when(col("c") >= 2, col("c") - lit(1L))
+              .otherwise(lit(0L))), lit(0L)).as("dup_windows"))
+          .select(lit(w).as("win"), col("n_windows"), col("dup_windows"))
+      }.reduce(_ unionByName _)
+        .withColumn("dup_ratio",
+          round(col("dup_windows") / col("n_windows"), 6))
+        .orderBy("win")
+    }),
+
     "d42_c4_filters" -> ((s, d) => {
       // C4 cleaning battery (Raffel et al. 2020 §2.2): terminal-
       // punctuation + min-words line rule, brace / lorem-ipsum page
@@ -7062,6 +7086,38 @@ object SparkEntry {
            round(lsum / (nt - 2), 6) AS avg_logp,
            round(exp(-(lsum / (nt - 2))), 4) AS ppl
          FROM scored ORDER BY doc_id""",
+
+    // st26's window construction replayed at each candidate width;
+    // dup_windows = Σ (count-1) over repeated fingerprints — the
+    // would-be-excised occurrence count under first-wins.
+    "d78_span_dup_profile" ->
+      """WITH base AS (SELECT doc_id,
+             string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS tk,
+             len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS n
+           FROM documents),
+         w4 AS (SELECT md5(array_to_string(tk[pos+1:pos+4], ' ')) AS fp
+           FROM (SELECT unnest(range(0, greatest(n - 3, 0))) AS pos, tk FROM base)),
+         w8 AS (SELECT md5(array_to_string(tk[pos+1:pos+8], ' ')) AS fp
+           FROM (SELECT unnest(range(0, greatest(n - 7, 0))) AS pos, tk FROM base)),
+         w16 AS (SELECT md5(array_to_string(tk[pos+1:pos+16], ' ')) AS fp
+           FROM (SELECT unnest(range(0, greatest(n - 15, 0))) AS pos, tk FROM base)),
+         p AS (
+           SELECT 4 AS win, coalesce(sum(c), 0) AS n_windows,
+             coalesce(sum(CASE WHEN c >= 2 THEN c - 1 ELSE 0 END), 0) AS dup_windows
+           FROM (SELECT count(*) AS c FROM w4 GROUP BY fp)
+           UNION ALL
+           SELECT 8, coalesce(sum(c), 0),
+             coalesce(sum(CASE WHEN c >= 2 THEN c - 1 ELSE 0 END), 0)
+           FROM (SELECT count(*) AS c FROM w8 GROUP BY fp)
+           UNION ALL
+           SELECT 16, coalesce(sum(c), 0),
+             coalesce(sum(CASE WHEN c >= 2 THEN c - 1 ELSE 0 END), 0)
+           FROM (SELECT count(*) AS c FROM w16 GROUP BY fp))
+         SELECT CAST(win AS INTEGER) AS win,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(dup_windows AS BIGINT) AS dup_windows,
+           round(CAST(dup_windows AS DOUBLE) / CAST(n_windows AS DOUBLE), 6) AS dup_ratio
+         FROM p ORDER BY win""",
 
     "d42_c4_filters" ->
       """WITH l AS (SELECT doc_id,
