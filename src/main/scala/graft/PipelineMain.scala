@@ -14,7 +14,8 @@ import org.apache.spark.sql.SparkSession
   *     [--steps ingest,clean,...] [--resume-from STEP] [--limit N]
   *     [--langs en,zh] [--seq-len 4096] [--vocab-size 32000]
   *     [--tokenizer word|bpe|unigram] [--character-coverage F]
-  *     [--input-sentence-size N] [--export-dtype uint16|int32]
+  *     [--input-sentence-size N] [--unigram-soft-em true|false]
+  *     [--export-dtype uint16|int32]
   *
   * NOTE the tokenizer-training defaults deliberately diverge from the
   * reference train CLI's: this build defaults to the IDENTITY knobs
@@ -48,6 +49,7 @@ object PipelineMain {
       characterCoverage =
         opts.get("--character-coverage").map(_.toDouble).getOrElse(1.0),
       inputSentenceSize = opts.get("--input-sentence-size").map(_.toInt),
+      unigramSoftEm = opts.get("--unigram-soft-em").exists(_.toBoolean),
       exportDtype = opts.getOrElse("--export-dtype", "uint16"))
     (cfg, flags, opts)
   }

@@ -37,6 +37,10 @@ object Pipeline {
       // stay reproducible — set the reference values to match it
       characterCoverage: Double = 1.0,
       inputSentenceSize: Option[Int] = None,
+      // Kudo's real forward-backward E-step for the unigram trainer;
+      // default false = Viterbi hard-EM (the bit-reproducible path
+      // the oracle gates and committed fixtures pin)
+      unigramSoftEm: Boolean = false,
       exportDtype: String = "uint16",
       // optional trained-LID artifact (operators.TrainedLid.writeModel);
       // when set, QualityStep scores with the model instead of the

@@ -258,7 +258,8 @@ object PipelineSteps {
         // probabilities are the model, persisted explicitly
         val model = UnigramTrainer.trainFromCorpus(in, "text", cfg.vocabSize,
           inputSentenceSize = cfg.inputSentenceSize,
-          characterCoverage = cfg.characterCoverage)
+          characterCoverage = cfg.characterCoverage,
+          softEm = cfg.unigramSoftEm)
         UnigramTrainer.writeModel(spark, s"${cfg.outputBase}/unigram_model_parquet", model)
       }
       val n = spark.read.parquet(s"${cfg.outputBase}/vocab_parquet").count()

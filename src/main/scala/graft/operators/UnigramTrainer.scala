@@ -20,11 +20,18 @@ import scala.collection.mutable
   * sample. Documented simplifications vs the paper (both public,
   * deterministic, and bit-reproducible):
   *
-  *  - '''Hard EM''' (Viterbi counts) instead of soft EM
+  *  - '''Hard EM''' (Viterbi counts) BY DEFAULT instead of soft EM
   *    (forward-backward expected counts): each word contributes its
   *    frequency to the pieces of its single best segmentation. Counts
   *    stay exact Longs, so the M-step is partitioning- and
-  *    float-order-independent.
+  *    float-order-independent — the oracle-gate requirement, and why
+  *    it is the default. Kudo's ACTUAL E-step is available as
+  *    `softEm = true` ([[UnigramModel.latticeExpectedCounts]]):
+  *    posterior-weighted counts over all segmentations, folded in
+  *    sorted word order so the float accumulation is deterministic
+  *    for a fixed word-frequency table (it is NOT invariant to
+  *    changes in that table's float environment the way Long counts
+  *    are, hence not the gate path).
   *  - '''Count pruning''' instead of likelihood-loss pruning: each
   *    round keeps the most-used multi-char pieces (count DESC, piece
   *    ASC) and shrinks by 25% toward the budget (SentencePiece's
@@ -111,6 +118,64 @@ object UnigramTrainer {
       out
     }
 
+    /** Soft-EM E-step for one boundary-marked word: expected piece
+      * counts over ALL segmentations via forward-backward in log
+      * space (Kudo 2018 §3 — the native SentencePiece E-step this
+      * trainer's default Viterbi counts substitute). The lattice edge
+      * set is EXACTLY [[segment]]'s: every vocab piece starting at a
+      * position, plus the single-code-point byte-fallback edge when
+      * no length-1 piece covers that position (fallback edges carry
+      * probability mass but no piece count — byte fallback is not a
+      * vocab piece). Returns (piece, posterior occurrence count);
+      * empty for the empty word. Driver-side, deterministic for a
+      * fixed word. */
+    private[graft] def latticeExpectedCounts(
+        marked: Vector[String]): Seq[(String, Double)] = {
+      val n = marked.size
+      if (n == 0) return Nil
+      // materialize the edge list once so alpha, beta, and the count
+      // pass see the identical lattice
+      val edges = (0 until n).flatMap { i =>
+        val maxLen = math.min(maxPieceCp, n - i)
+        var covered = false
+        val sb = new StringBuilder
+        val es = (1 to maxLen).flatMap { l =>
+          sb.append(marked(i + l - 1))
+          pieces.get(sb.toString) match {
+            case Some(lp) =>
+              if (l == 1) covered = true
+              Some((i, i + l, sb.toString, lp))
+            case None => None
+          }
+        }
+        if (!covered) es :+ ((i, i + 1, null: String, fallbackLogP)) else es
+      }
+      def lse(a: Double, b: Double): Double =
+        if (a == Double.NegativeInfinity) b
+        else if (b == Double.NegativeInfinity) a
+        else {
+          val hi = math.max(a, b)
+          hi + math.log1p(math.exp(math.min(a, b) - hi))
+        }
+      val alpha = Array.fill(n + 1)(Double.NegativeInfinity)
+      alpha(0) = 0.0
+      edges.foreach { case (i, j, _, lp) => // edges sorted by start i
+        if (alpha(i) != Double.NegativeInfinity)
+          alpha(j) = lse(alpha(j), alpha(i) + lp)
+      }
+      val beta = Array.fill(n + 1)(Double.NegativeInfinity)
+      beta(n) = 0.0
+      edges.reverseIterator.foreach { case (i, j, _, lp) =>
+        if (beta(j) != Double.NegativeInfinity)
+          beta(i) = lse(beta(i), lp + beta(j))
+      }
+      val logZ = alpha(n)
+      if (logZ == Double.NegativeInfinity) Nil
+      else edges.collect { case (i, j, p, lp) if p != null =>
+        p -> math.exp(alpha(i) + lp + beta(j) - logZ)
+      }
+    }
+
     /** Encode one word (no boundary marker yet) to ids. */
     def encodeWord(word: String): Seq[Int] = {
       if (word.isEmpty) return Seq.empty
@@ -153,7 +218,8 @@ object UnigramTrainer {
     * with [[BpeTrainer.train]]). */
   def train(wordFreqs: Seq[(String, Long)], vocabSize: Int,
             maxPieceLen: Int = 8, seedFactor: Int = 8,
-            emRounds: Int = 2, characterCoverage: Double = 1.0): UnigramModel = {
+            emRounds: Int = 2, characterCoverage: Double = 1.0,
+            softEm: Boolean = false): UnigramModel = {
     require(vocabSize > FirstPieceId,
       s"vocabSize=$vocabSize must exceed $FirstPieceId (specials + byte ids)")
     require(characterCoverage > 0.0 && characterCoverage <= 1.0,
@@ -234,24 +300,64 @@ object UnigramTrainer {
       }
       counts
     }
+    // Soft-EM option (Kudo 2018's actual E-step, forward-backward
+    // expected counts): a SEPARATE branch on purpose — the hard-EM
+    // path below stays byte-identical (Long counts, Long-sum
+    // normalization) because the oracle gates and the committed
+    // fixture artifacts pin its exact output. The soft branch folds
+    // words in sorted order so its float accumulation is
+    // deterministic; pruning stays the count-based top-M cut (the
+    // documented substitution for Kudo's likelihood-loss pruning),
+    // applied to expected counts.
+    def softCounts(m: UnigramModel): mutable.Map[String, Double] = {
+      val counts = mutable.HashMap[String, Double]().withDefaultValue(0.0)
+      wordsSortedForSoft.foreach { case (cps, f) =>
+        m.latticeExpectedCounts(cps).foreach { case (p, e) =>
+          counts(p) += e * f
+        }
+      }
+      counts
+    }
+    def normalizeD(scored: Seq[(String, Double)]): Map[String, Double] = {
+      val tot = scored.iterator.map(_._2 + 1.0).sum
+      val logTot = math.log(tot)
+      scored.map { case (p, c) => p -> (math.log(c + 1.0) - logTot) }.toMap
+    }
+    lazy val wordsSortedForSoft = words.sortBy(_._1.mkString)
+
     var multis = seedMulti.toSet
     var done = false
     while (!done) {
-      val counts = viterbiCounts(model)
       val target = math.max(budgetMulti, (multis.size * 3) / 4)
-      val keptMulti = multis.toSeq
-        .sortBy(p => (-counts(p), p)).take(target)
-      multis = keptMulti.toSet
-      model = UnigramModel(
-        normalize((singles ++ keptMulti).map(p => p -> counts(p))), Map.empty)
+      if (softEm) {
+        val counts = softCounts(model)
+        val keptMulti = multis.toSeq.sortBy(p => (-counts(p), p)).take(target)
+        multis = keptMulti.toSet
+        model = UnigramModel(
+          normalizeD((singles ++ keptMulti).map(p => p -> counts(p))), Map.empty)
+      } else {
+        val counts = viterbiCounts(model)
+        val keptMulti = multis.toSeq
+          .sortBy(p => (-counts(p), p)).take(target)
+        multis = keptMulti.toSet
+        model = UnigramModel(
+          normalize((singles ++ keptMulti).map(p => p -> counts(p))), Map.empty)
+      }
       done = multis.size <= budgetMulti
     }
     var r = 0
     while (r < emRounds) { // settle probabilities at the final vocab
-      val counts = viterbiCounts(model)
-      model = UnigramModel(
-        normalize((singles ++ multis.toSeq.sorted).map(p => p -> counts(p))),
-        Map.empty)
+      if (softEm) {
+        val counts = softCounts(model)
+        model = UnigramModel(
+          normalizeD((singles ++ multis.toSeq.sorted).map(p => p -> counts(p))),
+          Map.empty)
+      } else {
+        val counts = viterbiCounts(model)
+        model = UnigramModel(
+          normalize((singles ++ multis.toSeq.sorted).map(p => p -> counts(p))),
+          Map.empty)
+      }
       r += 1
     }
 
@@ -272,7 +378,8 @@ object UnigramTrainer {
   def trainFromCorpus(df: DataFrame, textCol: String, vocabSize: Int,
                       maxWords: Int = 100000,
                       inputSentenceSize: Option[Int] = None,
-                      characterCoverage: Double = 1.0): UnigramModel = {
+                      characterCoverage: Double = 1.0,
+                      softEm: Boolean = false): UnigramModel = {
     val rows = inputSentenceSize match {
       case Some(n) =>
         require(n > 0, "need inputSentenceSize > 0")
@@ -287,7 +394,8 @@ object UnigramTrainer {
       .orderBy(desc("f"), asc("w"))
       .limit(maxWords)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-    train(freqs, vocabSize, characterCoverage = characterCoverage)
+    train(freqs, vocabSize, characterCoverage = characterCoverage,
+      softEm = softEm)
   }
 
   /** Distributed encode with the broadcast model (tokens as `ids`) —

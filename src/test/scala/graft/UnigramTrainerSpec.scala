@@ -159,5 +159,44 @@ class UnigramTrainerSpec extends SparkSpec {
     assert(soft("a") > 0.12 && soft("▁a") > 0.10)
     val viterbiPieces = m.encodeWord("ab").map(ids.map(_.swap)).toSet
     assert(!viterbiPieces("a") && !viterbiPieces("▁a"))
+
+    // the REAL soft E-step (latticeExpectedCounts, forward-backward)
+    // must reproduce the exhaustive-enumeration reference to float
+    // noise on the same hand lattice
+    val fb = m.latticeExpectedCounts(Vector("▁", "a", "b"))
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    exp.foreach { case (p, e) => assert(math.abs(fb(p) - e) < 1e-12, s"fb $p") }
+    assert(fb.keySet == exp.keySet)
+  }
+
+  test("softEm training: deterministic, lossless, and diverges from hard-EM as Kudo predicts") {
+    val freqs = Seq("the" -> 40L, "then" -> 12L, "they" -> 9L,
+      "he" -> 25L, "hen" -> 7L, "at" -> 18L, "that" -> 11L)
+    val hard = UnigramTrainer.train(freqs, vocabSize = 272)
+    val soft1 = UnigramTrainer.train(freqs, vocabSize = 272, softEm = true)
+    val soft2 = UnigramTrainer.train(freqs, vocabSize = 272, softEm = true)
+    assert(soft1 == soft2) // sorted-order fold: run-to-run deterministic
+    // roundtrip stays lossless under the soft model
+    Seq("the hen", "that they", "unseen xyz").foreach { s =>
+      assert(soft1.decode(soft1.encodeText(s).toIndexedSeq) == s, s)
+    }
+    // divergence: soft-EM spreads probability onto non-Viterbi pieces,
+    // so at least one shared piece carries a different log-prob
+    val shared = hard.pieces.keySet intersect soft1.pieces.keySet
+    assert(shared.nonEmpty)
+    assert(shared.exists(p => hard.pieces(p) != soft1.pieces(p)))
+  }
+
+  test("latticeExpectedCounts: fallback edges carry mass but no piece counts") {
+    val probs = Map("▁" -> 0.6, "x" -> 0.4)
+    val m = UnigramTrainer.UnigramModel(
+      probs.map { case (p, v) => p -> math.log(v) }, Map.empty)
+    // "▁qx": q is uncovered -> exactly one path ▁|<fallback>|x, so
+    // posteriors are 1.0 for the two vocab pieces and q appears nowhere
+    val fb = m.latticeExpectedCounts(Vector("▁", "q", "x")).toMap
+    assert(fb.keySet == Set("▁", "x"))
+    assert(math.abs(fb("▁") - 1.0) < 1e-12 && math.abs(fb("x") - 1.0) < 1e-12)
+    // empty word: no counts
+    assert(m.latticeExpectedCounts(Vector.empty).isEmpty)
   }
 }
