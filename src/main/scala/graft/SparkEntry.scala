@@ -1660,6 +1660,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "e14_hard_negatives" -> ((s, d) => {
+      // contrastive-training hard-negative mining: per anchor, top-5
+      // corpus vectors with cosine in [0.25, 0.45) — both bounds BIND
+      // on the fixture (114 in-band rows, 1 row above hi) and the
+      // nearest cosine sits 4.7e-4 from a bound, ~1e11 times the
+      // cross-engine float noise, so band membership cannot flip.
+      // Output drops the score (the e01 convention: rank order is the
+      // contract, not float repr).
+      val e = emb(s, d)
+      Similarity.hardNegatives(e.filter(col("vec_id") < 10), e,
+          "vec_id", "vec_id", "embedding", k = 5, lo = 0.25, hi = 0.45)
+        .select(col("anchor_id"), col("rank").cast("int").as("rank"),
+          col("negative_id"))
+        .orderBy("anchor_id", "rank")
+    }),
+
     "e02_embedding_norms" -> ((s, d) =>
       emb(s, d).groupBy("label")
         .agg(count(lit(1)).as("n"),
@@ -6342,6 +6358,21 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, neighbor_id) AS rn
            FROM s)
          WHERE rn <= 5 ORDER BY query_id, rank""",
+
+    "e14_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS anchor_id, embedding AS qe
+             FROM embeddings WHERE vec_id < 10),
+           s AS (SELECT anchor_id, vec_id AS negative_id,
+                   list_cosine_similarity(qe, embedding) AS sc
+                 FROM q, embeddings WHERE vec_id != anchor_id),
+           b AS (SELECT anchor_id, negative_id, sc FROM s
+                 WHERE sc >= 0.25 AND sc < 0.45)
+         SELECT anchor_id, CAST(rn AS INTEGER) AS rank, negative_id FROM (
+           SELECT anchor_id, negative_id,
+             row_number() OVER (PARTITION BY anchor_id
+               ORDER BY sc DESC, negative_id) AS rn
+           FROM b)
+         WHERE rn <= 5 ORDER BY anchor_id, rank""",
 
     "e02_embedding_norms" ->
       """SELECT label, count(*) AS n,

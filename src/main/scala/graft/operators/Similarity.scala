@@ -59,6 +59,35 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 4).as("score"))
   }
 
+  /** Hard-negative mining for contrastive-embedding training data
+    * (the DPR / SimCSE prep step): per anchor, the top-k most-similar
+    * corpus vectors whose cosine lies in `[lo, hi)` — similar enough
+    * to be informative negatives, below the near-duplicate band
+    * (scores ≥ hi are probable positives/duplicates and would poison
+    * the contrastive loss; scores < lo teach nothing). Anchors are
+    * broadcast (training batches are bounded by nature); the corpus
+    * streams through ONE scan, the band filter kills most rows before
+    * the anchor-partitioned top-k window. For corpus-scale anchor
+    * sets, generate candidates with the IVF probe join ([[ivfTopK]])
+    * and band-filter its output instead of this exact scan. */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame,
+                    anchorId: String, corpusId: String, vecCol: String,
+                    k: Int, lo: Double, hi: Double): DataFrame = {
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val a = anchors.select(col(anchorId).as("anchor_id"), col(vecCol).as("av"))
+    val c = corpus.select(col(corpusId).as("negative_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(a))
+      .where(col("anchor_id") =!= col("negative_id"))
+      .withColumn("score", cosine(col("av"), col("cv")))
+      .where(col("score") >= lo && col("score") < hi)
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("score").desc, col("negative_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("negative_id"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** Approximate top-k via sign-LSH: queries and corpus are bucketed by
     * [[signBucket]]; candidates are corpus rows sharing a bucket in any of
     * `tables` independent hash tables (OR-amplification — the standard

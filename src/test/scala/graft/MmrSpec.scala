@@ -71,4 +71,29 @@ class MmrSpec extends SparkSpec {
     assert(mmr.exists(_ >= 9L), "MMR should cross into the orthogonal bundle")
     assert(mmr !== topk, "diversity term should alter the redundant top-5")
   }
+
+  test("hardNegatives keeps only the [lo, hi) band, ranked and tie-broken") {
+    // anchor (1,0); corpus: near-dup (cos 1.0, excluded by hi),
+    // in-band at cos .5 twice (tie -> smaller id first), in-band .25
+    // exactly at lo (included), below-band orthogonal (excluded)
+    val r2 = math.sqrt(3.0) / 2.0
+    val corpus = Seq(
+      (10L, Array(1.0, 0.0)),            // cos 1.0 -> >= hi, out
+      (11L, Array(0.5, r2)),             // cos .5, in
+      (12L, Array(0.5, -r2)),            // cos .5, in (tie with 11)
+      (13L, Array(0.25, math.sqrt(1 - 0.0625))), // cos .25 == lo, in
+      (14L, Array(0.0, 1.0))             // cos 0, out
+    ).toDF("vec_id", "embedding")
+    val anchors = Seq((1L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+    val got = Similarity.hardNegatives(anchors, corpus, "vec_id", "vec_id",
+        "embedding", k = 5, lo = 0.25, hi = 0.99)
+      .orderBy("rank")
+      .select("rank", "negative_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 11L), (2L, 12L), (3L, 13L)))
+    // k truncates; partitioning leaves the band and order unchanged
+    val k1 = Similarity.hardNegatives(anchors, corpus.repartition(7),
+        "vec_id", "vec_id", "embedding", k = 1, lo = 0.25, hi = 0.99)
+      .select("negative_id").as[Long].collect().toSeq
+    assert(k1 == Seq(11L))
+  }
 }
