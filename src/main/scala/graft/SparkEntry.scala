@@ -3112,6 +3112,29 @@ object SparkEntry {
         .orderBy("prompt_id")
     }),
 
+    "k13_chat_prompt_dedup" -> ((s, d) => {
+      // instruct-data prompt hygiene on the k08 chat shape: groups of
+      // 5 consecutive doc_ids share one USER turn (the group leader's
+      // 60-char slice) but carry DISTINCT assistant responses and an
+      // identical system preamble — role-aware dedup must collapse
+      // each group to its smallest id with n_dups = group size, no
+      // matter what the responses or preamble say. The oracle groups
+      // by the user content directly (the fingerprint is an
+      // execution detail).
+      val all = docs(s, d)
+      val leaders = all.select(col("doc_id").as("lid"),
+        substring(col("text"), 1, 60).as("ucontent"))
+      val conv = all.withColumn("lid", col("doc_id") - col("doc_id") % 5)
+        .join(leaders, "lid")
+        .select(col("doc_id"), array(
+          struct(lit("system").as("role"),
+            lit("You are a helpful assistant.").as("content")),
+          struct(lit("user").as("role"), col("ucontent").as("content")),
+          struct(lit("assistant").as("role"),
+            substring(col("text"), 61, 80).as("content"))).as("turns"))
+      Dedup.chatPromptDedup(conv, "doc_id", "turns").orderBy("doc_id")
+    }),
+
     "d46_train_order" -> ((s, d) => {
       // deterministic global training-order shuffle + shard layout (the
       // write plan for the sharded sinks): order key = md5(doc_id), the
@@ -7046,6 +7069,17 @@ object SparkEntry {
     // serves both keys (the ev09/st09 convention).
     "k12_preference_pairs" -> preferencePairsOracleSql,
     "st29_stream_preference_pairs" -> preferencePairsOracleSql,
+
+    // the role-aware rule stated directly: group by the USER content,
+    // keep min id — system/assistant columns never appear, which IS
+    // the property under test.
+    "k13_chat_prompt_dedup" ->
+      """WITH l AS (SELECT doc_id AS lid, substr(text, 1, 60) AS ucontent
+           FROM documents),
+         c AS (SELECT d.doc_id, l.ucontent FROM documents d
+           JOIN l ON l.lid = d.doc_id - d.doc_id % 5)
+         SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+         FROM c GROUP BY ucontent ORDER BY doc_id""",
 
     // Tokenizer invariant gate: lossless roundtrip and zero unk on every
     // document — byte fallback must cover the full corpus alphabet.

@@ -35,6 +35,29 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
+  /** Role-aware SFT conversation dedup: two conversations are the same
+    * PROMPT when their user turns match in order — system preambles
+    * and assistant responses must not split the group (the standard
+    * instruct-data hygiene rule: duplicated prompts leak across
+    * train/eval splits and overweight popular prompts no matter how
+    * the responses differ). `turnsCol` is the k08 chat shape
+    * (`array<struct<role,content>>`); the fingerprint joins the
+    * user-turn contents on U+0001 (no content can contain it after
+    * text normalization, so ["ab","c"] and ["a","bc"] cannot
+    * collide). Keep = smallest id per group (first-wins, the d07
+    * convention). Output: one row per kept conversation with its
+    * group size — ONE fingerprint shuffle with map-side partial
+    * min/count, no window, no per-group state beyond two scalars. */
+  def chatPromptDedup(df: DataFrame, idCol: String, turnsCol: String): DataFrame = {
+    val userJoined = array_join(transform(
+      filter(col(turnsCol), t => t.getField("role") === "user"),
+      t => t.getField("content")), "\u0001")
+    df.select(col(idCol), md5(userJoined.cast("binary")).as("__fp"))
+      .groupBy("__fp")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+      .select(col(idCol), col("n_dups"))
+  }
+
   /** Corpus-level LINE dedup (the RefinedWeb/CCNet construction: exact
     * duplicate lines — boilerplate, nav bars, license blocks — are
     * removed everywhere except their first occurrence, and documents are

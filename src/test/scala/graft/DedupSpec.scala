@@ -340,4 +340,25 @@ class DedupSpec extends SparkSpec {
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall=$recall")
   }
+
+  test("chatPromptDedup groups by user turns only, in order, separator-safe") {
+    def conv(id: Long, sys: String, users: Seq[String], asst: String) =
+      (id, Seq(("system", sys)) ++ users.map(("user", _)) :+ (("assistant", asst)))
+    val df = Seq(
+      conv(1L, "s1", Seq("hello", "world"), "resp A"),
+      conv(2L, "s2", Seq("hello", "world"), "resp B"),   // dup of 1: sys+asst differ
+      conv(3L, "s1", Seq("world", "hello"), "resp A"),   // order matters: distinct
+      conv(4L, "s1", Seq("helloworld"), "resp A"),       // 1 turn vs 2: distinct
+      conv(5L, "s1", Seq("hellow", "orld"), "resp A")    // split point: distinct
+    ).toDF("doc_id", "raw")
+      .select(col("doc_id"), expr(
+        "transform(raw, t -> struct(t._1 AS role, t._2 AS content))").as("turns"))
+    val got = Dedup.chatPromptDedup(df, "doc_id", "turns")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+    // partitioning invariance: one shuffle, partial min/count
+    val wide = Dedup.chatPromptDedup(df.repartition(11), "doc_id", "turns")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(wide == got)
+  }
 }
