@@ -2274,6 +2274,25 @@ object SparkEntry {
         .orderBy("lang", "source")
     }),
 
+    "p06_l_diversity" -> ((s, d) => {
+      // l-diversity (Machanavajjhala et al. 2007), d58's companion
+      // audit: k-anonymity alone leaks when a quasi-identifier group
+      // is homogeneous in the SENSITIVE attribute — every member
+      // shares the secret even though the group is large. Quasi-id =
+      // (source, n_chars div 100 size band — narrow enough that 21 of
+      // 116 groups are lang-homogeneous at gate SF, so the flag
+      // demonstrably BINDS both ways); sensitive = lang. A group
+      // passes at l=2 iff it carries >= 2 distinct langs; both
+      // the distinct count and the k-size ride ONE aggregate on the
+      // bounded quasi-id key space.
+      docs(s, d)
+        .groupBy(col("source"), expr("n_chars div 100").as("size_band"))
+        .agg(count(lit(1)).as("k_size"),
+          countDistinct(col("lang")).as("l_distinct"))
+        .withColumn("diverse", col("l_distinct") >= 2)
+        .orderBy("source", "size_band")
+    }),
+
     "d57_edit_distance_neardup" -> ((s, d) => {
       // Edit-distance near-dup (the title/short-field dedup family —
       // MinHash is set-based and misses single-char edits): normalized
@@ -6876,6 +6895,14 @@ object SparkEntry {
          FROM documents GROUP BY source ORDER BY source""",
 
     // Cells below k publish NULL + the suppression flag.
+    "p06_l_diversity" ->
+      """SELECT source, n_chars // 100 AS size_band,
+           count(*) AS k_size,
+           count(DISTINCT lang) AS l_distinct,
+           count(DISTINCT lang) >= 2 AS diverse
+         FROM documents GROUP BY source, size_band
+         ORDER BY source, size_band""",
+
     "d58_k_anonymity" ->
       """SELECT lang, source,
            CASE WHEN count(*) >= 5 THEN count(*) ELSE NULL END AS n_published,
