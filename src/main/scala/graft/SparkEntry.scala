@@ -1067,11 +1067,11 @@ object SparkEntry {
     }),
 
     "d73_wide_lid" -> ((s, d) => {
-      // M1 closure: the COMMITTED 40-language artifact (fixtures/
-      // models/lid40, written by graft.tools.TrainLidArtifact — char-
+      // M1 closure: the COMMITTED 48-language artifact (fixtures/
+      // models/lid48, written by graft.tools.TrainLidArtifact — char-
       // 3gram NB over all the major script families: CJK, Cyrillic,
       // Greek, Arabic, Hebrew, wide Latin) predicts over a fresh
-      // 40-language synth drawn with a DIFFERENT hash salt, so train
+      // 48-language synth drawn with a DIFFERENT hash salt, so train
       // and eval share vocabulary but no draw positions. Confusion
       // matrix pinned at sf0.01 (d20 convention): clean diagonal
       // across scripts, with whatever near-form confusion the
@@ -5602,20 +5602,22 @@ object SparkEntry {
     // distinctive-gram evidence. Re-pin on fixture/artifact/SF change.
     "d73_wide_lid" ->
       """SELECT lang, lang_pred_model, CAST(n_dec AS BIGINT) AS n FROM (VALUES
-           ('ar', 'ar', 13), ('bg', 'bg', 12), ('bn', 'bn', 12),
-           ('cs', 'cs', 13), ('da', 'da', 13), ('de', 'de', 13),
-           ('el', 'el', 13), ('en', 'en', 13), ('es', 'es', 13),
-           ('et', 'et', 12), ('fa', 'fa', 12), ('fi', 'fi', 13),
-           ('fr', 'fr', 13), ('he', 'he', 13), ('hi', 'hi', 12),
-           ('hu', 'hu', 13), ('hy', 'hy', 12), ('id', 'id', 12),
-           ('it', 'it', 13), ('ja', 'ja', 13), ('ka', 'ka', 12),
-           ('ko', 'ko', 13), ('lt', 'lt', 12), ('lv', 'lv', 12),
-           ('nl', 'nl', 13), ('no', 'no', 13), ('pl', 'pl', 13),
-           ('pt', 'pt', 13), ('ro', 'ro', 13), ('ru', 'ru', 12),
-           ('sv', 'sv', 13), ('sw', 'sw', 12), ('ta', 'ta', 12),
-           ('te', 'te', 12), ('th', 'th', 12), ('tl', 'tl', 12),
-           ('tr', 'tr', 12), ('uk', 'uk', 12), ('vi', 'vi', 12),
-           ('zh', 'zh', 12)
+           ('ar', 'ar', 11), ('bg', 'bg', 10), ('bn', 'bn', 10),
+           ('ca', 'ca', 10), ('cs', 'cs', 11), ('da', 'da', 11),
+           ('de', 'de', 11), ('el', 'el', 11), ('en', 'en', 11),
+           ('es', 'es', 11), ('et', 'et', 10), ('fa', 'fa', 10),
+           ('fi', 'fi', 11), ('fr', 'fr', 11), ('he', 'he', 11),
+           ('hi', 'hi', 10), ('hr', 'hr', 10), ('hu', 'hu', 11),
+           ('hy', 'hy', 10), ('id', 'id', 10), ('it', 'it', 11),
+           ('ja', 'ja', 11), ('ka', 'ka', 10), ('ko', 'ko', 11),
+           ('lt', 'lt', 10), ('lv', 'lv', 10), ('mr', 'mr', 10),
+           ('ms', 'ms', 10), ('nl', 'nl', 11), ('no', 'no', 11),
+           ('pl', 'pl', 11), ('pt', 'pt', 11), ('ro', 'ro', 11),
+           ('ru', 'ru', 10), ('sk', 'sk', 10), ('sl', 'sl', 10),
+           ('sr', 'sr', 10), ('sv', 'sv', 11), ('sw', 'sw', 10),
+           ('ta', 'ta', 10), ('te', 'te', 10), ('th', 'th', 10),
+           ('tl', 'tl', 10), ('tr', 'tr', 10), ('uk', 'uk', 10),
+           ('ur', 'ur', 10), ('vi', 'vi', 10), ('zh', 'zh', 10)
          ) AS t(lang, lang_pred_model, n_dec)
          ORDER BY lang, lang_pred_model""",
 

@@ -47,7 +47,7 @@ object Pipeline {
       // stopword heuristic — the reference's swappable lid.176.bin seam
       lidModelPath: Option[String] = None,
       // when lidModelPath is unset, QualityStep defaults to the
-      // committed 40-language artifact (fixtures/models/lid40) if it
+      // committed 48-language artifact (fixtures/models/lid48) if it
       // resolves — the reference's bundled-model default; set false to
       // force the stopword heuristic (e.g. for corpora whose vocabulary
       // is out-of-domain for the committed fixture model)

@@ -97,7 +97,7 @@ object PipelineSteps {
       // model seam (reference lid.176.bin swap, quality/model.py:267-340):
       // an artifact path routes labeling through the trained NB scorer —
       // DEFAULTING to the committed 40-language artifact when present
-      // (fixtures/models/lid40), like the reference defaults to its
+      // (fixtures/models/lid48), like the reference defaults to its
       // bundled lid.176.bin; the table-driven stopword heuristic is the
       // no-artifact fallback
       val labeled = cfg.lidModelPath.orElse(

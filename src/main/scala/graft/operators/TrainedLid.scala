@@ -47,8 +47,8 @@ object TrainedLid {
     "pt" -> Seq("como", "mais", "dos", "ele", "isso", "muito", "sem", "pela", "seus", "onde"),
     "sv" -> Seq("och", "att", "som", "detta", "vilket", "inte", "har", "den", "efter", "mellan"))
 
-  /** 40-language wordlists for the committed wide-coverage artifact —
-    * the [[FixtureWordLists]] Latin-script eight plus thirty-two more
+  /** 48-language wordlists for the committed wide-coverage artifact —
+    * the [[FixtureWordLists]] Latin-script eight plus forty more
     * spanning the script families a crawl corpus actually contains:
     * CJK (zh/ja/ko), Cyrillic (ru/uk/bg), Greek, Arabic-script (ar/fa),
     * Hebrew, Indic (hi/bn/ta/te), Thai, Georgian, Armenian, and wider
@@ -92,11 +92,26 @@ object TrainedLid {
     "te" -> Seq("మరియు", "లేదు", "సమయం", "మనిషి", "పని", "పాఠశాల", "ఈరోజు", "ఎందుకంటే", "ధన్యవాదాలు", "నేను"),
     "th" -> Seq("และ", "ไม่", "เวลา", "คน", "งาน", "โรงเรียน", "วันนี้", "เพราะ", "ขอบคุณ", "ฉัน"),
     "tl" -> Seq("ang", "hindi", "oras", "tao", "trabaho", "paaralan", "ngayon", "dahil", "salamat", "ako"),
-    "vi" -> Seq("và", "không", "người", "được", "của", "cũng", "trường", "bởi", "hôm", "cảm"))
+    "vi" -> Seq("và", "không", "người", "được", "của", "cũng", "trường", "bởi", "hôm", "cảm"),
+    // round-7 widen to 48: more deliberate near-form surfaces —
+    // sk/cs share "čas"/"škola", sl/hr share "je"/"ne"/"hvala",
+    // sr/ru share "и"/"не" (and sr is hr's Cyrillic mirror), mr/ur
+    // share scripts with hi/ar+fa while their word lists stay
+    // disjoint, ms is id's closest relative (lists kept literally
+    // disjoint so the synth fixture stays decidable), ca sits next
+    // to es/fr
+    "ca" -> Seq("i", "és", "no", "temps", "persona", "treball", "escola", "avui", "perquè", "gràcies"),
+    "hr" -> Seq("i", "je", "ne", "čovjek", "vrijeme", "rad", "škola", "danas", "jer", "hvala"),
+    "mr" -> Seq("आणि", "आहे", "नाही", "वेळ", "माणूस", "पुस्तक", "शाळा", "उद्या", "कारण", "आभार"),
+    "ms" -> Seq("kerana", "masa", "boleh", "sahaja", "sudah", "macam", "pula", "awak", "saya", "mereka"),
+    "sk" -> Seq("som", "nie", "človek", "práca", "čas", "škola", "mesto", "dnes", "pretože", "ďakujem"),
+    "sl" -> Seq("in", "je", "ne", "čas", "človek", "delo", "šola", "danes", "ker", "hvala"),
+    "sr" -> Seq("и", "је", "не", "човек", "време", "рад", "школа", "данас", "јер", "хвала"),
+    "ur" -> Seq("اور", "ہے", "نہیں", "وقت", "آدمی", "کام", "اسکول", "آج", "کیونکہ", "شکریہ"))
 
   /** Repo location of the committed wide-coverage LID artifact (written
     * by [[trainWideArtifact]] / `graft.tools.TrainLidArtifact`). */
-  val DefaultArtifactDir = "fixtures/models/lid40"
+  val DefaultArtifactDir = "fixtures/models/lid48"
 
   /** The committed artifact's path when present under the current
     * working directory (the sbt/driver convention) — QualityStep's

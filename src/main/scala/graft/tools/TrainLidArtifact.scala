@@ -4,7 +4,7 @@ import graft.operators.TrainedLid
 import org.apache.spark.sql.SparkSession
 
 /** Builds the committed wide-coverage LID artifact
-  * (`fixtures/models/lid40`) — run once, commit the parquet; the
+  * (`fixtures/models/lid48`) — run once, commit the parquet; the
   * artifact is bit-reproducible from the repo alone (deterministic
   * synthesized corpus + exact-count training, see
   * [[graft.operators.TrainedLid.trainWideArtifact]]). Mirrors the

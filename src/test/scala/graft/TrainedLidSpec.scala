@@ -111,7 +111,7 @@ class TrainedLidSpec extends SparkSpec {
     assert(kept.select("lang").collect().forall(_.getString(0) == "__label__de"))
   }
 
-  test("committed 40-language artifact: loads, covers all scripts, wired by default") {
+  test("committed 48-language artifact: loads, covers all scripts, wired by default") {
     import org.apache.spark.sql.functions._
     // the committed fixture (graft.tools.TrainLidArtifact output) must
     // resolve from the repo CWD and classify a salt-disjoint eval draw
@@ -119,9 +119,10 @@ class TrainedLidSpec extends SparkSpec {
     val path = TrainedLid.defaultArtifactPath.getOrElse(
       fail(s"committed artifact missing: ${TrainedLid.DefaultArtifactDir}"))
     val m = TrainedLid.loadModel(spark, path)
-    assert(m.langs.length == 40 && m.buckets == (1 << 12))
+    assert(m.langs.length == 48 && m.buckets == (1 << 12))
     assert(Seq("ar", "he", "ja", "ko", "ru", "uk", "zh", "el",
-      "hi", "bn", "ta", "te", "th", "ka", "hy", "fa", "bg").forall(m.langs.contains))
+      "hi", "bn", "ta", "te", "th", "ka", "hy", "fa", "bg",
+      "sr", "hr", "sk", "sl", "ms", "ca", "ur", "mr").forall(m.langs.contains))
     val ids = spark.range(0, 400).toDF("doc_id")
     val eval = TrainedLid.synthFixture(ids,
       wordLists = TrainedLid.WideFixtureWordLists, salt = "specsalt")
@@ -136,7 +137,8 @@ class TrainedLidSpec extends SparkSpec {
       langs = Seq("zh"), langThreshold = 0.0)
     graft.operators.PipelineSteps.QualityStep().run(spark, cfg)
     val kept = spark.read.parquet(s"$outBase/quality_parquet")
-    assert(kept.count() == 10 &&
+    val nZh = eval.where(col("lang") === "zh").count()
+    assert(nZh > 0 && kept.count() == nZh &&
       kept.select("lang").collect().forall(_.getString(0) == "__label__zh"))
   }
 
