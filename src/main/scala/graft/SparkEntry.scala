@@ -1345,6 +1345,53 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "d79_fuzzy_decontaminate" -> ((s, d) => {
+      // FUZZY decontamination (the Dolma/RedPajama near-verbatim leak
+      // audit): flag corpus docs whose whole-document char-5gram
+      // Jaccard vs ANY eval doc >= 0.8. Eval = the % 101 = 7 split
+      // (leaked-verbatim scenario, d23's convention — eval docs ARE in
+      // the corpus, so every eval doc convicts itself at J = 1.0 and
+      // near-dup templates convict across). Candidates come from the
+      // eval side's 32-row-per-doc band index met by the corpus band
+      // rows in an AQE-broadcast equi-join (the corpus never shuffles
+      // for matching); verdicts are EXACT Jaccard on colliding pairs
+      // only, so the report equals the brute-force corpus x eval graph
+      // the oracle computes — the x01-pinned full-recall property,
+      // pointed across corpora.
+      val all = docs(s, d)
+      Decontamination.fuzzyOverlapReport(
+          all, all.filter(col("doc_id") % 101 === 7), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy("doc_id")
+    }),
+
+    "d80_span_decontaminate" -> ((s, d) => {
+      // SPAN-level (surgical) decontamination: excise every 8-token
+      // run that appears verbatim anywhere in the eval suite instead
+      // of dropping whole docs — x15's stride-1 ExactSubstr kernel
+      // pointed across corpora, with NO first-occurrence survivor.
+      // The eval suite is built the way real leaks happen: benchmark
+      // passages EXTRACTED from corpus documents (tokens 5..16 of
+      // every 53rd doc), so the surgical case provably fires — each
+      // source doc loses exactly that 12-token run and KEEPS the rest
+      // (whole-doc dropping, d23/d79's move, would have destroyed it),
+      // and any other doc sharing the run loses it too. Eval
+      // fingerprints are benchmark-sized -> the corpus's ~1 row/token
+      // window stream meets them in a broadcast semi-join and never
+      // shuffles; span merge is per-doc bounded (gaps-and-islands, the
+      // spanExcise contract). The oracle rebuilds passage extraction /
+      // windows / membership marking / island merge / reassembly in
+      // SQL on the raw window STRINGS — fingerprinting must be
+      // invisible in the output or this row hash-fails.
+      val all = docs(s, d)
+      val toks = split(regexp_replace(trim(col("text")), "\\s+", " "), " ")
+      val evalDocs = all.filter(col("doc_id") % 53 === 0)
+        .select(col("doc_id"), array_join(slice(toks, 5, 12), " ").as("text"))
+      Decontamination.spanDecontaminate(all, evalDocs, "doc_id", "text",
+          window = 8)
+        .orderBy("doc_id")
+    }),
+
     "d24_repetition" -> ((s, d) =>
       // Gopher-style repetition quality signals (Rae et al. 2021
       // §A.1.1): duplicate word-3gram fraction and top word-2gram
@@ -2707,6 +2754,32 @@ object SparkEntry {
       s.table("st28_tbl").orderBy("doc_id")
     }),
 
+    "st30_stream_fuzzy_decon" -> ((s, d) => {
+      // d79's decision deployed on the ingest stream, st28's stateless
+      // discipline: the eval side (same % 101 = 7 split) ships as a
+      // BROADCAST relation of pre-shingled gram sets and each arriving
+      // doc is anti-joined on the exact char-5gram Jaccard >= 0.8
+      // predicate — a stream-static BroadcastNestedLoopJoin(anti) with
+      // early-out, no shuffle, no state store, so micro-batch
+      // boundaries cannot move a verdict. Brute-force vs eval is the
+      // right stream shape for benchmark-sized suites (|eval| set
+      // intersections per row); the LSH-candidate geometry stays the
+      // batch path (d79). Oracle = kept ids under the same brute-force
+      // graph d79's report pins.
+      val all = docs(s, d)
+      val evalDocs = all.filter(col("doc_id") % 101 === 7)
+        .select("doc_id", "text").localCheckpoint(true)
+      s.catalog.dropTempView("st30_tbl")
+      val stream = graft.streaming.Streaming
+        .parquetStream(s, stageTableDir(d, "documents"), all.schema)
+      val kept = Decontamination.fuzzyDecontaminateStateless(
+        stream, evalDocs, "doc_id", "text", threshold = 0.8, ngram = 5)
+        .select("doc_id", "source")
+      graft.streaming.Streaming.runToMemory(kept, "st30_tbl",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table("st30_tbl").orderBy("doc_id")
+    }),
+
     "st29_stream_preference_pairs" -> ((s, d) => {
       // k12 on the response stream: per-prompt chosen/rejected as a
       // STREAMING aggregation — max/min structs and a count are
@@ -3789,6 +3862,26 @@ object SparkEntry {
       Dedup.spanTrim(docs(s, d), "doc_id", "text", window = 8)
         .orderBy("doc_id")),
 
+    "x16_quality_canonical" -> ((s, d) => {
+      // SCORE-aware canonical selection — near-dedup that keeps the
+      // LONGEST copy (bytes of text; ties to smallest id) instead of
+      // the min-id default: the curation rule production corpus
+      // builds actually use (keep the fullest mirror of a page, not
+      // the first-crawled stub). Pair graph = x03's exact-verified
+      // word-3gram Jaccard >= 0.8 (LSH-blocked, never all-pairs);
+      // winner per component = ONE min(struct(-score, id)) aggregate —
+      // partial map-side, no window, no member list. Output is the
+      // loser -> winner provenance mapping (x12's shape); the oracle
+      // replays the same closure + (score DESC, id ASC) argmax in SQL,
+      // so a single mis-crowned component hash-fails the row.
+      val t = docs(s, d)
+      val pairs = Dedup.ngramJaccardPairs(t, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      Dedup.canonicalByScore(t, "doc_id", pairs,
+          octet_length(col("text")).cast("long"))
+        .orderBy("dropped_id")
+    }),
+
     "x14_entity_resolution" -> ((s, d) => {
       // multi-key entity resolution — the record-linkage move single-
       // key dedup can't make: records merge when ANY identity key
@@ -4563,6 +4656,25 @@ object SparkEntry {
         ((col("doc_id") % 5) + 1).as("w"))
       LabelPropagation.run(edges, weightCol = Some("w"), iterations = 3)
         .orderBy("node")
+    }),
+
+    "g07_kcore" -> ((s, d) => {
+      // k-core decomposition over a SPARSE draw of the host graph
+      // (every 11th doc contributes its g01 edge — the full fixture
+      // graph is too dense to peel): nodes keeping >= 2 distinct
+      // neighbors after CASCADING removals, the link-farm/tendril
+      // separator PageRank and LPA don't give. At the gate SF the
+      // peel removes 12 edges across SIX dependent rounds (each
+      // removal exposes the next degree-1 tendril node) before the
+      // 28-node core stabilizes — rounds = 7 covers the fixpoint plus
+      // one spec-asserted no-op round; the oracle unrolls the
+      // identical 7 rounds as CTE blocks. Per round: one partial-agg
+      // degree count + two node-sized semi-joins, edges
+      // localCheckpointed (the CC lineage rule).
+      val edges = docs(s, d).where(col("doc_id") % 11 === 0).select(
+        concat(lit("h"), (col("doc_id") % 37).cast("string")).as("src"),
+        concat(lit("h"), ((col("doc_id") * 7) % 41).cast("string")).as("dst"))
+      KCore.run(edges, k = 2, rounds = 7).orderBy("node")
     }),
 
     "ev21_resample_ffill" -> ((s, d) => {
@@ -5719,6 +5831,87 @@ object SparkEntry {
            coalesce(c.n_overlap, 0) > 0 AS contaminated
          FROM g LEFT JOIN c USING (doc_id) ORDER BY g.doc_id""",
 
+    // Brute-force corpus x eval whole-doc char-5gram Jaccard (x01's
+    // gram construction; the size-ratio prefilter is implied by
+    // J >= 0.8). Only >= threshold pairs are reported — LSH guarantees
+    // recall above the threshold, nothing below it.
+    "d79_fuzzy_decontaminate" ->
+      """WITH n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+           FROM documents),
+         g AS (SELECT doc_id, list_distinct(CASE WHEN length(s) < 5 THEN [s]
+               ELSE list_transform(range(1, length(s)-3), i -> s[i:i+4]) END) AS gs FROM n),
+         e AS (SELECT doc_id AS ev_id, gs AS egs FROM g WHERE doc_id % 101 = 7),
+         v AS (SELECT c.doc_id, len(list_intersect(c.gs, e.egs)) * 1.0
+                 / len(list_distinct(list_concat(c.gs, e.egs))) AS j
+               FROM g c JOIN e ON len(c.gs) >= 0.8 * len(e.egs)
+                 AND len(e.egs) >= 0.8 * len(c.gs)),
+         m AS (SELECT doc_id, count(*) AS n_matches, round(max(j), 6) AS max_jaccard
+               FROM v WHERE j >= 0.8 GROUP BY doc_id)
+         SELECT g.doc_id, coalesce(m.n_matches, 0) AS n_matches,
+           coalesce(m.max_jaccard, 0.0) AS max_jaccard,
+           coalesce(m.n_matches, 0) > 0 AS contaminated
+         FROM g LEFT JOIN m USING (doc_id) ORDER BY g.doc_id""",
+
+    // x15's window/island/reassembly construction with the duplicate
+    // marking swapped for eval-set membership (windows join the
+    // extracted-passage suite's window STRINGS — fingerprinting must
+    // be invisible) and NO first-occurrence survivor. Eval passages =
+    // tokens 5..16 of every 53rd doc, the engine's extraction.
+    "d80_span_decontaminate" ->
+      """WITH b AS (SELECT doc_id,
+             string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS tk
+           FROM documents),
+         base AS (SELECT doc_id, tk, len(tk) AS n FROM b),
+         wins AS (SELECT doc_id, unnest(range(0, greatest(n - 7, 0))) AS pos, tk
+           FROM base),
+         winw AS (SELECT doc_id, pos,
+             array_to_string(tk[pos+1:pos+8], ' ') AS w FROM wins),
+         evd AS (SELECT tk[5:16] AS etk FROM b WHERE doc_id % 53 = 0),
+         evw AS (SELECT unnest(range(0, greatest(len(etk) - 7, 0))) AS pos, etk
+           FROM evd),
+         ev AS (SELECT DISTINCT array_to_string(etk[pos+1:pos+8], ' ') AS w
+           FROM evw),
+         dup AS (SELECT doc_id, pos, pos + 7 AS e FROM winw JOIN ev USING (w)),
+         isl AS (SELECT doc_id, pos, e,
+             CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -2) + 1 THEN 1 ELSE 0 END AS brk FROM dup),
+         gid AS (SELECT doc_id, pos, e,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl),
+         spans AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e
+           FROM gid GROUP BY doc_id, g),
+         rem AS (SELECT doc_id, sum(e - s + 1) AS removed
+           FROM spans GROUP BY doc_id),
+         tokrows AS (SELECT doc_id, unnest(range(0, n)) AS ti, tk FROM base),
+         tok2 AS (SELECT doc_id, ti, tk[ti+1] AS tok FROM tokrows),
+         keptt AS (SELECT t.doc_id, t.ti, t.tok FROM tok2 t
+           LEFT JOIN spans s ON t.doc_id = s.doc_id AND t.ti BETWEEN s.s AND s.e
+           WHERE s.doc_id IS NULL),
+         re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS trimmed
+           FROM keptt GROUP BY doc_id)
+         SELECT base.doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(coalesce(rem.removed, 0) AS BIGINT) AS n_removed,
+           coalesce(re.trimmed, '') AS text_trimmed
+         FROM base LEFT JOIN rem USING (doc_id) LEFT JOIN re USING (doc_id)
+         ORDER BY base.doc_id""",
+
+    // d79's brute-force graph, kept-rows shape: docs with NO eval
+    // Jaccard >= 0.8 — one truth for the batch report and the
+    // streaming anti-join.
+    "st30_stream_fuzzy_decon" ->
+      """WITH n AS (SELECT doc_id, source,
+             lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+           FROM documents),
+         g AS (SELECT doc_id, source, list_distinct(CASE WHEN length(s) < 5 THEN [s]
+               ELSE list_transform(range(1, length(s)-3), i -> s[i:i+4]) END) AS gs FROM n),
+         e AS (SELECT gs AS egs FROM g WHERE doc_id % 101 = 7)
+         SELECT doc_id, source FROM g c
+         WHERE NOT EXISTS (SELECT 1 FROM e
+           WHERE len(list_intersect(c.gs, e.egs)) * 1.0
+             / len(list_distinct(list_concat(c.gs, e.egs))) >= 0.8)
+         ORDER BY doc_id""",
+
     // d23's oracle on the % 89 = 3 eval split — the bloom prefilter is
     // an execution detail the output must not show.
     "d33_bloom_decontaminate" ->
@@ -6593,10 +6786,32 @@ object SparkEntry {
 
     // Same closure: a non-min member's min-reachable-other IS its
     // component's canonical (min) id.
+    // 4 unrolled peel rounds over the sparse (% 11 = 0) host graph:
+    // degree count -> survivors -> edge restriction, then the final
+    // subgraph's degrees.
+    "g07_kcore" -> kcoreOracleSql(k = 2, rounds = 7),
+
     "x12_dedup_audit" ->
       s"""WITH RECURSIVE $ngramGraphCtesSql
          SELECT doc_id AS dropped_id, mn AS canonical_id
          FROM comp WHERE mn < doc_id ORDER BY dropped_id""",
+
+    // Same closure, score-aware crowning: canonical per component =
+    // (byte length DESC, doc_id ASC) argmax; every other member is a
+    // dropped row mapped to it.
+    "x16_quality_canonical" ->
+      s"""WITH RECURSIVE $ngramGraphCtesSql,
+         cid AS (SELECT c.doc_id, least(c.mn, c.doc_id) AS cid FROM comp c),
+         sc AS (SELECT cid.doc_id, cid.cid, strlen(d.text) AS score
+           FROM cid JOIN documents d USING (doc_id)),
+         win AS (SELECT cid, doc_id AS canonical_id,
+             row_number() OVER (PARTITION BY cid
+               ORDER BY score DESC, doc_id ASC) AS rn FROM sc),
+         w1 AS (SELECT cid, canonical_id FROM win WHERE rn = 1)
+         SELECT s.doc_id AS dropped_id, w1.canonical_id
+         FROM sc s JOIN w1 USING (cid)
+         WHERE s.doc_id != w1.canonical_id
+         ORDER BY dropped_id""",
 
     // Brute-force double-precision cosine graph at 0.97 + closure; kept
     // label counts must match the sign-LSH dedup output exactly.
@@ -8702,6 +8917,39 @@ object SparkEntry {
     * gaps-and-islands merge, anti-join excision, ordered reassembly.
     * The Column-API operator (x15) and the graft_span_fingerprints SQL
     * frontend (q49) must both land on this exact output. */
+  /** g07's oracle: KCore.run unrolled — round i counts degrees over
+    * the symmetric view of e(i-1), keeps nodes with >= k, restricts
+    * edges to survivors; after `rounds` rounds the surviving
+    * subgraph's degrees are the result. Same simple-graph
+    * normalization (self-loops dropped, parallel edges collapsed
+    * undirected). */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    // every e_i is referenced 3x by round i+1 — without MATERIALIZED
+    // the inlined expansion re-scans the base table ~5^rounds times
+    sb ++= """WITH e0 AS MATERIALIZED (
+           SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+           FROM (SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS src,
+                        'h' || CAST((doc_id * 7) % 41 AS VARCHAR) AS dst
+                 FROM documents WHERE doc_id % 11 = 0)
+           WHERE src != dst)"""
+    for (i <- 1 to rounds) {
+      sb ++= s""",
+         d$i AS (SELECT node, count(*) AS deg FROM (
+             SELECT u AS node FROM e${i - 1}
+             UNION ALL SELECT v FROM e${i - 1}) GROUP BY node),
+         a$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $k),
+         e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+             WHERE u IN (SELECT node FROM a$i)
+               AND v IN (SELECT node FROM a$i))"""
+    }
+    sb ++= s"""
+         SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+           SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+         GROUP BY node ORDER BY node"""
+    sb.toString
+  }
+
   private val spanTrimOracleSql: String =
     """WITH b AS (SELECT doc_id,
              string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS tk

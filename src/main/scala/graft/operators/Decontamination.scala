@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.TextFunctions
+import graft.functions.{HashFunctions, TextFunctions}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -203,6 +203,147 @@ object Decontamination {
     corpus.join(ev,
       graft.operators.Similarity.cosine(col(vecCol), col("__ev_vec")) >= tau,
       "left_anti")
+  }
+
+  /** FUZZY decontamination report — the near-verbatim member of this
+    * file's hygiene family, the standard "fuzzy decon" stage of the
+    * open-data pipelines (Dolma, RedPajama-v2): flag every corpus row
+    * whose whole-document char-ngram Jaccard against ANY eval doc is
+    * >= `threshold`. [[overlapReport]] catches a single leaked n-gram;
+    * this catches an eval item that was lightly edited into the corpus
+    * (near-duplicate leakage) without convicting docs that merely share
+    * a common phrase. Candidates come from MinHash-LSH banding and the
+    * verdict is EXACT char-ngram Jaccard, so the output equals the
+    * brute-force corpus x eval Jaccard graph whenever the banding has
+    * full recall at `threshold` (the x01-pinned property) — which is
+    * what lets an external SQL engine oracle it.
+    *
+    * Scale shape (100 TB corpus, benchmark-sized eval side):
+    *  - the eval [[graft.operators.Dedup.bandIndex]] is small (32 band
+    *    rows per eval doc); the corpus band rows equi-join it on
+    *    (band_id, band_hash) — AQE broadcasts the eval side, so the
+    *    corpus is never shuffled for candidate generation;
+    *  - only COLLIDING corpus docs are re-shingled for the verify
+    *    (semi-join prune, the [[graft.operators.Dedup.incrementalMinhash]]
+    *    geometry), and only verified matches reach the per-doc
+    *    aggregation;
+    *  - the report-back join is left to AQE, [[overlapReport]]'s
+    *    convention: match counts are bounded by contaminated docs.
+    *
+    * Output: (idCol, n_matches = eval docs with Jaccard >= threshold,
+    * max_jaccard rounded 6dp — 0.0 when clean, contaminated). Only
+    * >= threshold pairs are reported: LSH guarantees recall above the
+    * threshold, nothing below it. */
+  def fuzzyOverlapReport(corpus: DataFrame, evalDocs: DataFrame,
+                         idCol: String, textCol: String,
+                         threshold: Double = 0.8,
+                         cfg: Dedup.MinHashConfig = Dedup.MinHashConfig())
+      : DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val evalBands = Dedup.bandIndex(evalDocs, idCol, textCol, cfg)
+      .select(col("id").as("__ev_id"), col("band_id"), col("band_hash"))
+    val corpusBands = Dedup.bandIndex(corpus, idCol, textCol, cfg)
+    // referenced by three downstream joins (two semi-prunes + verify);
+    // candidate pairs are eval-bounded, so this is small by nature
+    val collide = corpusBands.join(evalBands, Seq("band_id", "band_hash"))
+      .select(col("id").as("__c_id"), col("__ev_id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def gramsOf(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      HashFunctions.charShingleHashes(
+        TextFunctions.normalizeForDedup(col(textCol)), cfg.ngram).as(s"${as}_g"))
+    val gC = gramsOf(corpus, "__c_id")
+      .join(collide.select("__c_id").distinct(), Seq("__c_id"), "left_semi")
+    val gE = gramsOf(evalDocs, "__ev_id")
+    val verified = collide.join(gC, "__c_id").join(gE, "__ev_id")
+      .withColumn("__j",
+        size(array_intersect(col("__c_id_g"), col("__ev_id_g"))).cast("double")
+          / size(array_union(col("__c_id_g"), col("__ev_id_g"))))
+      .where(col("__j") >= threshold)
+    val per = verified.groupBy("__c_id")
+      .agg(count(lit(1)).as("n_matches"),
+        round(max(col("__j")), 6).as("max_jaccard"))
+    // collide stays persisted — session-scoped, LRU-evictable (the
+    // verifyCandidatesExact convention: no unpersist seam in a lazy return)
+    corpus.select(col(idCol))
+      .join(per, col(idCol) === col("__c_id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Drop-shaped face of [[fuzzyOverlapReport]]: the corpus minus every
+    * row with a verified near-duplicate in the eval suite (broadcast
+    * anti-join against the small convicted-id set). */
+  def fuzzyDecontaminate(corpus: DataFrame, evalDocs: DataFrame,
+                         idCol: String, textCol: String,
+                         threshold: Double = 0.8,
+                         cfg: Dedup.MinHashConfig = Dedup.MinHashConfig())
+      : DataFrame = {
+    val bad = fuzzyOverlapReport(corpus, evalDocs, idCol, textCol, threshold, cfg)
+      .where(col("contaminated")).select(idCol)
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /** STATELESS whole-document fuzzy decontamination — the streaming
+    * deployment shape of [[fuzzyOverlapReport]] (and the join-geometry
+    * twin of [[semanticDecontaminate]], with exact char-ngram Jaccard
+    * in place of cosine): drop every row whose Jaccard against ANY
+    * eval doc is >= `threshold`. The eval side ships as a BROADCAST
+    * relation of pre-shingled gram sets, the predicate lowers to a
+    * BroadcastNestedLoopJoin(anti) with early-out on the first match,
+    * and no shuffle or state exists anywhere — so it runs unchanged on
+    * a stream (stream-static left_anti; micro-batch boundaries cannot
+    * move a per-row verdict). Per-row cost is |eval| set
+    * intersections — the right vehicle for benchmark-sized eval
+    * suites; corpus-sized eval sides belong to [[fuzzyOverlapReport]]'s
+    * LSH-candidate geometry. */
+  def fuzzyDecontaminateStateless(corpus: DataFrame, evalDocs: DataFrame,
+                                  idCol: String, textCol: String,
+                                  threshold: Double = 0.8,
+                                  ngram: Int = 5): DataFrame = {
+    val ev = broadcast(evalDocs.select(
+      HashFunctions.charShingleHashes(
+        TextFunctions.normalizeForDedup(col(textCol)), ngram).as("__ev_g")))
+    val withG = corpus.withColumn("__g",
+      HashFunctions.charShingleHashes(
+        TextFunctions.normalizeForDedup(col(textCol)), ngram))
+    withG.join(ev,
+        size(array_intersect(col("__g"), col("__ev_g"))).cast("double")
+          / size(array_union(col("__g"), col("__ev_g"))) >= threshold,
+        "left_anti")
+      .drop("__g")
+  }
+
+  /** SPAN-level (surgical) decontamination: excise every `window`-token
+    * run of corpus text that appears verbatim anywhere in the eval
+    * suite, keeping the rest of the document — the middle ground
+    * between [[overlapReport]]-then-drop (loses a whole doc for one
+    * leaked sentence) and doing nothing. This is [[Dedup.spanTrim]]'s
+    * stride-1 ExactSubstr machinery pointed across corpora: eval
+    * windows are the contraband set, matching corpus windows merge into
+    * maximal spans (gaps-and-islands) and are cut at token level. No
+    * first-occurrence survivor exists here — unlike self-dedup, EVERY
+    * match is excised, including eval docs leaked verbatim into the
+    * corpus (they trim to empty).
+    *
+    * Scale shape: the eval fingerprint set is benchmark-sized and the
+    * corpus window rows meet it in a left-semi join (AQE broadcasts the
+    * eval side — the corpus's ~1 row/token stream is never shuffled for
+    * matching); span merge state is bounded per doc by its own match
+    * count, the [[Dedup.spanExcise]] contract.
+    *
+    * Output: (idCol, n_tokens, n_removed, text_trimmed) — spanTrim's
+    * schema, so downstream re-tokenization composes identically. */
+  def spanDecontaminate(corpus: DataFrame, evalDocs: DataFrame,
+                        idCol: String, textCol: String,
+                        window: Int = 8): DataFrame = {
+    val evalFps = Dedup.spanWindowRows(evalDocs, idCol, textCol, window)
+      .select(col("__fp")).distinct()
+    val hits = Dedup.spanWindowRows(corpus, idCol, textCol, window)
+      .join(evalFps, Seq("__fp"), "left_semi")
+      .select(col(idCol), col("__pos"))
+    Dedup.spanExcise(corpus, idCol, textCol, window, hits)
   }
 
   /** The full Gopher document-quality gate (Rae et al. 2021 §A.1.1),

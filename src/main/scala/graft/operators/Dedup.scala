@@ -839,4 +839,37 @@ object Dedup {
     val out = df.join(losers, Seq(idCol), "left_anti")
     out
   }
+
+  /** SCORE-aware canonical selection — the curation-grade variant of
+    * the min-id keep rule every dedup family above defaults to: within
+    * each connected component of the near-duplicate graph, the survivor
+    * is the member with the HIGHEST `score` (ties broken by smallest
+    * id), so deduplication keeps the longest / highest-quality copy
+    * instead of whichever happened to get the smallest id. This is how
+    * production corpus builds pick canonicals (e.g. keep the
+    * best-quality mirror of a page, not the first-crawled one).
+    *
+    * Returns the loser→winner mapping (dropped_id, canonical_id) — the
+    * provenance-report shape (x12's convention); compose with a
+    * left_anti join on dropped_id for the kept-rows shape.
+    *
+    * Scale shape: components via the same distributed alternating-star
+    * [[ConnectedComponents]] as every dedup path; the winner per
+    * component is ONE min-of-struct aggregate — (-score, id) partial-
+    * aggregates map-side, so a million-member component carries one
+    * 16-byte state per task, never a member list and never a window;
+    * the winner table is component-sized and AQE broadcasts it back
+    * onto the members. `score` must be a numeric column over `df`. */
+  def canonicalByScore(df: DataFrame, idCol: String, pairs: DataFrame,
+                       score: Column): DataFrame = {
+    val comp = ConnectedComponents.run(pairs)
+    val members = comp.join(
+      df.select(col(idCol).as("id"), score.cast("long").as("__score")), "id")
+    val winners = members.groupBy("component")
+      .agg(min(struct((-col("__score")).as("ns"), col("id").as("wid"))).as("w"))
+      .select(col("component"), col("w.wid").as("canonical_id"))
+    members.join(winners, "component")
+      .where(col("id") =!= col("canonical_id"))
+      .select(col("id").as("dropped_id"), col("canonical_id"))
+  }
 }

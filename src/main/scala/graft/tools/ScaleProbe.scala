@@ -35,8 +35,8 @@ object ScaleProbe {
     val suite = args.lift(2).getOrElse("dedup")
     // fail fast on a typo'd suite name: otherwise the expensive corpus
     // replication runs and the probe exits having measured nothing
-    require(Set("dedup", "ann", "stream", "lm", "all")(suite),
-      s"unknown suite '$suite' (expected dedup | ann | stream | lm | all)")
+    require(Set("dedup", "ann", "stream", "lm", "hygiene", "graph", "all")(suite),
+      s"unknown suite '$suite' (expected dedup | ann | stream | lm | hygiene | graph | all)")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
@@ -188,6 +188,79 @@ object ScaleProbe {
       lmOps.foreach { case (name, op) =>
         val t1 = time(s"$name 1x")(op(docs1))
         val tN = time(s"$name ${factor}x")(op(docsN))
+        ratio(name, t1, tN)
+      }
+    }
+
+    if (in("hygiene")) {
+      // cross-corpus hygiene family: eval suite FIXED (benchmark-sized
+      // by nature), corpus replicated — cost must scale with the corpus
+      // scan + its collision volume, never with |eval| x |corpus|.
+      // Salted replicas of contaminated docs are themselves near-dups
+      // of the eval side, so the convicted set grows ~Nx — the
+      // adversarial direction for the report-back join.
+      val evalDocs = docs1.filter(col("doc_id") % 101 === 7)
+        .localCheckpoint(true)
+      val toks = split(regexp_replace(trim(col("text")), "\\s+", " "), " ")
+      val evalPass = docs1.filter(col("doc_id") % 53 === 0)
+        .select(col("doc_id"), array_join(slice(toks, 5, 12), " ").as("text"))
+        .localCheckpoint(true)
+      val hygieneOps = Seq(
+        "fuzzyOverlapReport t=.8" -> ((df: DataFrame) =>
+          graft.operators.Decontamination.fuzzyOverlapReport(
+            df, evalDocs, "doc_id", "text", threshold = 0.8)
+            .where(col("contaminated")).count()),
+        "spanDecontaminate w=8" -> ((df: DataFrame) =>
+          graft.operators.Decontamination.spanDecontaminate(
+            df, evalPass, "doc_id", "text", window = 8)
+            .agg(sum("n_removed")).head().getLong(0)),
+        // score-aware crowning over the minhash pair graph: at Nx every
+        // doc sits in a factor-sized component (the salted-replica
+        // mega-cluster shape), so the argmax aggregate sees the
+        // worst-case member fanout
+        "canonicalByScore" -> ((df: DataFrame) => {
+          val pairs = Dedup.minhashVerifiedPairs(df, "doc_id", "text",
+            threshold = 0.8).select("src", "dst")
+          Dedup.canonicalByScore(df, "doc_id", pairs,
+            octet_length(col("text")).cast("long")).count()
+        })
+      )
+      hygieneOps.foreach { case (name, op) =>
+        val t1 = time(s"$name 1x")(op(docs1))
+        val tN = time(s"$name ${factor}x")(op(docsN))
+        ratio(name, t1, tN)
+      }
+    }
+
+    if (in("graph")) {
+      // link-graph family: replica k shifts hosts into a disjoint name
+      // space, so Nx data = Nx disjoint copies of the graph (same
+      // structure, Nx edges/nodes) — growth must track the edge count,
+      // with per-round state bounded by nodes
+      // the replica tag comes from replicate()'s corpus-derived id
+      // shift (floor-div on non-negative ids), never a fixed divisor
+      def hostEdgesShift(df: DataFrame, shift: Long): DataFrame = df.select(
+        concat(lit("h"), (col("doc_id") % 37).cast("string"),
+          lit("_r"), floor(col("doc_id") / shift).cast("long").cast("string")).as("src"),
+        concat(lit("h"), ((col("doc_id") * 7) % 41).cast("string"),
+          lit("_r"), floor(col("doc_id") / shift).cast("long").cast("string")).as("dst"))
+      val e1 = hostEdgesShift(docs1.where(col("doc_id") % 11 === 0), idShift)
+        .localCheckpoint(true)
+      val eN = hostEdgesShift(docsN.where(col("doc_id") % 11 === 0), idShift)
+        .localCheckpoint(true)
+      println(s"[scale] graph 1x=${e1.count()} edge rows, ${factor}x=${eN.count()}")
+      val graphOps = Seq(
+        "kCore k=2 r=7" -> ((e: DataFrame) =>
+          graft.operators.KCore.run(e, k = 2, rounds = 7).count()),
+        "labelPropagation i=3" -> ((e: DataFrame) =>
+          graft.operators.LabelPropagation.run(e, iterations = 3).count()),
+        "pageRank i=3" -> ((e: DataFrame) =>
+          graft.operators.PageRank.run(
+            e.withColumn("w", lit(1L)), iterations = 3).count())
+      )
+      graphOps.foreach { case (name, op) =>
+        val t1 = time(s"$name 1x")(op(e1))
+        val tN = time(s"$name ${factor}x")(op(eN))
         ratio(name, t1, tN)
       }
     }

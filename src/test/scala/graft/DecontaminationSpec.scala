@@ -187,4 +187,86 @@ class DecontaminationSpec extends SparkSpec {
       .select("vec_id").orderBy("vec_id").collect().map(_.getLong(0)).toSeq
       === Seq(3L, 4L))
   }
+
+  // ---- fuzzy (whole-doc near-dup) decontamination ----
+
+  private val longA = "the quick brown fox jumps over the lazy dog while " +
+    "seventy silver spoons slowly slide across the antique oak table in " +
+    "the dusty corner of the abandoned library reading room tonight"
+  private val fuzzyCorpus = Seq(
+    (1L, longA),                                   // leaked verbatim
+    (2L, longA.replace("tonight", "at dawn")),     // near-dup (tail edit)
+    (3L, "completely unrelated text about synthesizer firmware updates " +
+      "and modular patch cables humming quietly under fluorescent light")
+  ).toDF("doc_id", "text")
+  private val fuzzyEval = Seq((100L, longA)).toDF("doc_id", "text")
+
+  test("fuzzyOverlapReport convicts verbatim and near-dup leaks, acquits clean docs") {
+    val r = Decontamination.fuzzyOverlapReport(
+        fuzzyCorpus, fuzzyEval, "doc_id", "text", threshold = 0.8)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getBoolean(3)))
+    assert(r(0) === ((1L, 1L, 1.0, true)))              // exact leak: J = 1
+    assert(r(1)._1 === 2L && r(1)._2 === 1L && r(1)._4) // near-dup convicted
+    assert(r(1)._3 >= 0.8 && r(1)._3 < 1.0)             // ...below verbatim
+    assert(r(2) === ((3L, 0L, 0.0, false)))             // clean
+  }
+
+  test("fuzzyDecontaminate drops exactly the convicted rows; stateless twin agrees") {
+    val kept = Decontamination.fuzzyDecontaminate(
+        fuzzyCorpus, fuzzyEval, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Seq(3L))
+    // the streaming-shaped brute-force anti-join must reach the same verdicts
+    val keptStateless = Decontamination.fuzzyDecontaminateStateless(
+        fuzzyCorpus, fuzzyEval, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptStateless === kept)
+  }
+
+  test("fuzzyOverlapReport counts every matching eval doc and takes max jaccard") {
+    val eval2 = fuzzyEval.unionAll(
+      Seq((101L, longA.replace("tonight", "at dusk"))).toDF("doc_id", "text"))
+    val r = Decontamination.fuzzyOverlapReport(
+        fuzzyCorpus, eval2, "doc_id", "text", threshold = 0.8)
+      .where(col("doc_id") === 1L).collect().head
+    assert(r.getLong(1) === 2L)      // both eval docs convict doc 1
+    assert(r.getDouble(2) === 1.0)   // max over matches, not the last one
+  }
+
+  // ---- span-level (surgical) decontamination ----
+
+  test("spanDecontaminate excises only the leaked run; no first-occurrence survivor") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),   // contains the eval passage mid-doc
+      (2L, "p q r s t u v"),     // clean
+      (3L, "c d e")              // IS the eval passage: trims to empty
+    ).toDF("doc_id", "text")
+    val evalDocs = Seq((100L, "c d e")).toDF("doc_id", "text")
+    val r = Decontamination.spanDecontaminate(corpus, evalDocs, "doc_id", "text",
+        window = 3)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(r(0) === ((1L, 8L, 3L, "a b f g h"))) // surgical: doc survives minus the run
+    assert(r(1) === ((2L, 7L, 0L, "p q r s t u v")))
+    assert(r(2) === ((3L, 3L, 3L, "")))          // verbatim leak: nothing survives
+  }
+
+  test("spanDecontaminate merges adjacent eval-window hits into one maximal span") {
+    val corpus = Seq((1L, "x c d e f y")).toDF("doc_id", "text")
+    // two eval passages overlap inside the doc: windows at pos 1 and 2
+    val evalDocs = Seq((100L, "c d e"), (101L, "d e f")).toDF("doc_id", "text")
+    val r = Decontamination.spanDecontaminate(corpus, evalDocs, "doc_id", "text",
+        window = 3).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getString(3)) === ((6L, 4L, "x y")))
+  }
+
+  test("spanDecontaminate: sub-window docs and empty eval suite are no-ops") {
+    val corpus = Seq((1L, "c d"), (2L, "g h i j")).toDF("doc_id", "text")
+    val emptyEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r = Decontamination.spanDecontaminate(corpus, emptyEval, "doc_id", "text",
+        window = 3)
+      .orderBy("doc_id").collect().map(x => (x.getLong(2), x.getString(3)))
+    assert(r === Array((0L, "c d"), (0L, "g h i j")))
+  }
 }

@@ -361,4 +361,26 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     assert(wide == got)
   }
+
+  test("canonicalByScore crowns the highest score per component, ties to min id") {
+    val df = Seq(
+      (1L, "short"),                // comp {1,2,3} via chain 1-2, 2-3
+      (2L, "the longest text here"),
+      (3L, "mid text"),
+      (10L, "same len"),            // comp {10,11}: equal scores -> min id wins
+      (11L, "tied len"),
+      (99L, "isolated")             // no pairs: never appears in the mapping
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val got = Dedup.canonicalByScore(df, "doc_id", pairs,
+        octet_length(col("text")).cast("long"))
+      .orderBy("dropped_id").as[(Long, Long)].collect().toSeq
+    // chain is one component (transitive), winner = 2 (22 bytes)
+    assert(got === Seq((1L, 2L), (3L, 2L), (11L, 10L)))
+    // partitioning invariance: partial-agg argmax, no window
+    val wide = Dedup.canonicalByScore(df.repartition(13), "doc_id",
+        pairs.repartition(7), octet_length(col("text")).cast("long"))
+      .orderBy("dropped_id").as[(Long, Long)].collect().toSeq
+    assert(wide === got)
+  }
 }
