@@ -2780,6 +2780,32 @@ object SparkEntry {
       s.table("st30_tbl").orderBy("doc_id")
     }),
 
+    "st31_stream_span_decon" -> ((s, d) => {
+      // d80's surgical excision deployed on the ingest stream: the
+      // eval passages' window fingerprints (bounded by the suite's
+      // token count) collect ONCE into a literal array, and each
+      // arriving doc is trimmed by a pure per-row projection —
+      // in-row window match + coverage-test token filter, no join,
+      // no shuffle, no state (span coverage is a per-document fact;
+      // st28's stateless discipline applied to the span family).
+      // Oracle shared verbatim with d80: the two geometries must
+      // produce the same table or the twin desynchronized.
+      val all = docs(s, d)
+      val toks = split(regexp_replace(trim(col("text")), "\\s+", " "), " ")
+      val evalDocs = all.filter(col("doc_id") % 53 === 0)
+        .select(col("doc_id"), array_join(slice(toks, 5, 12), " ").as("text"))
+      val evalFps = Decontamination.evalSpanFingerprints(
+        evalDocs, "doc_id", "text", window = 8)
+      s.catalog.dropTempView("st31_tbl")
+      val stream = graft.streaming.Streaming
+        .parquetStream(s, stageTableDir(d, "documents"), all.schema)
+      val trimmed = Decontamination.spanDecontaminateStateless(
+        stream, "doc_id", "text", window = 8, evalFps)
+      graft.streaming.Streaming.runToMemory(trimmed, "st31_tbl",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table("st31_tbl").orderBy("doc_id")
+    }),
+
     "st29_stream_preference_pairs" -> ((s, d) => {
       // k12 on the response stream: per-prompt chosen/rejected as a
       // STREAMING aggregation — max/min structs and a count are
@@ -5856,45 +5882,12 @@ object SparkEntry {
     // marking swapped for eval-set membership (windows join the
     // extracted-passage suite's window STRINGS — fingerprinting must
     // be invisible) and NO first-occurrence survivor. Eval passages =
-    // tokens 5..16 of every 53rd doc, the engine's extraction.
-    "d80_span_decontaminate" ->
-      """WITH b AS (SELECT doc_id,
-             string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS tk
-           FROM documents),
-         base AS (SELECT doc_id, tk, len(tk) AS n FROM b),
-         wins AS (SELECT doc_id, unnest(range(0, greatest(n - 7, 0))) AS pos, tk
-           FROM base),
-         winw AS (SELECT doc_id, pos,
-             array_to_string(tk[pos+1:pos+8], ' ') AS w FROM wins),
-         evd AS (SELECT tk[5:16] AS etk FROM b WHERE doc_id % 53 = 0),
-         evw AS (SELECT unnest(range(0, greatest(len(etk) - 7, 0))) AS pos, etk
-           FROM evd),
-         ev AS (SELECT DISTINCT array_to_string(etk[pos+1:pos+8], ' ') AS w
-           FROM evw),
-         dup AS (SELECT doc_id, pos, pos + 7 AS e FROM winw JOIN ev USING (w)),
-         isl AS (SELECT doc_id, pos, e,
-             CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id
-               ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-               -2) + 1 THEN 1 ELSE 0 END AS brk FROM dup),
-         gid AS (SELECT doc_id, pos, e,
-             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl),
-         spans AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e
-           FROM gid GROUP BY doc_id, g),
-         rem AS (SELECT doc_id, sum(e - s + 1) AS removed
-           FROM spans GROUP BY doc_id),
-         tokrows AS (SELECT doc_id, unnest(range(0, n)) AS ti, tk FROM base),
-         tok2 AS (SELECT doc_id, ti, tk[ti+1] AS tok FROM tokrows),
-         keptt AS (SELECT t.doc_id, t.ti, t.tok FROM tok2 t
-           LEFT JOIN spans s ON t.doc_id = s.doc_id AND t.ti BETWEEN s.s AND s.e
-           WHERE s.doc_id IS NULL),
-         re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS trimmed
-           FROM keptt GROUP BY doc_id)
-         SELECT base.doc_id,
-           CAST(n AS BIGINT) AS n_tokens,
-           CAST(coalesce(rem.removed, 0) AS BIGINT) AS n_removed,
-           coalesce(re.trimmed, '') AS text_trimmed
-         FROM base LEFT JOIN rem USING (doc_id) LEFT JOIN re USING (doc_id)
-         ORDER BY base.doc_id""",
+    // tokens 5..16 of every 53rd doc, the engine's extraction. ONE
+    // oracle string bound to the batch join path AND the stateless
+    // streaming path (the st05/x07 twin convention) — identical
+    // semantics, different geometry.
+    "d80_span_decontaminate" -> spanDeconOracleSql,
+    "st31_stream_span_decon" -> spanDeconOracleSql,
 
     // d79's brute-force graph, kept-rows shape: docs with NO eval
     // Jaccard >= 0.8 — one truth for the batch report and the
@@ -8949,6 +8942,49 @@ object SparkEntry {
          GROUP BY node ORDER BY node"""
     sb.toString
   }
+
+  /** d80/st31's shared truth: span-level decontamination against the
+    * extracted-passage eval suite (tokens 5..16 of every 53rd doc),
+    * stated on raw window STRINGS — x15's construction with membership
+    * marking and no first-occurrence survivor. */
+  private val spanDeconOracleSql: String =
+    """WITH b AS (SELECT doc_id,
+             string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS tk
+           FROM documents),
+         base AS (SELECT doc_id, tk, len(tk) AS n FROM b),
+         wins AS (SELECT doc_id, unnest(range(0, greatest(n - 7, 0))) AS pos, tk
+           FROM base),
+         winw AS (SELECT doc_id, pos,
+             array_to_string(tk[pos+1:pos+8], ' ') AS w FROM wins),
+         evd AS (SELECT tk[5:16] AS etk FROM b WHERE doc_id % 53 = 0),
+         evw AS (SELECT unnest(range(0, greatest(len(etk) - 7, 0))) AS pos, etk
+           FROM evd),
+         ev AS (SELECT DISTINCT array_to_string(etk[pos+1:pos+8], ' ') AS w
+           FROM evw),
+         dup AS (SELECT doc_id, pos, pos + 7 AS e FROM winw JOIN ev USING (w)),
+         isl AS (SELECT doc_id, pos, e,
+             CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -2) + 1 THEN 1 ELSE 0 END AS brk FROM dup),
+         gid AS (SELECT doc_id, pos, e,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl),
+         spans AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e
+           FROM gid GROUP BY doc_id, g),
+         rem AS (SELECT doc_id, sum(e - s + 1) AS removed
+           FROM spans GROUP BY doc_id),
+         tokrows AS (SELECT doc_id, unnest(range(0, n)) AS ti, tk FROM base),
+         tok2 AS (SELECT doc_id, ti, tk[ti+1] AS tok FROM tokrows),
+         keptt AS (SELECT t.doc_id, t.ti, t.tok FROM tok2 t
+           LEFT JOIN spans s ON t.doc_id = s.doc_id AND t.ti BETWEEN s.s AND s.e
+           WHERE s.doc_id IS NULL),
+         re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS trimmed
+           FROM keptt GROUP BY doc_id)
+         SELECT base.doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(coalesce(rem.removed, 0) AS BIGINT) AS n_removed,
+           coalesce(re.trimmed, '') AS text_trimmed
+         FROM base LEFT JOIN rem USING (doc_id) LEFT JOIN re USING (doc_id)
+         ORDER BY base.doc_id"""
 
   private val spanTrimOracleSql: String =
     """WITH b AS (SELECT doc_id,

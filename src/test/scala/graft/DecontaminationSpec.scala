@@ -261,6 +261,29 @@ class DecontaminationSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getString(3)) === ((6L, 4L, "x y")))
   }
 
+  test("spanDecontaminateStateless (per-row literal form) matches the join path") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),  // mid-doc hit
+      (2L, "p q r s t u v"),    // clean
+      (3L, "c d e"),            // verbatim leak -> empty
+      (4L, "x c d e f y")       // adjacent windows -> one maximal span
+    ).toDF("doc_id", "text")
+    val evalDocs = Seq((100L, "c d e"), (101L, "d e f")).toDF("doc_id", "text")
+    val joinPath = Decontamination.spanDecontaminate(
+      corpus, evalDocs, "doc_id", "text", window = 3)
+      .orderBy("doc_id").collect().toSeq
+    val fps = Decontamination.evalSpanFingerprints(evalDocs, "doc_id", "text", 3)
+    val stateless = Decontamination.spanDecontaminateStateless(
+      corpus, "doc_id", "text", window = 3, evalFps = fps)
+      .orderBy("doc_id").collect().toSeq
+    assert(stateless === joinPath)
+    // empty literal set: identity trim — sub-window fps guard exercised
+    val none = Decontamination.spanDecontaminateStateless(
+      corpus, "doc_id", "text", window = 3, evalFps = Array.empty)
+      .agg(sum(col("n_removed"))).collect().head.getLong(0)
+    assert(none === 0L)
+  }
+
   test("spanDecontaminate: sub-window docs and empty eval suite are no-ops") {
     val corpus = Seq((1L, "c d"), (2L, "g h i j")).toDF("doc_id", "text")
     val emptyEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
