@@ -3107,6 +3107,35 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "k14_oov_report" -> ((s, d) => {
+      // tokenizer-coverage QA — the report you run BEFORE committing a
+      // vocab to a 100 TB tokenize pass: train a coverage-cut unigram
+      // model (characterCoverage=0.98 drops the rarest 2% of the
+      // char mass), then measure the byte-fallback (OOV-char)
+      // footprint per language: fallback pieces / total pieces — the
+      // signal that a vocab under-serves a language. On this template
+      // corpus the cut tail spreads across all five languages
+      // (5.5-6.3%, fr highest), so every row exercises the fallback
+      // path; on a real corpus the report separates scripts the
+      // alphabet cut hits hardest. One broadcast-model projection +
+      // one bounded groupBy; deterministic (exact-Long trainer), so
+      // the oracle pins the sf0.01 measurement (k03/d20 convention).
+      val t = docs(s, d)
+      val model = UnigramTrainer.trainFromCorpus(t, "text",
+        vocabSize = 800, characterCoverage = 0.98)
+      UnigramTrainer.tokenize(t.select("doc_id", "lang", "text"), "text", model)
+        .select(col("lang"), size(col("ids")).cast("long").as("np"),
+          size(filter(col("ids"), i =>
+            i >= UnigramTrainer.ByteIdBase && i < UnigramTrainer.FirstPieceId))
+            .cast("long").as("nf"))
+        .groupBy("lang")
+        .agg(sum("np").as("pieces"), sum("nf").as("fallback_pieces"))
+        .select(col("lang"), col("pieces"), col("fallback_pieces"),
+          round(col("fallback_pieces").cast("double")
+            / col("pieces").cast("double"), 6).as("fallback_rate"))
+        .orderBy("lang")
+    }),
+
     "k02_bpe_roundtrip" -> ((s, d) => {
       // decode(encode(t)) must equal the NFKC+flatten normalization of t
       // for EVERY document (including CJK), and no id may be unk — the
@@ -7323,6 +7352,22 @@ object SparkEntry {
     "k02_bpe_roundtrip" ->
       """SELECT doc_id, CAST(1 AS BOOLEAN) AS roundtrip_ok, CAST(0 AS BIGINT) AS n_unk
          FROM documents ORDER BY doc_id""",
+
+    // Pinned at sf0.01 (k03/d20 convention): per-language byte-fallback
+    // footprint of the coverage-cut (0.98) unigram model — the trainer
+    // is exact-Long deterministic, so these are constants of
+    // (fixture, vocabSize, coverage). Re-pin on fixture/SF change.
+    "k14_oov_report" ->
+      """SELECT lang, CAST(pieces AS BIGINT) AS pieces,
+           CAST(fallback_pieces AS BIGINT) AS fallback_pieces, fallback_rate
+         FROM (VALUES
+           ('de', 4168, 239, 0.057342),
+           ('en', 13644, 755, 0.055336),
+           ('es', 4620, 262, 0.05671),
+           ('fr', 4443, 280, 0.06302),
+           ('zh', 4894, 299, 0.061095)
+         ) AS t(lang, pieces, fallback_pieces, fallback_rate)
+         ORDER BY lang""",
 
     // Same 24-char-slice line synth as the Spark side (CASE precedence:
     // brace line 2 / lorem line 3 override the %3 punctuation rule);

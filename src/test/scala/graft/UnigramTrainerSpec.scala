@@ -199,4 +199,24 @@ class UnigramTrainerSpec extends SparkSpec {
     // empty word: no counts
     assert(m.latticeExpectedCounts(Vector.empty).isEmpty)
   }
+
+  test("fallback-piece footprint (k14's counting): coverage cut > 0, full coverage = 0") {
+    val df = Seq((1L, "aaa bbb aaa"), (2L, "aaa éé bbb"))
+      .toDF("doc_id", "text")
+    def fallbackCount(coverage: Double): Long = {
+      val m = UnigramTrainer.trainFromCorpus(df, "text", vocabSize = 300,
+        characterCoverage = coverage)
+      UnigramTrainer.tokenize(df, "text", m)
+        .select(size(filter(col("ids"), i =>
+          i >= UnigramTrainer.ByteIdBase && i < UnigramTrainer.FirstPieceId))
+          .cast("long").as("nf"))
+        .agg(sum("nf")).collect().head.getLong(0)
+    }
+    // full coverage: every char is a trained piece — zero fallback ids
+    assert(fallbackCount(1.0) === 0L)
+    // é carries 2 of the 17 non-boundary char occurrences (a:9 b:6 é:2),
+    // so 0.85 coverage (target 15) cuts it: each é rides the byte
+    // fallback as its 2 UTF-8 bytes -> exactly 4 fallback ids
+    assert(fallbackCount(0.85) === 4L)
+  }
 }
