@@ -4177,6 +4177,41 @@ object SparkEntry {
         ORDER BY doc_id""")
     }),
 
+    "q50_sql_fuzzy_decon" -> ((s, d) => {
+      // the SQL frontend reaching the hygiene family: d79's fuzzy
+      // decontamination report stated as ONE spark.sql query over the
+      // graft_char_shingles kernel — brute-force corpus x eval (the
+      // stream/benchmark-suite geometry, st30's shape: the size-ratio
+      // non-equi join lowers to a BroadcastNestedLoopJoin of the
+      // benchmark-sized eval side against one corpus scan). Gram
+      // hashes are bit-identical to the operator path's, so this gate
+      // shares d79's oracle string verbatim — the SQL dialect and the
+      // Column API cannot drift apart.
+      GraftExtensions.register(s)
+      docs(s, d).createOrReplaceTempView("docs_fz")
+      s.sql("""
+        WITH g AS (
+          SELECT doc_id, array_distinct(graft_char_shingles(
+            lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ')), 5)) AS gs
+          FROM docs_fz),
+        e AS (SELECT gs AS egs FROM g WHERE doc_id % 101 = 7),
+        v AS (
+          SELECT c.doc_id,
+            CAST(size(array_intersect(c.gs, e.egs)) AS DOUBLE)
+              / size(array_union(c.gs, e.egs)) AS j
+          FROM g c JOIN e
+            ON size(c.gs) >= 0.8 * size(e.egs)
+           AND size(e.egs) >= 0.8 * size(c.gs)),
+        m AS (SELECT doc_id, count(*) AS n_matches, round(max(j), 6) AS max_jaccard
+              FROM v WHERE j >= 0.8 GROUP BY doc_id)
+        SELECT g.doc_id,
+          coalesce(m.n_matches, CAST(0 AS BIGINT)) AS n_matches,
+          coalesce(m.max_jaccard, CAST(0.0 AS DOUBLE)) AS max_jaccard,
+          coalesce(m.n_matches, CAST(0 AS BIGINT)) > 0 AS contaminated
+        FROM g LEFT JOIN m USING (doc_id)
+        ORDER BY doc_id""")
+    }),
+
     "d72_term_map" -> ((s, d) => {
       // map-typed analytics: per-doc term frequencies as a real
       // MapType column, filtered with map algebra (map_filter keeps
@@ -5889,23 +5924,11 @@ object SparkEntry {
     // Brute-force corpus x eval whole-doc char-5gram Jaccard (x01's
     // gram construction; the size-ratio prefilter is implied by
     // J >= 0.8). Only >= threshold pairs are reported — LSH guarantees
-    // recall above the threshold, nothing below it.
-    "d79_fuzzy_decontaminate" ->
-      """WITH n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
-           FROM documents),
-         g AS (SELECT doc_id, list_distinct(CASE WHEN length(s) < 5 THEN [s]
-               ELSE list_transform(range(1, length(s)-3), i -> s[i:i+4]) END) AS gs FROM n),
-         e AS (SELECT doc_id AS ev_id, gs AS egs FROM g WHERE doc_id % 101 = 7),
-         v AS (SELECT c.doc_id, len(list_intersect(c.gs, e.egs)) * 1.0
-                 / len(list_distinct(list_concat(c.gs, e.egs))) AS j
-               FROM g c JOIN e ON len(c.gs) >= 0.8 * len(e.egs)
-                 AND len(e.egs) >= 0.8 * len(c.gs)),
-         m AS (SELECT doc_id, count(*) AS n_matches, round(max(j), 6) AS max_jaccard
-               FROM v WHERE j >= 0.8 GROUP BY doc_id)
-         SELECT g.doc_id, coalesce(m.n_matches, 0) AS n_matches,
-           coalesce(m.max_jaccard, 0.0) AS max_jaccard,
-           coalesce(m.n_matches, 0) > 0 AS contaminated
-         FROM g LEFT JOIN m USING (doc_id) ORDER BY g.doc_id""",
+    // recall above the threshold, nothing below it. ONE oracle string
+    // bound to the LSH-candidate operator path AND the pure-SQL
+    // frontend statement (q50) so the twins cannot desynchronize.
+    "d79_fuzzy_decontaminate" -> fuzzyDeconOracleSql,
+    "q50_sql_fuzzy_decon" -> fuzzyDeconOracleSql,
 
     // x15's window/island/reassembly construction with the duplicate
     // marking swapped for eval-set membership (windows join the
@@ -8987,6 +9010,26 @@ object SparkEntry {
          GROUP BY node ORDER BY node"""
     sb.toString
   }
+
+  /** d79/q50's shared truth: the brute-force corpus x eval whole-doc
+    * char-5gram Jaccard report at threshold 0.8 on the % 101 = 7
+    * split. */
+  private val fuzzyDeconOracleSql: String =
+    """WITH n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+           FROM documents),
+         g AS (SELECT doc_id, list_distinct(CASE WHEN length(s) < 5 THEN [s]
+               ELSE list_transform(range(1, length(s)-3), i -> s[i:i+4]) END) AS gs FROM n),
+         e AS (SELECT doc_id AS ev_id, gs AS egs FROM g WHERE doc_id % 101 = 7),
+         v AS (SELECT c.doc_id, len(list_intersect(c.gs, e.egs)) * 1.0
+                 / len(list_distinct(list_concat(c.gs, e.egs))) AS j
+               FROM g c JOIN e ON len(c.gs) >= 0.8 * len(e.egs)
+                 AND len(e.egs) >= 0.8 * len(c.gs)),
+         m AS (SELECT doc_id, count(*) AS n_matches, round(max(j), 6) AS max_jaccard
+               FROM v WHERE j >= 0.8 GROUP BY doc_id)
+         SELECT g.doc_id, coalesce(m.n_matches, 0) AS n_matches,
+           coalesce(m.max_jaccard, 0.0) AS max_jaccard,
+           coalesce(m.n_matches, 0) > 0 AS contaminated
+         FROM g LEFT JOIN m USING (doc_id) ORDER BY g.doc_id"""
 
   /** d80/st31's shared truth: span-level decontamination against the
     * extracted-passage eval suite (tokens 5..16 of every 53rd doc),
