@@ -1392,6 +1392,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d81_span_decon_provenance" -> ((s, d) => {
+      // the audit trail a release review reads BEFORE excising (d80's
+      // pre-flight, the d78 convention applied across corpora): which
+      // corpus docs are hit, how many of their windows, and by WHICH
+      // eval items — one corpus-window x eval-window inner join (eval
+      // side AQE-broadcast) + one bounded per-doc aggregate. The
+      // deterministic exemplar (min eval id) is what the audit quotes.
+      val all = docs(s, d)
+      val toks = split(regexp_replace(trim(col("text")), "\\s+", " "), " ")
+      val evalDocs = all.filter(col("doc_id") % 53 === 0)
+        .select(col("doc_id"), array_join(slice(toks, 5, 12), " ").as("text"))
+      Decontamination.spanDecontaminationProvenance(
+          all, evalDocs, "doc_id", "text", window = 8)
+        .orderBy("doc_id")
+    }),
+
     "d24_repetition" -> ((s, d) =>
       // Gopher-style repetition quality signals (Rae et al. 2021
       // §A.1.1): duplicate word-3gram fraction and top word-2gram
@@ -4432,6 +4448,33 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "e15_ivf_probe_curve" -> ((s, d) => {
+      // the ANN tuning artifact you produce BEFORE fixing nProbe for a
+      // corpus-scale index: recall@5 vs exact brute force at nProbe =
+      // 1,2,4,8,16 over the e04 IVF geometry (memoized kmeans
+      // quantizer — fitted once, all five settings reuse it, the FAISS
+      // deployment shape). Recall must be non-decreasing in nProbe and
+      // exactly 1.0 at nProbe = nCentroids (probing every cell IS
+      // brute force). Five bounded settings -> a driver loop over five
+      // distributed jobs, never per-row driver work; deterministic
+      // (hash-ordered kmeans sample), so the oracle pins the sf0.01
+      // curve (e04/d20 convention).
+      import s.implicits._
+      val e = emb(s, d).select("vec_id", "embedding").localCheckpoint(true)
+      val q = e.filter(col("vec_id") < 20).localCheckpoint(true)
+      val exact = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id",
+          "embedding", 5)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+      val total = exact.count().toDouble
+      Seq(1, 2, 4, 8, 16).map { p =>
+        val approx = Similarity.ivfTopK(q, e, "vec_id", "vec_id", "embedding",
+          5, nCentroids = 16, nProbe = p)
+        val hit = exact.join(approx.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi").count()
+        (p, math.rint(hit / total * 10000) / 10000)
+      }.toDF("n_probe", "recall").orderBy("n_probe")
+    }),
+
     "e13_ivfpq_knn" -> ((s, d) => {
       // IVF+PQ composed — the production ANN shape (FAISS IVFPQ):
       // coarse cells prune the corpus per query, PQ reconstructions
@@ -5940,6 +5983,31 @@ object SparkEntry {
     // semantics, different geometry.
     "d80_span_decontaminate" -> spanDeconOracleSql,
     "st31_stream_span_decon" -> spanDeconOracleSql,
+
+    // d80's window construction, provenance shape: per hit corpus doc,
+    // distinct matched positions / distinct implicated eval docs / the
+    // min implicated eval id — joined on raw window STRINGS.
+    "d81_span_decon_provenance" ->
+      """WITH b AS (SELECT doc_id,
+             string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS tk
+           FROM documents),
+         base AS (SELECT doc_id, tk, len(tk) AS n FROM b),
+         wins AS (SELECT doc_id, unnest(range(0, greatest(n - 7, 0))) AS pos, tk
+           FROM base),
+         winw AS (SELECT doc_id, pos,
+             array_to_string(tk[pos+1:pos+8], ' ') AS w FROM wins),
+         evd AS (SELECT doc_id AS eval_id, tk[5:16] AS etk FROM b
+           WHERE doc_id % 53 = 0),
+         evw AS (SELECT eval_id,
+             unnest(range(0, greatest(len(etk) - 7, 0))) AS pos, etk FROM evd),
+         evs AS (SELECT DISTINCT eval_id,
+             array_to_string(etk[pos+1:pos+8], ' ') AS w FROM evw)
+         SELECT c.doc_id,
+           CAST(count(DISTINCT c.pos) AS BIGINT) AS n_hit_windows,
+           CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_sources,
+           min(e.eval_id) AS first_eval_id
+         FROM winw c JOIN evs e USING (w)
+         GROUP BY c.doc_id ORDER BY c.doc_id""",
 
     // d79's brute-force graph, kept-rows shape: docs with NO eval
     // Jaccard >= 0.8 — one truth for the batch report and the
@@ -8542,6 +8610,15 @@ object SparkEntry {
 
     // Both IVFPQ stages replayed: cell assignment (e10's argmax), PQ
     // reconstruction (e09's argmin chain), probe ranking, every ADC.
+    // Pinned at sf0.01 (e04/d20 convention): the nProbe→recall@5 curve
+    // of the memoized 16-cell IVF quantizer — deterministic
+    // (hash-ordered kmeans sample). Monotone by construction, 1.0 at
+    // full probe. Re-pin on fixture/SF/seed change.
+    "e15_ivf_probe_curve" ->
+      """SELECT CAST(n_probe AS INT) AS n_probe, recall FROM (VALUES
+           (1, 0.22), (2, 0.42), (4, 0.65), (8, 0.86), (16, 1.0)
+         ) AS t(n_probe, recall) ORDER BY n_probe""",
+
     "e13_ivfpq_knn" ->
       """WITH v AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

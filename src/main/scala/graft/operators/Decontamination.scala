@@ -408,6 +408,31 @@ object Decontamination {
       result.getField("text_trimmed").as("text_trimmed"))
   }
 
+  /** Provenance report for [[spanDecontaminate]] — the audit trail a
+    * release review needs BEFORE excising: which corpus docs are hit,
+    * how much of each, and by WHICH eval items. One inner join of the
+    * corpus's ~1 row/token window stream against the benchmark-sized
+    * eval window rows (AQE broadcasts the eval side), then one per-doc
+    * aggregation with bounded state (two distinct-counts + a min).
+    *
+    * Output, one row per HIT corpus doc: (idCol,
+    * n_hit_windows = distinct corpus window positions matched,
+    * n_eval_sources = distinct eval docs implicated,
+    * first_eval_id = smallest implicated eval id — the deterministic
+    * exemplar to quote in the audit). */
+  def spanDecontaminationProvenance(corpus: DataFrame, evalDocs: DataFrame,
+                                    idCol: String, textCol: String,
+                                    window: Int = 8): DataFrame = {
+    val evw = Dedup.spanWindowRows(evalDocs, idCol, textCol, window)
+      .select(col("__fp"), col(idCol).as("__eval_id"))
+    val cw = Dedup.spanWindowRows(corpus, idCol, textCol, window)
+    cw.join(evw, Seq("__fp"))
+      .groupBy(idCol)
+      .agg(countDistinct(col("__pos")).as("n_hit_windows"),
+        countDistinct(col("__eval_id")).as("n_eval_sources"),
+        min(col("__eval_id")).as("first_eval_id"))
+  }
+
   /** The DISTINCT 16-byte window fingerprints of an eval suite,
     * collected for [[spanDecontaminateStateless]]'s literal vehicle —
     * bounded by the eval suite's token count (benchmark-sized by

@@ -284,6 +284,26 @@ class DecontaminationSpec extends SparkSpec {
     assert(none === 0L)
   }
 
+  test("spanDecontaminationProvenance names hit docs, window counts, and sources") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),   // hits eval 100 at positions 1,2
+      (2L, "p q r s"),       // clean: absent from the report
+      (3L, "b c d x c d e")  // hits 100 (pos 0) and 101 (pos 4)
+    ).toDF("doc_id", "text")
+    val evalDocs = Seq((100L, "b c d e"), (101L, "c d e")).toDF("doc_id", "text")
+    // window=3: eval 100 contributes "b c d"/"c d e", eval 101 "c d e"
+    val r = Decontamination.spanDecontaminationProvenance(
+        corpus, evalDocs, "doc_id", "text", window = 3)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // doc 1: pos 1 ("b c d") + pos 2 ("c d e") hit; "c d e" is in BOTH
+    // eval docs -> 2 sources, exemplar = min = 100
+    assert(r(0) === ((1L, 2L, 2L, 100L)))
+    // doc 3: pos 0 ("b c d") from 100 only, pos 4 ("c d e") from both
+    assert(r(1) === ((3L, 2L, 2L, 100L)))
+    assert(r.length === 2) // doc 2 never appears
+  }
+
   test("spanDecontaminate: sub-window docs and empty eval suite are no-ops") {
     val corpus = Seq((1L, "c d"), (2L, "g h i j")).toDF("doc_id", "text")
     val emptyEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
