@@ -3152,6 +3152,33 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "k15_pack_efficiency" -> ((s, d) => {
+      // the context-length pre-flight (d78/e15/e16's sweep convention
+      // for the packer): run the REAL two-pass packer at seqLen =
+      // 256..2048 and report chunks / trained / tail-dropped /
+      // utilization per setting — the table you consult before fixing
+      // a context length for a full tokenize+pack run. The oracle
+      // states the analytic single-stream identity (total // L full
+      // chunks, remainder = tail) that packExact's global-boundary
+      // construction must reproduce at ANY partition count — so this
+      // row re-gates the packer itself at four lengths.
+      import s.implicits._
+      val toks = docs(s, d).select(col("doc_id"),
+        expr("transform(sequence(1, size(split(trim(text), '\\\\s+'))), i -> i)")
+          .as("ids"))
+        .localCheckpoint(true)
+      val total = toks.agg(sum(size(col("ids")) + 1)).head().getLong(0)
+      Seq(256, 512, 1024, 2048).map { l =>
+        val n = Packer.packExact(toks, "doc_id", "ids", seqLen = l, eosId = 2)
+          .count()
+        val trained = n * l
+        (l, n, trained, total - trained,
+          BigDecimal(trained.toDouble / total)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("seq_len", "n_chunks", "trained_tokens", "tail_tokens",
+        "utilization").orderBy("seq_len")
+    }),
+
     "k02_bpe_roundtrip" -> ((s, d) => {
       // decode(encode(t)) must equal the NFKC+flatten normalization of t
       // for EVERY document (including CJK), and no id may be unk — the
@@ -4446,6 +4473,28 @@ object SparkEntry {
           sum(when(col("n") >= 3, 1L).otherwise(0L)).as("n_burst_hours"))
         .withColumn("is_bursty", col("n_burst_hours") > 0)
         .orderBy("user_id")
+    }),
+
+    "e16_semantic_tau_curve" -> ((s, d) => {
+      // the SemDeDup tuning pre-flight (d78/e15's convention for the
+      // embedding family): survivor counts at tau = 0.35..0.55 over
+      // e08's deterministic quantizer — the table you consult before
+      // committing a tau to a corpus-scale semantic dedup. The sweep
+      // brackets the fixture's merge regime (0.55 sits above the
+      // ~0.51 random-cosine ceiling: zero merges, survivors = all).
+      // Four bounded settings over ONE checkpointed corpus + centroid
+      // set; the oracle recomputes assignment, all four within-cell
+      // pair graphs, and their closures in SQL — a single wrong merge
+      // at any tau hash-fails the row.
+      import s.implicits._
+      val e = emb(s, d).localCheckpoint(true)
+      val cents = e.filter(pmod(col("vec_id"), lit(31)) === 7)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+        .localCheckpoint(true)
+      Seq(0.35, 0.42, 0.48, 0.55).map { t =>
+        (t, Dedup.semanticDedup(e, "vec_id", "embedding", cents,
+          threshold = t).count())
+      }.toDF("tau", "survivors").orderBy("tau")
     }),
 
     "e15_ivf_probe_curve" -> ((s, d) => {
@@ -8610,6 +8659,25 @@ object SparkEntry {
 
     // Both IVFPQ stages replayed: cell assignment (e10's argmax), PQ
     // reconstruction (e09's argmin chain), probe ranking, every ADC.
+    // e08's assignment + four within-cell pair graphs + four closures,
+    // one survivor count per tau.
+    "e16_semantic_tau_curve" -> semanticTauSweepOracleSql(
+      Seq("0.35", "0.42", "0.48", "0.55")),
+
+    // The analytic single-stream identity packExact must reproduce:
+    // total // L full chunks, remainder = tail-dropped.
+    "k15_pack_efficiency" ->
+      """WITH t AS (SELECT len(string_split_regex(trim(text), '\s+')) + 1 AS wtok
+           FROM documents),
+         tot AS (SELECT sum(wtok) AS total FROM t)
+         SELECT CAST(L AS INT) AS seq_len,
+           CAST(total // L AS BIGINT) AS n_chunks,
+           CAST((total // L) * L AS BIGINT) AS trained_tokens,
+           CAST(total - (total // L) * L AS BIGINT) AS tail_tokens,
+           round(((total // L) * L * 1.0) / total, 6) AS utilization
+         FROM tot CROSS JOIN (VALUES (256), (512), (1024), (2048)) AS v(L)
+         ORDER BY seq_len""",
+
     // Pinned at sf0.01 (e04/d20 convention): the nProbe→recall@5 curve
     // of the memoized 16-cell IVF quantizer — deterministic
     // (hash-ordered kmeans sample). Monotone by construction, 1.0 at
@@ -9086,6 +9154,48 @@ object SparkEntry {
            SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
          GROUP BY node ORDER BY node"""
     sb.toString
+  }
+
+  /** e16's oracle: e08's deterministic quantizer assignment shared
+    * (MATERIALIZED — four graphs read it), then per tau a within-cell
+    * cosine pair graph, its transitive closure, and the survivor
+    * count. `taus` as SQL literals so both engines parse the identical
+    * decimal. */
+  private def semanticTauSweepOracleSql(taus: Seq[String]): String = {
+    val per = taus.zipWithIndex.map { case (t, i) =>
+      s""",
+         e$i AS MATERIALIZED (SELECT x.vec_id AS u, y.vec_id AS w
+           FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+           WHERE list_sum(list_transform(list_zip(x.emb, y.emb), z -> z[1]*z[2]))
+             / (sqrt(list_sum(list_transform(x.emb, q -> q*q)))
+                * sqrt(list_sum(list_transform(y.emb, q -> q*q)))) >= $t),
+         ed$i AS (SELECT u, w FROM e$i UNION SELECT w, u FROM e$i),
+         reach$i AS (SELECT u, w FROM ed$i
+                   UNION SELECT r.u, ed$i.w FROM reach$i r
+                     JOIN ed$i ON r.w = ed$i.u WHERE ed$i.w != r.u),
+         comp$i AS (SELECT u AS vec_id, min(w) AS mn FROM reach$i GROUP BY u),
+         k$i AS (SELECT CAST($t AS DOUBLE) AS tau,
+           (SELECT count(*) FROM embeddings)
+             - (SELECT count(*) FROM comp$i WHERE mn < vec_id) AS survivors)"""
+    }.mkString
+    val unions = taus.indices
+      .map(i => s"SELECT tau, CAST(survivors AS BIGINT) AS survivors FROM k$i")
+      .mkString("\n         UNION ALL ")
+    s"""WITH RECURSIVE
+         v AS MATERIALIZED (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         c AS (SELECT vec_id AS cid, emb AS cv FROM v WHERE vec_id % 31 = 7),
+         s AS (SELECT v.vec_id, v.emb, c.cid, row_number() OVER (
+             PARTITION BY v.vec_id ORDER BY
+               list_sum(list_transform(list_zip(v.emb, c.cv), z -> z[1]*z[2]))
+                 / (sqrt(list_sum(list_transform(v.emb, x -> x*x)))
+                    * sqrt(list_sum(list_transform(c.cv, x -> x*x)))) DESC,
+               c.cid) AS rn
+           FROM v CROSS JOIN c),
+         a AS MATERIALIZED (SELECT vec_id, emb, cid FROM s WHERE rn = 1)$per
+         $unions
+         ORDER BY tau"""
   }
 
   /** d79/q50's shared truth: the brute-force corpus x eval whole-doc
