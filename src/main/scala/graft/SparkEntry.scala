@@ -1778,6 +1778,32 @@ object SparkEntry {
           round(col("n_hits").cast("double") / lit(100.0), 4).as("recall_at_5"))
     }),
 
+    "e17_persisted_ivf" -> ((s, d) => {
+      // the FAISS deployment lifecycle as a gate: build the IVF index
+      // OFFLINE (quantizer fit + one zero-shuffle assignment scan +
+      // cell-partitioned parquet write), then probe the on-disk index
+      // and demand bit-equality with the in-memory ivfTopK path —
+      // exceptAll in BOTH directions, so a single moved neighbor or
+      // score fails the row. The probe joins the partitioned scan on
+      // its PARTITION column against a broadcast probe side, so only
+      // probed cells' files are read (partition pruning is the on-disk
+      // cell join). Quantizer determinism (bounded hash-ordered kmeans
+      // sample) is what makes offline == online exact.
+      import s.implicits._
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 20)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      Similarity.writeIvfIndex(e, "vec_id", "embedding", dir, nCentroids = 16)
+      val persisted = Similarity.ivfIndexTopK(q, dir, "vec_id", "embedding",
+        5, nProbe = 8)
+      val live = Similarity.ivfTopK(q, e, "vec_id", "vec_id", "embedding",
+        5, nCentroids = 16, nProbe = 8)
+      Seq((persisted.count(),
+        persisted.exceptAll(live).count(),
+        live.exceptAll(persisted).count()))
+        .toDF("n_rows", "only_persisted", "only_live")
+    }),
+
     "e05_kmeans_clusters" -> ((s, d) => {
       val clustered = Similarity.kmeansClusters(emb(s, d), "vec_id", "embedding", 8)
       clustered.agg(
@@ -8659,6 +8685,14 @@ object SparkEntry {
 
     // Both IVFPQ stages replayed: cell assignment (e10's argmax), PQ
     // reconstruction (e09's argmin chain), probe ranking, every ADC.
+    // Embedded-assertion oracle (b01 convention): 20 queries x top-5
+    // from the persisted index, zero rows differing from the live path
+    // in either direction.
+    "e17_persisted_ivf" ->
+      """SELECT CAST(100 AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS only_persisted,
+           CAST(0 AS BIGINT) AS only_live""",
+
     // e08's assignment + four within-cell pair graphs + four closures,
     // one survivor count per tau.
     "e16_semantic_tau_curve" -> semanticTauSweepOracleSql(

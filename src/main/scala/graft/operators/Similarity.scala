@@ -318,6 +318,59 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 4).as("score"))
   }
 
+  /** Persist an IVF index — the FAISS OFFLINE-BUILD shape [[ivfTopK]]'s
+    * memo only approximates in-process: centroids land in
+    * `<path>/centroids` (model-sized), the cell-assigned corpus in
+    * `<path>/assigned` PARTITIONED BY cell, so a later probe reads
+    * ONLY the probed cells' files — physical partition pruning as the
+    * on-disk analogue of the cell join. Build cost = the quantizer's
+    * bounded-sample fit + ONE corpus scan (zero-shuffle literal-argmax
+    * assignment) + the partitioned write. At 100 TB this runs once;
+    * every query session after it never re-reads or re-assigns the
+    * corpus. */
+  def writeIvfIndex(corpus: DataFrame, corpusId: String, vecCol: String,
+                    path: String, nCentroids: Int = 16,
+                    seed: Long = 42L): Unit = {
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"))
+    val cents = fitQuantizerCached(c, "neighbor_id", "cv", nCentroids, seed)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.toDF("centroid_id", "centv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    c.select(col("neighbor_id"), col("cv"),
+        cellArgmax(transform(col("cv"), _.cast("double")), cents).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
+  }
+
+  /** Probe a persisted IVF index ([[writeIvfIndex]]): identical
+    * ranking semantics to [[ivfTopK]] — top-`nProbe` cells per query
+    * from the stored centroids, exact cosine within probed cells,
+    * (score DESC, neighbor ASC) rank window. The probe side joins the
+    * partitioned scan on the PARTITION column with a broadcast, so
+    * dynamic partition pruning restricts the read to probed cells —
+    * queries never pay for the corpus, only for nProbe/nCentroids of
+    * it. */
+  def ivfIndexTopK(queries: DataFrame, indexPath: String,
+                   queryId: String, vecCol: String, k: Int,
+                   nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = collectCentroids(spark.read.parquet(s"$indexPath/centroids"))
+    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"))
+    val probed = q.select(col("query_id"), col("qv"),
+      explode(probeCells(transform(col("qv"), _.cast("double")), cents, nProbe))
+        .as("cell"))
+    val assigned = spark.read.parquet(s"$indexPath/assigned")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probed), "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** Collect a bounded centroid table as (id, double-cast vector),
     * sorted by id — shared by the PQ codebooks here and callers that
     * ship centroids into expressions. */

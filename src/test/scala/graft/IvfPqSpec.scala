@@ -71,4 +71,22 @@ class IvfPqSpec extends SparkSpec {
         s"pair ($a,$b) at Hamming ${java.lang.Long.bitCount(hs(a) ^ hs(b))} missed by banding")
     }
   }
+
+  test("persisted IVF index probes equal the live path; layout is cell-partitioned") {
+    val df = corpus()
+    val q = df.filter(col("vec_id") < 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_spec").toString
+    Similarity.writeIvfIndex(df, "vec_id", "embedding", dir, nCentroids = 4)
+    val persisted = Similarity.ivfIndexTopK(q, dir, "vec_id", "embedding",
+        k = 3, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    val live = Similarity.ivfTopK(q, df, "vec_id", "vec_id", "embedding",
+        k = 3, nCentroids = 4, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(persisted === live && persisted.nonEmpty)
+    // partitionBy("cell") layout: the probe's pruning surface exists
+    val cellDirs = new java.io.File(s"$dir/assigned").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
+    assert(cellDirs.length > 1, s"expected cell=* dirs, got ${cellDirs.toSeq}")
+  }
 }
