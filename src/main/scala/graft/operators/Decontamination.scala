@@ -302,15 +302,27 @@ object Decontamination {
                                   idCol: String, textCol: String,
                                   threshold: Double = 0.8,
                                   ngram: Int = 5): DataFrame = {
+    // DISTINCT gram sets up front: intersect/union are set-semantics
+    // anyway, and the ratio guard below is only sound on distinct
+    // cardinalities (a duplicate-heavy array would inflate size() and
+    // wrongly skip a true match)
     val ev = broadcast(evalDocs.select(
-      HashFunctions.charShingleHashes(
-        TextFunctions.normalizeForDedup(col(textCol)), ngram).as("__ev_g")))
+      array_distinct(HashFunctions.charShingleHashes(
+        TextFunctions.normalizeForDedup(col(textCol)), ngram)).as("__ev_g")))
     val withG = corpus.withColumn("__g",
-      HashFunctions.charShingleHashes(
-        TextFunctions.normalizeForDedup(col(textCol)), ngram))
+      array_distinct(HashFunctions.charShingleHashes(
+        TextFunctions.normalizeForDedup(col(textCol)), ngram)))
+    // size-ratio guard first: J >= t implies t·|B| <= |A| <= |B|/t, and
+    // the cheap cardinality compare short-circuits the expensive set
+    // intersection for almost every (row, eval) pair — result-identical
+    // by the implication, ~an order of magnitude less work per row
+    val ratioOk =
+      size(col("__g")).cast("double") >= lit(threshold) * size(col("__ev_g")) &&
+      size(col("__ev_g")).cast("double") >= lit(threshold) * size(col("__g"))
     withG.join(ev,
-        size(array_intersect(col("__g"), col("__ev_g"))).cast("double")
-          / size(array_union(col("__g"), col("__ev_g"))) >= threshold,
+        ratioOk &&
+          size(array_intersect(col("__g"), col("__ev_g"))).cast("double")
+            / size(array_union(col("__g"), col("__ev_g"))) >= threshold,
         "left_anti")
       .drop("__g")
   }
