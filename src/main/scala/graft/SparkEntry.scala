@@ -1392,6 +1392,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d82_keyword_tagging" -> ((s, d) =>
+      // domain labeling ahead of mixture design: five (tag, phrase)
+      // rules — 1-, 2-, and 3-word phrases so every shingle width
+      // fires — applied as one zero-shuffle literal-table projection
+      // (streaming-ready by construction). The oracle restates
+      // word-sequence matching as padded-LIKE over the same
+      // normalization, so a substring-of-a-word false hit or a missed
+      // cross-width phrase hash-fails the row.
+      TextAnalysis.tagKeywords(docs(s, d).select("doc_id", "text"), "text",
+          Seq(("engine", "spark"), ("ml", "vector"),
+            ("ui", "window table"), ("etl", "batch window"),
+            ("sql3", "agg row scan")))
+        .select("doc_id", "tags")
+        .orderBy("doc_id")),
+
     "d81_span_decon_provenance" -> ((s, d) => {
       // the audit trail a release review reads BEFORE excising (d80's
       // pre-flight, the d78 convention applied across corpora): which
@@ -6058,6 +6073,23 @@ object SparkEntry {
     // semantics, different geometry.
     "d80_span_decontaminate" -> spanDeconOracleSql,
     "st31_stream_span_decon" -> spanDeconOracleSql,
+
+    // word-sequence matching as padded LIKE over the engine's exact
+    // normalization (lowercase + whitespace-flatten, single spaces):
+    // '% phrase %' against ' '||s||' ' is the string form of
+    // shingle-set membership.
+    "d82_keyword_tagging" ->
+      """WITH n AS (SELECT doc_id,
+             ' ' || lower(regexp_replace(trim(text), '\s+', ' ', 'g')) || ' ' AS s
+           FROM documents),
+         p(tag, ph) AS (VALUES ('engine', 'spark'), ('ml', 'vector'),
+           ('ui', 'window table'), ('etl', 'batch window'),
+           ('sql3', 'agg row scan')),
+         m AS (SELECT doc_id, tag FROM n JOIN p ON n.s LIKE '% ' || p.ph || ' %'),
+         a AS (SELECT doc_id, array_to_string(list_sort(list_distinct(list(tag))), ',')
+             AS tags FROM m GROUP BY doc_id)
+         SELECT n.doc_id, coalesce(a.tags, '') AS tags
+         FROM n LEFT JOIN a USING (doc_id) ORDER BY n.doc_id""",
 
     // d80's window construction, provenance shape: per hit corpus doc,
     // distinct matched positions / distinct implicated eval docs / the

@@ -184,6 +184,44 @@ object TextAnalysis {
         coalesce(size(col(s"${p}_c.ctoks")).cast("long"), lit(0L)).as("chunk_tokens")): _*)
   }
 
+  /** Multi-phrase keyword/topic tagger — the domain-labeling stage a
+    * curation pipeline runs to route documents (code/medical/legal/...)
+    * before mixing: every (tag, phrase) whose phrase occurs in the doc
+    * as a WORD SEQUENCE (normalized: lowercase, whitespace-flattened —
+    * substring-of-a-word can never fire) contributes its tag; output is
+    * the sorted distinct tag list joined with ','. ZERO shuffle and no
+    * state: the phrase table ships as literals inside the projection
+    * (grouped by phrase length, one shingle array per distinct n,
+    * let-bound so the per-phrase membership tests never re-shingle), so
+    * it runs unchanged on a stream and costs one corpus scan at any
+    * size. The right vehicle for taxonomy-sized phrase lists (KBs);
+    * corpus-sized dictionaries belong to a broadcast join on
+    * word-shingle hashes instead. */
+  def tagKeywords(df: DataFrame, textCol: String,
+                  phrases: Seq[(String, String)],
+                  outCol: String = "tags"): DataFrame = {
+    require(phrases.nonEmpty, "tagKeywords needs at least one (tag, phrase)")
+    val norm = phrases.map { case (t, p) =>
+      (t, p.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" "))
+    }
+    norm.foreach { case (t, p) =>
+      require(p.nonEmpty, s"tag '$t' has an empty phrase") }
+    val byN = norm.groupBy(_._2.split(" ").length).toSeq.sortBy(_._1)
+    val matchedPerN = byN.map { case (n, ps) =>
+      val pairsLit = typedLit(ps)
+      // let-bind the shingle array as a lambda variable: referencing it
+      // from the filter lambda's body directly would re-shingle the doc
+      // once per phrase (the spanFingerprints lesson)
+      element_at(transform(array(TextFunctions.wordShingles(col(textCol), n)),
+        a => transform(
+          filter(pairsLit, pr => array_contains(a, pr.getField("_2"))),
+          pr => pr.getField("_1"))), 1)
+    }
+    val merged = matchedPerN.reduce(concat(_, _))
+    df.withColumn(outCol,
+      coalesce(array_join(array_sort(array_distinct(merged)), ","), lit("")))
+  }
+
   /** Out-of-vocabulary token marker for the bigram LM — a control char
     * no whitespace-split token can contain after normalization of real
     * text, so it cannot collide with a vocabulary word. */

@@ -283,6 +283,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.forall(_.getBoolean(3)))
   }
 
+  test("tagKeywords: word-sequence semantics, mixed widths, normalization, empties") {
+    val df = Seq(
+      (1L, "Alpha  BETA gamma"),      // case + double space -> normalized hit
+      (2L, "alphabet a gamma"),       // 'alpha' inside a word must NOT fire
+      (3L, "x beta gamma y"),         // 2-gram phrase hit
+      (4L, "beta"),                   // sub-phrase only: no 2-gram hit
+      (5L, "")                        // empty text -> empty tags
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.tagKeywords(df, "text",
+        Seq(("a", "alpha"), ("bg", "beta gamma"), ("g", "gamma")))
+      .orderBy("doc_id").select("tags").as[String].collect().toSeq
+    assert(got === Seq("a,bg,g", "g", "bg,g", "", ""))
+    // duplicate phrases for one tag and repeated hits stay one tag
+    val dup = graft.operators.TextAnalysis.tagKeywords(
+        Seq((1L, "beta gamma beta gamma")).toDF("doc_id", "text"), "text",
+        Seq(("bg", "beta gamma"), ("bg", "gamma beta")))
+      .select("tags").as[String].collect().head
+    assert(dup === "bg")
+  }
+
   test("quantizeInt8 codes stay in [-127,127] and reconstruct within scale/2") {
     val df = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
