@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharEntropy, CharShingleHashes, CosineSim, L2SqDist, MaxMultiplicity, MinHashSignature, NormalizeNfkc, RollingHash64, SignBuckets, SimHash64, XxHash64String}
+import graft.functions.{CharEntropy, CharShingleHashes, CosineSim, DeflateRatio, L2SqDist, MaxMultiplicity, MinHashSignature, NormalizeNfkc, RollingHash64, SignBuckets, SimHash64, XxHash64String}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -60,6 +60,12 @@ object GraftExtensions {
         case Seq(c)    => XxHash64String(c, 0L)
         case Seq(c, s) => XxHash64String(c, longArg(s, "seed"))
         case _ => throw new IllegalArgumentException("graft_xxhash64(text[, seed])")
+      }
+    },
+    "graft_deflate_ratio" -> { args =>
+      args match {
+        case Seq(c) => DeflateRatio(c)
+        case _ => throw new IllegalArgumentException("graft_deflate_ratio(text)")
       }
     },
     "graft_rolling_hash" -> { args =>

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Tables
-import graft.functions.{PiiFunctions, TextFunctions, UrlFunctions}
+import graft.functions.{HashFunctions, PiiFunctions, TextFunctions, UrlFunctions}
 import graft.operators._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1391,6 +1391,30 @@ object SparkEntry {
           window = 8)
         .orderBy("doc_id")
     }),
+
+    "d83_compression_quality" -> ((s, d) =>
+      // the zlib-redundancy quality signal (the cheap filter used
+      // beside the Gopher n-gram fractions): per-source doc counts,
+      // mean deflate ratio, and how many docs compress below 0.45 —
+      // template-heavy suspects on this fixture (corpus range
+      // 0.40..1.02). The per-doc ratio is a codegen'd custom
+      // Expression (one streaming deflate pass, count-only); ratios
+      // enter aggregation as ROUNDED integer micros so the sums are
+      // exact longs — partial-agg reordering can never flip a bit
+      // (the q29 integer-cents rule). Deterministic for the JVM's
+      // bundled zlib at a fixed level -> pinned oracle (d20
+      // convention).
+      docs(s, d).select(col("source"),
+          round(HashFunctions.deflateRatio(col("text")) * 1e6, 0)
+            .cast("long").as("rm"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("rm").as("sum_micro"),
+          sum(when(col("rm") < 450000L, 1L).otherwise(0L)).as("n_boilerplate"))
+        .select(col("source"), col("n_docs"),
+          (col("sum_micro") / col("n_docs")).cast("long").as("avg_ratio_micro"),
+          col("n_boilerplate"))
+        .orderBy("source")),
 
     "d82_keyword_tagging" -> ((s, d) =>
       // domain labeling ahead of mixture design: five (tag, phrase)
@@ -6073,6 +6097,25 @@ object SparkEntry {
     // semantics, different geometry.
     "d80_span_decontaminate" -> spanDeconOracleSql,
     "st31_stream_span_decon" -> spanDeconOracleSql,
+
+    // Pinned at sf0.01 (d20 convention): per-source zlib-redundancy
+    // stats — deterministic for the JVM's bundled zlib at level 6;
+    // sums are exact integer micros. Re-pin on fixture/SF/zlib change.
+    "d83_compression_quality" ->
+      """SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CAST(avg_m AS BIGINT) AS avg_ratio_micro,
+           CAST(nb AS BIGINT) AS n_boilerplate FROM (VALUES
+           ('src0', 25, 526423, 6), ('src1', 25, 510650, 9),
+           ('src10', 25, 566469, 5), ('src11', 25, 513438, 4),
+           ('src12', 25, 574775, 4), ('src13', 25, 519707, 11),
+           ('src14', 25, 569909, 6), ('src15', 25, 573890, 6),
+           ('src16', 25, 582646, 6), ('src17', 25, 536339, 4),
+           ('src18', 25, 551782, 5), ('src19', 25, 605740, 4),
+           ('src2', 25, 543746, 7), ('src3', 25, 552183, 8),
+           ('src4', 25, 562853, 5), ('src5', 25, 570099, 3),
+           ('src6', 25, 585217, 7), ('src7', 25, 524650, 8),
+           ('src8', 25, 584714, 5), ('src9', 25, 534333, 6)
+         ) AS t(source, n, avg_m, nb) ORDER BY source""",
 
     // word-sequence matching as padded LIKE over the engine's exact
     // normalization (lowercase + whitespace-flatten, single spaces):

@@ -36,6 +36,13 @@ object HashFunctions {
   def rollingHash64(c: Column): Column =
     ExpressionUtils.column(RollingHash64(ExpressionUtils.expression(c)))
 
+  /** zlib-deflate compression ratio of the UTF-8 text (bytes out /
+    * bytes in) — the classic cheap redundancy signal: boilerplate and
+    * repeated spans compress far below prose, gibberish compresses
+    * worse. See [[DeflateRatio]]. */
+  def deflateRatio(c: Column): Column =
+    ExpressionUtils.column(DeflateRatio(ExpressionUtils.expression(c)))
+
   /** MinHash signature: k unsigned-min values over hashed character
     * n-gram shingles of the (pre-normalized) input string. */
   def minhash(c: Column, k: Int = 128, ngram: Int = 5, seed: Long = 42L): Column =
@@ -203,6 +210,41 @@ case class NormalizeNfkc(child: Expression)
   }
   override protected def withNewChildInternal(c: Expression): NormalizeNfkc = copy(child = c)
   override def prettyName: String = "normalize_nfkc"
+}
+
+/** zlib-deflate compression ratio (compressed bytes / input bytes) of
+  * the UTF-8 encoding — the redundancy quality signal pre-training
+  * pipelines use beside the Gopher n-gram fractions: template/
+  * boilerplate text lands well under ~0.3, natural prose around
+  * 0.3-0.6, near-random text approaches (or exceeds, via header
+  * overhead) 1.0. Deterministic for a fixed level and the JVM's
+  * bundled zlib: level 6 (the zlib default), default strategy, one
+  * streaming pass with a reused scratch buffer — only the COUNT of
+  * output bytes is kept, nothing is materialized. Empty input → 1.0
+  * (nothing to compress; treated as incompressible rather than
+  * emitting the pure-header ratio, which would diverge to infinity
+  * as a ratio of zero input). */
+case class DeflateRatio(child: Expression)
+    extends UnaryExpression with RefEvalCodegen {
+  override def dataType: DataType = DoubleType
+  override protected def javaResultType: String = "Double"
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    if (bytes.isEmpty) 1.0
+    else {
+      val d = new java.util.zip.Deflater(6, false)
+      try {
+        d.setInput(bytes)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var out = 0L
+        while (!d.finished()) out += d.deflate(buf, 0, buf.length)
+        out.toDouble / bytes.length
+      } finally d.end()
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): DeflateRatio = copy(child = c)
+  override def prettyName: String = "deflate_ratio"
 }
 
 /** xxh64(utf8-bytes, seed) for string input. Delegates to Spark's

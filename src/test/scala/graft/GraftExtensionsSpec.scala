@@ -48,6 +48,11 @@ class GraftExtensionsSpec extends SparkSpec {
     val csApi = spark.table("gx_docs")
       .select(HashFunctions.charShingleHashes(col("text"), 5)).head().getSeq[Long](0)
     assert(csSql == csApi && csSql.nonEmpty)
+    val drSql = spark.sql("SELECT graft_deflate_ratio(text) FROM gx_docs")
+      .head().getDouble(0)
+    val drApi = spark.table("gx_docs")
+      .select(HashFunctions.deflateRatio(col("text"))).head().getDouble(0)
+    assert(drSql == drApi && drSql > 0.0)
   }
 
   test("withExtensions injection works at session build time") {
@@ -58,7 +63,7 @@ class GraftExtensionsSpec extends SparkSpec {
       Set("graft_minhash", "graft_simhash", "graft_xxhash64", "graft_rolling_hash",
         "graft_nfkc", "graft_cosine_sim", "graft_l2_sq", "graft_char_entropy",
         "graft_max_multiplicity", "graft_sign_buckets", "graft_char_shingles",
-        "graft_span_fingerprints"))
+        "graft_span_fingerprints", "graft_deflate_ratio"))
   }
 
   test("graft_span_fingerprints matches the Column-API span kernel") {

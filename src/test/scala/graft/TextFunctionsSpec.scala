@@ -169,4 +169,26 @@ class TextFunctionsSpec extends SparkSpec {
       .select(TextFunctions.wordShingles(col("t"), 2)).head().getSeq[String](0)
     assert(got == Seq("a b", "b c", "c d"))
   }
+
+  test("deflateRatio orders repetitive < prose < random; total on empties") {
+    import graft.functions.HashFunctions
+    val rep = "spam ham " * 200
+    val prose = (1 to 60).map(i =>
+      s"sentence $i carries slightly varied content tokens n$i").mkString(" ")
+    val rand = new scala.util.Random(7)
+    val noise = Array.fill(1600)((rand.nextInt(94) + 33).toChar).mkString
+    val r = Seq((1L, rep), (2L, prose), (3L, noise), (4L, ""), (5L, null))
+      .toDF("id", "t")
+      .select(col("id"), HashFunctions.deflateRatio(col("t")).as("r"))
+      .orderBy("id").collect()
+    val (rr, rp, rn) = (r(0).getDouble(1), r(1).getDouble(1), r(2).getDouble(1))
+    assert(rr < rp && rp < rn, s"want repetitive < prose < random, got $rr $rp $rn")
+    assert(rr < 0.1 && rn > 0.7)
+    assert(r(3).getDouble(1) === 1.0)  // empty: defined, incompressible
+    assert(r(4).isNullAt(1))           // null in, null out
+    // deterministic across invocations (pinned oracles rely on it)
+    val again = Seq((1L, rep)).toDF("id", "t")
+      .select(HashFunctions.deflateRatio(col("t"))).head().getDouble(0)
+    assert(again === rr)
+  }
 }
