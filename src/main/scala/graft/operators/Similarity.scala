@@ -345,11 +345,15 @@ object Similarity {
   /** Probe a persisted IVF index ([[writeIvfIndex]]): identical
     * ranking semantics to [[ivfTopK]] — top-`nProbe` cells per query
     * from the stored centroids, exact cosine within probed cells,
-    * (score DESC, neighbor ASC) rank window. The probe side joins the
-    * partitioned scan on the PARTITION column with a broadcast, so
-    * dynamic partition pruning restricts the read to probed cells —
-    * queries never pay for the corpus, only for nProbe/nCentroids of
-    * it. */
+    * (score DESC, neighbor ASC) rank window. Partition pruning is
+    * EXPLICIT: the union of probed cells (bounded by nCentroids — a
+    * model-sized driver value, like the centroids themselves) becomes
+    * a static IN filter on the scan's partition column, so only the
+    * probed cells' files are ever listed or read — queries never pay
+    * for the corpus, only for <= nProbe/nCentroids of it. (Left to
+    * dynamic partition pruning, the optimizer skips this shape: the
+    * broadcast probe side carries no selective predicate it can
+    * recognize — verified in-plan, see IvfPqSpec.) */
   def ivfIndexTopK(queries: DataFrame, indexPath: String,
                    queryId: String, vecCol: String, k: Int,
                    nProbe: Int = 4): DataFrame = {
@@ -359,7 +363,10 @@ object Similarity {
     val probed = q.select(col("query_id"), col("qv"),
       explode(probeCells(transform(col("qv"), _.cast("double")), cents, nProbe))
         .as("cell"))
+    val probedCells = probed.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
     val assigned = spark.read.parquet(s"$indexPath/assigned")
+      .where(col("cell").isin(probedCells: _*))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     assigned.join(broadcast(probed), "cell")

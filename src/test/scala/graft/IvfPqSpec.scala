@@ -77,13 +77,20 @@ class IvfPqSpec extends SparkSpec {
     val q = df.filter(col("vec_id") < 4)
     val dir = java.nio.file.Files.createTempDirectory("ivf_idx_spec").toString
     Similarity.writeIvfIndex(df, "vec_id", "embedding", dir, nCentroids = 4)
-    val persisted = Similarity.ivfIndexTopK(q, dir, "vec_id", "embedding",
-        k = 3, nProbe = 2)
-      .orderBy("query_id", "rank").collect().toSeq
+    val probe = Similarity.ivfIndexTopK(q, dir, "vec_id", "embedding",
+      k = 3, nProbe = 2)
+    val persisted = probe.orderBy("query_id", "rank").collect().toSeq
     val live = Similarity.ivfTopK(q, df, "vec_id", "vec_id", "embedding",
         k = 3, nCentroids = 4, nProbe = 2)
       .orderBy("query_id", "rank").collect().toSeq
     assert(persisted === live && persisted.nonEmpty)
+    // the probed-cell union must land as a STATIC partition filter on
+    // the index scan (DPP skips this shape — verified while building):
+    // only probed cells' files are listed/read
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.split("\n").exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell") && l.contains(" IN ")),
+      "expected a static cell IN (...) partition filter on the index scan")
     // partitionBy("cell") layout: the probe's pruning surface exists
     val cellDirs = new java.io.File(s"$dir/assigned").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
