@@ -2861,6 +2861,28 @@ object SparkEntry {
       s.table("st30_tbl").orderBy("doc_id")
     }),
 
+    "st32_stream_keyword_tagging" -> ((s, d) => {
+      // d82 deployed on the ingest stream — the claim "zero shuffle,
+      // no state, streaming-ready by construction" exercised as gate
+      // evidence rather than documentation: the SAME tagKeywords
+      // projection runs inside a micro-batch query (no join, no state
+      // store, Append mode) and must reproduce d82's table exactly
+      // (one oracle string bound to both keys).
+      val all = docs(s, d)
+      s.catalog.dropTempView("st32_tbl")
+      val stream = graft.streaming.Streaming
+        .parquetStream(s, stageTableDir(d, "documents"), all.schema)
+      val tagged = TextAnalysis.tagKeywords(
+          stream.select("doc_id", "text"), "text",
+          Seq(("engine", "spark"), ("ml", "vector"),
+            ("ui", "window table"), ("etl", "batch window"),
+            ("sql3", "agg row scan")))
+        .select("doc_id", "tags")
+      graft.streaming.Streaming.runToMemory(tagged, "st32_tbl",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table("st32_tbl").orderBy("doc_id")
+    }),
+
     "st31_stream_span_decon" -> ((s, d) => {
       // d80's surgical excision deployed on the ingest stream: the
       // eval passages' window fingerprints (bounded by the suite's
@@ -6120,19 +6142,10 @@ object SparkEntry {
     // word-sequence matching as padded LIKE over the engine's exact
     // normalization (lowercase + whitespace-flatten, single spaces):
     // '% phrase %' against ' '||s||' ' is the string form of
-    // shingle-set membership.
-    "d82_keyword_tagging" ->
-      """WITH n AS (SELECT doc_id,
-             ' ' || lower(regexp_replace(trim(text), '\s+', ' ', 'g')) || ' ' AS s
-           FROM documents),
-         p(tag, ph) AS (VALUES ('engine', 'spark'), ('ml', 'vector'),
-           ('ui', 'window table'), ('etl', 'batch window'),
-           ('sql3', 'agg row scan')),
-         m AS (SELECT doc_id, tag FROM n JOIN p ON n.s LIKE '% ' || p.ph || ' %'),
-         a AS (SELECT doc_id, array_to_string(list_sort(list_distinct(list(tag))), ',')
-             AS tags FROM m GROUP BY doc_id)
-         SELECT n.doc_id, coalesce(a.tags, '') AS tags
-         FROM n LEFT JOIN a USING (doc_id) ORDER BY n.doc_id""",
+    // shingle-set membership. ONE oracle string bound to the batch
+    // projection AND its micro-batch deployment (the twin convention).
+    "d82_keyword_tagging" -> keywordTagOracleSql,
+    "st32_stream_keyword_tagging" -> keywordTagOracleSql,
 
     // d80's window construction, provenance shape: per hit corpus doc,
     // distinct matched positions / distinct implicated eval docs / the
@@ -9306,6 +9319,21 @@ object SparkEntry {
          $unions
          ORDER BY tau"""
   }
+
+  /** d82/st32's shared truth: tag-phrase word-sequence matching as
+    * padded LIKE over the dedup normalization. */
+  private val keywordTagOracleSql: String =
+    """WITH n AS (SELECT doc_id,
+             ' ' || lower(regexp_replace(trim(text), '\s+', ' ', 'g')) || ' ' AS s
+           FROM documents),
+         p(tag, ph) AS (VALUES ('engine', 'spark'), ('ml', 'vector'),
+           ('ui', 'window table'), ('etl', 'batch window'),
+           ('sql3', 'agg row scan')),
+         m AS (SELECT doc_id, tag FROM n JOIN p ON n.s LIKE '% ' || p.ph || ' %'),
+         a AS (SELECT doc_id, array_to_string(list_sort(list_distinct(list(tag))), ',')
+             AS tags FROM m GROUP BY doc_id)
+         SELECT n.doc_id, coalesce(a.tags, '') AS tags
+         FROM n LEFT JOIN a USING (doc_id) ORDER BY n.doc_id"""
 
   /** d79/q50's shared truth: the brute-force corpus x eval whole-doc
     * char-5gram Jaccard report at threshold 0.8 on the % 101 = 7
