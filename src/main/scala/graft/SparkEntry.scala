@@ -1919,6 +1919,30 @@ object SparkEntry {
         .orderBy("asset_id")
     }),
 
+    "m07_scene_cuts" -> ((s, d) => {
+      // shot-boundary detection over REAL Y4M payloads: each asset is
+      // a 6-frame 8x8 video whose luma drifts +7/frame everywhere
+      // (motion — mean diff exactly 7) with a planted +55 LEVEL SHIFT
+      // at frame (id % 4) + 1 (the hard cut — mean diff exactly 62,
+      // and exactly one boundary fires at threshold 30). Values stay
+      // < 256 by construction, so every diff is integer-exact and the
+      // oracle can state the planted truth directly: the gate proves
+      // the C420 encode/decode roundtrip at 6 frames, the per-pixel
+      // diff math, and the boundary flagging.
+      import s.implicits._
+      val vids = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val cut = (id % 4 + 1).toInt
+        val frames = (0 until 6).map { f =>
+          val shift = if (f >= cut) 55 else 0
+          Array.tabulate(64)(i =>
+            ((i * 2 + f * 7 + (id % 30).toInt + shift) & 0xff).toByte)
+        }
+        (id, Multimodal.encodeY4m(8, 8, 25, frames))
+      }.toDF("asset_id", "data")
+      Multimodal.sceneCuts(vids, threshold = 30.0)
+        .orderBy("asset_id")
+    }),
+
     "m05_binary_dedup" -> ((s, d) => {
       // exact dedup over OPAQUE BINARY content — the multimodal twin of
       // d07 (text dedup): group by md5 of the raw bytes, first
@@ -7137,6 +7161,15 @@ object SparkEntry {
            round(CAST(CAST(CAST(zc AS DOUBLE) / 256.0 AS REAL) AS DOUBLE), 6) AS zcr,
            round(CAST(CAST(ssum / 256.0 AS REAL) AS DOUBLE), 6) AS mean_s
          FROM agg ORDER BY asset_id""",
+
+    // The planted truth restated: drift diffs are exactly 7 (below
+    // threshold), the level-shift boundary is exactly 62 — one cut at
+    // id % 4 + 1, max_diff 62 for every asset.
+    "m07_scene_cuts" ->
+      """SELECT doc_id AS asset_id, CAST(6 AS INT) AS n_frames,
+           CAST(doc_id % 4 + 1 AS VARCHAR) AS cut_frames,
+           CAST(62.0 AS DOUBLE) AS max_diff
+         FROM documents ORDER BY asset_id""",
 
     "m04_video_features" ->
       """WITH a AS (SELECT doc_id AS asset_id FROM documents WHERE doc_id % 3 = 2),

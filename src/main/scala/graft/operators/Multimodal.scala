@@ -397,4 +397,38 @@ object Multimodal {
     assets.filter(col("kind") === "video")
       .select(col("asset_id"),
         explode(sequence(lit(0), col("meta.n_frames") - 1, lit(everyK))).as("frame_idx"))
+
+  /** Scene-cut detection over Y4M video payloads — the shot-boundary
+    * pass a video-curation pipeline runs before captioning/frame
+    * dedup: decode the Y planes, compute the mean absolute luma
+    * difference between consecutive frames, and flag every boundary
+    * whose difference reaches `threshold` (the classic pixel-domain
+    * cut detector; a hard cut moves most pixels at once, motion moves
+    * few by little). Per-row work only — decode + one pass over the
+    * planes, no shuffle, no state; output is (asset_id, n_frames,
+    * cut_frames as a ','-joined index list — frame f means the cut is
+    * BETWEEN f-1 and f, max_diff rounded 6dp). */
+  def sceneCuts(assets: DataFrame, threshold: Double): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id").cast("long"), col("data"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, data) =>
+        val v = decodeY4m(data)
+        val diffs = v.frames.iterator.sliding(2).withPartial(false).map { w =>
+          val (a, b) = (w.head, w(1))
+          var s = 0L
+          var i = 0
+          while (i < a.length) { s += math.abs((a(i) & 0xff) - (b(i) & 0xff)); i += 1 }
+          s.toDouble / a.length
+        }.toArray
+        val cuts = diffs.iterator.zipWithIndex
+          .collect { case (d, i) if d >= threshold => (i + 1).toString }
+          .mkString(",")
+        val maxD = if (diffs.isEmpty) 0.0 else diffs.max
+        (id, v.frames.length,
+          cuts, BigDecimal(maxD).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toDF("asset_id", "n_frames", "cut_frames", "max_diff")
+  }
 }

@@ -103,4 +103,24 @@ class MultimodalSpec extends SparkSpec {
       assert(f.distinct.length > 1)
     }
   }
+
+  test("sceneCuts flags exactly the planted boundaries; still video has none") {
+    import spark.implicits._
+    def flat(v: Int) = Array.fill(64)(v.toByte)
+    val vids = Seq(
+      // two hard cuts: 10 -> 200 (between frames 1|2) and 200 -> 40 (3|4)
+      (1L, Multimodal.encodeY4m(8, 8, 25,
+        Seq(flat(10), flat(10), flat(200), flat(200), flat(40)))),
+      // still: zero diffs everywhere
+      (2L, Multimodal.encodeY4m(8, 8, 25, Seq(flat(99), flat(99), flat(99)))),
+      // single frame: no boundary exists at all
+      (3L, Multimodal.encodeY4m(8, 8, 25, Seq(flat(5))))
+    ).toDF("asset_id", "data")
+    val r = Multimodal.sceneCuts(vids, threshold = 30.0)
+      .orderBy("asset_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getString(2), x.getDouble(3)))
+    assert(r(0) === ((1L, 5, "2,4", 190.0)))
+    assert(r(1) === ((2L, 3, "", 0.0)))
+    assert(r(2) === ((3L, 1, "", 0.0)))
+  }
 }
