@@ -1943,6 +1943,29 @@ object SparkEntry {
         .orderBy("asset_id")
     }),
 
+    "m08_audio_quality" -> ((s, d) => {
+      // clip screening over REAL PCM16 WAVs: 240-sample assets with a
+      // planted dead-air run (30 + id%20 samples of 0 from t=40) and a
+      // planted saturation run (10 + id%10 samples of 32767 from
+      // t=150) inside an always-positive carrier ((t*37+id*13)%3999+1 —
+      // never 0, never near full scale, so ONLY the plants count).
+      // Silence/clipping ratios and the exact integer energy must
+      // survive the WAV encode/decode roundtrip; the oracle replays
+      // the synthesis formula and the counts in SQL.
+      import s.implicits._
+      val wavs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val silLen = (30 + id % 20).toInt
+        val clipLen = (10 + id % 10).toInt
+        val samples = Array.tabulate[Short](240) { t =>
+          if (t >= 40 && t < 40 + silLen) 0
+          else if (t >= 150 && t < 150 + clipLen) 32767
+          else (((t * 37 + id * 13) % 3999) + 1).toShort
+        }
+        (id, Multimodal.encodeWav(16000, samples))
+      }.toDF("asset_id", "data")
+      Multimodal.audioQuality(wavs).orderBy("asset_id")
+    }),
+
     "m05_binary_dedup" -> ((s, d) => {
       // exact dedup over OPAQUE BINARY content — the multimodal twin of
       // d07 (text dedup): group by md5 of the raw bytes, first
@@ -7161,6 +7184,25 @@ object SparkEntry {
            round(CAST(CAST(CAST(zc AS DOUBLE) / 256.0 AS REAL) AS DOUBLE), 6) AS zcr,
            round(CAST(CAST(ssum / 256.0 AS REAL) AS DOUBLE), 6) AS mean_s
          FROM agg ORDER BY asset_id""",
+
+    // The synthesis formula replayed sample-for-sample: plants decide
+    // the silence/clipping counts, the carrier never contributes, and
+    // the energy is an exact integer sum.
+    "m08_audio_quality" ->
+      """WITH t AS (SELECT doc_id AS asset_id, unnest(range(0, 240)) AS t
+           FROM documents),
+         s AS (SELECT asset_id, t,
+             CASE WHEN t >= 40 AND t < 40 + 30 + asset_id % 20 THEN 0
+                  WHEN t >= 150 AND t < 150 + 10 + asset_id % 10 THEN 32767
+                  ELSE (t * 37 + asset_id * 13) % 3999 + 1 END AS v
+           FROM t)
+         SELECT asset_id, CAST(240 AS BIGINT) AS n_samples,
+           round(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) / 240.0, 6)
+             AS silence_ratio,
+           round(sum(CASE WHEN v >= 32760 THEN 1 ELSE 0 END) / 240.0, 6)
+             AS clipping_ratio,
+           CAST(sum(v * v) AS BIGINT) AS sum_square
+         FROM s GROUP BY asset_id ORDER BY asset_id""",
 
     // The planted truth restated: drift diffs are exactly 7 (below
     // threshold), the level-shift boundary is exactly 62 — one cut at

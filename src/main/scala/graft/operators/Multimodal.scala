@@ -398,6 +398,44 @@ object Multimodal {
       .select(col("asset_id"),
         explode(sequence(lit(0), col("meta.n_frames") - 1, lit(everyK))).as("frame_idx"))
 
+  /** Audio-quality signals over WAV payloads — the clip-screening pass
+    * an audio-curation pipeline runs before transcription: per asset,
+    * the SILENCE ratio (|sample| <= `silenceEps` — dead air), the
+    * CLIPPING ratio (|sample| >= `clipLevel` — saturated capture), and
+    * the exact energy (sum of squared samples, an integer — callers
+    * derive RMS; kept exact so external engines replay it
+    * bit-for-bit). Pure per-row decode + one pass, no shuffle, no
+    * state; ratios are rounded 6dp from exact integer counts. */
+  def audioQuality(assets: DataFrame, silenceEps: Int = 0,
+                   clipLevel: Int = 32760): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id").cast("long"), col("data"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, data) =>
+        val w = decodeWav(data)
+        val n = w.samples.length
+        var nSil = 0L; var nClip = 0L; var sumSq = 0L
+        var i = 0
+        while (i < n) {
+          val v = w.samples(i).toInt
+          val a = math.abs(v)
+          if (a <= silenceEps) nSil += 1
+          if (a >= clipLevel) nClip += 1
+          sumSq += v.toLong * v
+          i += 1
+        }
+        def r6(x: Double) =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, n.toLong,
+          if (n == 0) 0.0 else r6(nSil.toDouble / n),
+          if (n == 0) 0.0 else r6(nClip.toDouble / n),
+          sumSq)
+      }
+      .toDF("asset_id", "n_samples", "silence_ratio", "clipping_ratio",
+        "sum_square")
+  }
+
   /** Scene-cut detection over Y4M video payloads — the shot-boundary
     * pass a video-curation pipeline runs before captioning/frame
     * dedup: decode the Y planes, compute the mean absolute luma

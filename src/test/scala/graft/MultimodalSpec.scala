@@ -104,6 +104,19 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioQuality counts silence/clipping exactly; energy is the integer sum") {
+    import spark.implicits._
+    val samples: Array[Short] = Array[Short](0, 0, 100, -100, 32767, -32767, 5)
+    val wavs = Seq((1L, Multimodal.encodeWav(8000, samples))).toDF("asset_id", "data")
+    val r = Multimodal.audioQuality(wavs).collect().head
+    assert(r.getLong(1) === 7L)
+    assert(r.getDouble(2) === BigDecimal(2.0 / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)  // two zeros
+    assert(r.getDouble(3) === BigDecimal(2.0 / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)  // +/- full scale
+    assert(r.getLong(4) === (2L * 100 * 100 + 2L * 32767 * 32767 + 25L))
+  }
+
   test("sceneCuts flags exactly the planted boundaries; still video has none") {
     import spark.implicits._
     def flat(v: Int) = Array.fill(64)(v.toByte)
