@@ -247,4 +247,101 @@ class PropertySpec extends SparkSpec {
       .select("id", "rn").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
   }
+
+  // ---- round-8 family: brute-force references on random inputs ----
+
+  private def charGrams(text: String): Set[String] = {
+    val s = text.trim.replaceAll("\\s+", " ").toLowerCase
+    if (s.length < 5) Set(s) else s.sliding(5).toSet
+  }
+
+  test("fuzzyOverlapReport equals the brute-force corpus x eval Jaccard graph") {
+    import spark.implicits._
+    // small shared vocabulary -> plenty of true near-dups AND band noise
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "omega", "zeta")
+    val textGen = Gen.chooseNum(8, 24).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val corpora = samples(Gen.listOfN(24, textGen), 4)
+    corpora.zipWithIndex.foreach { case (texts, ci) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val evalDocs = df.filter(col("doc_id") % 5 === 1)
+      val got = graft.operators.Decontamination.fuzzyOverlapReport(
+          df, evalDocs, "doc_id", "text", threshold = 0.8)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      val evalSets = docs.filter(_._1 % 5 == 1).map { case (_, t) => charGrams(t) }
+      val want = docs.map { case (id, t) =>
+        val g = charGrams(t)
+        val js = evalSets.map(e =>
+            g.intersect(e).size.toDouble / g.union(e).size)
+          .filter(_ >= 0.8)
+        val mj = if (js.isEmpty) 0.0
+          else BigDecimal(js.max).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, js.size.toLong, mj, js.nonEmpty)
+      }
+      assert(got.toSeq === want, s"corpus sample $ci")
+    }
+  }
+
+  test("canonicalByScore equals the union-find + argmax reference") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.chooseNum(0L, 19L), Gen.chooseNum(0L, 19L)))
+    samples(edgeGen, 6).zipWithIndex.foreach { case (raw, ci) =>
+      val edges = raw.filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val scores = (0L until 20L).map(i => i -> ((i * 37) % 11)).toMap
+        val df = (0L until 20L).map(i => (i, "x" * scores(i).toInt))
+          .toDF("doc_id", "text")
+        val got = graft.operators.Dedup.canonicalByScore(df, "doc_id",
+            edges.toDF("src", "dst"), octet_length(col("text")).cast("long"))
+          .orderBy("dropped_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        // reference: union-find, then (score DESC, id ASC) crown per component
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          parent.getOrElseUpdate(x, x)
+          if (parent(x) == x) x
+          else { parent(x) = find(parent(x)); parent(x) }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+        val comps = parent.keys.toSeq.groupBy(find)
+        val want = comps.values.flatMap { members =>
+          val crown = members.minBy(m => (-scores(m), m))
+          members.filter(_ != crown).map(m => (m, crown))
+        }.toSeq.sorted
+        assert(got === want, s"graph sample $ci")
+      }
+    }
+  }
+
+  test("kCore at a fixpoint-covering round budget equals the naive peel") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(0L, 17L), Gen.chooseNum(0L, 17L)))
+    val cases = samples(Gen.zip(edgeGen, Gen.chooseNum(2, 4)), 6)
+    cases.zipWithIndex.foreach { case ((raw, k), ci) =>
+      val got = graft.operators.KCore.run(raw.toDF("src", "dst"),
+          k = k, rounds = 20)
+        .collect().map(r => (r.getAs[Long]("node"), r.getLong(1))).toSet
+      // reference: loop removal of < k degree nodes to fixpoint on the
+      // simple undirected graph
+      var es = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.toSet
+      var changed = true
+      while (changed) {
+        val deg = es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+          .groupBy(identity).map { case (n, xs) => n -> xs.size }
+        val alive = deg.filter(_._2 >= k).keySet
+        val nes = es.filter { case (a, b) => alive(a) && alive(b) }
+        changed = nes != es
+        es = nes
+      }
+      val deg = es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+      assert(got === deg.toSet, s"graph sample $ci k=$k")
+    }
+  }
 }
