@@ -216,4 +216,53 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.map(x => (x.getLong(1), x.getBoolean(2))).toSeq ==
       Seq((0L, false), (0L, false)))
   }
+
+  test("fuzzy decon is total: empty eval suite, null text, corpus-empty") {
+    val corpus = Seq((1L, "some words here"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val emptyEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // empty eval: every doc clean, nothing dropped, no crash
+    val rep = Decontamination.fuzzyOverlapReport(
+        corpus, emptyEval, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(rep.map(x => (x.getLong(1), x.getBoolean(3))).toSeq ==
+      Seq((0L, false), (0L, false)))
+    assert(Decontamination.fuzzyDecontaminate(
+      corpus, emptyEval, "doc_id", "text").count() == 2L)
+    // empty corpus against a real eval suite
+    val emptyCorpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Decontamination.fuzzyOverlapReport(
+      emptyCorpus, corpus.limit(1), "doc_id", "text").isEmpty)
+    // null-text corpus row vs itself as eval: must not throw; the null
+    // row normalizes to no grams and stays clean
+    val withSelf = Decontamination.fuzzyOverlapReport(
+        corpus, corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(withSelf(0).getBoolean(3))      // real text convicts itself
+    assert(!withSelf(1).getBoolean(3))     // null text stays clean
+  }
+
+  test("spanDecontaminate and provenance are total on null text and empty eval") {
+    val corpus = Seq((1L, "a b c d e"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val emptyEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r = Decontamination.spanDecontaminate(corpus, emptyEval,
+        "doc_id", "text", window = 3)
+      .orderBy("doc_id").collect()
+    assert(r.length == 2 && r.forall(_.getLong(2) == 0L))
+    assert(Decontamination.spanDecontaminationProvenance(
+      corpus, emptyEval, "doc_id", "text", window = 3).isEmpty)
+  }
+
+  test("kCore on an empty edge list returns empty at any k") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.operators.KCore.run(empty, k = 2, rounds = 3).isEmpty)
+  }
+
+  test("canonicalByScore with an empty pair set maps nobody") {
+    val df = Seq((1L, "abc")).toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Dedup.canonicalByScore(df, "doc_id", noPairs,
+      octet_length(col("text")).cast("long")).isEmpty)
+  }
 }
