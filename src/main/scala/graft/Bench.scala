@@ -359,7 +359,7 @@ object Bench {
         langs = Seq("en", "und"), langThreshold = 0.0,
         seqLen = 512, vocabSize = 2000,
         // the synthetic corpus vocabulary is out-of-domain for the
-        // committed 40-lang artifact; heuristic labeling keeps rows
+        // committed 48-lang artifact; heuristic labeling keeps rows
         defaultLidArtifact = false)
       // threshold 0.8 turns on the signature-estimate pair verify: the
       // synthetic docs share a ~30-word template vocabulary, so every

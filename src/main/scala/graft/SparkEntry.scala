@@ -4369,7 +4369,7 @@ object SparkEntry {
       s.sql("""
         WITH g AS (
           SELECT doc_id, array_distinct(graft_char_shingles(
-            lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ')), 5)) AS gs
+            lower(regexp_replace(trim(coalesce(text, '')), '\\s+', ' ')), 5)) AS gs
           FROM docs_fz),
         e AS (SELECT gs AS egs FROM g WHERE doc_id % 101 = 7),
         v AS (
@@ -6024,7 +6024,7 @@ object SparkEntry {
          ) AS t(lang, bpe_tokens, fertility, chars_per_token)
          ORDER BY lang""",
 
-    // Pinned at sf0.01 (d20 convention): the committed 40-language
+    // Pinned at sf0.01 (d20 convention): the committed 48-language
     // artifact is all-diagonal on the salt-disjoint eval draw — at 30
     // words/doc even the Scandinavian near-forms accumulate enough
     // distinctive-gram evidence. Re-pin on fixture/artifact/SF change.

@@ -219,8 +219,11 @@ case class NormalizeNfkc(child: Expression)
   * 0.3-0.6, near-random text approaches (or exceeds, via header
   * overhead) 1.0. Deterministic for a fixed level and the JVM's
   * bundled zlib: level 6 (the zlib default), default strategy, one
-  * streaming pass with a reused scratch buffer — only the COUNT of
-  * output bytes is kept, nothing is materialized. Empty input → 1.0
+  * streaming pass — only the COUNT of output bytes is kept, nothing
+  * is materialized, and the native Deflater + scratch buffer are
+  * THREAD-LOCAL (reset per row, never re-allocated: a corpus-scale
+  * pass must not pay 1 native stream init + 8 KB allocation per
+  * document). Empty input → 1.0
   * (nothing to compress; treated as incompressible rather than
   * emitting the pure-header ratio, which would diverge to infinity
   * as a ratio of zero input). */
@@ -232,19 +235,29 @@ case class DeflateRatio(child: Expression)
     val bytes = v.asInstanceOf[UTF8String].getBytes
     if (bytes.isEmpty) 1.0
     else {
-      val d = new java.util.zip.Deflater(6, false)
-      try {
-        d.setInput(bytes)
-        d.finish()
-        val buf = new Array[Byte](8192)
-        var out = 0L
-        while (!d.finished()) out += d.deflate(buf, 0, buf.length)
-        out.toDouble / bytes.length
-      } finally d.end()
+      val (d, buf) = DeflateRatio.scratch.get()
+      d.reset()
+      d.setInput(bytes)
+      d.finish()
+      var out = 0L
+      while (!d.finished()) out += d.deflate(buf, 0, buf.length)
+      out.toDouble / bytes.length
     }
   }
   override protected def withNewChildInternal(c: Expression): DeflateRatio = copy(child = c)
   override def prettyName: String = "deflate_ratio"
+}
+
+object DeflateRatio {
+  /** One native zlib stream + scratch buffer per executor thread,
+    * reset per row — bounded by thread count for the process
+    * lifetime (task threads are pooled), never per-row native
+    * init/teardown. */
+  private val scratch =
+    new ThreadLocal[(java.util.zip.Deflater, Array[Byte])] {
+      override def initialValue(): (java.util.zip.Deflater, Array[Byte]) =
+        (new java.util.zip.Deflater(6, false), new Array[Byte](8192))
+    }
 }
 
 /** xxh64(utf8-bytes, seed) for string input. Delegates to Spark's

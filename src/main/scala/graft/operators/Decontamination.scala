@@ -387,33 +387,37 @@ object Decontamination {
     val evLit = typedLit(evalFps.toSeq)
     val tk = split(regexp_replace(trim(coalesce(col(textCol), lit(""))),
       "\\s+", " "), " ")
-    val fps = Dedup.spanFingerprints(col(textCol), window)
     // two levels of let-binding (the spanFingerprints trick): lambda
     // BODIES re-evaluate outer sub-expressions per element, lambda
-    // VARIABLES evaluate once — so the fingerprint array must be bound
-    // before the position filter walks it, and the match-position list
-    // must be bound before the per-token coverage test walks THAT.
-    // sequence() counts DOWN when stop < start, so an empty
-    // fingerprint array short-circuits to an empty match list.
-    val result = element_at(transform(array(struct(tk.as("tk"), fps.as("fp"))),
-      r1 => {
-        val toks = r1.getField("tk")
-        val f = r1.getField("fp")
-        val mp = when(size(f) > 0,
-          filter(sequence(lit(0), size(f) - 1),
-            i => array_contains(evLit, element_at(f, i + 1))))
-          .otherwise(array().cast("array<int>"))
-        element_at(transform(array(struct(toks.as("tk2"), mp.as("mp"))),
-          r2 => {
-            val t2 = r2.getField("tk2")
-            val m2 = r2.getField("mp")
-            val kept = filter(t2, (_, i) =>
-              !exists(m2, p => p <= i && i <= p + window - 1))
-            struct(size(t2).cast("long").as("n_tokens"),
-              (size(t2) - size(kept)).cast("long").as("n_removed"),
-              array_join(kept, " ").as("text_trimmed"))
-          }), 1)
-      }), 1)
+    // VARIABLES evaluate once — the doc tokenizes ONCE into the outer
+    // struct, fingerprints derive from the BOUND token array (not a
+    // second tokenize), the fingerprint array is bound before the
+    // position filter walks it, and the match-position list is bound
+    // before the per-token coverage test walks THAT. sequence() counts
+    // DOWN when stop < start, so an empty fingerprint array
+    // short-circuits to an empty match list.
+    val result = element_at(transform(array(tk), tk1 => {
+      val mp = {
+        val f = Dedup.windowFpsOfTokens(tk1, window)
+        // f references only the BOUND tk1, but is itself re-evaluated
+        // per lambda-body use, so bind it before the position filter
+        element_at(transform(array(f), fArr =>
+          when(size(fArr) > 0,
+            filter(sequence(lit(0), size(fArr) - 1),
+              i => array_contains(evLit, element_at(fArr, i + 1))))
+            .otherwise(array().cast("array<int>"))), 1)
+      }
+      element_at(transform(array(struct(tk1.as("tk2"), mp.as("mp"))),
+        r2 => {
+          val t2 = r2.getField("tk2")
+          val m2 = r2.getField("mp")
+          val kept = filter(t2, (_, i) =>
+            !exists(m2, p => p <= i && i <= p + window - 1))
+          struct(size(t2).cast("long").as("n_tokens"),
+            (size(t2) - size(kept)).cast("long").as("n_removed"),
+            array_join(kept, " ").as("text_trimmed"))
+        }), 1)
+    }), 1)
     corpus.select(col(idCol),
       result.getField("n_tokens").as("n_tokens"),
       result.getField("n_removed").as("n_removed"),

@@ -49,10 +49,16 @@ object Dedup {
     * group size — ONE fingerprint shuffle with map-side partial
     * min/count, no window, no per-group state beyond two scalars. */
   def chatPromptDedup(df: DataFrame, idCol: String, turnsCol: String): DataFrame = {
-    val userJoined = array_join(transform(
-      filter(col(turnsCol), t => t.getField("role") === "user"),
-      t => t.getField("content")), "\u0001")
-    df.select(col(idCol), md5(userJoined.cast("binary")).as("__fp"))
+    // a conversation with NO user turn (or a null turns array) carries
+    // no prompt identity: it fingerprints on its OWN id instead of
+    // collapsing into one md5("")/null group, so a batch of malformed
+    // or system-only rows can never mass-delete each other
+    val userTurns = filter(col(turnsCol), t => t.getField("role") === "user")
+    val userJoined = array_join(
+      transform(userTurns, t => t.getField("content")), "\u0001")
+    val fp = when(size(userTurns) > 0, md5(userJoined.cast("binary")))
+      .otherwise(concat(lit("__no_prompt_"), col(idCol).cast("string")))
+    df.select(col(idCol), fp.as("__fp"))
       .groupBy("__fp")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
       .select(col(idCol), col("n_dups"))
@@ -211,12 +217,21 @@ object Dedup {
     // window — quadratic per doc. A lambda VARIABLE is evaluated once.
     // stride-1 fingerprints; sequence() would count DOWN for short
     // docs, so guard to an empty array (no windows => never trimmed)
-    element_at(transform(array(tk), a =>
-      when(size(a) >= window,
-        transform(sequence(lit(0), size(a) - window),
-          i => unhex(md5(array_join(slice(a, i + 1, lit(window)), " ")))))
-        .otherwise(array().cast("array<binary>"))), 1)
+    element_at(transform(array(tk), a => windowFpsOfTokens(a, window)), 1)
   }
+
+  /** The window-fingerprint kernel over an ALREADY LET-BOUND token
+    * array (a lambda variable or other once-evaluated expression):
+    * stride-1 `window`-token 16-byte binary md5 fingerprints, empty
+    * for sub-window docs. Callers that also need the tokens
+    * themselves bind the array once and derive both from it —
+    * re-tokenizing per use is the quadratic-lambda trap
+    * [[spanFingerprints]] documents. */
+  private[operators] def windowFpsOfTokens(a: Column, window: Int): Column =
+    when(size(a) >= window,
+      transform(sequence(lit(0), size(a) - window),
+        i => unhex(md5(array_join(slice(a, i + 1, lit(window)), " ")))))
+      .otherwise(array().cast("array<binary>"))
 
   /** doc → stride-1 `window`-token fingerprint rows
     * (idCol, carryCols..., __pos, __fp) — [[spanTrim]]'s candidate
@@ -859,12 +874,16 @@ object Dedup {
     * aggregates map-side, so a million-member component carries one
     * 16-byte state per task, never a member list and never a window;
     * the winner table is component-sized and AQE broadcasts it back
-    * onto the members. `score` must be a numeric column over `df`. */
+    * onto the members. `score` is any numeric column over `df` and is
+    * compared AS-IS (no silent integer truncation — fractional quality
+    * scores in [0,1] must rank, not collapse to 0); prefer
+    * integer-exact scores (byte lengths, token counts, micro-scaled
+    * quality) when bit-reproducibility across engines matters. */
   def canonicalByScore(df: DataFrame, idCol: String, pairs: DataFrame,
                        score: Column): DataFrame = {
     val comp = ConnectedComponents.run(pairs)
     val members = comp.join(
-      df.select(col(idCol).as("id"), score.cast("long").as("__score")), "id")
+      df.select(col(idCol).as("id"), score.as("__score")), "id")
     val winners = members.groupBy("component")
       .agg(min(struct((-col("__score")).as("ns"), col("id").as("wid"))).as("w"))
       .select(col("component"), col("w.wid").as("canonical_id"))

@@ -96,7 +96,7 @@ object PipelineSteps {
       val in = readStep(spark, cfg, name)
       // model seam (reference lid.176.bin swap, quality/model.py:267-340):
       // an artifact path routes labeling through the trained NB scorer —
-      // DEFAULTING to the committed 40-language artifact when present
+      // DEFAULTING to the committed 48-language artifact when present
       // (fixtures/models/lid48), like the reference defaults to its
       // bundled lid.176.bin; the table-driven stopword heuristic is the
       // no-artifact fallback

@@ -201,8 +201,13 @@ object TextAnalysis {
                   phrases: Seq[(String, String)],
                   outCol: String = "tags"): DataFrame = {
     require(phrases.nonEmpty, "tagKeywords needs at least one (tag, phrase)")
+    // Locale.ROOT: the doc side folds through Spark's locale-independent
+    // lower(), so the phrase side must not consult the JVM default
+    // locale (tr_TR dotted/dotless-i would silently kill matches — the
+    // c4BadwordKeep trap)
     val norm = phrases.map { case (t, p) =>
-      (t, p.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" "))
+      (t, p.trim.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty).mkString(" "))
     }
     norm.foreach { case (t, p) =>
       require(p.nonEmpty, s"tag '$t' has an empty phrase") }

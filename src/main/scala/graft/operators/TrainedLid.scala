@@ -126,8 +126,8 @@ object TrainedLid {
     * `docsPerLang` docs per language drawn from
     * [[WideFixtureWordLists]] via the [[synthFixture]] hash draw, so
     * the artifact is reproducible bit-for-bit from the repo alone (no
-    * external corpus at zero egress). 2^12 hash buckets: 40 langs ×
-    * 4096 doubles ≈ 1.3 MB raw, and distinct scripts separate at far
+    * external corpus at zero egress). 2^12 hash buckets: 48 langs ×
+    * 4096 doubles ≈ 1.5 MB raw, and distinct scripts separate at far
     * coarser resolution than that. */
   def trainWideArtifact(spark: SparkSession, path: String,
                         docsPerLang: Int = 200): LidModel = {

@@ -201,7 +201,15 @@ object Streaming {
             val maxTs = (maxTs0 +: arr.flatMap(_.ts.map(_.getTime))).max
             state.update((members, maxTs))
             retention.foreach { r =>
-              if (maxTs != Long.MinValue) state.setTimeoutTimestamp(maxTs, r)
+              // clamp to the watermark: a stale key revived by a
+              // late/null-ts arrival can have maxTs + retention behind
+              // the current watermark, and setTimeoutTimestamp throws
+              // on a timestamp the watermark already passed — the
+              // refresh then counts from the watermark instead (the
+              // arrival legitimately extends the key's life)
+              if (maxTs != Long.MinValue)
+                state.setTimeoutTimestamp(
+                  math.max(maxTs, state.getCurrentWatermarkMs()), r)
             }
             out.result().iterator
           }
@@ -290,7 +298,15 @@ object Streaming {
             val maxTs = (maxTs0 +: arr.flatMap(_.ts.map(_.getTime))).max
             state.update((true, maxTs))
             retention.foreach { r =>
-              if (maxTs != Long.MinValue) state.setTimeoutTimestamp(maxTs, r)
+              // clamp to the watermark: a stale key revived by a
+              // late/null-ts arrival can have maxTs + retention behind
+              // the current watermark, and setTimeoutTimestamp throws
+              // on a timestamp the watermark already passed — the
+              // refresh then counts from the watermark instead (the
+              // arrival legitimately extends the key's life)
+              if (maxTs != Long.MinValue)
+                state.setTimeoutTimestamp(
+                  math.max(maxTs, state.getCurrentWatermarkMs()), r)
             }
             out.result().iterator
           }

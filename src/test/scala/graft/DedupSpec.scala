@@ -362,6 +362,30 @@ class DedupSpec extends SparkSpec {
     assert(wide == got)
   }
 
+  test("chatPromptDedup: conversations with no user turn never group together") {
+    val df = Seq(
+      (1L, Seq(("system", "s1"), ("assistant", "a1"))),  // no prompt identity
+      (2L, Seq(("system", "s2"), ("assistant", "a2"))),  // must NOT merge with 1
+      (3L, Seq(("user", "hi"), ("assistant", "a3"))),
+      (4L, Seq(("user", "hi"), ("assistant", "a4")))     // true prompt dup of 3
+    ).toDF("doc_id", "raw")
+      .select(col("doc_id"), expr(
+        "transform(raw, t -> struct(t._1 AS role, t._2 AS content))").as("turns"))
+    val got = Dedup.chatPromptDedup(df, "doc_id", "turns")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 2L)))
+  }
+
+  test("canonicalByScore ranks fractional scores instead of truncating them") {
+    val df = Seq((1L, 0.12), (2L, 0.91), (3L, 0.55)).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Dedup.canonicalByScore(df, "doc_id", pairs, col("q"))
+      .orderBy("dropped_id").as[(Long, Long)].collect().toSeq
+    // all three sub-1.0 scores would cast to 0 and fall back to min-id
+    // (canonical 1) — the highest-quality doc 2 must win instead
+    assert(got === Seq((1L, 2L), (3L, 2L)))
+  }
+
   test("canonicalByScore crowns the highest score per component, ties to min id") {
     val df = Seq(
       (1L, "short"),                // comp {1,2,3} via chain 1-2, 2-3
