@@ -259,7 +259,7 @@ object Bench {
       val t2 = System.nanoTime()
       bpeTokens = corpus.mapPartitions { it =>
         val m = bcModel.value
-        it.map(t => m.encodeText(t.toLowerCase).length.toLong)
+        it.map(t => m.encodeText(t.toLowerCase(java.util.Locale.ROOT)).length.toLong)
       }.reduce(_ + _)
       (System.nanoTime() - t2) / 1e9
     }

@@ -547,7 +547,10 @@ private[functions] object AsciiWordTokenizer {
     val m = new java.util.HashMap[String, Array[Int]]()
     table.zipWithIndex.foreach { case (ws, li) =>
       ws.foreach { w =>
-        val k = w.toLowerCase
+        // Locale.ROOT: the doc side is lowered by Spark's
+        // locale-independent lower(), so the table side must not
+        // consult the JVM default locale (the tagKeywords trap)
+        val k = w.toLowerCase(java.util.Locale.ROOT)
         val prev = Option(m.get(k)).getOrElse(Array.empty[Int])
         m.put(k, prev :+ li)
       }
