@@ -35,8 +35,8 @@ object ScaleProbe {
     val suite = args.lift(2).getOrElse("dedup")
     // fail fast on a typo'd suite name: otherwise the expensive corpus
     // replication runs and the probe exits having measured nothing
-    require(Set("dedup", "ann", "stream", "lm", "hygiene", "graph", "all")(suite),
-      s"unknown suite '$suite' (expected dedup | ann | stream | lm | hygiene | graph | all)")
+    require(Set("dedup", "ann", "stream", "lm", "hygiene", "graph", "mm", "all")(suite),
+      s"unknown suite '$suite' (expected dedup | ann | stream | lm | hygiene | graph | mm | all)")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
@@ -261,6 +261,50 @@ object ScaleProbe {
       graphOps.foreach { case (name, op) =>
         val t1 = time(s"$name 1x")(op(e1))
         val tN = time(s"$name ${factor}x")(op(eN))
+        ratio(name, t1, tN)
+      }
+    }
+
+    if (in("mm")) {
+      // multimodal family: per-row decode passes must scale with the
+      // asset count and nothing else (no shuffle anywhere except
+      // phash's banded candidate join)
+      import graft.operators.Multimodal
+      import spark.implicits._
+      def vids(ids: DataFrame) = ids.select(col("doc_id")).as[Long].map { id =>
+        val cut = (id % 4 + 1).toInt
+        val frames = (0 until 6).map { f =>
+          val shift = if (f >= cut) 55 else 0
+          Array.tabulate(64)(i =>
+            ((i * 2 + f * 7 + (id % 30).toInt + shift) & 0xff).toByte)
+        }
+        (id, Multimodal.encodeY4m(8, 8, 25, frames))
+      }.toDF("asset_id", "data").localCheckpoint(true)
+      def wavs(ids: DataFrame) = ids.select(col("doc_id")).as[Long].map { id =>
+        val samples = Array.tabulate[Short](240)(t =>
+          (((t * 37 + id * 13) % 3999) + 1).toShort)
+        (id, Multimodal.encodeWav(16000, samples))
+      }.toDF("asset_id", "data").localCheckpoint(true)
+      val assets1 = Multimodal.synthesizeAssets(docs1.select("doc_id"), "doc_id")
+        .localCheckpoint(true)
+      val assetsN = Multimodal.synthesizeAssets(docsN.select("doc_id"), "doc_id")
+        .localCheckpoint(true)
+      val (v1, vN) = (vids(docs1), vids(docsN))
+      val (w1, wN) = (wavs(docs1), wavs(docsN))
+      val mmOps = Seq[(String, (DataFrame, DataFrame, DataFrame) => Long)](
+        "sceneCuts w=6f" -> ((_, v, _) =>
+          Multimodal.sceneCuts(v, threshold = 30.0).count()),
+        "audioQuality" -> ((_, _, w) =>
+          Multimodal.audioQuality(w).agg(sum("sum_square")).head().getLong(0)),
+        "phashClusters h<=2" -> ((a, _, _) =>
+          Multimodal.phashClusters(a.filter(col("kind") === "image"),
+            maxHamming = 2).count()),
+        "extractFeatures" -> ((a, _, _) =>
+          Multimodal.extractFeatures(a).count())
+      )
+      mmOps.foreach { case (name, op) =>
+        val t1 = time(s"$name 1x")(op(assets1, v1, w1))
+        val tN = time(s"$name ${factor}x")(op(assetsN, vN, wN))
         ratio(name, t1, tN)
       }
     }
