@@ -239,15 +239,19 @@ object Decontamination {
                          threshold: Double = 0.8,
                          cfg: Dedup.MinHashConfig = Dedup.MinHashConfig())
       : DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val evalBands = Dedup.bandIndex(evalDocs, idCol, textCol, cfg)
       .select(col("id").as("__ev_id"), col("band_id"), col("band_hash"))
     val corpusBands = Dedup.bandIndex(corpus, idCol, textCol, cfg)
     // referenced by three downstream joins (two semi-prunes + verify);
-    // candidate pairs are eval-bounded, so this is small by nature
+    // candidate pairs are eval-bounded, so this is small by nature.
+    // LAZY localCheckpoint, not persist: blocks are reference-counted
+    // and freed by the ContextCleaner once the returned plan is GC'd —
+    // a persist here has no unpersist seam in a lazy return, so
+    // repeated audit invocations in a long session would accumulate
+    // CacheManager entries until LRU pressure (the KCore/CC convention).
     val collide = corpusBands.join(evalBands, Seq("band_id", "band_hash"))
       .select(col("id").as("__c_id"), col("__ev_id")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     def gramsOf(df: DataFrame, as: String) = df.select(col(idCol).as(as),
       HashFunctions.charShingleHashes(
         TextFunctions.normalizeForDedup(col(textCol)), cfg.ngram).as(s"${as}_g"))
@@ -262,14 +266,44 @@ object Decontamination {
     val per = verified.groupBy("__c_id")
       .agg(count(lit(1)).as("n_matches"),
         round(max(col("__j")), 6).as("max_jaccard"))
-    // collide stays persisted — session-scoped, LRU-evictable (the
-    // verifyCandidatesExact convention: no unpersist seam in a lazy return)
     corpus.select(col(idCol))
       .join(per, col(idCol) === col("__c_id"), "left")
       .select(col(idCol),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
         (coalesce(col("n_matches"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Regime bound for the brute-force corpus x eval geometry (the q50
+    * SQL form / [[fuzzyDecontaminateStream]]'s per-row loop): a
+    * BroadcastNestedLoopJoin pays |corpus| x |eval| gram-set
+    * intersections, which is only sane while the eval side is
+    * benchmark-suite sized. 100k eval docs x ~1 KB gram sets ≈ a
+    * 100 MB broadcast and 100k set-ops per corpus row — past that the
+    * LSH band-index geometry ([[fuzzyOverlapReport]]) is strictly
+    * better (one corpus scan + an eval-bounded collide join). */
+  val MaxBruteForceEvalRows: Long = 100000L
+
+  /** Executable regime guard for a brute-force fuzzy-decon plan: probe
+    * the eval side's size with a BOUNDED count (limit maxEvalRows+1 —
+    * never a full count of an unbounded side); at or below the bound
+    * return `bruteForce` (the BroadcastNestedLoopJoin form), above it
+    * REWRITE to the band-index geometry, which shares the same output
+    * contract — (idCol, n_matches, max_jaccard, contaminated) — and
+    * the same oracle, so callers cannot observe the switch except in
+    * the plan. */
+  def fuzzyReportGated(corpus: DataFrame, evalDocs: DataFrame,
+                       idCol: String, textCol: String,
+                       threshold: Double = 0.8,
+                       cfg: Dedup.MinHashConfig = Dedup.MinHashConfig(),
+                       maxEvalRows: Long = MaxBruteForceEvalRows)
+                      (bruteForce: => DataFrame): DataFrame = {
+    val probe = evalDocs.select(col(idCol))
+      .limit(math.min(maxEvalRows + 1, Int.MaxValue.toLong).toInt).count()
+    if (probe > maxEvalRows)
+      fuzzyOverlapReport(corpus, evalDocs, idCol, textCol, threshold, cfg)
+        .orderBy(idCol)
+    else bruteForce
   }
 
   /** Drop-shaped face of [[fuzzyOverlapReport]]: the corpus minus every

@@ -35,9 +35,15 @@ import org.apache.spark.sql.functions._
   * plan doubles per round. */
 object KCore {
 
-  /** Peel `rounds` rounds at threshold `k` over an edge list; returns
-    * one row per surviving node: `(node, degree)` with `degree` = its
-    * distinct-neighbor count INSIDE the surviving subgraph. */
+  /** Peel up to `rounds` rounds at threshold `k` over an edge list;
+    * returns one row per surviving node: `(node, degree)` with
+    * `degree` = its distinct-neighbor count INSIDE the surviving
+    * subgraph. Fixpoint-aware (the ConnectedComponents convention):
+    * edges only ever shrink, so an unchanged edge COUNT is the
+    * fixpoint — the loop short-circuits there instead of paying a
+    * degree-agg + two semi-joins + checkpoint per leftover round, and
+    * an exhausted budget that never reached the fixpoint WARNs (the
+    * result is then a partial peel, not a true k-core). */
   def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
           k: Int = 3, rounds: Int = 4): DataFrame = {
     require(k >= 1, "k must be >= 1")
@@ -48,7 +54,12 @@ object KCore {
       .where(col("u") =!= col("v"))
       .distinct()
     var cur = simple.localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    // count() on eagerly-checkpointed edges is a cached-partition scan,
+    // not a recompute — the fixpoint test costs one cheap action/round
+    var nEdges = cur.count()
+    var converged = nEdges == 0L
+    var it = 0
+    while (!converged && it < rounds) {
       val sym = cur.select(col("u").as("node"))
         .unionAll(cur.select(col("v").as("node")))
       val alive = sym.groupBy("node").agg(count(lit(1)).as("__deg"))
@@ -58,7 +69,16 @@ object KCore {
         .join(alive.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(alive.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
         .localCheckpoint(true)
+      val n = cur.count()
+      converged = n == nEdges // peel removed nothing => every later round is a no-op
+      nEdges = n
+      it += 1
     }
+    if (!converged)
+      System.err.println(
+        s"[graft] WARN KCore: peel not at fixpoint after $rounds rounds; " +
+          "surviving nodes may still have in-subgraph degree < k " +
+          "(size `rounds` >= the peel depth for a true k-core)")
     cur.select(col("u").as("node")).unionAll(cur.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).cast("long").as("degree"))
   }

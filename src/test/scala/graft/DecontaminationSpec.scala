@@ -234,6 +234,31 @@ class DecontaminationSpec extends SparkSpec {
     assert(r.getDouble(2) === 1.0)   // max over matches, not the last one
   }
 
+  test("fuzzyReportGated: brute-force below the bound, band-index rewrite above it") {
+    var bruteBuilt = false
+    def brute = {
+      bruteBuilt = true
+      Decontamination.fuzzyOverlapReport(
+          fuzzyCorpus, fuzzyEval, "doc_id", "text", threshold = 0.8)
+        .orderBy("doc_id")
+    }
+    // eval side (1 row) within the bound: the brute-force plan is used
+    val below = Decontamination.fuzzyReportGated(
+      fuzzyCorpus, fuzzyEval, "doc_id", "text", 0.8,
+      maxEvalRows = 10L)(brute)
+    assert(bruteBuilt)
+    // above the bound: the thunk is NEVER built — the guard rewrites
+    // to the band-index geometry, and verdicts are identical
+    bruteBuilt = false
+    val above = Decontamination.fuzzyReportGated(
+      fuzzyCorpus, fuzzyEval, "doc_id", "text", 0.8,
+      maxEvalRows = 0L)(brute)
+    assert(!bruteBuilt, "regime guard must not build the brute-force plan above the bound")
+    val a = above.orderBy("doc_id").collect().map(_.toSeq)
+    val b = below.orderBy("doc_id").collect().map(_.toSeq)
+    assert(a === b, "both geometries must reach identical verdicts")
+  }
+
   // ---- span-level (surgical) decontamination ----
 
   test("spanDecontaminate excises only the leaked run; no first-occurrence survivor") {
