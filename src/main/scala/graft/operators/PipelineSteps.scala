@@ -102,6 +102,16 @@ object PipelineSteps {
       // no-artifact fallback
       val labeled = cfg.lidModelPath.orElse(
           if (cfg.defaultLidArtifact) TrainedLid.defaultArtifactPath else None) match {
+        case Some(p) if p.endsWith(".bin") =>
+          // a real fastText artifact (the reference's lid.176.bin
+          // itself): load the public .bin format and predict through
+          // the same seam — labels already carry the __label__ prefix
+          val m = FastTextBin.read(p)
+          FastTextBin.predictDf(in, "text", m,
+              outCol = "__lid", probCol = "__lidp")
+            .withColumn("lang", when(col("__lid").startsWith("__label__"),
+              col("__lid")).otherwise(concat(lit("__label__"), col("__lid"))))
+            .drop("__lid", "__lidp")
         case Some(p) =>
           val m = TrainedLid.loadModel(spark, p)
           TrainedLid.predict(in, "text", m, outCol = "__lid").

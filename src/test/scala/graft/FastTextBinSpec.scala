@@ -1,0 +1,123 @@
+package graft
+
+import graft.operators.FastTextBin
+
+class FastTextBinSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory("ftbin_spec").resolve(name).toString
+
+  private val dim = 4
+  private def v(fs: Float*): Array[Float] = fs.toArray
+
+  /** Two-language word model: "aa"/"bb" vote lang a, "cc"/"dd" vote
+    * lang b, "zz" shared. */
+  private def writeFixture(path: String, minn: Int = 0, maxn: Int = 0,
+                           wordNgrams: Int = 1,
+                           bucketRows: Map[Int, Array[Float]] = Map.empty,
+                           bucket: Int = 16): Unit =
+    FastTextBin.write(path, dim = dim, bucket = bucket, minn = minn,
+      maxn = maxn, wordNgrams = wordNgrams,
+      wordRows = Seq(
+        FastTextBin.Eos -> v(0, 0, 0, 0),
+        "aa" -> v(1, 0, 0, 0), "bb" -> v(1, 0, 0, 0),
+        "cc" -> v(0, 1, 0, 0), "dd" -> v(0, 1, 0, 0),
+        "zz" -> v(0.5f, 0.5f, 0, 0)),
+      labelRows = Seq(
+        "__label__a" -> v(4, 0, 0, 0),
+        "__label__b" -> v(0, 4, 0, 0)),
+      bucketRows = bucketRows)
+
+  test("hash matches the published FNV-1a vectors incl. the sign-extended byte rule") {
+    val p = tmp("h.bin"); writeFixture(p)
+    val m = FastTextBin.read(p)
+    assert(m.hash("a") === 0xe40c292c) // canonical FNV-1a test vector
+    assert(m.hash("abc") === 0x1a47e90b) // canonical FNV-1a test vector
+    // bytes >= 0x80 XOR sign-extended (fastText's int8_t cast):
+    assert(m.hash("日本") === -130579887)
+    assert(m.hash("ø") === 737824254)
+  }
+
+  test(".bin round-trip: args, dict, and matrices load back exactly") {
+    val p = tmp("rt.bin"); writeFixture(p, minn = 2, maxn = 3, wordNgrams = 2)
+    val m = FastTextBin.read(p)
+    assert(m.dim === dim && m.bucket === 16 && m.minn === 2 && m.maxn === 3)
+    assert(m.wordNgrams === 2 && m.nwords === 6)
+    assert(m.words.keySet === Set(FastTextBin.Eos, "aa", "bb", "cc", "dd", "zz"))
+    assert(m.labels.toSeq === Seq("__label__a", "__label__b"))
+    assert(m.input.length === (6 + 16) * dim)
+    assert(m.output.length === 2 * dim)
+    assert(m.input.slice(m.words("aa") * dim, m.words("aa") * dim + dim)
+      .toSeq === Seq(1f, 0f, 0f, 0f))
+  }
+
+  test("supervised predict: majority language wins; probs are a softmax") {
+    val p = tmp("pred.bin"); writeFixture(p)
+    val m = FastTextBin.read(p)
+    val (la, pa) = m.predict("aa bb aa")
+    assert(la === "__label__a" && pa > 0.9)
+    val (lb, _) = m.predict("cc dd")
+    assert(lb === "__label__b")
+    // shared word only: scores tie -> first label wins (fastText order)
+    val (lt, pt) = m.predict("zz")
+    assert(lt === "__label__a" && math.abs(pt - 0.5) < 1e-9)
+    // empty text: the reference wrapper's unknown fallback
+    assert(m.predict("") === (("__label__unknown", 0.0)))
+  }
+
+  test("subword n-grams: BOW/EOW wrapping, minn..maxn, no bare-BOW 1-gram") {
+    val p = tmp("sub.bin"); writeFixture(p, minn = 2, maxn = 3)
+    val m = FastTextBin.read(p)
+    // "<ab>" 2-grams: "<a","ab","b>"; 3-grams: "<ab","ab>" — 5 total
+    assert(m.subwordIds("ab").length === 5)
+    // UTF-8: continuation bytes never start an n-gram and always
+    // travel with their lead byte; "<日>" yields 2-grams "<日","日>"
+    // and 3-gram "<日>" — 3 total
+    assert(m.subwordIds("日").length === 3)
+    // OOV token routes through bucket rows ONLY: zero bucket rows give
+    // a zero hidden contribution, so prediction follows in-dict words
+    val (l1, _) = m.predict("aa oov")
+    assert(l1 === "__label__a")
+  }
+
+  test("OOV subword buckets steer prediction when their rows are non-zero") {
+    // place mass for lang b on EVERY bucket row: any OOV token then
+    // votes b regardless of which buckets its n-grams hash into
+    val rows = (0 until 16).map(b => b -> v(0, 1, 0, 0)).toMap
+    val p = tmp("oov.bin"); writeFixture(p, minn = 2, maxn = 3, bucketRows = rows)
+    val m = FastTextBin.read(p)
+    val (l, _) = m.predict("unseen")
+    assert(l === "__label__b")
+  }
+
+  test("word-ngram hashes extend the bag deterministically") {
+    val p1 = tmp("wn1.bin"); writeFixture(p1, wordNgrams = 2)
+    val m1 = FastTextBin.read(p1)
+    val ids = m1.lineIds("aa bb")
+    // word ids (2) + EOS id + bigram hashes: (aa,bb) and (bb,</s>)
+    assert(ids.length === 5)
+    assert(ids.count(_ >= m1.nwords) === 2)
+    assert(m1.lineIds("aa bb").toSeq === ids.toSeq) // deterministic
+  }
+
+  test("predictDf appends (label, prob) per row with null propagation") {
+    import spark.implicits._
+    val p = tmp("df.bin"); writeFixture(p)
+    val m = FastTextBin.read(p)
+    val df = Seq((1L, "aa bb"), (2L, "cc dd cc"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = FastTextBin.predictDf(df, "text", m).orderBy("id").collect()
+    assert(out(0).getString(2) === "__label__a")
+    assert(out(1).getString(2) === "__label__b")
+    assert(out(1).getDouble(3) > 0.9)
+    assert(out(2).isNullAt(2) && out(2).isNullAt(3))
+  }
+
+  test("loader rejects non-fastText files and quantized models") {
+    val bad = tmp("bad.bin")
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad),
+      Array.fill[Byte](64)(7))
+    val e = intercept[IllegalArgumentException](FastTextBin.read(bad))
+    assert(e.getMessage.contains("magic"))
+  }
+}

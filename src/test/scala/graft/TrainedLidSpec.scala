@@ -111,6 +111,34 @@ class TrainedLidSpec extends SparkSpec {
     assert(kept.select("lang").collect().forall(_.getString(0) == "__label__de"))
   }
 
+  test("QualityStep routes labeling through a fastText .bin when configured") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.FastTextBin
+    val outBase = java.nio.file.Files.createTempDirectory("lidbin").toString
+    // word-level .bin: German function words vote de, English ones en
+    val dim = 4
+    def v(fs: Float*): Array[Float] = fs.toArray
+    val binPath = s"$outBase/lid_fixture.bin"
+    FastTextBin.write(binPath, dim = dim, bucket = 8, minn = 0, maxn = 0,
+      wordNgrams = 1,
+      wordRows = Seq(FastTextBin.Eos -> v(0, 0, 0, 0),
+        "der" -> v(1, 0, 0, 0), "und" -> v(1, 0, 0, 0), "ist" -> v(1, 0, 0, 0),
+        "the" -> v(0, 1, 0, 0), "and" -> v(0, 1, 0, 0), "is" -> v(0, 1, 0, 0)),
+      labelRows = Seq("__label__de" -> v(4, 0, 0, 0),
+        "__label__en" -> v(0, 4, 0, 0)))
+    Seq("der hund und katze ist", "the cat and dog is", "und der ist",
+        "is the and")
+      .toDF("text").write.mode("overwrite").parquet(s"$outBase/cleaned_parquet")
+    val cfg = graft.core.Pipeline.PipelineConfig(dataDir = ".", outputBase = outBase,
+      langs = Seq("de"), langThreshold = 0.0,
+      lidModelPath = Some(binPath))
+    graft.operators.PipelineSteps.QualityStep().run(spark, cfg)
+    val kept = spark.read.parquet(s"$outBase/quality_parquet")
+    // only the 2 German rows survive the .bin-labeled lang filter
+    assert(kept.count() == 2)
+    assert(kept.select("lang").collect().forall(_.getString(0) == "__label__de"))
+  }
+
   test("committed 48-language artifact: loads, covers all scripts, wired by default") {
     import org.apache.spark.sql.functions._
     // the committed fixture (graft.tools.TrainLidArtifact output) must
