@@ -130,11 +130,40 @@ object Bench {
       c
     }
 
+    // A measurement is CLEAN when both its bracketing canaries (pre +
+    // post) are un-contended. The r8 verdict's ask: the canary must not
+    // merely FLAG contention while the artifact records the inflated
+    // value (r8 recorded e13 at 3.82 s vs ~2.4 s idle) — re-measure the
+    // row after the window clears, up to `MaxAttempts` total, keep the
+    // MIN across attempts, and record which rows needed it in
+    // `remeasured`. Only a row that never saw a clean-bracketed window
+    // in any attempt stays in `contended` (its recorded value is still
+    // the min seen — the best available — but self-reported as suspect).
+    val MaxAttempts = 3
+    val remeasuredRows = scala.collection.mutable.LinkedHashSet[String]()
+    def measureGuarded(name: String)(measureOnce: () => Double): Double = {
+      var t = Double.MaxValue
+      var clean = false
+      var attempts = 0
+      var cPreFirst = -1.0
+      while (!clean && attempts < MaxAttempts) {
+        val cPre = awaitClearWindow()
+        if (attempts == 0) cPreFirst = cPre
+        t = math.min(t, measureOnce())
+        val cPost = canaryReadTracked()
+        clean = !contendedAt(cPre) && !contendedAt(cPost)
+        attempts += 1
+      }
+      if (!clean) contendedRows += name
+      if (attempts > 1) remeasuredRows += name
+      canarySeries += name -> cPreFirst
+      t
+    }
+
     // Each run executes the FULL plan via a noop-sink write — a count()
     // here would let Catalyst prune deterministic projections and
     // eliminate the final sort, under-measuring map-shaped queries.
     val results = selected.map { case (name, fn) =>
-      val cPre = awaitClearWindow()
       def run(): Double = {
         val t0 = System.nanoTime()
         try {
@@ -142,17 +171,7 @@ object Bench {
         } catch { case _: Throwable => failed += name }
         (System.nanoTime() - t0) / 1e9
       }
-      var t = bestOfAdaptive(() => run())
-      val cPost = canaryReadTracked()
-      if (contendedAt(cPost) && t > 1.0) {
-        // a heavy row closed in a contended window: its value may be
-        // inflated even if both adaptive windows agreed — re-measure
-        // once after the canary clears and keep the min
-        val cRetry = awaitClearWindow()
-        t = math.min(t, bestOfAdaptive(() => run()))
-        if (contendedAt(cRetry)) contendedRows += name
-      } else if (contendedAt(cPre) && contendedAt(cPost)) contendedRows += name
-      canarySeries += name -> cPre
+      val t = measureGuarded(name)(() => bestOfAdaptive(() => run()))
       // Queries persist intermediates by design and rely on session-LRU
       // cleanup; across 150+ back-to-back queries that leak compounds
       // into eviction pressure + GC that bleeds into LATER rows'
@@ -171,29 +190,22 @@ object Bench {
 
     def contendedJson: String =
       contendedRows.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def remeasuredJson: String =
+      remeasuredRows.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     if (only.isDefined) { // focused profiling: skip the throughput suites
       val qs0 = results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${results.values.sum},"unit":"sec","queries":$qs0,"sf":"$sfDir","failed":${failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")},"canary_min_sec":$canaryMin,"contended":$contendedJson}""")
+      println(s"""{"metric":"total","value":${results.values.sum},"unit":"sec","queries":$qs0,"sf":"$sfDir","failed":${failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")},"canary_min_sec":$canaryMin,"contended":$contendedJson,"remeasured":$remeasuredJson}""")
       spark.stop()
       return
     }
 
-    // throughput suites get the same canary guard: they are the numbers
-    // compared against BASELINE.md (r06's recorded tokens/s was 2.6x
-    // below the same-day idle measurement purely from contention)
-    def bestOf3Guarded(name: String)(run: () => Double): Double = {
-      awaitClearWindow()
-      var v = bestOf3(run)
-      val cPost = canaryReadTracked()
-      if (contendedAt(cPost)) {
-        val cRetry = awaitClearWindow()
-        v = math.min(v, run())
-        if (contendedAt(cRetry)) contendedRows += name
-      }
-      v
-    }
+    // throughput suites get the same clean-bracket guard: they are the
+    // numbers compared against BASELINE.md (r06's recorded tokens/s was
+    // 2.6x below the same-day idle measurement purely from contention)
+    def bestOf3Guarded(name: String)(run: () => Double): Double =
+      measureGuarded(name)(() => bestOf3(run))
 
     // --- tokenize-equivalent throughput (M5) ---
     import spark.implicits._
@@ -378,18 +390,34 @@ object Bench {
         graft.operators.PipelineSteps.TrainTokenizerStep(),
         graft.operators.PipelineSteps.TokenizeStep(),
         graft.operators.PipelineSteps.ExportStep())
-      // one-shot and ~minutes long: not worth a re-run, but flag the
-      // row when its whole window was bracketed by a contended canary
-      val cPipePre = awaitClearWindow()
-      val t0 = System.nanoTime()
-      val stats = graft.core.Pipeline.run(spark, cfg, steps)
-      pipelineSec = (System.nanoTime() - t0) / 1e9
-      // drop the pipeline's own cache/state residue before reading the
-      // post canary, or its trailing GC self-flags the row
-      spark.catalog.clearCache()
-      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-      val cPipePost = canaryReadTracked()
-      if (contendedAt(cPipePre) && contendedAt(cPipePost)) contendedRows += "pipeline_e2e"
+      // the heaviest single row gets ONE retry (not MaxAttempts): when
+      // its whole window was bracketed by a contended canary, re-run
+      // against a fresh output dir after the window clears, keep the
+      // min, and record `remeasured` — a run that never sees a clean
+      // bracket stays flagged `contended`
+      var stats: Seq[graft.core.Pipeline.StepStats] = Seq.empty
+      var pipeClean = false
+      var pipeAttempts = 0
+      while (!pipeClean && pipeAttempts < 2) {
+        val cPipePre = awaitClearWindow()
+        val runCfg = if (pipeAttempts == 0) cfg else cfg.copy(
+          outputBase = java.nio.file.Files.createTempDirectory("bench_pipe").toString)
+        val t0 = System.nanoTime()
+        val runStats = graft.core.Pipeline.run(spark, runCfg, steps)
+        val sec = (System.nanoTime() - t0) / 1e9
+        // drop the pipeline's own cache/state residue before reading the
+        // post canary, or its trailing GC self-flags the row
+        spark.catalog.clearCache()
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        val cPipePost = canaryReadTracked()
+        if (pipeAttempts == 0 || sec < pipelineSec) {
+          pipelineSec = sec; stats = runStats
+        }
+        pipeClean = !contendedAt(cPipePre) && !contendedAt(cPipePost)
+        pipeAttempts += 1
+      }
+      if (!pipeClean) contendedRows += "pipeline_e2e"
+      if (pipeAttempts > 1) remeasuredRows += "pipeline_e2e"
       val byStep = stats.map(s => s.step -> s).toMap
       val directJudgeOk = spark.read.parquet(s"$sfDir/documents.parquet")
         .where(graft.functions.TextFunctions.judgeReason(
@@ -403,6 +431,71 @@ object Bench {
       pipelineStepsJson = stats.map(s =>
         "\"" + s.step + "\":" + s.elapsedSec).mkString("{", ",", "}")
     } catch { case _: Throwable => failed += "pipeline_e2e" }
+
+    // --- sf1 step-up (the r8 verdict's #1 ask): re-run the query
+    // suite at 10x the primary SF and record per-query sf1/sf0.1
+    // ratios — the replica-based ScaleProbes emulate scale, this
+    // measures it on materialized 10x data (deterministic, generated
+    // once by ScaleData from the primary dir; generation is untimed).
+    // One timed run per query (ratio precision, not absolute
+    // benchmarking — the sf0.1 value next to it is the calibrated
+    // one), bracketed by the same canary, under a wall-clock budget so
+    // the bench stays schedulable: rows are visited in DESCENDING
+    // sf0.1 cost order (super-linearity shows on the data-bound rows;
+    // the sub-100ms tail adds ratio noise, not signal) and anything
+    // past the budget is counted, not silently dropped.
+    val sf1Times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val sf1Failed = scala.collection.mutable.ArrayBuffer[String]()
+    var sf1Skipped = 0
+    var sf1Dir = ""
+    if (sys.env.getOrElse("SPARK_GRAFT_SF1", "on") != "skip") {
+      try {
+        // the generated dir is keyed by the PRIMARY dir's name: a bench
+        // run at another SF must generate its own 10x step-up, not
+        // silently reuse a cached one derived from different data
+        val srcName = new java.io.File(sfDir).getName
+        sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", s"target/x10_$srcName")
+        if (!graft.tools.ScaleData.isComplete(sf1Dir))
+          graft.tools.ScaleData.generate(spark, sfDir, sf1Dir, 10)
+        val budget = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "1200").toDouble
+        val order = results.toSeq.sortBy(-_._2).map(_._1)
+        val tStart = System.nanoTime()
+        def elapsed(): Double = (System.nanoTime() - tStart) / 1e9
+        order.foreach { name =>
+          if (elapsed() >= budget) { sf1Skipped += 1 }
+          else {
+            awaitClearWindow()
+            val t0 = System.nanoTime()
+            try {
+              SparkEntry.queries(name)(spark, sf1Dir)
+                .write.format("noop").mode("overwrite").save()
+              sf1Times += name -> (System.nanoTime() - t0) / 1e9
+            } catch { case _: Throwable => sf1Failed += name }
+            spark.catalog.clearCache()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+        }
+      } catch { case _: Throwable => sf1Failed += "__generate" }
+    }
+    val sf1Total = sf1Times.values.sum
+    // a row is super-linear when its 10x-data time exceeds 15x its
+    // primary-SF time (1.5x headroom over linear) AND it is heavy
+    // enough for the ratio to be cost, not constant overhead
+    val sf1Superlinear = sf1Times.toSeq.collect {
+      case (n, v) if v > 1.0 && results.getOrElse(n, 0.0) > 0.02 &&
+        v / math.max(results(n), 1e-9) > 15.0 => n
+    }
+    def sf1Json(full: Boolean): String = {
+      val qs = if (full)
+        sf1Times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      else "{}"
+      val ratios = if (full)
+        sf1Times.collect { case (k, v) if results.getOrElse(k, 0.0) > 0 =>
+          "\"" + k + "\":" + (v / results(k)) }.mkString("{", ",", "}")
+      else "{}"
+      s""""sf1_dir":"$sf1Dir","sf1_n_run":${sf1Times.size},"sf1_total_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, sf1Total)},"sf1_skipped_budget":$sf1Skipped,"sf1_failed":${sf1Failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf1_superlinear":${sf1Superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+        (if (full) s""","sf1_queries":$qs,"sf1_ratio":$ratios""" else "")
+    }
 
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -419,7 +512,7 @@ object Bench {
       .mkString("{", ",", "}")
     val canarySeriesJson = canarySeries.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val detailJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$detailQs,"sf":"$sfDir","failed":$failedJson,"canary_min_sec":$canaryMin,"contended":$contendedJson,"canary_series":$canarySeriesJson,"tokenize_tokens":$totalTokens,"tokenize_sec":$tokSec,"tokens_per_sec":$tokensPerSec,"minhash_docs":$nSigs,"minhash_sec":$mhSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens":$bpeTokens,"bpe_sec":$bpeSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"compare_corpus_chars":$totalChars,"compare_bpe_per_word_ratio":$bpePerWordRatio,"compare_bpe_chars_per_token":$bpeCharsPerToken,"compare_word_chars_per_token":$wordCharsPerToken,"lid_eval_docs":$lidN,"lid_trained_acc":$lidTrainedAcc,"lid_heuristic_acc":$lidHeuristicAcc,"lid_hard_trained_acc":$lidHardTrainedAcc,"lid_hard_heuristic_acc":$lidHardHeuristicAcc,"pipeline_e2e_sec":$pipelineSec,"pipeline_docs":$pipelineDocs,"pipeline_parity":$pipelineParity,"pipeline_steps_sec":$pipelineStepsJson}"""
+    val detailJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$detailQs,"sf":"$sfDir","failed":$failedJson,"canary_min_sec":$canaryMin,"contended":$contendedJson,"remeasured":$remeasuredJson,"canary_series":$canarySeriesJson,"tokenize_tokens":$totalTokens,"tokenize_sec":$tokSec,"tokens_per_sec":$tokensPerSec,"minhash_docs":$nSigs,"minhash_sec":$mhSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens":$bpeTokens,"bpe_sec":$bpeSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"compare_corpus_chars":$totalChars,"compare_bpe_per_word_ratio":$bpePerWordRatio,"compare_bpe_chars_per_token":$bpeCharsPerToken,"compare_word_chars_per_token":$wordCharsPerToken,"lid_eval_docs":$lidN,"lid_trained_acc":$lidTrainedAcc,"lid_heuristic_acc":$lidHeuristicAcc,"lid_hard_trained_acc":$lidHardTrainedAcc,"lid_hard_heuristic_acc":$lidHardHeuristicAcc,"pipeline_e2e_sec":$pipelineSec,"pipeline_docs":$pipelineDocs,"pipeline_parity":$pipelineParity,"pipeline_steps_sec":$pipelineStepsJson,${sf1Json(full = true)}}"""
     try {
       val out = java.nio.file.Paths.get("target", "bench_detail.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -432,7 +525,7 @@ object Bench {
     val otherSec = bySlowest.drop(28).map(_._2).sum
     val compactQs = top.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfDir","failed":$failedJson,"n_queries":${results.size},"other_sec":${f3(otherSec)},"canary_min_sec":${f3(canaryMin)},"contended":$contendedJson,"tokens_per_sec":$tokensPerSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"bpe_chars_per_token":${f3(bpeCharsPerToken)},"lid_eval_docs":$lidN,"lid_trained_acc":${f3(lidTrainedAcc)},"lid_heuristic_acc":${f3(lidHeuristicAcc)},"lid_hard_trained_acc":${f3(lidHardTrainedAcc)},"lid_hard_heuristic_acc":${f3(lidHardHeuristicAcc)},"pipeline_e2e_sec":${f3(pipelineSec)},"pipeline_parity":$pipelineParity}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfDir","failed":$failedJson,"n_queries":${results.size},"other_sec":${f3(otherSec)},"canary_min_sec":${f3(canaryMin)},"contended":$contendedJson,"remeasured":$remeasuredJson,"tokens_per_sec":$tokensPerSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"bpe_chars_per_token":${f3(bpeCharsPerToken)},"lid_eval_docs":$lidN,"lid_trained_acc":${f3(lidTrainedAcc)},"lid_heuristic_acc":${f3(lidHeuristicAcc)},"lid_hard_trained_acc":${f3(lidHardTrainedAcc)},"lid_hard_heuristic_acc":${f3(lidHardHeuristicAcc)},"pipeline_e2e_sec":${f3(pipelineSec)},"pipeline_parity":$pipelineParity,${sf1Json(full = false)}}""")
     spark.stop()
   }
 }
