@@ -502,6 +502,17 @@ object Streaming {
     try body finally s.conf.set(key, prev)
   }
 
+  /** State-size observability: total rows currently held across a
+    * running query's state operators (0 before the first progress
+    * report). THE number the retention/TTL knob controls — an
+    * unbounded-state deployment shows it growing with every batch, a
+    * TTL'd one shows it plateau at the retention window's working set.
+    * st-gate harnesses log it per batch; StreamingSpec pins the
+    * plateau-vs-growth separation. */
+  def stateRowsTotal(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+
   /** Run `body` with the given state-store provider (snapshot at query
     * start, like the partition width). RocksDB keeps keyed state off
     * the executor heap — the production choice once per-partition state

@@ -286,6 +286,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((2L, 0), (2L, 1)), s"unexpected evidence: $rows")
   }
 
+  test("state observability: TTL'd state plateaus while NoTimeout state grows") {
+    // the verdict-#7 separation, measured through the same
+    // stateRowsTotal seam the st-gate harnesses log: feed 6 batches of
+    // FRESH fingerprints 100 s apart; with retention=30s every batch's
+    // cleanup evicts the previous batch's keys (plateau at one batch's
+    // working set), with no retention the state grows by every batch.
+    implicit val sq = spark.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    def run(retention: Option[String], name: String): Seq[Long] = {
+      val mem = MemoryStream[(Long, Int, String, Timestamp)]
+      val evidence = Streaming.onlineSpanDupEvidence(
+        mem.toDF().toDF("id", "batch", "text", "ts"),
+        window = 3, retention = retention)
+      spark.catalog.dropTempView(name)
+      val q = evidence.toDF().writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        (0 until 6).map { b =>
+          // 4 fresh tokens -> 2 fresh fingerprints per batch
+          mem.addData((b.toLong, b, s"w${b}a w${b}b w${b}c w${b}d",
+            ts(10 + b * 100L)))
+          q.processAllAvailable()
+          Streaming.stateRowsTotal(q)
+        }
+      } finally q.stop()
+    }
+    val ttl = run(Some("30 seconds"), "plateau_ttl")
+    val open = run(None, "plateau_open")
+    // growth: every batch adds its 2 fingerprints, none ever leave
+    assert(open === Seq(2L, 4L, 6L, 8L, 10L, 12L), s"open-state series: $open")
+    // plateau: at most the current batch's working set survives each
+    // cleanup; the series must NOT trend up
+    assert(ttl.last === 2L, s"ttl series did not plateau: $ttl")
+    assert(ttl.max <= 4L, s"ttl series exceeded one batch gap's working set: $ttl")
+  }
+
   test("span-filter retention survives a null-ts batch (timeout re-set from state)") {
     // GroupState drops a pending timeout on every invocation unless it
     // is re-set; a batch whose arrivals all carry null event time used
