@@ -458,7 +458,17 @@ object Bench {
         if (!graft.tools.ScaleData.isComplete(sf1Dir))
           graft.tools.ScaleData.generate(spark, sfDir, sf1Dir, 10)
         val budget = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "1200").toDouble
+        // st07's MemoryStream harness (driver-side corpus feed + memory
+        // sink, fixture-inherent) crosses 8g driver heap at 50k docs
+        // (measured: OOM at x10_sf0.1, fine at 16g) — and a driver OOM
+        // mid-bench can destabilize every later row. Run it at the
+        // step-up SF only when the heap can take it.
+        val heapG = Runtime.getRuntime.maxMemory >> 30
+        val harnessSkip: Set[String] =
+          if (heapG >= 12) Set.empty else Set("st07_stream_online_dedup")
         val order = results.toSeq.sortBy(-_._2).map(_._1)
+          .filterNot(harnessSkip)
+        sf1Skipped += harnessSkip.size
         val tStart = System.nanoTime()
         def elapsed(): Double = (System.nanoTime() - tStart) / 1e9
         order.foreach { name =>

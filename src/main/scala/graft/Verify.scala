@@ -46,8 +46,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // ALWAYS the full oracle map, even under a dev query filter: a
+    // focused re-run into an existing outDir must not truncate the
+    // oracle file a later full compare reads (a one-entry overwrite
+    // once silently reduced an sf1 compare to a single row)
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -29,8 +29,9 @@ import org.apache.spark.sql.functions._
   *
   * Everything derives from the source parquet + integer arithmetic —
   * no RNG, no timestamps — so any two invocations produce identical
-  * data and the DuckDB oracle can re-derive every non-pinned gate at
-  * the stepped-up SF. */
+  * DATA (values and row order; file bytes differ only in parquet
+  * writer metadata) and the DuckDB oracle can re-derive every
+  * non-pinned gate at the stepped-up SF. */
 object ScaleData {
 
   def generate(spark: SparkSession, srcDir: String, outDir: String,
@@ -40,14 +41,22 @@ object ScaleData {
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
 
+    // suffixCols: identity columns functionally dependent on a shifted
+    // key (TPC-H s_name/c_name are "Supplier#<key>"-style) — replicas
+    // must keep the name<->key bijection or queries that group by the
+    // name on one side and the key on the other (the q46 twins)
+    // legitimately diverge at the stepped-up SF
     def replicate(df: DataFrame, shifts: Map[String, Long],
-                  saltTextCol: Option[String] = None): DataFrame = {
+                  saltTextCol: Option[String] = None,
+                  suffixCols: Set[String] = Set.empty): DataFrame = {
       (0 until factor).map { k =>
         val cols = df.columns.toSeq.map {
           case c if shifts.contains(c) =>
             (col(c) + lit(k.toLong * shifts(c))).as(c)
           case c if saltTextCol.contains(c) && k > 0 =>
             concat(col(c), lit(s" rep$k")).as(c)
+          case c if suffixCols.contains(c) && k > 0 =>
+            concat(col(c), lit(s"_r$k")).as(c)
           case c => col(c)
         }
         df.select(cols: _*)
@@ -62,7 +71,12 @@ object ScaleData {
     // group (maxPartitionBytes), so a 100 MB file still fans out.
     def write(df: DataFrame, t: String): Unit = {
       val tmp = s"$outDir/_tmp_$t"
-      df.repartition(1).write.mode("overwrite").parquet(tmp)
+      // coalesce, not repartition: a 1-partition shuffle gathers map
+      // outputs in completion order (nondeterministic ROW ORDER), while
+      // coalesce(1) reads the parents sequentially in partition order —
+      // the "identical data on every invocation" claim needs it
+      // (verified: two invocations agree on values AND row order)
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val tmpDir = new java.io.File(tmp)
       val part = tmpDir.listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
@@ -88,8 +102,10 @@ object ScaleData {
     val partStride = stride(part, "p_partkey")
     val orderStride = stride(orders, "o_orderkey")
 
-    write(replicate(customer, Map("c_custkey" -> custStride)), "customer")
-    write(replicate(supplier, Map("s_suppkey" -> suppStride)), "supplier")
+    write(replicate(customer, Map("c_custkey" -> custStride),
+      suffixCols = Set("c_name")), "customer")
+    write(replicate(supplier, Map("s_suppkey" -> suppStride),
+      suffixCols = Set("s_name")), "supplier")
     write(replicate(part, Map("p_partkey" -> partStride)), "part")
     write(replicate(orders, Map(
       "o_orderkey" -> orderStride, "o_custkey" -> custStride)), "orders")
