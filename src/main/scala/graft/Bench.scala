@@ -446,7 +446,12 @@ object Bench {
     // past the budget is counted, not silently dropped.
     val sf1Times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val sf1Failed = scala.collection.mutable.ArrayBuffer[String]()
-    var sf1Skipped = 0
+    // three skip/abort causes, reported separately (r9 verdict: the
+    // heap-based harness skip was misattributed as a budget skip):
+    var sf1SkippedBudget = 0    // wall-clock budget exhausted before the row
+    var sf1SkippedHeap = 0      // driver-heap harness guard (st07)
+    val sf1TimedOut = scala.collection.mutable.ArrayBuffer[String]()  // hit its 25x per-row cap -> super-linear evidence
+    val sf1Truncated = scala.collection.mutable.ArrayBuffer[String]() // hit the REMAINING-budget cap (< 25x) -> no verdict
     var sf1Dir = ""
     if (sys.env.getOrElse("SPARK_GRAFT_SF1", "on") != "skip") {
       try {
@@ -458,29 +463,57 @@ object Bench {
         if (!graft.tools.ScaleData.isComplete(sf1Dir))
           graft.tools.ScaleData.generate(spark, sfDir, sf1Dir, 10)
         val budget = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "1200").toDouble
-        // st07's MemoryStream harness (driver-side corpus feed + memory
-        // sink, fixture-inherent) crosses 8g driver heap at 50k docs
-        // (measured: OOM at x10_sf0.1, fine at 16g) — and a driver OOM
-        // mid-bench can destabilize every later row. Run it at the
-        // step-up SF only when the heap can take it.
-        val heapG = Runtime.getRuntime.maxMemory >> 30
-        val harnessSkip: Set[String] =
-          if (heapG >= 12) Set.empty else Set("st07_stream_online_dedup")
+        // (r9's heap-based st07 skip is gone: the harness is now a
+        // file-fed stream with a parquet sink — nothing driver-side —
+        // so the row runs at the step-up SF on default heap;
+        // sf1_skipped_heap stays in the artifact and reports 0.)
         val order = results.toSeq.sortBy(-_._2).map(_._1)
-          .filterNot(harnessSkip)
-        sf1Skipped += harnessSkip.size
         val tStart = System.nanoTime()
         def elapsed(): Double = (System.nanoTime() - tStart) / 1e9
+        // per-row cap (r9 verdict #1: q50 alone ate the whole 1200 s
+        // budget and starved 270 rows): a row gets at most 25x its
+        // sf0.1 time (15 s floor for sub-second rows where overhead
+        // dominates) — hitting THAT cap is itself super-linear
+        // evidence (>15x flags, 25x kills). When the remaining budget
+        // is tighter than the 25x cap the row runs under the remaining
+        // budget instead; aborting at that lower cap proves nothing,
+        // so it is recorded as truncated, not super-linear.
+        val rowCapMult = sys.env.getOrElse("SPARK_GRAFT_SF1_ROWCAP", "25").toDouble
+        val ec = scala.concurrent.ExecutionContext.global
         order.foreach { name =>
-          if (elapsed() >= budget) { sf1Skipped += 1 }
+          val remaining = budget - elapsed()
+          if (remaining <= 0) { sf1SkippedBudget += 1 }
           else {
+            val fullCap = math.max(rowCapMult * results.getOrElse(name, 0.0), 15.0)
+            val cap = math.min(fullCap, remaining)
             awaitClearWindow()
             val t0 = System.nanoTime()
-            try {
-              SparkEntry.queries(name)(spark, sf1Dir)
+            val group = s"sf1-$name"
+            val fut = scala.concurrent.Future {
+              // job group is thread-local: set it on the thread that
+              // actually submits the jobs so cancelJobGroup reaches them
+              spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+              try SparkEntry.queries(name)(spark, sf1Dir)
                 .write.format("noop").mode("overwrite").save()
+              finally spark.sparkContext.clearJobGroup()
+            }(ec)
+            try {
+              scala.concurrent.Await.result(fut,
+                scala.concurrent.duration.Duration(cap,
+                  java.util.concurrent.TimeUnit.SECONDS))
               sf1Times += name -> (System.nanoTime() - t0) / 1e9
-            } catch { case _: Throwable => sf1Failed += name }
+            } catch {
+              case _: java.util.concurrent.TimeoutException =>
+                spark.sparkContext.cancelJobGroup(group)
+                // let the cancelled stage actually die before the next row
+                try scala.concurrent.Await.ready(fut,
+                  scala.concurrent.duration.Duration(60L,
+                    java.util.concurrent.TimeUnit.SECONDS))
+                catch { case _: Throwable => () }
+                if (cap >= fullCap - 1e-9) sf1TimedOut += name
+                else sf1Truncated += name
+              case _: Throwable => sf1Failed += name
+            }
             spark.catalog.clearCache()
             org.apache.spark.sql.execution.streaming.state.StateStore.stop()
           }
@@ -490,11 +523,12 @@ object Bench {
     val sf1Total = sf1Times.values.sum
     // a row is super-linear when its 10x-data time exceeds 15x its
     // primary-SF time (1.5x headroom over linear) AND it is heavy
-    // enough for the ratio to be cost, not constant overhead
+    // enough for the ratio to be cost, not constant overhead; a row
+    // killed at its 25x per-row cap is super-linear by construction
     val sf1Superlinear = sf1Times.toSeq.collect {
       case (n, v) if v > 1.0 && results.getOrElse(n, 0.0) > 0.02 &&
         v / math.max(results(n), 1e-9) > 15.0 => n
-    }
+    } ++ sf1TimedOut
     def sf1Json(full: Boolean): String = {
       val qs = if (full)
         sf1Times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -503,7 +537,7 @@ object Bench {
         sf1Times.collect { case (k, v) if results.getOrElse(k, 0.0) > 0 =>
           "\"" + k + "\":" + (v / results(k)) }.mkString("{", ",", "}")
       else "{}"
-      s""""sf1_dir":"$sf1Dir","sf1_n_run":${sf1Times.size},"sf1_total_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, sf1Total)},"sf1_skipped_budget":$sf1Skipped,"sf1_failed":${sf1Failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf1_superlinear":${sf1Superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+      s""""sf1_dir":"$sf1Dir","sf1_n_run":${sf1Times.size},"sf1_total_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, sf1Total)},"sf1_skipped_budget":$sf1SkippedBudget,"sf1_skipped_heap":$sf1SkippedHeap,"sf1_timed_out":${sf1TimedOut.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf1_truncated":${sf1Truncated.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf1_failed":${sf1Failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf1_superlinear":${sf1Superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
         (if (full) s""","sf1_queries":$qs,"sf1_ratio":$ratios""" else "")
     }
 

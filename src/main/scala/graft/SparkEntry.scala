@@ -2835,9 +2835,8 @@ object SparkEntry {
 
     "st07_stream_online_dedup" -> ((s, d) => {
       // stream-vs-ITSELF near-dedup with cross-batch keyed state: docs
-      // arrive in 4 deterministic micro-batches (batch = doc_id % 4,
-      // MemoryStream fed batch-by-batch with processAllAvailable between
-      // adds), each LSH band bucket remembers its members in
+      // arrive in 4 deterministic micro-batches (batch = doc_id % 4),
+      // each LSH band bucket remembers its members in
       // flatMapGroupsWithState state, and every arrival emits collision
       // evidence against everything that arrived BEFORE it — across
       // batches — never against later arrivals. The batch exact-verify
@@ -2845,29 +2844,26 @@ object SparkEntry {
       // verified earlier near-dup. Arrival order IS the (batch, doc_id)
       // lexicographic order by construction, which makes
       // first-arrival-wins checkable in plain SQL.
-      import s.implicits._
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      //
+      // Harness geometry (the r9 verdict's de-driver ask): the feed is
+      // a FILE-source stream — each batch is written (distributed) as
+      // one parquet file with a forced ascending mtime, and
+      // maxFilesPerTrigger=1 makes FileStreamSource consume them as
+      // four deterministic micro-batches in mtime order — and the sink
+      // is a parquet sink, so neither the corpus nor the evidence ever
+      // materializes on the driver (the old MemoryStream + memory-sink
+      // harness OOM'd an 8 GiB driver at 50k docs; the operator itself
+      // was always distributed).
       val all = docs(s, d)
-      val mem = MemoryStream[(Long, Int, String)]
-      val evidence = graft.streaming.Streaming.onlineCollisionEvidence(
-        mem.toDF().toDF("id", "batch", "text"))
-      s.catalog.dropTempView("st07_tbl")
-      graft.streaming.Streaming.withShufflePartitions(s, 8) {
-        val q = evidence.toDF().writeStream.format("memory")
-          .queryName("st07_tbl").outputMode("append").start()
-        try {
-          val rows = all
-            .select(col("doc_id"), pmod(col("doc_id"), lit(4)).cast("int"), col("text"))
-            .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
-          (0 until 4).foreach { b => // fixture harness: 500 rows at gate SF
-            mem.addData(rows.filter(_._2 == b).sortBy(_._1).toIndexedSeq)
-            q.processAllAvailable()
-          }
-        } finally q.stop()
+      val evTbl = graft.streaming.Streaming.withShufflePartitions(s, 8) {
+        graft.streaming.Streaming.runFileFedBatches(
+          s, all.select(col("doc_id").as("id"),
+            pmod(col("doc_id"), lit(4)).cast("int").as("batch"), col("text")),
+          nBatches = 4, name = "st07")(
+          stream => graft.streaming.Streaming.onlineCollisionEvidence(stream).toDF())
       }
       Dedup.verifyCandidatesExact(all, "doc_id", "text", all,
-          s.table("st07_tbl"), threshold = 0.8, ngram = Dedup.MinHashConfig().ngram)
+          evTbl, threshold = 0.8, ngram = Dedup.MinHashConfig().ngram)
         .select("doc_id").orderBy("doc_id")
     }),
 
@@ -4466,8 +4462,12 @@ object SparkEntry {
       //
       // REGIME GUARD (executable, not just documented): the SQL form
       // is only submitted while the eval side is benchmark-suite sized
-      // (bounded limit-probe, Decontamination.MaxBruteForceEvalRows);
-      // past the bound the frontend rewrites to d79's band-index
+      // AND the |corpus| x |eval| pair product is under
+      // Decontamination.MaxBruteForcePairs (both probed with bounded
+      // limit-counts — the eval side here is a %-split of the corpus,
+      // so it GROWS with SF and an eval-only guard is blind to the
+      // quadratic product, the r9-measured 110x blowup at 10x data);
+      // past either bound the frontend rewrites to d79's band-index
       // geometry, which shares this gate's exact output contract and
       // oracle — DecontaminationSpec pins both the rewrite firing and
       // result equality across the switch.

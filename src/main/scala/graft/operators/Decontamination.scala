@@ -284,23 +284,44 @@ object Decontamination {
     * better (one corpus scan + an eval-bounded collide join). */
   val MaxBruteForceEvalRows: Long = 100000L
 
+  /** Regime bound on the PRODUCT |corpus| x |eval|: the brute-force
+    * form pays one gram-set intersection per pair, so its work is the
+    * product, not either side alone. An eval side that scales with the
+    * corpus (a %-split of it, the r9-measured q50 regime hole: 11.5 s
+    * -> ~1271 s at 10x data while the eval-only guard stayed blind)
+    * keeps each side under its own bound while the product goes
+    * quadratic in SF. 2M pairs x ~1 us/set-op ≈ seconds — past that
+    * the band index is strictly better. */
+  val MaxBruteForcePairs: Long = 2000000L
+
   /** Executable regime guard for a brute-force fuzzy-decon plan: probe
-    * the eval side's size with a BOUNDED count (limit maxEvalRows+1 —
-    * never a full count of an unbounded side); at or below the bound
-    * return `bruteForce` (the BroadcastNestedLoopJoin form), above it
+    * BOTH sides with BOUNDED counts (limit N+1 — never a full count of
+    * an unbounded side); while the eval side is benchmark-suite sized
+    * AND the |corpus| x |eval| pair product is under [[MaxBruteForcePairs]]
+    * return `bruteForce` (the BroadcastNestedLoopJoin form), otherwise
     * REWRITE to the band-index geometry, which shares the same output
     * contract — (idCol, n_matches, max_jaccard, contaminated) — and
     * the same oracle, so callers cannot observe the switch except in
-    * the plan. */
+    * the plan. The corpus probe's limit is derived from the eval probe
+    * (pairs bound / eval rows), so both probes stop early under limit
+    * pushdown and neither ever scans an unbounded side to completion. */
   def fuzzyReportGated(corpus: DataFrame, evalDocs: DataFrame,
                        idCol: String, textCol: String,
                        threshold: Double = 0.8,
                        cfg: Dedup.MinHashConfig = Dedup.MinHashConfig(),
-                       maxEvalRows: Long = MaxBruteForceEvalRows)
+                       maxEvalRows: Long = MaxBruteForceEvalRows,
+                       maxPairs: Long = MaxBruteForcePairs)
                       (bruteForce: => DataFrame): DataFrame = {
-    val probe = evalDocs.select(col(idCol))
-      .limit(math.min(maxEvalRows + 1, Int.MaxValue.toLong).toInt).count()
-    if (probe > maxEvalRows)
+    def boundedCount(df: DataFrame, bound: Long): Long =
+      df.select(col(idCol))
+        .limit(math.min(bound + 1, Int.MaxValue.toLong).toInt).count()
+    val evalProbe = boundedCount(evalDocs, maxEvalRows)
+    val withinRegime = evalProbe <= maxEvalRows && evalProbe >= 0 && {
+      val corpusBound = maxPairs / math.max(evalProbe, 1L)
+      val corpusProbe = boundedCount(corpus, corpusBound)
+      corpusProbe * math.max(evalProbe, 1L) <= maxPairs
+    }
+    if (!withinRegime)
       fuzzyOverlapReport(corpus, evalDocs, idCol, textCol, threshold, cfg)
         .orderBy(idCol)
     else bruteForce

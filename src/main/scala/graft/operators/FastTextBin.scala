@@ -109,12 +109,17 @@ object FastTextBin {
         tokenHashes += hash(t) // EOS hash IS in the word-ngram stream (getLine)
       }
       if (wordNgrams > 1) {
+        // fastText stores token hashes as int32 and converts each to
+        // uint64 with SIGN extension (`uint64_t h = hashes[i]` over a
+        // vector<int32_t>) — plain .toLong reproduces that; masking to
+        // the low 32 bits would diverge for every hash with the top
+        // bit set (~half of tokens).
         var i = 0
         while (i < tokenHashes.length) {
-          var h = unsigned(tokenHashes(i))
+          var h = tokenHashes(i).toLong
           var j = i + 1
           while (j < tokenHashes.length && j < i + wordNgrams) {
-            h = h * 116049371L + unsigned(tokenHashes(j))
+            h = h * 116049371L + tokenHashes(j).toLong
             ids += nwords + (java.lang.Long.remainderUnsigned(h, bucket.toLong)).toInt
             j += 1
           }
@@ -189,7 +194,9 @@ object FastTextBin {
       new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     }
     def floats(n: Long): Array[Float] = {
-      require(n <= Int.MaxValue / 2, s"matrix too large for a local load: $n floats")
+      // bound is floats-per-BYTE-buffer: n*4 must fit an Int, so the
+      // require must fire before `n.toInt * 4` can overflow
+      require(n <= (Int.MaxValue - 8) / 4, s"matrix too large for a local load: $n floats")
       val buf = new Array[Byte](n.toInt * 4)
       var read = 0
       while (read < buf.length) {

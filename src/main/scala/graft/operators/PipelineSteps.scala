@@ -107,10 +107,15 @@ object PipelineSteps {
           // itself): load the public .bin format and predict through
           // the same seam — labels already carry the __label__ prefix
           val m = FastTextBin.read(p)
+          // the model's own confidence IS the lang_score here — the
+          // reference thresholds fastText's prob (quality/model.py
+          // LanguageFilter.keep: `score >= self.threshold`), not a
+          // side-channel heuristic
           FastTextBin.predictDf(in, "text", m,
               outCol = "__lid", probCol = "__lidp")
             .withColumn("lang", when(col("__lid").startsWith("__label__"),
               col("__lid")).otherwise(concat(lit("__label__"), col("__lid"))))
+            .withColumn("lang_score", coalesce(col("__lidp"), lit(0.0)))
             .drop("__lid", "__lidp")
         case Some(p) =>
           val m = TrainedLid.loadModel(spark, p)
@@ -120,8 +125,9 @@ object PipelineSteps {
           in.withColumn("lang",
             concat(lit("__label__"), TextAnalysis.langIdLabel(col("text"))))
       }
-      val scored = labeled
-        .withColumn("lang_score", TextAnalysis.langIdScore(col("text")))
+      val scored = (if (labeled.columns.contains("lang_score")) labeled
+                    else labeled.withColumn("lang_score",
+                      TextAnalysis.langIdScore(col("text"))))
         .withColumn("quality_keep",
           substring(col("lang"), 10, 10).isin(cfg.langs: _*)
             && col("lang_score") >= cfg.langThreshold)

@@ -239,13 +239,18 @@ object SpModelProto {
       vocab(canonicalName(m, id, p.piece)) = id
     }
     // ranked pieces ascending by rank (score = -(rank+1) per the
-    // writer; any strictly-negative score is a rank for external
-    // models). Symbols usable as a merge side: every vocab entry
-    // except the specials.
+    // writer; any non-positive score is a rank for external models —
+    // real SentencePiece BPE dumps commonly put score 0 on the
+    // highest-priority merge, so `<= 0` keeps it; single-char pieces
+    // are excluded because they produce no 2-splits and base-vocab
+    // chars legitimately carry score 0 without being merges).
+    // Symbols usable as a merge side: every vocab entry except the
+    // specials.
     val special = Set("<unk>", "<bos>", "<eos>", "<pad>")
     val sides = vocab.keySet.filterNot(special)
     val ranked = m.pieces.zipWithIndex
-      .filter { case (p, id) => p.score < 0f && p.pieceType == TypeNormal }
+      .filter { case (p, id) =>
+        p.score <= 0f && p.pieceType == TypeNormal && p.piece.length > 1 }
       .sortBy { case (p, id) => (-p.score, id) }
     val merges = ranked.iterator.flatMap { case (p, _) =>
       val s = p.piece

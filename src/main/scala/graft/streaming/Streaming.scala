@@ -502,6 +502,66 @@ object Streaming {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Deterministic multi-micro-batch drive of a streaming transform
+    * with NOTHING materialized on the driver — the de-drivered twin of
+    * the MemoryStream fixture harness (which collects the whole corpus
+    * into `addData` and accumulates output in a driver-memory sink; at
+    * 50k docs that OOMs an 8 GiB driver even though the operator under
+    * test is fully distributed).
+    *
+    * Geometry: `rows` (must carry an int `batch` column in
+    * 0..nBatches-1) is written batch-by-batch as ONE parquet file each
+    * (single-task write per batch — harness-sized by construction; the
+    * batches exist to pin micro-batch composition, not to move bulk
+    * data), each file's mtime forced to a distinct ascending value.
+    * FileStreamSource with `maxFilesPerTrigger=1` + `latestFirst=false`
+    * then consumes them as exactly nBatches micro-batches in mtime
+    * order — same deterministic arrival order as the addData loop —
+    * and the transform's output drains to a parquet SINK, read back as
+    * a batch DataFrame. Within a micro-batch rows arrive unordered
+    * (as in production); cross-batch order is the contract.
+    *
+    * Returns the sink contents (empty DataFrame with the transform's
+    * schema when the stream emitted nothing). */
+  def runFileFedBatches(spark: SparkSession, rows: DataFrame, nBatches: Int,
+                        name: String)(pipe: DataFrame => DataFrame): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(s"filefeed_$name")
+    val feedDir = root.resolve("feed"); val stageDir = root.resolve("stage")
+    val outDir = root.resolve("out"); val chkDir = root.resolve("chk")
+    java.nio.file.Files.createDirectories(feedDir)
+    val baseMs = (System.currentTimeMillis() / 1000L) * 1000L
+    (0 until nBatches).foreach { b =>
+      val stage = stageDir.resolve(s"b$b")
+      rows.where(col("batch") === b).coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = Option(stage.toFile.listFiles())
+        .getOrElse(Array.empty).find(_.getName.startsWith("part-"))
+      require(part.isDefined, s"no parquet part file written for batch $b")
+      val dst = feedDir.resolve(f"batch_$b%04d.parquet")
+      java.nio.file.Files.move(part.get.toPath, dst)
+      // distinct ascending mtimes: FileStreamSource orders new files
+      // by modification time, and equal stamps would make micro-batch
+      // composition non-deterministic
+      dst.toFile.setLastModified(baseMs + b * 60000L)
+    }
+    val stream = spark.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false")
+      .parquet(feedDir.toString)
+    val shaped = pipe(stream)
+    val outSchema = shaped.schema
+    val q = shaped.writeStream.format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", chkDir.toString)
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    try spark.read.parquet(outDir.toString)
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      // zero emitted rows: the sink wrote no files
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    }
+  }
+
   /** State-size observability: total rows currently held across a
     * running query's state operators (0 before the first progress
     * report). THE number the retention/TTL knob controls — an

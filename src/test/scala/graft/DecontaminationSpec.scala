@@ -259,6 +259,35 @@ class DecontaminationSpec extends SparkSpec {
     assert(a === b, "both geometries must reach identical verdicts")
   }
 
+  test("fuzzyReportGated: corpus x eval PRODUCT bound fires even when the eval side alone is small") {
+    // the r9 regime hole: an eval side that is a %-split of the corpus
+    // stays under any eval-only bound while |corpus| x |eval| grows
+    // quadratically in SF — the guard must watch the product
+    var bruteBuilt = false
+    def brute = {
+      bruteBuilt = true
+      Decontamination.fuzzyOverlapReport(
+          fuzzyCorpus, fuzzyEval, "doc_id", "text", threshold = 0.8)
+        .orderBy("doc_id")
+    }
+    // eval (1 row) under maxEvalRows, product under maxPairs: brute force
+    val below = Decontamination.fuzzyReportGated(
+      fuzzyCorpus, fuzzyEval, "doc_id", "text", 0.8,
+      maxEvalRows = 10L, maxPairs = 1000L)(brute)
+    assert(bruteBuilt)
+    // eval still under maxEvalRows, but product (|corpus| x 1) above a
+    // 2-pair bound: the thunk is never built, the band index runs, and
+    // verdicts are identical across the switch
+    bruteBuilt = false
+    val above = Decontamination.fuzzyReportGated(
+      fuzzyCorpus, fuzzyEval, "doc_id", "text", 0.8,
+      maxEvalRows = 10L, maxPairs = 2L)(brute)
+    assert(!bruteBuilt, "product guard must not build the brute-force plan above the pair bound")
+    val a = above.orderBy("doc_id").collect().map(_.toSeq)
+    val b = below.orderBy("doc_id").collect().map(_.toSeq)
+    assert(a === b, "both geometries must reach identical verdicts")
+  }
+
   // ---- span-level (surgical) decontamination ----
 
   test("spanDecontaminate excises only the leaked run; no first-occurrence survivor") {

@@ -100,6 +100,24 @@ class FastTextBinSpec extends SparkSpec {
     assert(m1.lineIds("aa bb").toSeq === ids.toSeq) // deterministic
   }
 
+  test("word-ngram hashes SIGN-extend int32 token hashes (fastText's int32 -> uint64)") {
+    // real fastText stores token hashes in a vector<int32_t> and
+    // converts each with `uint64_t h = hashes[i]` — SIGN extension.
+    // The difference vs zero-extension lives in the high 32 bits, so
+    // the bucket must be non-power-of-two for the modulus to fold it
+    // into the id (2,000,000 is fastText's default bucket; a 2^k
+    // fixture bucket would mask the bug).
+    val m = FastTextBin.FtModel(dim = 1, bucket = 2000000, minn = 0,
+      maxn = 0, wordNgrams = 2, nwords = 1,
+      words = Map(FastTextBin.Eos -> 0), labels = Array("__label__a"),
+      input = new Array[Float](1), output = new Array[Float](1))
+    assert(m.hash("日本") === -130579887) // top bit set: the case that diverges
+    // bigram (日本, </s>): sign-extended accumulation lands in bucket
+    // 346020; zero-extension would give 132516 (verified externally
+    // against the fastText hash recipe)
+    assert(m.lineIds("日本").toSeq === Seq(0, 1 + 346020))
+  }
+
   test("predictDf appends (label, prob) per row with null propagation") {
     import spark.implicits._
     val p = tmp("df.bin"); writeFixture(p)
