@@ -141,7 +141,8 @@ object Bench {
     // the min seen — the best available — but self-reported as suspect).
     val MaxAttempts = 3
     val remeasuredRows = scala.collection.mutable.LinkedHashSet[String]()
-    def measureGuarded(name: String)(measureOnce: () => Double): Double = {
+    def measureGuarded(name: String, series: Boolean = true)
+                      (measureOnce: () => Double): Double = {
       var t = Double.MaxValue
       var clean = false
       var attempts = 0
@@ -154,24 +155,26 @@ object Bench {
         clean = !contendedAt(cPre) && !contendedAt(cPost)
         attempts += 1
       }
-      if (!clean) contendedRows += name
+      if (!clean) contendedRows += name else contendedRows -= name
       if (attempts > 1) remeasuredRows += name
-      canarySeries += name -> cPreFirst
+      if (series) canarySeries += name -> cPreFirst
       t
     }
 
     // Each run executes the FULL plan via a noop-sink write — a count()
     // here would let Catalyst prune deterministic projections and
     // eliminate the final sort, under-measuring map-shaped queries.
-    val results = selected.map { case (name, fn) =>
-      def run(): Double = {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        } catch { case _: Throwable => failed += name }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val t = measureGuarded(name)(() => bestOfAdaptive(() => run()))
+    def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => failed += name }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    selected.foreach { case (name, fn) =>
+      val t = measureGuarded(name)(() => bestOfAdaptive(() => runOnce(name, fn)))
       // Queries persist intermediates by design and rely on session-LRU
       // cleanup; across 150+ back-to-back queries that leak compounds
       // into eviction pressure + GC that bleeds into LATER rows'
@@ -185,7 +188,23 @@ object Bench {
       // query reloads lazily.
       spark.catalog.clearCache()
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-      name -> t
+      results(name) = t
+    }
+
+    // End-of-suite quiet-window retry (the r9 "contended residual"
+    // ask): a row whose every bracket was contended mid-suite gets one
+    // more guarded pass NOW, after the noisy neighbors have finished —
+    // the end of the run is the quietest window the process will see.
+    // A clean bracket here clears the contended flag; the recorded
+    // value is still the min across all attempts.
+    contendedRows.toSeq.foreach { name =>
+      selected.find(_._1 == name).foreach { case (_, fn) =>
+        val t2 = measureGuarded(name, series = false)(
+          () => bestOfAdaptive(() => runOnce(name, fn)))
+        results(name) = math.min(results(name), t2)
+        spark.catalog.clearCache()
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      }
     }
 
     def contendedJson: String =

@@ -1102,6 +1102,48 @@ object SparkEntry {
         .orderBy("lang", "pred")
     }),
 
+    "d85_fasttext_ftz" -> ((s, d) => {
+      // the QUANTIZED fastText seam (.ftz — the compressed form the
+      // public lid model is also distributed in): d84's exact fixture
+      // written through writeQuantized (product-quantized input AND
+      // output matrices; the exact-PQ writer's centroid tables are the
+      // distinct sub-vectors, so decode is bit-identical to the dense
+      // twin) and scored through the same loader seam. The pinned
+      // confusion matrix is therefore d84's — byte-different file
+      // format, identical predictions — which makes any quant-path
+      // decode defect a visible gate diff.
+      val lists = TrainedLid.WideFixtureWordLists
+        .filter(w => Set("da", "no", "sv")(w._1)).sortBy(_._1)
+      val words = lists.flatMap(_._2).distinct.sorted
+      val dim = 8
+      def emb(w: String): Array[Float] = {
+        val v = new Array[Float](dim)
+        lists.zipWithIndex.foreach { case ((_, ws), li) =>
+          if (ws.contains(w)) v(li) = 1.0f }
+        v
+      }
+      val labelRows = lists.map(_._1).zipWithIndex.map { case (l, li) =>
+        val v = new Array[Float](dim); v(li) = 2.0f
+        (s"__label__$l", v)
+      }
+      val dir = java.nio.file.Files.createTempDirectory("ftz")
+      val path = dir.resolve("lid_fixture.ftz").toString
+      FastTextBin.writeQuantized(path, dim = dim, bucket = 64, minn = 0,
+        maxn = 0, wordNgrams = 1,
+        wordRows = (FastTextBin.Eos -> new Array[Float](dim)) +:
+          words.map(w => w -> emb(w)),
+        labelRows = labelRows,
+        qnorm = false, qout = true)
+      val m = FastTextBin.read(path)
+      val fx = TrainedLid.synthFixture(docs(s, d).select("doc_id"),
+        wordLists = lists, salt = "ft", wordsPerDoc = 4)
+      FastTextBin.predictDf(fx, "text", m)
+        .groupBy(col("lang"), col("lang_pred_ft").as("pred"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("lang_prob_ft") >= 0.5, 1L).otherwise(0L)).as("n_confident"))
+        .orderBy("lang", "pred")
+    }),
+
     "d21_hard_lid" -> ((s, d) => {
       // the labeler-separation gate: on a stopword-FREE content
       // vocabulary (TrainedLid.HardFixtureWordLists) the stopword
@@ -6167,6 +6209,19 @@ object SparkEntry {
     // fixed-order float math + exact count aggregates = constants of
     // (fixture, SF); re-pin on fixture/SF change.
     "d84_fasttext_lid" ->
+      """SELECT lang, pred, CAST(n_dec AS BIGINT) AS n,
+           CAST(nc_dec AS BIGINT) AS n_confident FROM (VALUES
+           ('da', '__label__da', 167, 158),
+           ('no', '__label__da', 1, 0), ('no', '__label__no', 166, 166),
+           ('sv', '__label__da', 4, 0), ('sv', '__label__sv', 162, 162)
+         ) AS t(lang, pred, n_dec, nc_dec)
+         ORDER BY lang, pred""",
+
+    // d85 pins d84's matrix verbatim: the .ftz fixture is the exact-PQ
+    // quantization of d84's .bin (decode is bit-identical), so the two
+    // file formats MUST reach the same confusion matrix — a quant-path
+    // divergence shows as a diff against this shared pin
+    "d85_fasttext_ftz" ->
       """SELECT lang, pred, CAST(n_dec AS BIGINT) AS n,
            CAST(nc_dec AS BIGINT) AS n_confident FROM (VALUES
            ('da', '__label__da', 167, 158),

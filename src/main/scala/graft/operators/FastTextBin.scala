@@ -29,9 +29,15 @@ import org.apache.spark.sql.types.{DoubleType, StringType, StructType}
   *  - predict appends the EOS token (`</s>`) like the real
   *    `predict(text)` does (it feeds the line reader a newline).
   *
-  * Quantized models (`quant_` flag set, .ftz) are product-quantized —
-  * out of scope here; the loader fails fast on them with a clear
-  * message. */
+  * Quantized models (`quant_` flag set, .ftz) are supported: the
+  * public QuantMatrix layout (qnorm flag, m/n, codes, product
+  * quantizer of ksub=256 centroids per subquantizer, optional norm
+  * quantizer) is decoded EAGERLY to a dense matrix at load time —
+  * predict then runs the identical dense path. Pruned dictionaries
+  * (`pruneidx`, the `quantize -cutoff` artifact every released .ftz
+  * carries) are honored: char-ngram and word-ngram bucket ids remap
+  * through the prune index and absent ids drop, fastText's
+  * `Dictionary::pushHash` rule. */
 object FastTextBin {
 
   val Magic = 793712314
@@ -46,8 +52,19 @@ object FastTextBin {
   case class FtModel(dim: Int, bucket: Int, minn: Int, maxn: Int,
                      wordNgrams: Int, nwords: Int,
                      words: Map[String, Int], labels: Array[String],
-                     input: Array[Float], output: Array[Float])
+                     input: Array[Float], output: Array[Float],
+                     pruneIdx: Option[Map[Int, Int]] = None)
       extends Serializable {
+
+    /** Input-matrix row id for bucket index `b` (0..bucket-1):
+      * `nwords + b` for an unpruned model; through the prune index for
+      * a `quantize -cutoff` model (fastText `Dictionary::pushHash`) —
+      * -1 when the bucket was pruned away (the id contributes
+      * nothing). */
+    private def bucketRowId(b: Int): Int = pruneIdx match {
+      case None => nwords + b
+      case Some(m) => m.get(b).map(nwords + _).getOrElse(-1)
+    }
 
     /** fastText's FNV-1a with sign-extended bytes. */
     def hash(s: String): Int = {
@@ -82,7 +99,8 @@ object FastTextBin {
             j = k
             if (n >= minn && !(n == 1 && (i == 0 || j == w.length))) {
               val ng = new String(w, i, j - i, java.nio.charset.StandardCharsets.UTF_8)
-              out += nwords + (unsigned(hash(ng)) % bucket).toInt
+              val id = bucketRowId((unsigned(hash(ng)) % bucket).toInt)
+              if (id >= 0) out += id
             }
             n += 1
           }
@@ -120,7 +138,9 @@ object FastTextBin {
           var j = i + 1
           while (j < tokenHashes.length && j < i + wordNgrams) {
             h = h * 116049371L + tokenHashes(j).toLong
-            ids += nwords + (java.lang.Long.remainderUnsigned(h, bucket.toLong)).toInt
+            val id = bucketRowId(
+              java.lang.Long.remainderUnsigned(h, bucket.toLong).toInt)
+            if (id >= 0) ids += id
             j += 1
           }
           i += 1
@@ -193,6 +213,16 @@ object FastTextBin {
       if (b < 0) throw new IllegalArgumentException(s"truncated .bin: $path")
       new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     }
+    def bytes(n: Int): Array[Byte] = {
+      val buf = new Array[Byte](n)
+      var read = 0
+      while (read < n) {
+        val r = s.read(buf, read, n - read)
+        if (r < 0) throw new IllegalArgumentException(s"truncated .bin: $path")
+        read += r
+      }
+      buf
+    }
     def floats(n: Long): Array[Float] = {
       // bound is floats-per-BYTE-buffer: n*4 must fit an Int, so the
       // require must fire before `n.toInt * 4` can overflow
@@ -213,8 +243,65 @@ object FastTextBin {
     def close(): Unit = s.close()
   }
 
-  /** Load a `.bin` supervised model (format version 12, the public
-    * layout every released lid/quality model uses). */
+  /** Product quantizer (the public `ProductQuantizer::save` layout):
+    * ksub=256 centroids per subquantizer, flat centroid table of
+    * dim x 256 floats; the last subquantizer covers `lastdsub` dims. */
+  private final case class Pq(dim: Int, nsubq: Int, dsub: Int,
+                              lastdsub: Int, centroids: Array[Float]) {
+    def centroidOffset(m: Int, code: Int): Int =
+      if (m == nsubq - 1) m * 256 * dsub + code * lastdsub
+      else (m * 256 + code) * dsub
+  }
+
+  private def readPq(in: In): Pq = {
+    val dim = in.i32(); val nsubq = in.i32()
+    val dsub = in.i32(); val lastdsub = in.i32()
+    Pq(dim, nsubq, dsub, lastdsub, in.floats(dim.toLong * 256L))
+  }
+
+  /** `QuantMatrix::load` + eager dense decode: qnorm flag, m/n,
+    * per-row codes, the data PQ, and (when qnorm) per-row norm codes +
+    * the norm PQ. Decode reproduces `addRowToVector`: row t =
+    * alpha * concat(centroid(m, codes[t*nsubq+m])) with alpha the
+    * decoded norm (1 without qnorm). */
+  private def readQuantMatrix(in: In, path: String): (Long, Long, Array[Float]) = {
+    val qnorm = in.i8() != 0
+    val m = in.i64(); val n = in.i64()
+    val codesize = in.i32()
+    require(m >= 0 && n > 0 && m * n <= (Int.MaxValue - 8) / 4,
+      s"$path quantized matrix too large for a local load: ${m}x$n")
+    val codes = in.bytes(codesize)
+    val pq = readPq(in)
+    require(pq.dim == n, s"$path quantizer dim ${pq.dim} != matrix cols $n")
+    require(codesize.toLong == m * pq.nsubq,
+      s"$path code table size $codesize != m*nsubq ${m * pq.nsubq}")
+    val (normCodes, npq) =
+      if (qnorm) { val nc = in.bytes(m.toInt); (nc, readPq(in)) }
+      else (null: Array[Byte], null: Pq)
+    val out = new Array[Float]((m * n).toInt)
+    var t = 0
+    while (t < m.toInt) {
+      val alpha =
+        if (qnorm) npq.centroids(npq.centroidOffset(0, normCodes(t) & 0xff))
+        else 1.0f
+      var sm = 0
+      while (sm < pq.nsubq) {
+        val d = if (sm == pq.nsubq - 1) pq.lastdsub else pq.dsub
+        val co = pq.centroidOffset(sm, codes(t * pq.nsubq + sm) & 0xff)
+        var k = 0
+        while (k < d) {
+          out(t * n.toInt + sm * pq.dsub + k) = alpha * pq.centroids(co + k)
+          k += 1
+        }
+        sm += 1
+      }
+      t += 1
+    }
+    (m, n, out)
+  }
+
+  /** Load a `.bin` or `.ftz` supervised model (format version 12, the
+    * public layout every released lid/quality model uses). */
   def read(path: String): FtModel = {
     val in = new In(path)
     try {
@@ -256,24 +343,34 @@ object FastTextBin {
       }
       require(wi == nwords && labels.length == nlabels,
         s"$path dictionary inconsistent: $wi/$nwords words, ${labels.length}/$nlabels labels")
-      var p = 0L
-      while (p < pruneSize) { in.i32(); in.i32(); p += 1 }
+      // prune index (quantize -cutoff): original bucket id -> row
+      // index within the pruned ngram block
+      val pruneIdx: Option[Map[Int, Int]] =
+        if (pruneSize <= 0) None
+        else {
+          val mb = Map.newBuilder[Int, Int]
+          var p = 0L
+          while (p < pruneSize) { mb += (in.i32() -> in.i32()); p += 1 }
+          Some(mb.result())
+        }
       val quant = in.i8()
-      require(quant == 0,
-        s"$path is a quantized (.ftz) model — only dense .bin models are supported")
-      val rows = in.i64(); val cols = in.i64()
+      val (rows, cols, input) =
+        if (quant == 0) {
+          val r = in.i64(); val c = in.i64(); (r, c, in.floats(r * c))
+        } else readQuantMatrix(in, path)
       require(cols == dim, s"$path input matrix cols $cols != dim $dim")
-      require(rows == nwords.toLong + bucket,
-        s"$path input matrix rows $rows != nwords+bucket ${nwords.toLong + bucket}")
-      val input = in.floats(rows * cols)
+      val ngramRows = pruneIdx.map(_.size.toLong).getOrElse(bucket.toLong)
+      require(rows == nwords.toLong + ngramRows,
+        s"$path input matrix rows $rows != nwords+ngram rows ${nwords.toLong + ngramRows}")
       val qout = in.i8()
-      require(qout == 0, s"$path has a quantized output matrix — unsupported")
-      val oRows = in.i64(); val oCols = in.i64()
+      val (oRows, oCols, output) =
+        if (qout == 0) {
+          val r = in.i64(); val c = in.i64(); (r, c, in.floats(r * c))
+        } else readQuantMatrix(in, path)
       require(oCols == dim && oRows == nlabels.toLong,
         s"$path output matrix ${oRows}x$oCols != ${nlabels}x$dim")
-      val output = in.floats(oRows * oCols)
       FtModel(dim, bucket, minn, maxn, wordNgrams, nwords,
-        words.toMap, labels.toArray, input, output)
+        words.toMap, labels.toArray, input, output, pruneIdx)
     } finally in.close()
   }
 
@@ -328,6 +425,124 @@ object FastTextBin {
       out.write(0) // qout_ = false
       i64(labelRows.length.toLong); i64(dim.toLong)
       labelRows.foreach(_._2.foreach(f32))
+    } finally out.close()
+  }
+
+  /** Write a QUANTIZED supervised model (`.ftz`) in the public
+    * `quantize` output layout — fixture construction for the
+    * zero-egress gate, exact by design: each subquantizer's centroid
+    * table is the DISTINCT sub-vectors of the input rows (<= 256 of
+    * them, enforced), so decode reproduces every row bit-for-bit and a
+    * `.ftz` built here predicts identically to its dense `.bin` twin
+    * (no k-means approximation — this tests the FORMAT path, not
+    * quantization error). `qnorm` additionally codes per-row norms
+    * (decode is then norm * (row/norm), exercising the norm-PQ branch
+    * at float tolerance); `pruneIdx` (original bucket id -> pruned row
+    * index, the `-cutoff` artifact) writes a reduced ngram block whose
+    * rows come from `bucketRows` at the ORIGINAL ids. */
+  def writeQuantized(path: String, dim: Int, bucket: Int, minn: Int,
+                     maxn: Int, wordNgrams: Int,
+                     wordRows: Seq[(String, Array[Float])],
+                     labelRows: Seq[(String, Array[Float])],
+                     bucketRows: Map[Int, Array[Float]] = Map.empty,
+                     dsub: Int = 2, qnorm: Boolean = false,
+                     qout: Boolean = true,
+                     pruneIdx: Seq[(Int, Int)] = Nil): Unit = {
+    require(wordRows.forall(_._2.length == dim) &&
+      labelRows.forall(_._2.length == dim), "embedding dim mismatch")
+    require(pruneIdx.isEmpty ||
+      pruneIdx.map(_._2).sorted == (0 until pruneIdx.length),
+      "pruned row indices must be dense 0..n-1")
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      new FileOutputStream(path), 1 << 20))
+    def i32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def i64(v: Long): Unit = { i32(v.toInt); i32((v >> 32).toInt) }
+    def f32(v: Float): Unit = i32(java.lang.Float.floatToIntBits(v))
+    // exact PQ of a row set: distinct sub-vectors as centroids
+    def pqEncode(rows: Array[Array[Float]], d0: Int, sub: Int)
+        : (Pq, Array[Byte]) = {
+      val nsubq = (d0 + sub - 1) / sub
+      val lastdsub = if (d0 % sub == 0) sub else d0 % sub
+      val centroids = new Array[Float](d0 * 256)
+      val codes = new Array[Byte](rows.length * nsubq)
+      val pq = Pq(d0, nsubq, sub, lastdsub, centroids)
+      var m = 0
+      while (m < nsubq) {
+        val d = if (m == nsubq - 1) lastdsub else sub
+        val seen = scala.collection.mutable.LinkedHashMap[Seq[Float], Int]()
+        rows.zipWithIndex.foreach { case (r, t) =>
+          val sv = r.slice(m * sub, m * sub + d).toSeq
+          val code = seen.getOrElseUpdate(sv, seen.size)
+          require(seen.size <= 256,
+            "exact PQ fixture writer supports <= 256 distinct sub-vectors per subquantizer")
+          codes(t * nsubq + m) = code.toByte
+          System.arraycopy(sv.toArray, 0, centroids, pq.centroidOffset(m, code), d)
+        }
+        m += 1
+      }
+      (pq, codes)
+    }
+    def writePq(pq: Pq): Unit = {
+      i32(pq.dim); i32(pq.nsubq); i32(pq.dsub); i32(pq.lastdsub)
+      pq.centroids.foreach(f32)
+    }
+    def writeQuantMatrix(rows0: Array[Array[Float]]): Unit = {
+      out.write(if (qnorm) 1 else 0)
+      i64(rows0.length.toLong); i64(dim.toLong)
+      val (norms, coded) =
+        if (!qnorm) (null: Array[Float], rows0)
+        else {
+          val ns = rows0.map(r => math.sqrt(r.map(x => x.toDouble * x).sum).toFloat)
+          // zero rows keep alpha 0 and code their raw (zero) sub-vectors
+          (ns, rows0.zip(ns).map { case (r, n) =>
+            if (n == 0f) r else r.map(_ / n) })
+        }
+      val (pq, codes) = pqEncode(coded, dim, dsub)
+      i32(codes.length)
+      out.write(codes)
+      writePq(pq)
+      if (qnorm) {
+        val (npq, ncodes) = pqEncode(norms.map(Array(_)), 1, 1)
+        out.write(ncodes)
+        writePq(npq)
+      }
+    }
+    try {
+      i32(Magic); i32(Version)
+      i32(dim); i32(5); i32(5); i32(1); i32(5) // ws epoch minCount neg
+      i32(wordNgrams); i32(3); i32(3) // loss=softmax model=sup
+      i32(bucket); i32(minn); i32(maxn); i32(100) // lrUpdateRate
+      i64(java.lang.Double.doubleToLongBits(1e-4)) // t
+      i32(wordRows.length + labelRows.length)
+      i32(wordRows.length); i32(labelRows.length)
+      i64(1000L)
+      i64(pruneIdx.length.toLong)
+      wordRows.foreach { case (w, _) =>
+        out.write(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.write(0); i64(100L); out.write(0)
+      }
+      labelRows.foreach { case (l, _) =>
+        out.write(l.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.write(0); i64(100L); out.write(1)
+      }
+      pruneIdx.foreach { case (orig, pruned) => i32(orig); i32(pruned) }
+      out.write(1) // quant_ = true
+      val zero = new Array[Float](dim)
+      val ngramBlock: Array[Array[Float]] =
+        if (pruneIdx.nonEmpty)
+          pruneIdx.sortBy(_._2)
+            .map { case (orig, _) => bucketRows.getOrElse(orig, zero) }.toArray
+        else (0 until bucket).map(b => bucketRows.getOrElse(b, zero)).toArray
+      writeQuantMatrix(wordRows.map(_._2).toArray ++ ngramBlock)
+      out.write(if (qout) 1 else 0)
+      if (qout) writeQuantMatrix(labelRows.map(_._2).toArray)
+      else {
+        i64(labelRows.length.toLong); i64(dim.toLong)
+        labelRows.foreach(_._2.foreach(f32))
+      }
     } finally out.close()
   }
 

@@ -128,6 +128,74 @@ object ScaleData {
     val embeddings = read("embeddings")
     write(replicate(embeddings, Map(
       "vec_id" -> stride(embeddings, "vec_id"))), "embeddings")
+
+    validate(spark, srcDir, outDir, factor)
+  }
+
+  /** Post-generate expectation gate (the r9 verdict's ask): the q46
+    * name<->key bijection break was caught by a GATE DIFF a full
+    * verify later — these invariants catch the next generator defect
+    * at generate time instead. Throws on the first violation; every
+    * per-table check suite is one [[graft.operators.Expectations]]
+    * aggregate pass, FK integrity is a broadcast-able anti-join count. */
+  def validate(spark: SparkSession, srcDir: String, outDir: String,
+               factor: Int): Unit = {
+    import graft.operators.Expectations
+    def out(t: String) = spark.read.parquet(s"$outDir/$t.parquet")
+    def src(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
+    // 1. row-count scaling: fixed dims copy, everything else x factor
+    val fixed = Set("region", "nation")
+    TableNames.foreach { t =>
+      val exp = src(t).count() * (if (fixed(t)) 1L else factor.toLong)
+      val got = out(t).count()
+      require(got == exp, s"[scaledata] $t row count: got $got, expected $exp")
+    }
+    // 2. key uniqueness, identity bijections, recomputed columns
+    def assertPassed(t: String, rep: DataFrame): Unit = {
+      val bad = rep.where(!col("passed"))
+        .select("check", "n_violations").collect()
+      require(bad.isEmpty, s"[scaledata] $t expectations failed: " +
+        bad.map(r => s"${r.getString(0)} (${r.getLong(1)} violations)").mkString("; "))
+    }
+    def uniq(t: String, cols: String*): Unit =
+      assertPassed(t, Expectations.report(out(t),
+        cols.map(Expectations.notNull), uniqueCols = cols))
+    uniq("customer", "c_custkey", "c_name") // name<->key bijection = name stays unique
+    uniq("supplier", "s_suppkey", "s_name")
+    uniq("part", "p_partkey")
+    uniq("orders", "o_orderkey")
+    uniq("events", "event_id")
+    uniq("embeddings", "vec_id")
+    assertPassed("documents", Expectations.report(out("documents"),
+      Seq(Expectations.notNull("doc_id"),
+        Expectations.Check("n_chars_matches_text",
+          col("n_chars") === length(col("text")).cast("long"))),
+      uniqueCols = Seq("doc_id")))
+    // 3. FK integrity: a shifted child key must land on a shifted
+    // parent key (the stride-aliasing class of defect)
+    def fk(childT: String, childCol: String,
+           parentT: String, parentCol: String): Unit = {
+      val orphans = out(childT).select(col(childCol))
+        .join(out(parentT).select(col(parentCol)),
+          col(childCol) === col(parentCol), "left_anti").count()
+      require(orphans == 0L,
+        s"[scaledata] $childT.$childCol has $orphans orphans vs $parentT.$parentCol")
+    }
+    fk("orders", "o_custkey", "customer", "c_custkey")
+    fk("lineitem", "l_orderkey", "orders", "o_orderkey")
+    fk("lineitem", "l_partkey", "part", "p_partkey")
+    fk("lineitem", "l_suppkey", "supplier", "s_suppkey")
+    fk("customer", "c_nationkey", "nation", "n_nationkey")
+    fk("supplier", "s_nationkey", "nation", "n_nationkey")
+    // 4. densification keeps the event time RANGE (10x events in the
+    // SAME window — a shifted-ts defect would stretch it)
+    // type-generic compare: ts reads as long nanos or as timestamp
+    // depending on the session's nanosAsLong setting
+    val sR = src("events").agg(min("ts"), max("ts")).head()
+    val oR = out("events").agg(min("ts"), max("ts")).head()
+    require(sR.get(0) == oR.get(0) && sR.get(1) == oR.get(1),
+      s"[scaledata] events ts range drifted: [${oR.get(0)},${oR.get(1)}] " +
+        s"vs [${sR.get(0)},${sR.get(1)}]")
   }
 
   /** args: [srcDir] [outDir] [factor]; defaults: /root/testdata/sf0.1

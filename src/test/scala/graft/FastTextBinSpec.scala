@@ -118,6 +118,86 @@ class FastTextBinSpec extends SparkSpec {
     assert(m.lineIds("日本").toSeq === Seq(0, 1 + 346020))
   }
 
+  test(".ftz: exact-PQ quantized model decodes to the dense matrices and predicts identically") {
+    val pd = tmp("dense.bin"); writeFixture(pd)
+    val dense = FastTextBin.read(pd)
+    val pq = tmp("quant.ftz")
+    FastTextBin.writeQuantized(pq, dim = dim, bucket = 16, minn = 0,
+      maxn = 0, wordNgrams = 1,
+      wordRows = Seq(
+        FastTextBin.Eos -> v(0, 0, 0, 0),
+        "aa" -> v(1, 0, 0, 0), "bb" -> v(1, 0, 0, 0),
+        "cc" -> v(0, 1, 0, 0), "dd" -> v(0, 1, 0, 0),
+        "zz" -> v(0.5f, 0.5f, 0, 0)),
+      labelRows = Seq(
+        "__label__a" -> v(4, 0, 0, 0),
+        "__label__b" -> v(0, 4, 0, 0)),
+      qnorm = false, qout = true)
+    val m = FastTextBin.read(pq)
+    // the exact quantizer's centroids ARE the distinct sub-vectors, so
+    // the eager decode reproduces the dense matrices bit-for-bit
+    assert(m.input.toSeq === dense.input.toSeq)
+    assert(m.output.toSeq === dense.output.toSeq)
+    Seq("aa bb aa", "cc dd", "zz", "aa oov cc cc").foreach { t =>
+      assert(m.predict(t) === dense.predict(t), s"diverged on '$t'")
+    }
+  }
+
+  test(".ftz: qnorm codes per-row norms; predictions match at float tolerance") {
+    val pd = tmp("dense2.bin"); writeFixture(pd)
+    val dense = FastTextBin.read(pd)
+    val pq = tmp("qnorm.ftz")
+    FastTextBin.writeQuantized(pq, dim = dim, bucket = 16, minn = 0,
+      maxn = 0, wordNgrams = 1,
+      wordRows = Seq(
+        FastTextBin.Eos -> v(0, 0, 0, 0), // zero row: alpha 0 branch
+        "aa" -> v(1, 0, 0, 0), "bb" -> v(1, 0, 0, 0),
+        "cc" -> v(0, 1, 0, 0), "dd" -> v(0, 1, 0, 0),
+        "zz" -> v(0.5f, 0.5f, 0, 0)),
+      labelRows = Seq(
+        "__label__a" -> v(4, 0, 0, 0),
+        "__label__b" -> v(0, 4, 0, 0)),
+      qnorm = true, qout = true)
+    val m = FastTextBin.read(pq)
+    Seq("aa bb aa", "cc dd", "zz").foreach { t =>
+      val (ld, pd2) = dense.predict(t)
+      val (lq, pq2) = m.predict(t)
+      assert(lq === ld, s"label diverged on '$t'")
+      assert(math.abs(pq2 - pd2) < 1e-5, s"prob diverged on '$t': $pq2 vs $pd2")
+    }
+  }
+
+  test("pruned dictionary: bucket ids remap through pruneidx; absent ids drop") {
+    // unit pin on the pushHash rule: bigram(日本,</s>) hashes to bucket
+    // 346020 (mod 2,000,000); with that bucket kept at pruned row 0 the
+    // line id is nwords + 0, with it pruned away the ngram contributes
+    // nothing
+    def model(pi: Option[Map[Int, Int]]) = FastTextBin.FtModel(
+      dim = 1, bucket = 2000000, minn = 0, maxn = 0, wordNgrams = 2,
+      nwords = 1, words = Map(FastTextBin.Eos -> 0),
+      labels = Array("__label__a"),
+      input = new Array[Float](2), output = new Array[Float](1),
+      pruneIdx = pi)
+    assert(model(Some(Map(346020 -> 0))).lineIds("日本").toSeq === Seq(0, 1))
+    assert(model(Some(Map.empty)).lineIds("日本").toSeq === Seq(0))
+    // file-level: a pruned .ftz round-trips dict + prune index and the
+    // kept bucket's row steers prediction (mass for label b on pruned
+    // row 0 = original bucket 346020)
+    val p = tmp("pruned.ftz")
+    FastTextBin.writeQuantized(p, dim = 2, bucket = 2000000, minn = 0,
+      maxn = 0, wordNgrams = 2,
+      wordRows = Seq(FastTextBin.Eos -> Array(0f, 0f),
+        "日本" -> Array(0f, 0f)),
+      labelRows = Seq("__label__a" -> Array(2f, 0f),
+        "__label__b" -> Array(0f, 2f)),
+      bucketRows = Map(346020 -> Array(0f, 3f)),
+      pruneIdx = Seq(346020 -> 0))
+    val m = FastTextBin.read(p)
+    assert(m.pruneIdx === Some(Map(346020 -> 0)))
+    val (l, _) = m.predict("日本")
+    assert(l === "__label__b") // only the kept ngram row carries mass
+  }
+
   test("predictDf appends (label, prob) per row with null propagation") {
     import spark.implicits._
     val p = tmp("df.bin"); writeFixture(p)
@@ -131,7 +211,7 @@ class FastTextBinSpec extends SparkSpec {
     assert(out(2).isNullAt(2) && out(2).isNullAt(3))
   }
 
-  test("loader rejects non-fastText files and quantized models") {
+  test("loader rejects non-fastText files") {
     val bad = tmp("bad.bin")
     java.nio.file.Files.write(java.nio.file.Paths.get(bad),
       Array.fill[Byte](64)(7))
