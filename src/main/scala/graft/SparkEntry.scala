@@ -9944,4 +9944,246 @@ object SparkEntry {
           FROM b)
         $tail"""
   }
+
+  // ------------------------------------------------------------------
+  // Scale-twin oracles.
+  //
+  // The 21 oracles below are brute-force / recursive-closure SQL whose
+  // DuckDB cost is quadratic in corpus size: fine at the sf0.01 gate,
+  // infeasible at ScaleData step-ups (the round-9 sf1 sweep timed every
+  // one of them out while the ENGINE side completed). Each twin keeps
+  // the primary's projections, filters, thresholds, and aggregations
+  // VERBATIM, but reads its pair graph / closure / PQ encoding from
+  // `tw_*` temp tables that tools/scale_twins.py materializes with
+  // vectorized EXACT math (full all-pairs BLAS — no banding, no
+  // sampling, no pruning, so the twin stays exactly as independent of
+  // the engine's LSH geometry as the primary). Integer-exact paths
+  // (Jaccard counts, Hamming) are bit-identical by construction; float
+  // comparisons within 1e-9 of a threshold/tie are re-decided by
+  // DuckDB itself evaluating the primary's own expression.
+  //
+  // Contract: tools/check_oracle.py --scale prefers these twins and
+  // calls scale_twins.prepare(con, name) first; --twin-check runs twin
+  // AND primary at the gate SFs and compares exactly (the equivalence
+  // evidence). The driver's own gate keeps running the primaries.
+  //
+  // Helper tables (built per connection, shared across queries):
+  //   tw_char5_pairs / tw_char3_pairs / tw_word3_pairs
+  //     (u, v, j, su, sv): u < v, exact gram-set Jaccard j >= 0.8,
+  //     su/sv the distinct-gram counts (so primaries' float length
+  //     filters apply unchanged).  Self-pairs are NOT stored: where a
+  //     primary's join semantics include them (d79/q50's eval side),
+  //     the twin adds them explicitly as the exact j = 1.0 they carry.
+  //   tw_word3_comp / tw_cos097_comp / tw_e08_comp / tw_phash_comp /
+  //   tw_x14_comp (id, mn): the recursive-closure contract — for each
+  //     node of a >=2 component C, mn = min(C \ {id}).
+  //   tw_cos097_pairs (u, v): cosine >= 0.97 edges over embeddings.
+  //   tw_e08_asg / tw_e13_asg (vec_id, cell): nearest centroid by
+  //     (cosine DESC, cid ASC).
+  //   tw_pq_recon (vec_id, rc): per-subspace argmin-L2 centroid slices
+  //     concatenated — values copied verbatim, so ADC stays in SQL.
+  //   tw_d68_s1 / tw_d68_s2 / tw_d68_comp / tw_d68_comp3: the d68
+  //     cascade's per-stage survivor sets and closures.
+  def oracleSqlScale: Map[String, String] = {
+    val fuzzyDeconScale =
+      """WITH pe AS (
+           SELECT p.u AS doc_id, p.j FROM tw_char5_pairs p
+             WHERE p.v % 101 = 7 AND p.su >= 0.8 * p.sv AND p.sv >= 0.8 * p.su
+           UNION ALL
+           SELECT p.v AS doc_id, p.j FROM tw_char5_pairs p
+             WHERE p.u % 101 = 7 AND p.su >= 0.8 * p.sv AND p.sv >= 0.8 * p.su
+           UNION ALL
+           SELECT doc_id, 1.0 AS j FROM documents WHERE doc_id % 101 = 7),
+         m AS (SELECT doc_id, count(*) AS n_matches, round(max(j), 6) AS max_jaccard
+               FROM pe GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(m.n_matches, 0) AS n_matches,
+           coalesce(m.max_jaccard, 0.0) AS max_jaccard,
+           coalesce(m.n_matches, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id"""
+    val incrementalDedupScale =
+      """WITH hit AS (SELECT u AS doc_id FROM tw_char5_pairs WHERE u >= 400 AND v < 400
+           UNION SELECT v FROM tw_char5_pairs WHERE v >= 400 AND u < 400)
+         SELECT d.doc_id FROM documents d
+         WHERE d.doc_id >= 400 AND d.doc_id NOT IN (SELECT doc_id FROM hit)
+         ORDER BY doc_id"""
+    Map(
+      "x01_minhash_dedup" ->
+        """SELECT u AS src, v AS dst, round(j, 6) AS jaccard
+           FROM tw_char5_pairs
+           WHERE su >= 0.8 * sv AND sv >= 0.8 * su
+           ORDER BY src, dst""",
+
+      "x02_simhash_dedup" ->
+        """SELECT u AS src, v AS dst, round(j, 6) AS jaccard
+           FROM tw_char3_pairs
+           WHERE su >= 0.8 * sv AND sv >= 0.8 * su
+           ORDER BY src, dst""",
+
+      "x09_source_dup_matrix" ->
+        """WITH m AS (SELECT least(da.source, db.source) AS sa,
+             greatest(da.source, db.source) AS sb
+           FROM tw_char5_pairs p
+           JOIN documents da ON p.u = da.doc_id
+           JOIN documents db ON p.v = db.doc_id
+           WHERE p.su >= 0.8 * p.sv AND p.sv >= 0.8 * p.su)
+         SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM m GROUP BY sa, sb ORDER BY sa, sb""",
+
+      "d79_fuzzy_decontaminate" -> fuzzyDeconScale,
+      "q50_sql_fuzzy_decon" -> fuzzyDeconScale,
+
+      "st30_stream_fuzzy_decon" ->
+        """WITH hit AS (SELECT u AS doc_id FROM tw_char5_pairs WHERE v % 101 = 7
+             UNION SELECT v FROM tw_char5_pairs WHERE u % 101 = 7)
+         SELECT d.doc_id, d.source FROM documents d
+         WHERE d.doc_id % 101 <> 7 AND d.doc_id NOT IN (SELECT doc_id FROM hit)
+         ORDER BY doc_id""",
+
+      "x07_incremental_dedup" -> incrementalDedupScale,
+      "st05_stream_incremental_dedup" -> incrementalDedupScale,
+
+      "st07_stream_online_dedup" ->
+        """WITH late AS (SELECT CASE
+             WHEN (v % 4 > u % 4) OR (v % 4 = u % 4 AND v > u) THEN v ELSE u
+             END AS doc_id
+           FROM tw_char5_pairs)
+         SELECT d.doc_id FROM documents d
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM late)
+         ORDER BY doc_id""",
+
+      "x03_ngram_jaccard_dedup" ->
+        """SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM tw_word3_comp WHERE mn < doc_id)
+         ORDER BY doc_id""",
+
+      "d59_dup_cluster_histogram" ->
+        """WITH cid AS (SELECT d.doc_id,
+             CASE WHEN c.mn IS NULL THEN d.doc_id
+                  ELSE least(c.mn, d.doc_id) END AS cid
+           FROM documents d LEFT JOIN tw_word3_comp c ON d.doc_id = c.doc_id),
+         sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM cid GROUP BY cid)
+         SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         FROM sz GROUP BY cluster_size ORDER BY cluster_size""",
+
+      "x12_dedup_audit" ->
+        """SELECT doc_id AS dropped_id, mn AS canonical_id
+         FROM tw_word3_comp WHERE mn < doc_id ORDER BY dropped_id""",
+
+      "x13_dedup_idempotence" ->
+        """WITH kept AS (SELECT count(*) AS k FROM documents WHERE doc_id NOT IN
+             (SELECT doc_id FROM tw_word3_comp WHERE mn < doc_id))
+         SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_input,
+           CAST(k AS BIGINT) AS n_pass1, CAST(k AS BIGINT) AS n_pass2,
+           TRUE AS idempotent
+         FROM kept""",
+
+      "x16_quality_canonical" ->
+        """WITH cid AS (SELECT c.doc_id, least(c.mn, c.doc_id) AS cid
+           FROM tw_word3_comp c),
+         sc AS (SELECT cid.doc_id, cid.cid, strlen(d.text) AS score
+           FROM cid JOIN documents d USING (doc_id)),
+         win AS (SELECT cid, doc_id AS canonical_id,
+             row_number() OVER (PARTITION BY cid
+               ORDER BY score DESC, doc_id ASC) AS rn FROM sc),
+         w1 AS (SELECT cid, canonical_id FROM win WHERE rn = 1)
+         SELECT s.doc_id AS dropped_id, w1.canonical_id
+         FROM sc s JOIN w1 USING (cid)
+         WHERE s.doc_id != w1.canonical_id
+         ORDER BY dropped_id""",
+
+      "x04_embedding_neardup" ->
+        """SELECT label, count(*) AS n_kept FROM embeddings
+         WHERE vec_id NOT IN (SELECT vec_id FROM tw_cos097_comp WHERE mn < vec_id)
+         GROUP BY label ORDER BY label""",
+
+      "e08_semantic_dedup" ->
+        """SELECT vec_id, label FROM embeddings
+         WHERE vec_id NOT IN (SELECT vec_id FROM tw_e08_comp WHERE mn < vec_id)
+         ORDER BY vec_id""",
+
+      "e09_pq_knn" ->
+        """WITH v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS qv FROM v WHERE vec_id < 10),
+         s AS (SELECT query_id, r.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65),
+               i -> (qv[i]-r.rc[i])*(qv[i]-r.rc[i]))) AS adc
+           FROM q CROSS JOIN tw_pq_recon r WHERE r.vec_id != query_id)
+         SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id,
+           round(adc, 6) AS adc_dist
+         FROM (SELECT query_id, neighbor_id, adc,
+             row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+           FROM s)
+         WHERE rn <= 5 ORDER BY query_id, rank""",
+
+      "e13_ivfpq_knn" ->
+        """WITH v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         cb AS (SELECT vec_id AS cid, emb AS cv FROM v WHERE vec_id % 31 = 7),
+         q AS (SELECT vec_id AS query_id, emb AS qv FROM v WHERE vec_id < 10),
+         probe AS (SELECT query_id, cid AS cell FROM (
+             SELECT q.query_id, c.cid, row_number() OVER (PARTITION BY q.query_id ORDER BY
+               list_sum(list_transform(list_zip(q.qv, c.cv), z -> z[1]*z[2]))
+                 / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
+                    * sqrt(list_sum(list_transform(c.cv, x -> x*x)))) DESC,
+               c.cid) AS rn
+             FROM q CROSS JOIN cb c) WHERE rn <= 2),
+         s AS (SELECT p.query_id, r.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65),
+               i -> (q.qv[i]-r.rc[i])*(q.qv[i]-r.rc[i]))) AS adc
+           FROM probe p JOIN q USING (query_id)
+           JOIN tw_e13_asg asg ON asg.cell = p.cell
+           JOIN tw_pq_recon r ON r.vec_id = asg.vec_id
+           WHERE r.vec_id != p.query_id)
+         SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id,
+           round(adc, 6) AS adc_dist
+         FROM (SELECT query_id, neighbor_id, adc,
+             row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+           FROM s)
+         WHERE rn <= 5 ORDER BY query_id, rank""",
+
+      "m06_phash_neardup" ->
+        """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 0),
+         g AS (SELECT id, list_transform(range(0, 64), i ->
+             ((i*4 + id) % 256) + ((i*2 + id*3) % 256) + ((i + id*7) % 256)) AS gray
+           FROM ids),
+         h AS (SELECT id, CAST(list_sum(list_transform(range(0, 63), i ->
+             CASE WHEN gray[i+1] * 64 > list_sum(gray)
+                  THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS sig
+           FROM g),
+         lab AS (SELECT h.id AS asset_id, h.sig AS phash,
+             CASE WHEN c.mn IS NULL OR c.mn > h.id THEN h.id ELSE c.mn END AS cluster_id
+           FROM h LEFT JOIN tw_phash_comp c ON h.id = c.id),
+         sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM lab GROUP BY cluster_id)
+         SELECT asset_id, phash, l.cluster_id, cluster_size
+         FROM lab l JOIN sz USING (cluster_id) ORDER BY asset_id""",
+
+      "x14_entity_resolution" ->
+        """WITH ids AS (SELECT doc_id FROM documents
+           UNION ALL SELECT doc_id + 1000000 FROM documents
+           UNION ALL SELECT doc_id + 2000000 FROM documents),
+         lab AS (SELECT ids.doc_id,
+             CASE WHEN c.mn IS NULL OR c.mn > ids.doc_id
+                  THEN ids.doc_id ELSE c.mn END AS cluster_id
+           FROM ids LEFT JOIN tw_x14_comp c USING (doc_id)),
+         sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM lab GROUP BY cluster_id)
+         SELECT doc_id, cluster_id, cluster_size
+         FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""",
+
+      "d68_dedup_cascade" ->
+        """SELECT stage, n_docs FROM (
+           SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+           UNION ALL SELECT '1_exact', CAST(count(*) AS BIGINT) FROM tw_d68_s1
+           UNION ALL SELECT '2_ngram', CAST(count(*) AS BIGINT) FROM tw_d68_s2
+           UNION ALL SELECT '3_semantic', CAST(count(*) AS BIGINT) FROM (
+             SELECT e.vec_id FROM embeddings e JOIN tw_d68_s2 s2 ON e.vec_id = s2.doc_id
+             WHERE e.vec_id NOT IN (SELECT vec_id FROM tw_d68_comp3 WHERE mn < vec_id)))
+         ORDER BY stage"""
+    )
+  }
 }

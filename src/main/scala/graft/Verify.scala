@@ -53,6 +53,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // scale twins (tools/scale_twins.py contract): same shape, only
+    // the quadratic-oracle rows; consumed by check_oracle.py --scale
+    val scaleJson = SparkEntry.oracleSqlScale
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_scale.json"), scaleJson)
     spark.stop()
   }
 }

@@ -616,8 +616,8 @@ object Dedup {
     * 7-bit keys vs 10 blocks -> 45 tables of ~13-bit keys (~11x fewer
     * random collisions at equal recall). At 100 TB bucket heat is the
     * bottleneck, so the wider-key mode is the scale default. */
-  private[operators] def simhashBandRows(sigs: DataFrame, maxHamming: Int,
-                                         blocks: Int): DataFrame = {
+  private[graft] def simhashBandRows(sigs: DataFrame, maxHamming: Int,
+                                     blocks: Int): DataFrame = {
     require(blocks > maxHamming, s"need blocks > maxHamming, got $blocks <= $maxHamming")
     val width = 64 / blocks
     val blockExprs = (0 until blocks).map { b =>
