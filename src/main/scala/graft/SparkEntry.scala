@@ -352,6 +352,24 @@ object SparkEntry {
          r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(s.in_c, 0)) // 100 AS BIGINT) AS rank_micro
            FROM nodes n LEFT JOIN s3 s ON n.node = s.dst)"""
 
+  /** Shared x01/x17 truth: the brute-force exact char-5-shingle
+    * Jaccard pair set at threshold 0.8 with the lossless length
+    * prefilter — x01's LSH banding and x17's exact bitmap scan gate
+    * against this one string. */
+  private val exactCharJaccardOracleSql: String =
+    """WITH n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+           FROM documents),
+         g AS (SELECT doc_id, list_distinct(CASE WHEN length(s) < 5 THEN [s]
+               ELSE list_transform(range(1, length(s)-3), i -> s[i:i+4]) END) AS gs FROM n)
+         SELECT a.doc_id AS src, b.doc_id AS dst,
+           round(len(list_intersect(a.gs, b.gs)) * 1.0
+             / len(list_distinct(list_concat(a.gs, b.gs))), 6) AS jaccard
+         FROM g a JOIN g b ON a.doc_id < b.doc_id
+           AND len(a.gs) >= 0.8 * len(b.gs) AND len(b.gs) >= 0.8 * len(a.gs)
+         WHERE len(list_intersect(a.gs, b.gs)) * 1.0
+             / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.8
+         ORDER BY src, dst"""
+
   /** Shared x03/d59 oracle prefix: the exact word-3gram Jaccard graph
     * and its transitive closure; defines `comp(doc_id, mn)` = min
     * reachable OTHER node per connected doc. */
@@ -996,6 +1014,20 @@ object SparkEntry {
     // asserts the banding had FULL RECALL at the threshold) ----------------
     "x01_minhash_dedup" -> ((s, d) =>
       Dedup.minhashVerifiedPairs(docs(s, d), "doc_id", "text", threshold = 0.8)
+        .select(col("src"), col("dst"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("src", "dst")),
+
+    "x17_exact_dense_jaccard" -> ((s, d) =>
+      // the EXACT tier on the same truth as x01 (one oracle string,
+      // two strategies): recall 1.0 by construction — no banding, no
+      // radius — for the dense-small-universe regime where O(n^2)
+      // bitmap popcount is affordable. Round-10 motivation: the exact
+      // scale twin showed x02's Hamming radius caps simhash recall at
+      // 94.9% on 10x data; this operator is what a pipeline runs when
+      // a bounded slice (eval suite, per-bucket verify, short-text
+      // table) must be EXACT rather than radius-approximate.
+      Dedup.exactJaccardPairsDense(docs(s, d), "doc_id", "text",
+          threshold = 0.8, ngram = 5)
         .select(col("src"), col("dst"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("src", "dst")),
 
@@ -7217,19 +7249,12 @@ object SparkEntry {
          SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_pairs
          FROM m GROUP BY sa, sb ORDER BY sa, sb""",
 
-    "x01_minhash_dedup" ->
-      """WITH n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
-           FROM documents),
-         g AS (SELECT doc_id, list_distinct(CASE WHEN length(s) < 5 THEN [s]
-               ELSE list_transform(range(1, length(s)-3), i -> s[i:i+4]) END) AS gs FROM n)
-         SELECT a.doc_id AS src, b.doc_id AS dst,
-           round(len(list_intersect(a.gs, b.gs)) * 1.0
-             / len(list_distinct(list_concat(a.gs, b.gs))), 6) AS jaccard
-         FROM g a JOIN g b ON a.doc_id < b.doc_id
-           AND len(a.gs) >= 0.8 * len(b.gs) AND len(b.gs) >= 0.8 * len(a.gs)
-         WHERE len(list_intersect(a.gs, b.gs)) * 1.0
-             / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.8
-         ORDER BY src, dst""",
+    // ONE truth, two engine strategies: x01 reaches it through
+    // minhash-LSH banding, x17 through the exact dense-universe bitmap
+    // scan — binding the same oracle string to both keys makes the
+    // recall comparison structural (they cannot drift apart).
+    "x01_minhash_dedup" -> exactCharJaccardOracleSql,
+    "x17_exact_dense_jaccard" -> exactCharJaccardOracleSql,
 
     // identical semantics to x07 (the streaming path only moves the
     // candidate generation into a stream-static join) — ONE oracle
@@ -10006,12 +10031,14 @@ object SparkEntry {
          SELECT d.doc_id FROM documents d
          WHERE d.doc_id >= 400 AND d.doc_id NOT IN (SELECT doc_id FROM hit)
          ORDER BY doc_id"""
+    val exactCharJaccardScale =
+      """SELECT u AS src, v AS dst, round(j, 6) AS jaccard
+         FROM tw_char5_pairs
+         WHERE su >= 0.8 * sv AND sv >= 0.8 * su
+         ORDER BY src, dst"""
     Map(
-      "x01_minhash_dedup" ->
-        """SELECT u AS src, v AS dst, round(j, 6) AS jaccard
-           FROM tw_char5_pairs
-           WHERE su >= 0.8 * sv AND sv >= 0.8 * su
-           ORDER BY src, dst""",
+      "x01_minhash_dedup" -> exactCharJaccardScale,
+      "x17_exact_dense_jaccard" -> exactCharJaccardScale,
 
       "x02_simhash_dedup" ->
         """SELECT u AS src, v AS dst, round(j, 6) AS jaccard

@@ -90,6 +90,51 @@ class DedupSpec extends SparkSpec {
     assert(want.nonEmpty) // the planted dups must actually exercise the path
   }
 
+  test("exactJaccardPairsDense equals driver brute force, values included") {
+    def grams(s: String): Set[String] = {
+      val n = s.trim.toLowerCase.replaceAll("\\s+", " ")
+      if (n.length < 5) Set(n) else n.sliding(5).toSet
+    }
+    // collision-heavy corpus: a small template vocabulary (the regime
+    // this operator exists for) with planted near-dup chains
+    val rng = new scala.util.Random(7)
+    val vocab = (1 to 40).map(i => s"w$i")
+    val docs = (0 until 120).map { i =>
+      val body = (0 until 60).map(_ => vocab(rng.nextInt(vocab.length)))
+      val txt =
+        if (i % 3 == 1) (body.take(57) ++ Seq("x", "y", "z")).mkString(" ")
+        else body.mkString(" ")
+      (i.toLong, txt)
+    } ++ Seq((200L, docs0), (201L, docs0 + " tail"), (202L, docs0.toUpperCase))
+    val df = docs.toDF("doc_id", "text")
+    val rows = docs.map { case (id, t) => id -> grams(t) }
+    val want = (for {
+      (i, gi) <- rows; (j, gj) <- rows if i < j
+      inter = gi.intersect(gj).size
+      jac = inter.toDouble / (gi.size + gj.size - inter) if jac >= 0.8
+    } yield (i, j, jac)).toSet
+    val got = Dedup.exactJaccardPairsDense(df, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+    // and it matches the banding strategy where banding has full recall
+    val viaLsh = Dedup.minhashVerifiedPairs(df, "doc_id", "text", threshold = 0.8)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(p => (p._1, p._2)) == viaLsh)
+  }
+  private val docs0 = base + " shared"
+
+  test("exactJaccardPairsDense refuses an open-vocabulary universe") {
+    val wide = (1 to 30).map(i =>
+      (i.toLong, (1 to 50).map(j => s"uniq${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.exactJaccardPairsDense(wide, "doc_id", "text",
+        threshold = 0.8, maxUniverse = 64)
+    }
+    assert(e.getMessage.contains("universe"))
+  }
+
   test("simhashVerifiedPairs verified by exact jaccard, bounded by hamming") {
     val got = Dedup.simhashVerifiedPairs(corpus, "doc_id", "text",
         threshold = 0.6, maxHamming = 8)

@@ -484,6 +484,7 @@ X14_EDGES_SQL = r"""WITH u AS (SELECT doc_id,
 # name -> list of build thunks; prepare() runs each once per connection
 HELPERS = {
     "x01_minhash_dedup": [("jacc", "char5", "tw_char5_pairs")],
+    "x17_exact_dense_jaccard": [("jacc", "char5", "tw_char5_pairs")],
     "x02_simhash_dedup": [("jacc", "char3", "tw_char3_pairs")],
     "x09_source_dup_matrix": [("jacc", "char5", "tw_char5_pairs")],
     "d79_fuzzy_decontaminate": [("jacc", "char5", "tw_char5_pairs")],
