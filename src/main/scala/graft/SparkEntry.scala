@@ -1466,7 +1466,10 @@ object SparkEntry {
       // side broadcast; the anti-join is a BroadcastNestedLoopJoin
       // over ONE corpus scan — zero shuffle at any corpus size.
       val e = emb(s, d)
-      val evalSet = e.filter(col("vec_id") % 23 === 0)
+      // fixed-size eval suite: vec_id < 500 is vacuous at the sf0.01
+      // gate (ids 0-499) and pins the suite at any step-up — a real
+      // decon eval set does not grow with the corpus
+      val evalSet = e.filter(col("vec_id") % 23 === 0 && col("vec_id") < 500)
         .select(transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
       Decontamination.semanticDecontaminate(e, evalSet, "embedding", tau = 0.99)
         .select(col("vec_id"), col("label"))
@@ -1476,7 +1479,10 @@ object SparkEntry {
     "d79_fuzzy_decontaminate" -> ((s, d) => {
       // FUZZY decontamination (the Dolma/RedPajama near-verbatim leak
       // audit): flag corpus docs whose whole-document char-5gram
-      // Jaccard vs ANY eval doc >= 0.8. Eval = the % 101 = 7 split
+      // Jaccard vs ANY eval doc >= 0.8. Eval = the % 101 = 7 split of
+      // the first 500 ids — a FIXED-SIZE suite (real decon eval sets do
+      // not grow with the corpus; the bound is vacuous at the sf0.01
+      // gate and pins the suite at any step-up)
       // (leaked-verbatim scenario, d23's convention — eval docs ARE in
       // the corpus, so every eval doc convicts itself at J = 1.0 and
       // near-dup templates convict across). Candidates come from the
@@ -1488,7 +1494,8 @@ object SparkEntry {
       // pointed across corpora.
       val all = docs(s, d)
       Decontamination.fuzzyOverlapReport(
-          all, all.filter(col("doc_id") % 101 === 7), "doc_id", "text",
+          all, all.filter(col("doc_id") % 101 === 7 && col("doc_id") < 500),
+          "doc_id", "text",
           threshold = 0.8)
         .orderBy("doc_id")
     }),
@@ -1513,7 +1520,7 @@ object SparkEntry {
       // invisible in the output or this row hash-fails.
       val all = docs(s, d)
       val toks = split(regexp_replace(trim(col("text")), "\\s+", " "), " ")
-      val evalDocs = all.filter(col("doc_id") % 53 === 0)
+      val evalDocs = all.filter(col("doc_id") % 53 === 0 && col("doc_id") < 500)
         .select(col("doc_id"), array_join(slice(toks, 5, 12), " ").as("text"))
       Decontamination.spanDecontaminate(all, evalDocs, "doc_id", "text",
           window = 8)
@@ -1568,7 +1575,7 @@ object SparkEntry {
       // deterministic exemplar (min eval id) is what the audit quotes.
       val all = docs(s, d)
       val toks = split(regexp_replace(trim(col("text")), "\\s+", " "), " ")
-      val evalDocs = all.filter(col("doc_id") % 53 === 0)
+      val evalDocs = all.filter(col("doc_id") % 53 === 0 && col("doc_id") < 500)
         .select(col("doc_id"), array_join(slice(toks, 5, 12), " ").as("text"))
       Decontamination.spanDecontaminationProvenance(
           all, evalDocs, "doc_id", "text", window = 8)
@@ -1658,7 +1665,7 @@ object SparkEntry {
       // cross-cell pair wrongly found, or a within-cell pair missed,
       // both hash-mismatch.
       val e = emb(s, d)
-      val cents = e.filter(pmod(col("vec_id"), lit(31)) === 7)
+      val cents = e.filter(pmod(col("vec_id"), lit(31)) === 7 && col("vec_id") < 500)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
       Dedup.semanticDedup(e, "vec_id", "embedding", cents, threshold = 0.42)
         .select("vec_id", "label").orderBy("vec_id")
@@ -1672,7 +1679,7 @@ object SparkEntry {
       // reconstruction, and every distance in plain SQL — a single
       // wrongly-snapped subvector anywhere hash-fails the row.
       val e = emb(s, d)
-      val cents = e.filter(pmod(col("vec_id"), lit(31)) === 7)
+      val cents = e.filter(pmod(col("vec_id"), lit(31)) === 7 && col("vec_id") < 500)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
       Similarity.pqTopK(e.filter(col("vec_id") < 10), e,
           "vec_id", "vec_id", "embedding", cents, m = 8, k = 5)
@@ -3008,7 +3015,8 @@ object SparkEntry {
 
     "st30_stream_fuzzy_decon" -> ((s, d) => {
       // d79's decision deployed on the ingest stream, st28's stateless
-      // discipline: the eval side (same % 101 = 7 split) ships as a
+      // discipline: the eval side (same fixed % 101 = 7 / id < 500
+      // split) ships as a
       // BROADCAST relation of pre-shingled gram sets and each arriving
       // doc is anti-joined on the exact char-5gram Jaccard >= 0.8
       // predicate — a stream-static BroadcastNestedLoopJoin(anti) with
@@ -3019,7 +3027,7 @@ object SparkEntry {
       // batch path (d79). Oracle = kept ids under the same brute-force
       // graph d79's report pins.
       val all = docs(s, d)
-      val evalDocs = all.filter(col("doc_id") % 101 === 7)
+      val evalDocs = all.filter(col("doc_id") % 101 === 7 && col("doc_id") < 500)
         .select("doc_id", "text").localCheckpoint(true)
       s.catalog.dropTempView("st30_tbl")
       val stream = graft.streaming.Streaming
@@ -3066,7 +3074,7 @@ object SparkEntry {
       // produce the same table or the twin desynchronized.
       val all = docs(s, d)
       val toks = split(regexp_replace(trim(col("text")), "\\s+", " "), " ")
-      val evalDocs = all.filter(col("doc_id") % 53 === 0)
+      val evalDocs = all.filter(col("doc_id") % 53 === 0 && col("doc_id") < 500)
         .select(col("doc_id"), array_join(slice(toks, 5, 12), " ").as("text"))
       val evalFps = Decontamination.evalSpanFingerprints(
         evalDocs, "doc_id", "text", window = 8)
@@ -4549,14 +4557,15 @@ object SparkEntry {
       val corpusFz = docs(s, d)
       corpusFz.createOrReplaceTempView("docs_fz")
       Decontamination.fuzzyReportGated(
-        corpusFz, corpusFz.filter(col("doc_id") % 101 === 7),
+        corpusFz,
+        corpusFz.filter(col("doc_id") % 101 === 7 && col("doc_id") < 500),
         "doc_id", "text", threshold = 0.8)(
       s.sql("""
         WITH g AS (
           SELECT doc_id, array_distinct(graft_char_shingles(
             lower(regexp_replace(trim(text), '\\s+', ' ')), 5)) AS gs
           FROM docs_fz),
-        e AS (SELECT gs AS egs FROM g WHERE doc_id % 101 = 7),
+        e AS (SELECT gs AS egs FROM g WHERE doc_id % 101 = 7 AND doc_id < 500),
         v AS (
           SELECT c.doc_id,
             CAST(size(array_intersect(c.gs, e.egs)) AS DOUBLE)
@@ -4807,7 +4816,7 @@ object SparkEntry {
       // at any tau hash-fails the row.
       import s.implicits._
       val e = emb(s, d).localCheckpoint(true)
-      val cents = e.filter(pmod(col("vec_id"), lit(31)) === 7)
+      val cents = e.filter(pmod(col("vec_id"), lit(31)) === 7 && col("vec_id") < 500)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
         .localCheckpoint(true)
       Seq(0.35, 0.42, 0.48, 0.55).map { t =>
@@ -4851,7 +4860,7 @@ object SparkEntry {
       // unlike e04's pinned recall, this composition gate is fully
       // oracle-exact.
       val e = emb(s, d)
-      val cents = e.filter(pmod(col("vec_id"), lit(31)) === 7)
+      val cents = e.filter(pmod(col("vec_id"), lit(31)) === 7 && col("vec_id") < 500)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
       Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e,
           "vec_id", "vec_id", "embedding", cents, m = 8, k = 5, nProbe = 2)
@@ -5707,7 +5716,7 @@ object SparkEntry {
       // argmax with the winning cosine kept; the oracle rebuilds the
       // cell AND the value, so either being wrong hash-fails.
       val e = emb(s, d)
-      val cents = e.filter(pmod(col("vec_id"), lit(31)) === 7)
+      val cents = e.filter(pmod(col("vec_id"), lit(31)) === 7 && col("vec_id") < 500)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
       Similarity.centroidAssign(e, "vec_id", "embedding", cents)
         .select(col("vec_id"), col("cell"),
@@ -6425,7 +6434,7 @@ object SparkEntry {
          winw AS (SELECT doc_id, pos,
              array_to_string(tk[pos+1:pos+8], ' ') AS w FROM wins),
          evd AS (SELECT doc_id AS eval_id, tk[5:16] AS etk FROM b
-           WHERE doc_id % 53 = 0),
+           WHERE doc_id % 53 = 0 AND doc_id < 500),
          evw AS (SELECT eval_id,
              unnest(range(0, greatest(len(etk) - 7, 0))) AS pos, etk FROM evd),
          evs AS (SELECT DISTINCT eval_id,
@@ -6446,7 +6455,7 @@ object SparkEntry {
            FROM documents),
          g AS (SELECT doc_id, source, list_distinct(CASE WHEN length(s) < 5 THEN [s]
                ELSE list_transform(range(1, length(s)-3), i -> s[i:i+4]) END) AS gs FROM n),
-         e AS (SELECT gs AS egs FROM g WHERE doc_id % 101 = 7)
+         e AS (SELECT gs AS egs FROM g WHERE doc_id % 101 = 7 AND doc_id < 500)
          SELECT doc_id, source FROM g c
          WHERE NOT EXISTS (SELECT 1 FROM e
            WHERE len(list_intersect(c.gs, e.egs)) * 1.0
@@ -6625,7 +6634,7 @@ object SparkEntry {
     // side — float-path differences between engines cannot flip it
     "d75_semantic_decontaminate" ->
       """WITH ev AS (SELECT list_transform(embedding, x -> x * 2) AS ev
-           FROM embeddings WHERE vec_id % 23 = 0)
+           FROM embeddings WHERE vec_id % 23 = 0 AND vec_id < 500)
          SELECT vec_id, label FROM embeddings c
          WHERE NOT EXISTS (SELECT 1 FROM ev
            WHERE list_cosine_similarity(ev.ev, c.embedding) >= 0.99)
@@ -6925,7 +6934,8 @@ object SparkEntry {
          v AS (SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
            FROM embeddings),
-         c AS (SELECT vec_id AS cid, emb AS cv FROM v WHERE vec_id % 31 = 7),
+         c AS (SELECT vec_id AS cid, emb AS cv FROM v
+             WHERE vec_id % 31 = 7 AND vec_id < 500),
          s AS (SELECT v.vec_id, v.emb, c.cid, row_number() OVER (
              PARTITION BY v.vec_id ORDER BY
                list_sum(list_transform(list_zip(v.emb, c.cv), z -> z[1]*z[2]))
@@ -6947,7 +6957,9 @@ object SparkEntry {
          WHERE vec_id NOT IN (SELECT vec_id FROM comp WHERE mn < vec_id)
          ORDER BY vec_id""",
 
-    // PQ oracle: codebooks = subvectors of the % 31 = 7 rows; encoding
+    // PQ oracle: codebooks = subvectors of the % 31 = 7 / id < 500
+    // rows (codebook size is a hyperparameter, not corpus-proportional
+    // — fixed at any step-up, vacuous at the gate); encoding
     // = per-(vector, subspace) rank window on the 8-dim squared L2
     // (ties to smaller entry id — the engine's struct-min order);
     // reconstruction = chosen entries concatenated in subspace order;
@@ -6957,7 +6969,8 @@ object SparkEntry {
       """WITH v AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
            FROM embeddings),
-         cb AS (SELECT vec_id AS cid, emb AS cv FROM v WHERE vec_id % 31 = 7),
+         cb AS (SELECT vec_id AS cid, emb AS cv FROM v
+             WHERE vec_id % 31 = 7 AND vec_id < 500),
          sub AS (SELECT v.vec_id, jj.j, c.cid,
              c.cv[jj.j*8+1 : jj.j*8+8] AS ent,
              row_number() OVER (PARTITION BY v.vec_id, jj.j ORDER BY
@@ -8317,7 +8330,8 @@ object SparkEntry {
       """WITH v AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
            FROM embeddings),
-         c AS (SELECT vec_id AS cid, emb AS cv FROM v WHERE vec_id % 31 = 7),
+         c AS (SELECT vec_id AS cid, emb AS cv FROM v
+             WHERE vec_id % 31 = 7 AND vec_id < 500),
          s AS (SELECT v.vec_id, c.cid,
              list_sum(list_transform(list_zip(v.emb, c.cv), z -> z[1]*z[2]))
                / (sqrt(list_sum(list_transform(v.emb, x -> x*x)))
@@ -9104,7 +9118,8 @@ object SparkEntry {
       """WITH v AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
            FROM embeddings),
-         cb AS (SELECT vec_id AS cid, emb AS cv FROM v WHERE vec_id % 31 = 7),
+         cb AS (SELECT vec_id AS cid, emb AS cv FROM v
+             WHERE vec_id % 31 = 7 AND vec_id < 500),
          asg AS (SELECT vec_id, cid AS cell FROM (
              SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY
                list_sum(list_transform(list_zip(v.emb, c.cv), z -> z[1]*z[2]))
@@ -9598,7 +9613,8 @@ object SparkEntry {
          v AS MATERIALIZED (SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
            FROM embeddings),
-         c AS (SELECT vec_id AS cid, emb AS cv FROM v WHERE vec_id % 31 = 7),
+         c AS (SELECT vec_id AS cid, emb AS cv FROM v
+             WHERE vec_id % 31 = 7 AND vec_id < 500),
          s AS (SELECT v.vec_id, v.emb, c.cid, row_number() OVER (
              PARTITION BY v.vec_id ORDER BY
                list_sum(list_transform(list_zip(v.emb, c.cv), z -> z[1]*z[2]))
@@ -9627,14 +9643,16 @@ object SparkEntry {
          FROM n LEFT JOIN a USING (doc_id) ORDER BY n.doc_id"""
 
   /** d79/q50's shared truth: the brute-force corpus x eval whole-doc
-    * char-5gram Jaccard report at threshold 0.8 on the % 101 = 7
+    * char-5gram Jaccard report at threshold 0.8 on the fixed
+    * % 101 = 7 / id < 500
     * split. */
   private val fuzzyDeconOracleSql: String =
     """WITH n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
            FROM documents),
          g AS (SELECT doc_id, list_distinct(CASE WHEN length(s) < 5 THEN [s]
                ELSE list_transform(range(1, length(s)-3), i -> s[i:i+4]) END) AS gs FROM n),
-         e AS (SELECT doc_id AS ev_id, gs AS egs FROM g WHERE doc_id % 101 = 7),
+         e AS (SELECT doc_id AS ev_id, gs AS egs FROM g
+               WHERE doc_id % 101 = 7 AND doc_id < 500),
          v AS (SELECT c.doc_id, len(list_intersect(c.gs, e.egs)) * 1.0
                  / len(list_distinct(list_concat(c.gs, e.egs))) AS j
                FROM g c JOIN e ON len(c.gs) >= 0.8 * len(e.egs)
@@ -9659,7 +9677,8 @@ object SparkEntry {
            FROM base),
          winw AS (SELECT doc_id, pos,
              array_to_string(tk[pos+1:pos+8], ' ') AS w FROM wins),
-         evd AS (SELECT tk[5:16] AS etk FROM b WHERE doc_id % 53 = 0),
+         evd AS (SELECT tk[5:16] AS etk FROM b
+           WHERE doc_id % 53 = 0 AND doc_id < 500),
          evw AS (SELECT unnest(range(0, greatest(len(etk) - 7, 0))) AS pos, etk
            FROM evd),
          ev AS (SELECT DISTINCT array_to_string(etk[pos+1:pos+8], ' ') AS w
@@ -10013,12 +10032,15 @@ object SparkEntry {
     val fuzzyDeconScale =
       """WITH pe AS (
            SELECT p.u AS doc_id, p.j FROM tw_char5_pairs p
-             WHERE p.v % 101 = 7 AND p.su >= 0.8 * p.sv AND p.sv >= 0.8 * p.su
+             WHERE p.v % 101 = 7 AND p.v < 500
+               AND p.su >= 0.8 * p.sv AND p.sv >= 0.8 * p.su
            UNION ALL
            SELECT p.v AS doc_id, p.j FROM tw_char5_pairs p
-             WHERE p.u % 101 = 7 AND p.su >= 0.8 * p.sv AND p.sv >= 0.8 * p.su
+             WHERE p.u % 101 = 7 AND p.u < 500
+               AND p.su >= 0.8 * p.sv AND p.sv >= 0.8 * p.su
            UNION ALL
-           SELECT doc_id, 1.0 AS j FROM documents WHERE doc_id % 101 = 7),
+           SELECT doc_id, 1.0 AS j FROM documents
+             WHERE doc_id % 101 = 7 AND doc_id < 500),
          m AS (SELECT doc_id, count(*) AS n_matches, round(max(j), 6) AS max_jaccard
                FROM pe GROUP BY doc_id)
          SELECT d.doc_id, coalesce(m.n_matches, 0) AS n_matches,
@@ -10060,10 +10082,12 @@ object SparkEntry {
       "q50_sql_fuzzy_decon" -> fuzzyDeconScale,
 
       "st30_stream_fuzzy_decon" ->
-        """WITH hit AS (SELECT u AS doc_id FROM tw_char5_pairs WHERE v % 101 = 7
-             UNION SELECT v FROM tw_char5_pairs WHERE u % 101 = 7)
+        """WITH hit AS (SELECT u AS doc_id FROM tw_char5_pairs
+               WHERE v % 101 = 7 AND v < 500
+             UNION SELECT v FROM tw_char5_pairs WHERE u % 101 = 7 AND u < 500)
          SELECT d.doc_id, d.source FROM documents d
-         WHERE d.doc_id % 101 <> 7 AND d.doc_id NOT IN (SELECT doc_id FROM hit)
+         WHERE NOT (d.doc_id % 101 = 7 AND d.doc_id < 500)
+           AND d.doc_id NOT IN (SELECT doc_id FROM hit)
          ORDER BY doc_id""",
 
       "x07_incremental_dedup" -> incrementalDedupScale,
@@ -10149,7 +10173,8 @@ object SparkEntry {
         """WITH v AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
            FROM embeddings),
-         cb AS (SELECT vec_id AS cid, emb AS cv FROM v WHERE vec_id % 31 = 7),
+         cb AS (SELECT vec_id AS cid, emb AS cv FROM v
+             WHERE vec_id % 31 = 7 AND vec_id < 500),
          q AS (SELECT vec_id AS query_id, emb AS qv FROM v WHERE vec_id < 10),
          probe AS (SELECT query_id, cid AS cell FROM (
              SELECT q.query_id, c.cid, row_number() OVER (PARTITION BY q.query_id ORDER BY

@@ -291,7 +291,8 @@ def build_closure(con, edges_sql, out_table, id_name="doc_id"):
 def _centroids(con):
     df = con.execute("""WITH v AS (SELECT vec_id,
         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings)
-      SELECT vec_id AS cid, emb FROM v WHERE vec_id % 31 = 7 ORDER BY cid""").fetchdf()
+      SELECT vec_id AS cid, emb FROM v
+        WHERE vec_id % 31 = 7 AND vec_id < 500 ORDER BY cid""").fetchdf()
     return df["cid"].to_numpy().astype(np.int64), np.stack(df["emb"].to_numpy())
 
 
@@ -315,7 +316,8 @@ def _assign_cells(con, ids, E, cids, CB):
         _register(con, "tw_amb", pd.DataFrame({"vid": ids[rows]}).astype(np.int64))
         got = con.execute("""WITH v AS (SELECT vec_id,
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
-          cb AS (SELECT vec_id AS cid, emb AS cv FROM v WHERE vec_id % 31 = 7)
+          cb AS (SELECT vec_id AS cid, emb AS cv FROM v
+            WHERE vec_id % 31 = 7 AND vec_id < 500)
           SELECT vid, cid FROM (
             SELECT a.vid, c.cid, row_number() OVER (PARTITION BY a.vid ORDER BY
               list_sum(list_transform(list_zip(v.emb, c.cv), z -> z[1]*z[2]))
@@ -377,7 +379,8 @@ def build_pq_recon(con):
             _register(con, "tw_amb", pd.DataFrame({"vid": ids[rows]}).astype(np.int64))
             got = con.execute(f"""WITH v AS (SELECT vec_id,
                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
-              cb AS (SELECT vec_id AS cid, emb AS cv FROM v WHERE vec_id % 31 = 7)
+              cb AS (SELECT vec_id AS cid, emb AS cv FROM v
+            WHERE vec_id % 31 = 7 AND vec_id < 500)
               SELECT vid, cid FROM (
                 SELECT a.vid, c.cid, row_number() OVER (PARTITION BY a.vid ORDER BY
                   list_sum(list_transform(range(1, 9),
