@@ -67,8 +67,14 @@ object ScaleData {
     // per table (TESTDATA.md: "one parquet each") — the streaming
     // gates' stageTableDir file-copies <dir>/<table>.parquet, so a
     // directory-shaped table would stage empty and break them. One
-    // file is not a scan bottleneck: Spark splits parquet by row
-    // group (maxPartitionBytes), so a 100 MB file still fans out.
+    // file splits fine — but only at ROW-GROUP boundaries, so the
+    // writer pins a small parquet block size (256 KB -> ~23 groups
+    // for the 10x documents table): the r10 bench found the default
+    // 128 MB block left the whole 50k-doc step-up in ONE row group,
+    // serializing every scan-rooted map stage onto one task and
+    // inflating linear rows to ~20x "ratios". Real corpora carry
+    // thousands of row groups; the generator must too, or the
+    // step-up measures a harness bottleneck instead of the engine.
     def write(df: DataFrame, t: String): Unit = {
       val tmp = s"$outDir/_tmp_$t"
       // coalesce, not repartition: a 1-partition shuffle gathers map
@@ -76,7 +82,10 @@ object ScaleData {
       // coalesce(1) reads the parents sequentially in partition order —
       // the "identical data on every invocation" claim needs it
       // (verified: two invocations agree on values AND row order)
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", 256 * 1024)
+        .option("parquet.page.size", 64 * 1024)
+        .parquet(tmp)
       val tmpDir = new java.io.File(tmp)
       val part = tmpDir.listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
