@@ -2998,7 +2998,9 @@ object SparkEntry {
       // output (exact verify kills false positives) or this row
       // hash-fails against d23-shaped SQL on the % 101 = 1 split.
       val all = docs(s, d)
-      val evalDocs = all.filter(col("doc_id") % 101 === 1)
+      // fixed-size eval suite (the d79/st30 convention): vacuous at
+      // the sf0.01 gate, pins the eval-gram state at any step-up
+      val evalDocs = all.filter(col("doc_id") % 101 === 1 && col("doc_id") < 500)
       val evalG = Decontamination.evalGrams(evalDocs, "text", n = 5)
       val hashes = evalG.collect().map(_.getLong(0))
       val bloom = Decontamination.gramBloom(evalG, "gram",
@@ -8679,7 +8681,8 @@ object SparkEntry {
                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])
            END) AS grams FROM w),
          e AS (SELECT DISTINCT gram FROM
-           (SELECT unnest(grams) AS gram FROM g WHERE doc_id % 101 = 1)),
+           (SELECT unnest(grams) AS gram FROM g
+             WHERE doc_id % 101 = 1 AND doc_id < 500)),
          c AS (SELECT doc_id, count(*) AS n_overlap FROM
              (SELECT doc_id, unnest(grams) AS gram FROM g) x
            JOIN e USING (gram) GROUP BY doc_id)
