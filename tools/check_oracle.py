@@ -39,6 +39,23 @@ if USE_SCALE or TWIN_CHECK:
     scale_twins = json.load(open(scale_path))
     _built = set()
 
+def _subset_note(ours, ref):
+    """On a row-count undershoot, state whether ours is a value-identical
+    SUBSET of ref and what fraction it covers — the evidence a
+    recall-parameterized classification needs (a scale-only recall
+    regression shows up as subset=false or coverage below the pinned
+    baseline, instead of being silently accepted on row count alone)."""
+    try:
+        cols = list(ours.columns)
+        merged = ours.merge(ref.drop_duplicates(), on=cols, how="left",
+                            indicator=True)
+        is_subset = bool((merged["_merge"] == "both").all())
+        cov = (len(ours) / len(ref)) if len(ref) else 1.0
+        return f" subset={str(is_subset).lower()} coverage={cov:.4f}"
+    except Exception as e:
+        return f" subset=err({e})"
+
+
 def _cmp_frames(ours, ref):
     """exact frame compare (column names sorted, rows sorted); returns
     'OK' or a diff description — shared by both compare paths."""
@@ -47,7 +64,8 @@ def _cmp_frames(ours, ref):
     if list(ours.columns) != list(ref.columns):
         return f"SCHEMA cols ours={list(ours.columns)} ref={list(ref.columns)}"
     if len(ours) != len(ref):
-        return f"ROWS ours={len(ours)} ref={len(ref)}"
+        note = _subset_note(ours, ref) if len(ours) < len(ref) else ""
+        return f"ROWS ours={len(ours)} ref={len(ref)}{note}"
     cols = list(ours.columns)
     ours_s = ours.sort_values(cols).reset_index(drop=True)
     ref_s = ref.sort_values(cols).reset_index(drop=True)
@@ -77,7 +95,14 @@ if TWIN_CHECK:
             print(f"FAIL {name}  twin error: {type(e).__name__} {str(e)[:200]}")
             continue
         t1 = time.time()
-        pr = con.execute(oracle[name]).fetchdf()
+        # the primary can fail/time out too (e.g. a quadratic recursive
+        # CTE at an unexpected SF) — report it as a per-row FAIL and
+        # keep going instead of aborting the whole gate with a traceback
+        try:
+            pr = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}  primary error: {type(e).__name__} {str(e)[:200]}")
+            continue
         t2 = time.time()
         v = _cmp_frames(tw, pr)
         n_ok += v == "OK"
