@@ -145,7 +145,15 @@ object ScaleProbe {
             cents, m = 8, k = 5, nProbe = 2).count()),
         "semanticDecon tau=.99" -> ((c: DataFrame) =>
           graft.operators.Decontamination.semanticDecontaminate(
-            c, evalSet, "embedding", tau = 0.99).count())
+            c, evalSet, "embedding", tau = 0.99).count()),
+        // e08's 100x regime: FIXED-k quantizer + replicated corpus means
+        // cells grow ~Nx, so without the cellCap split within-cell
+        // verify is quadratic (the r10 verdict's last by-design
+        // quadratic path). With the default cap the ratio must track
+        // the data ratio (work = O(n · cellCap)), not N².
+        "semanticDedup tau=.42 cap" -> ((c: DataFrame) =>
+          graft.operators.Dedup.semanticDedup(c, "vec_id", "embedding",
+            cents, threshold = 0.42).count())
       )
       annOps.foreach { case (name, op) =>
         val t1 = time(s"$name 1x")(op(emb1))

@@ -226,6 +226,26 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() == 1)
   }
 
+  test("semantic dedup cellCap: oversized cells split into bounded sub-cells") {
+    // 8 identical-direction vectors in ONE cell; cellCap=3 splits it by
+    // id % ceil(8/3)=3 into sub-cells {0,3,6}(ids 0,3,6), {1,4,7},
+    // {2,5} — merges happen only WITHIN a sub-cell, so the survivors
+    // are each sub-cell's min id: 0, 1, 2. Work is O(cell · cap), the
+    // fixed-k 100× regime bound; pairs across a sub-cell boundary are
+    // the documented (graceful) recall trade.
+    val vecs = (0L to 7L).map(i => (i, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 0.0f))).toDF("centroid_id", "centv")
+    val split = Dedup.semanticDedup(vecs, "vec_id", "embedding", cents,
+        threshold = 0.95, cellCap = 3)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(split.toSeq == Seq(0L, 1L, 2L))
+    // default cap far above the cell size: bit-identical to no split
+    val whole = Dedup.semanticDedup(vecs, "vec_id", "embedding", cents,
+      threshold = 0.95)
+    assert(whole.count() == 1)
+  }
+
   test("pq encode snaps each subvector to its nearest codebook entry") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 1.0f)),   // == centroid 10: exact recon

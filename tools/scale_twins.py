@@ -333,8 +333,10 @@ def _assign_cells(con, ids, E, cids, CB):
 
 
 def build_e08(con):
-    """tw_e08_asg(vec_id, cell) + tw_e08_edges(u, v): x/y same cell,
-    cos >= 0.42, u < v — the primary's a/e CTEs, exactly."""
+    """tw_e08_asg(vec_id, cell) + tw_e08_edges(u, v): x/y same cell AND
+    same cellCap sub-cell (cells > 512 split by vec_id % ceil(cn/512) —
+    the engine's a2 CTE), cos >= 0.42, u < v — the primary's CTEs,
+    exactly."""
     ids, E = _emb_matrix(con)
     cids, CB = _centroids(con)
     cells = _assign_cells(con, ids, E, cids, CB)
@@ -343,9 +345,15 @@ def build_e08(con):
     edges = []
     for cell in np.unique(cells):
         members = cells == cell
-        if members.sum() < 2:
+        cn = int(members.sum())
+        if cn < 2:
             continue
-        edges.append(cos_edges(con, ids, E, 0.42, restrict=members))
+        ns = max(1, -(-cn // 512))  # ceil(cn / 512), integer-exact
+        for sub in range(ns):
+            mem2 = members & (ids % ns == sub)
+            if mem2.sum() < 2:
+                continue
+            edges.append(cos_edges(con, ids, E, 0.42, restrict=mem2))
     pairs = (np.concatenate([e for e in edges if len(e)])
              if any(len(e) for e in edges) else np.empty((0, 2), np.int64))
     _register(con, "tw_e08_edges", pd.DataFrame(
