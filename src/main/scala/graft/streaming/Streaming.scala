@@ -530,11 +530,18 @@ object Streaming {
     val outDir = root.resolve("out"); val chkDir = root.resolve("chk")
     java.nio.file.Files.createDirectories(feedDir)
     val baseMs = (System.currentTimeMillis() / 1000L) * 1000L
+    // ONE partitioned write builds every batch file (r11: the per-batch
+    // where+coalesce(1) loop scanned the source nBatches times and paid
+    // nBatches job launches — half of st07's harness overhead). The
+    // partition column is a COPY (partitionBy drops its column from the
+    // data files; the stream schema needs `batch` inside them), and
+    // repartition-by-batch puts each batch in exactly one task, so each
+    // batch=dir holds exactly one part file.
+    rows.withColumn("__pb", col("batch"))
+      .repartition(nBatches, col("batch"))
+      .write.mode("overwrite").partitionBy("__pb").parquet(stageDir.toString)
     (0 until nBatches).foreach { b =>
-      val stage = stageDir.resolve(s"b$b")
-      rows.where(col("batch") === b).coalesce(1)
-        .write.mode("overwrite").parquet(stage.toString)
-      val part = Option(stage.toFile.listFiles())
+      val part = Option(stageDir.resolve(s"__pb=$b").toFile.listFiles())
         .getOrElse(Array.empty).find(_.getName.startsWith("part-"))
       require(part.isDefined, s"no parquet part file written for batch $b")
       val dst = feedDir.resolve(f"batch_$b%04d.parquet")
@@ -550,11 +557,23 @@ object Streaming {
       .parquet(feedDir.toString)
     val shaped = pipe(stream)
     val outSchema = shaped.schema
+    val tStream = System.nanoTime()
     val q = shaped.writeStream.format("parquet")
       .option("path", outDir.toString)
       .option("checkpointLocation", chkDir.toString)
       .outputMode("append").start()
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() } finally {
+      // harness-vs-operator attribution (r10 verdict #3): state size and
+      // throughput of the streaming section alone, so a cost move in
+      // the bench row can be traced to feed/sink overhead vs the
+      // operator's keyed state
+      val sec = (System.nanoTime() - tStream) / 1e9
+      val stateRows = stateRowsTotal(q)
+      System.err.println(
+        f"[graft] $name stream: $sec%.2f s, state rows $stateRows, " +
+          f"${stateRows / math.max(sec, 1e-9)}%.0f state-rows/s")
+      q.stop()
+    }
     try spark.read.parquet(outDir.toString)
     catch { case _: org.apache.spark.sql.AnalysisException =>
       // zero emitted rows: the sink wrote no files
