@@ -469,8 +469,9 @@ object Bench {
     // heap-based harness skip was misattributed as a budget skip):
     var sf1SkippedBudget = 0    // wall-clock budget exhausted before the row
     var sf1SkippedHeap = 0      // driver-heap harness guard (st07)
-    val sf1TimedOut = scala.collection.mutable.ArrayBuffer[String]()  // hit its 25x per-row cap -> super-linear evidence
-    val sf1Truncated = scala.collection.mutable.ArrayBuffer[String]() // hit the REMAINING-budget cap (< 25x) -> no verdict
+    val sf1TimedOut = scala.collection.mutable.ArrayBuffer[String]()  // hit its per-row cap TWICE (incl. a clean re-measure) -> super-linear evidence
+    val sf1Truncated = scala.collection.mutable.ArrayBuffer[String]() // hit the REMAINING-budget cap (below its own) -> no verdict
+    val sf1Remeasured = scala.collection.mutable.ArrayBuffer[String]() // first reading flagged; re-measured in a clean window
     var sf1Dir = ""
     if (sys.env.getOrElse("SPARK_GRAFT_SF1", "on") != "skip") {
       try {
@@ -495,54 +496,94 @@ object Bench {
         val tStart = System.nanoTime()
         def elapsed(): Double = (System.nanoTime() - tStart) / 1e9
         // per-row cap (r9 verdict #1: q50 alone ate the whole 1200 s
-        // budget and starved 270 rows): a row gets at most 25x its
-        // sf0.1 time (15 s floor for sub-second rows where overhead
-        // dominates) — hitting THAT cap is itself super-linear
-        // evidence (>15x flags, 25x kills). When the remaining budget
-        // is tighter than the 25x cap the row runs under the remaining
-        // budget instead; aborting at that lower cap proves nothing,
-        // so it is recorded as truncated, not super-linear.
-        // 16x (r10, was 25x): the super-linear FLAG fires at 15x, so a
-        // row that reaches 16x is already flagged — running it to 25x
-        // proves nothing more and the burn starves the remaining rows
+        // budget and starved 270 rows): a row gets at most 16x its
+        // sf0.1 time — hitting THAT cap twice (see below) is itself
+        // super-linear evidence (the FLAG fires at 15x, so 16x is
+        // already past it; running longer proves nothing more and the
+        // burn starves the remaining rows). The floor scales with the
+        // row's EXPECTED sf1 cost (10x linear + 10 s overhead), not a
+        // flat constant: r10's flat 15 s floor meant a 2 s row's
+        // ordinary sf1 cost plus end-of-run noise tripped the kill.
+        // When the remaining budget is tighter than the row's own cap
+        // the row runs under the remaining budget instead; aborting at
+        // that lower cap proves nothing, so it is recorded as
+        // truncated, not super-linear.
         val rowCapMult = sys.env.getOrElse("SPARK_GRAFT_SF1_ROWCAP", "16").toDouble
         val ec = scala.concurrent.ExecutionContext.global
+        // one timed attempt at the step-up SF: Right(seconds) on
+        // completion, Left(true) on cap timeout, Left(false) on error
+        def sf1Once(name: String, cap: Double): Either[Boolean, Double] = {
+          val t0 = System.nanoTime()
+          val group = s"sf1-$name"
+          val fut = scala.concurrent.Future {
+            // job group is thread-local: set it on the thread that
+            // actually submits the jobs so cancelJobGroup reaches them
+            spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+            try SparkEntry.queries(name)(spark, sf1Dir)
+              .write.format("noop").mode("overwrite").save()
+            finally spark.sparkContext.clearJobGroup()
+          }(ec)
+          val r = try {
+            scala.concurrent.Await.result(fut,
+              scala.concurrent.duration.Duration(cap,
+                java.util.concurrent.TimeUnit.SECONDS))
+            Right((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case _: java.util.concurrent.TimeoutException =>
+              spark.sparkContext.cancelJobGroup(group)
+              // let the cancelled stage actually die before the next row
+              try scala.concurrent.Await.ready(fut,
+                scala.concurrent.duration.Duration(15L,
+                  java.util.concurrent.TimeUnit.SECONDS))
+              catch { case _: Throwable => () }
+              Left(true)
+            case _: Throwable => Left(false)
+          }
+          spark.catalog.clearCache()
+          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          r
+        }
         order.foreach { name =>
           val remaining = budget - elapsed()
           if (remaining <= 0) { sf1SkippedBudget += 1 }
           else {
-            val fullCap = math.max(rowCapMult * results.getOrElse(name, 0.0), 15.0)
+            val t01 = results.getOrElse(name, 0.0)
+            val fullCap = math.max(rowCapMult * t01, 10.0 * t01 + 10.0)
             val cap = math.min(fullCap, remaining)
             awaitClearWindow()
-            val t0 = System.nanoTime()
-            val group = s"sf1-$name"
-            val fut = scala.concurrent.Future {
-              // job group is thread-local: set it on the thread that
-              // actually submits the jobs so cancelJobGroup reaches them
-              spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-              try SparkEntry.queries(name)(spark, sf1Dir)
-                .write.format("noop").mode("overwrite").save()
-              finally spark.sparkContext.clearJobGroup()
-            }(ec)
-            try {
-              scala.concurrent.Await.result(fut,
-                scala.concurrent.duration.Duration(cap,
-                  java.util.concurrent.TimeUnit.SECONDS))
-              sf1Times += name -> (System.nanoTime() - t0) / 1e9
-            } catch {
-              case _: java.util.concurrent.TimeoutException =>
-                spark.sparkContext.cancelJobGroup(group)
-                // let the cancelled stage actually die before the next row
-                try scala.concurrent.Await.ready(fut,
-                  scala.concurrent.duration.Duration(15L,
-                    java.util.concurrent.TimeUnit.SECONDS))
-                catch { case _: Throwable => () }
-                if (cap >= fullCap - 1e-9) sf1TimedOut += name
-                else sf1Truncated += name
-              case _: Throwable => sf1Failed += name
+            sf1Once(name, cap) match {
+              case Right(t) =>
+                // a reading that would FLAG the row super-linear (>15x
+                // its primary time) must survive one re-measure in a
+                // clean canary window before it is recorded — the r10
+                // lesson: 12 end-of-run flags, all of which re-measured
+                // at 3-6.5x on an idle machine. The min of the two
+                // readings is the recorded value (same discipline as
+                // the main suite's measureGuarded).
+                val flagged = t > 1.0 && t01 > 0.02 &&
+                  t / math.max(t01, 1e-9) > 15.0
+                if (!flagged) sf1Times += name -> t
+                else {
+                  sf1Remeasured += name
+                  awaitClearWindow()
+                  sf1Times += name -> (sf1Once(name, cap) match {
+                    case Right(t2) => math.min(t, t2)
+                    case Left(_) => t
+                  })
+                }
+              case Left(true) if cap >= fullCap - 1e-9 =>
+                // a cap kill is a flag too: it must also survive one
+                // clean re-measure before being recorded as timed out
+                sf1Remeasured += name
+                awaitClearWindow()
+                sf1Once(name, cap) match {
+                  case Right(t2) => sf1Times += name -> t2
+                  case Left(true) => sf1TimedOut += name
+                  case Left(false) => sf1Failed += name
+                }
+              case Left(true) => sf1Truncated += name
+              case Left(false) => sf1Failed += name
             }
-            spark.catalog.clearCache()
-            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
           }
         }
       } catch { case _: Throwable => sf1Failed += "__generate" }
@@ -551,24 +592,51 @@ object Bench {
     // a row is super-linear when its 10x-data time exceeds 15x its
     // primary-SF time (1.5x headroom over linear) AND it is heavy
     // enough for the ratio to be cost, not constant overhead; a row
-    // killed at its 25x per-row cap is super-linear by construction
+    // killed at its per-row cap on BOTH attempts is super-linear by
+    // construction. Every entry here survived a clean-window
+    // re-measure (sf1_remeasured lists which rows needed one).
     val sf1Superlinear = sf1Times.toSeq.collect {
       case (n, v) if v > 1.0 && results.getOrElse(n, 0.0) > 0.02 &&
         v / math.max(results(n), 1e-9) > 15.0 => n
     } ++ sf1TimedOut
+    // how many per-query ratios the COMPACT stdout line carries —
+    // shrunk by the fit loop at the print site until the line fits the
+    // driver's capture window
+    var sf1RatioTopN = 12
     def sf1Json(full: Boolean): String = {
       val qs = if (full)
         sf1Times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       else "{}"
-      // per-query sf1/primary ratios ride the COMPACT line too (3dp):
-      // the driver records only the compact JSON, and the ratio table
-      // is the step-up deliverable the sf1 section exists for
-      val ratios =
-        sf1Times.collect { case (k, v) if results.getOrElse(k, 0.0) > 0 =>
-          "\"" + k + "\":" + (if (full) (v / results(k)).toString
-                              else "%.3f".formatLocal(java.util.Locale.ROOT, v / results(k)))
-        }.mkString("{", ",", "}")
-      s""""sf1_dir":"$sf1Dir","sf1_n_run":${sf1Times.size},"sf1_total_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, sf1Total)},"sf1_skipped_budget":$sf1SkippedBudget,"sf1_skipped_heap":$sf1SkippedHeap,"sf1_timed_out":${sf1TimedOut.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf1_truncated":${sf1Truncated.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf1_failed":${sf1Failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf1_superlinear":${sf1Superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf1_ratio":$ratios""" +
+      val allRatios = sf1Times.collect {
+        case (k, v) if results.getOrElse(k, 0.0) > 0 => k -> v / results(k)
+      }.toSeq
+      // the COMPACT line must fit the driver's ~2000-char stdout tail
+      // window (documented below; the r10 full 264-entry ratio map
+      // overflowed it and the round's official bench record parsed to
+      // null) — so stdout carries only the TOP ratios + distribution
+      // summary fields, mirroring the top-28 query-time pattern; the
+      // full per-query map lives in target/bench_detail.json
+      val shown = if (full) allRatios
+        else allRatios.sortBy(-_._2).take(sf1RatioTopN)
+      val ratios = shown.map { case (k, r) =>
+        "\"" + k + "\":" + (if (full) r.toString
+                            else "%.3f".formatLocal(java.util.Locale.ROOT, r))
+      }.mkString("{", ",", "}")
+      val sorted = allRatios.map(_._2).sorted
+      val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
+      val maxR = if (sorted.isEmpty) 0.0 else sorted.last
+      def f3l(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      val ratioKey = if (full) "sf1_ratio" else "sf1_ratio_top"
+      // compact-line string lists are capped (insurance against a
+      // pathological round blowing the stdout window; the detail file
+      // carries the full lists): past `cap` entries collapse into one
+      // "+k_more" element, which still parses as a JSON string array
+      def lst(xs: Seq[String]): String = {
+        val capped = if (full || xs.size <= 15) xs
+          else xs.take(15) :+ s"+${xs.size - 15}_more"
+        capped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      }
+      s""""sf1_dir":"$sf1Dir","sf1_n_run":${sf1Times.size},"sf1_total_sec":${f3l(sf1Total)},"sf1_skipped_budget":$sf1SkippedBudget,"sf1_skipped_heap":$sf1SkippedHeap,"sf1_timed_out":${lst(sf1TimedOut.toSeq)},"sf1_truncated":${lst(sf1Truncated.toSeq)},"sf1_failed":${lst(sf1Failed.distinct.toSeq)},"sf1_superlinear":${lst(sf1Superlinear)},"sf1_remeasured":${lst(sf1Remeasured.toSeq)},"sf1_ratio_median":${f3l(median)},"sf1_ratio_max":${f3l(maxR)},"$ratioKey":$ratios""" +
         (if (full) s""","sf1_queries":$qs""" else "")
     }
 
@@ -596,11 +664,29 @@ object Bench {
 
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val bySlowest = results.toSeq.sortBy(-_._2)
-    val top = bySlowest.take(28)
-    val otherSec = bySlowest.drop(28).map(_._2).sum
-    val compactQs = top.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfDir","failed":$failedJson,"n_queries":${results.size},"other_sec":${f3(otherSec)},"canary_min_sec":${f3(canaryMin)},"contended":$contendedJson,"remeasured":$remeasuredJson,"tokens_per_sec":$tokensPerSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"bpe_chars_per_token":${f3(bpeCharsPerToken)},"lid_eval_docs":$lidN,"lid_trained_acc":${f3(lidTrainedAcc)},"lid_heuristic_acc":${f3(lidHeuristicAcc)},"lid_hard_trained_acc":${f3(lidHardTrainedAcc)},"lid_hard_heuristic_acc":${f3(lidHardHeuristicAcc)},"pipeline_e2e_sec":${f3(pipelineSec)},"pipeline_parity":$pipelineParity,${sf1Json(full = false)}}""")
+    // fit loop: the driver captures only the trailing ~2000 chars of
+    // stdout and json-parses the bench line from that window, and sbt
+    // appends its own "[success] ..." epilogue after the line — so the
+    // line must stay comfortably under the window (r10 recorded
+    // parsed:null because the full 264-entry ratio map overflowed it).
+    // Shrink the two top-N knobs until the RENDERED line fits; each
+    // step drops detail the detail file still carries in full.
+    var topQN = 28
+    var line = ""
+    var fitted = false
+    while (!fitted) {
+      val top = bySlowest.take(topQN)
+      val otherSec = bySlowest.drop(topQN).map(_._2).sum
+      val compactQs = top.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfDir","failed":$failedJson,"n_queries":${results.size},"other_sec":${f3(otherSec)},"canary_min_sec":${f3(canaryMin)},"contended":$contendedJson,"remeasured":$remeasuredJson,"tokens_per_sec":$tokensPerSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"bpe_chars_per_token":${f3(bpeCharsPerToken)},"lid_eval_docs":$lidN,"lid_trained_acc":${f3(lidTrainedAcc)},"lid_heuristic_acc":${f3(lidHeuristicAcc)},"lid_hard_trained_acc":${f3(lidHardTrainedAcc)},"lid_hard_heuristic_acc":${f3(lidHardHeuristicAcc)},"pipeline_e2e_sec":${f3(pipelineSec)},"pipeline_parity":$pipelineParity,${sf1Json(full = false)}}"""
+      fitted = line.length <= 1750 || (topQN <= 8 && sf1RatioTopN <= 2)
+      if (!fitted) {
+        if (topQN > 8) topQN -= 4
+        if (sf1RatioTopN > 2) sf1RatioTopN -= 2
+      }
+    }
+    println(line)
     spark.stop()
   }
 }
