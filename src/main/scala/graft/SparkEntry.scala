@@ -3169,7 +3169,13 @@ object SparkEntry {
         mem.toDF().toDF("id", "batch", "text", "ts"), window = 8,
         retention = Some("100 seconds"))
       s.catalog.dropTempView("st27_tbl")
-      graft.streaming.Streaming.withShufflePartitions(s, 8) {
+      // 4 state partitions (st26 uses 8): the TTL variant runs ~2x the
+      // micro-batches (every processAllAvailable appends a no-data
+      // watermark pass that fires the timeouts), so per-batch state
+      // commits dominate the row at gate SFs — halving the partition
+      // count halves them; the fixture's ~6k-row working set is far
+      // below where state parallelism starts to matter
+      graft.streaming.Streaming.withShufflePartitions(s, 4) {
         val q = evidence.toDF().writeStream.format("memory")
           .queryName("st27_tbl").outputMode("append").start()
         try {
