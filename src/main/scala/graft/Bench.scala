@@ -465,6 +465,15 @@ object Bench {
     // past the budget is counted, not silently dropped.
     val sf1Times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val sf1Failed = scala.collection.mutable.ArrayBuffer[String]()
+    // super-linear flag threshold — the kill cap's expected-cost shape
+    // one multiplier lower: a row flags only when its 10x-data time
+    // exceeds BOTH 15x its primary time AND the linear expectation plus
+    // fixed overhead (10x + 10 s). A flat ratio rule flags sub-second
+    // rows whose step-up cost is constant scan/shuffle startup (r11
+    // first cut: d60 "15.07x" = 0.41 s primary, 6.2 s at 10x — all
+    // fixed overhead, linear in data past it).
+    def sf1FlagThreshold(t01: Double): Double =
+      math.max(15.0 * t01, 10.0 * t01 + 10.0)
     // three skip/abort causes, reported separately (r9 verdict: the
     // heap-based harness skip was misattributed as a budget skip):
     var sf1SkippedBudget = 0    // wall-clock budget exhausted before the row
@@ -553,15 +562,14 @@ object Bench {
             awaitClearWindow()
             sf1Once(name, cap) match {
               case Right(t) =>
-                // a reading that would FLAG the row super-linear (>15x
-                // its primary time) must survive one re-measure in a
-                // clean canary window before it is recorded — the r10
-                // lesson: 12 end-of-run flags, all of which re-measured
-                // at 3-6.5x on an idle machine. The min of the two
-                // readings is the recorded value (same discipline as
-                // the main suite's measureGuarded).
-                val flagged = t > 1.0 && t01 > 0.02 &&
-                  t / math.max(t01, 1e-9) > 15.0
+                // a reading that would FLAG the row super-linear must
+                // survive one re-measure in a clean canary window
+                // before it is recorded — the r10 lesson: 12 end-of-run
+                // flags, all of which re-measured at 3-6.5x on an idle
+                // machine. The min of the two readings is the recorded
+                // value (same discipline as the main suite's
+                // measureGuarded).
+                val flagged = t > sf1FlagThreshold(t01)
                 if (!flagged) sf1Times += name -> t
                 else {
                   sf1Remeasured += name
@@ -589,20 +597,19 @@ object Bench {
       } catch { case _: Throwable => sf1Failed += "__generate" }
     }
     val sf1Total = sf1Times.values.sum
-    // a row is super-linear when its 10x-data time exceeds 15x its
-    // primary-SF time (1.5x headroom over linear) AND it is heavy
-    // enough for the ratio to be cost, not constant overhead; a row
-    // killed at its per-row cap on BOTH attempts is super-linear by
-    // construction. Every entry here survived a clean-window
-    // re-measure (sf1_remeasured lists which rows needed one).
+    // a row is super-linear when it clears the expected-cost threshold
+    // (sf1FlagThreshold: 15x primary AND linear+overhead); a row killed
+    // at its per-row cap on BOTH attempts is super-linear by
+    // construction. Every entry here survived a clean-window re-measure
+    // (sf1_remeasured lists which rows needed one).
     val sf1Superlinear = sf1Times.toSeq.collect {
-      case (n, v) if v > 1.0 && results.getOrElse(n, 0.0) > 0.02 &&
-        v / math.max(results(n), 1e-9) > 15.0 => n
+      case (n, v) if v > sf1FlagThreshold(results.getOrElse(n, 0.0)) => n
     } ++ sf1TimedOut
-    // how many per-query ratios the COMPACT stdout line carries —
-    // shrunk by the fit loop at the print site until the line fits the
-    // driver's capture window
+    // how many per-query ratios / string-list members the COMPACT
+    // stdout line carries — shrunk by the fit loop at the print site
+    // until the line fits the driver's capture window
     var sf1RatioTopN = 12
+    var compactListCap = 15
     def sf1Json(full: Boolean): String = {
       val qs = if (full)
         sf1Times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -627,13 +634,15 @@ object Bench {
       val maxR = if (sorted.isEmpty) 0.0 else sorted.last
       def f3l(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
       val ratioKey = if (full) "sf1_ratio" else "sf1_ratio_top"
-      // compact-line string lists are capped (insurance against a
-      // pathological round blowing the stdout window; the detail file
-      // carries the full lists): past `cap` entries collapse into one
-      // "+k_more" element, which still parses as a JSON string array
+      // compact-line string lists are capped (the r11 first cut blew
+      // the stdout window on 12 contended + 9 remeasured names even
+      // with the top-N knobs at their floors; the detail file carries
+      // the full lists): past `compactListCap` entries collapse into
+      // one "+k_more" element, which still parses as a JSON string
+      // array
       def lst(xs: Seq[String]): String = {
-        val capped = if (full || xs.size <= 15) xs
-          else xs.take(15) :+ s"+${xs.size - 15}_more"
+        val capped = if (full || xs.size <= compactListCap) xs
+          else xs.take(compactListCap) :+ s"+${xs.size - compactListCap}_more"
         capped.map("\"" + _ + "\"").mkString("[", ",", "]")
       }
       s""""sf1_dir":"$sf1Dir","sf1_n_run":${sf1Times.size},"sf1_total_sec":${f3l(sf1Total)},"sf1_skipped_budget":$sf1SkippedBudget,"sf1_skipped_heap":$sf1SkippedHeap,"sf1_timed_out":${lst(sf1TimedOut.toSeq)},"sf1_truncated":${lst(sf1Truncated.toSeq)},"sf1_failed":${lst(sf1Failed.distinct.toSeq)},"sf1_superlinear":${lst(sf1Superlinear)},"sf1_remeasured":${lst(sf1Remeasured.toSeq)},"sf1_ratio_median":${f3l(median)},"sf1_ratio_max":${f3l(maxR)},"$ratioKey":$ratios""" +
@@ -679,11 +688,21 @@ object Bench {
       val otherSec = bySlowest.drop(topQN).map(_._2).sum
       val compactQs = top.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
-      line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfDir","failed":$failedJson,"n_queries":${results.size},"other_sec":${f3(otherSec)},"canary_min_sec":${f3(canaryMin)},"contended":$contendedJson,"remeasured":$remeasuredJson,"tokens_per_sec":$tokensPerSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"bpe_chars_per_token":${f3(bpeCharsPerToken)},"lid_eval_docs":$lidN,"lid_trained_acc":${f3(lidTrainedAcc)},"lid_heuristic_acc":${f3(lidHeuristicAcc)},"lid_hard_trained_acc":${f3(lidHardTrainedAcc)},"lid_hard_heuristic_acc":${f3(lidHardHeuristicAcc)},"pipeline_e2e_sec":${f3(pipelineSec)},"pipeline_parity":$pipelineParity,${sf1Json(full = false)}}"""
-      fitted = line.length <= 1750 || (topQN <= 8 && sf1RatioTopN <= 2)
+      // the main-suite lists get the same compact cap (failed stays
+      // uncapped in spirit — it must be empty on a healthy run — but
+      // the cap still bounds a pathological one)
+      def capped(xs: Seq[String]): String = {
+        val c = if (xs.size <= compactListCap) xs
+          else xs.take(compactListCap) :+ s"+${xs.size - compactListCap}_more"
+        c.map("\"" + _ + "\"").mkString("[", ",", "]")
+      }
+      line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfDir","failed":${capped(failed.distinct.toSeq)},"n_queries":${results.size},"other_sec":${f3(otherSec)},"canary_min_sec":${f3(canaryMin)},"contended":${capped(contendedRows.toSeq)},"remeasured":${capped(remeasuredRows.toSeq)},"tokens_per_sec":$tokensPerSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"bpe_chars_per_token":${f3(bpeCharsPerToken)},"lid_eval_docs":$lidN,"lid_trained_acc":${f3(lidTrainedAcc)},"lid_heuristic_acc":${f3(lidHeuristicAcc)},"lid_hard_trained_acc":${f3(lidHardTrainedAcc)},"lid_hard_heuristic_acc":${f3(lidHardHeuristicAcc)},"pipeline_e2e_sec":${f3(pipelineSec)},"pipeline_parity":$pipelineParity,${sf1Json(full = false)}}"""
+      fitted = line.length <= 1750 ||
+        (topQN <= 8 && sf1RatioTopN <= 2 && compactListCap <= 2)
       if (!fitted) {
         if (topQN > 8) topQN -= 4
         if (sf1RatioTopN > 2) sf1RatioTopN -= 2
+        if (compactListCap > 2) compactListCap -= 3
       }
     }
     println(line)
