@@ -9,9 +9,115 @@ import org.apache.spark.sql.functions._
   * recorded 1.67M tok/s (BASELINE.md; reference: src/llm_data_pipeline/
   * tokenizer/compare.py:196-203) by running the broadcast-vocab
   * tokenizer over a replicated corpus large enough to be
-  * throughput-bound rather than latency-bound. */
+  * throughput-bound rather than latency-bound.
+  *
+  * Wall discipline (the BENCH_r11 lesson — the round's official
+  * artifact was rc=124 because the harness's WORST-CASE wall, not its
+  * typical wall, decides whether the driver's ~60-minute window is
+  * met): every optional expenditure (canary waits, contended
+  * re-measures, the whole sf1 step-up) is debited against ONE global
+  * wall budget (SPARK_GRAFT_WALL, default 2200 s of Bench-main time),
+  * so the bench degrades by SKIPPING (and counting what it skipped)
+  * instead of overrunning. */
 object Bench {
+
+  /** sf1 step-up fields carried on the compact stdout line (full lists
+    * + full-precision maps live in target/bench_detail.json). */
+  case class Sf1Fields(dir: String, nRun: Int, totalSec: Double,
+      skippedBudget: Int, skippedHeap: Int, timedOut: Seq[String],
+      truncated: Seq[String], failed: Seq[String], superlinear: Seq[String],
+      remeasured: Seq[String], zombies: Seq[String],
+      ratios: Seq[(String, Double)])
+
+  /** Everything the compact stdout line renders; pure data so the fit
+    * loop is unit-testable — r11 shipped the fit loop untested and its
+    * knob floor was reachable at 0, which would have erased every name
+    * from the capped lists (BenchLineSpec now pins both properties). */
+  case class LineFields(total: Double, queries: Seq[(String, Double)],
+      sfDir: String, failed: Seq[String], nQueries: Int, canaryMin: Double,
+      contended: Seq[String], remeasured: Seq[String], tokensPerSec: Long,
+      mhDocsPerSec: Long, bpeTokensPerSec: Long, bpeCharsPerToken: Double,
+      lidN: Long, lidTrainedAcc: Double, lidHeuristicAcc: Double,
+      lidHardTrainedAcc: Double, lidHardHeuristicAcc: Double,
+      pipelineSec: Double, pipelineParity: Boolean, sf1: Sf1Fields)
+
+  def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Render the ONE compact stdout line. The round driver captures only
+    * the trailing ~2000 chars of stdout and json-parses the bench line
+    * from that window, and sbt appends its own "[success] ..." epilogue
+    * after the line — so the line must stay comfortably under the
+    * window (r10 recorded parsed:null because the full 264-entry ratio
+    * map overflowed it). Three knobs shrink until the RENDERED line
+    * fits `maxLen`: top-query count, top-ratio count, and the
+    * string-list cap (collapsing the tail into one "+k_more" element
+    * that still parses as a JSON string). Knob floors are clamped so at
+    * least one real name always survives on every list (the r11 ADVICE
+    * hole: a 15→12→9→6→3→0 decrement could reach cap 0 and render every
+    * list as just the sentinel), and the terminal state (4 queries, no
+    * ratio map, 1 name per list) fits the window by construction even
+    * with every list at pathological length — BenchLineSpec pins it. */
+  def renderCompactLine(d: LineFields, maxLen: Int = 1750): String = {
+    var topQN = 28
+    var sf1RatioTopN = 12
+    var compactListCap = 15
+    val bySlowest = d.queries.sortBy(-_._2)
+    var line = ""
+    var fitted = false
+    while (!fitted) {
+      def capped(xs: Seq[String]): String = {
+        val c = if (xs.size <= compactListCap) xs
+          else xs.take(compactListCap) :+ s"+${xs.size - compactListCap}_more"
+        c.map("\"" + _ + "\"").mkString("[", ",", "]")
+      }
+      val top = bySlowest.take(topQN)
+      val otherSec = bySlowest.drop(topQN).map(_._2).sum
+      val compactQs = top.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      val shownRatios =
+        if (sf1RatioTopN == 0) "{}" // terminal shrink: summaries only
+        else d.sf1.ratios.sortBy(-_._2).take(sf1RatioTopN)
+          .map { case (k, r) => "\"" + k + "\":" + f3(r) }
+          .mkString("{", ",", "}")
+      val sortedR = d.sf1.ratios.map(_._2).sorted
+      val median = if (sortedR.isEmpty) 0.0 else sortedR(sortedR.size / 2)
+      val maxR = if (sortedR.isEmpty) 0.0 else sortedR.last
+      val sf1Part =
+        s""""sf1_dir":"${d.sf1.dir}","sf1_n_run":${d.sf1.nRun},"sf1_total_sec":${f3(d.sf1.totalSec)},"sf1_skipped_budget":${d.sf1.skippedBudget},"sf1_skipped_heap":${d.sf1.skippedHeap},"sf1_timed_out":${capped(d.sf1.timedOut)},"sf1_truncated":${capped(d.sf1.truncated)},"sf1_failed":${capped(d.sf1.failed)},"sf1_superlinear":${capped(d.sf1.superlinear)},"sf1_remeasured":${capped(d.sf1.remeasured)},"sf1_zombie":${capped(d.sf1.zombies)},"sf1_ratio_median":${f3(median)},"sf1_ratio_max":${f3(maxR)},"sf1_ratio_top":$shownRatios"""
+      line = s"""{"metric":"total","value":${f3(d.total)},"unit":"sec","queries":$compactQs,"sf":"${d.sfDir}","failed":${capped(d.failed)},"n_queries":${d.nQueries},"other_sec":${f3(otherSec)},"canary_min_sec":${f3(d.canaryMin)},"contended":${capped(d.contended)},"remeasured":${capped(d.remeasured)},"tokens_per_sec":${d.tokensPerSec},"minhash_docs_per_sec":${d.mhDocsPerSec},"bpe_tokens_per_sec":${d.bpeTokensPerSec},"bpe_chars_per_token":${f3(d.bpeCharsPerToken)},"lid_eval_docs":${d.lidN},"lid_trained_acc":${f3(d.lidTrainedAcc)},"lid_heuristic_acc":${f3(d.lidHeuristicAcc)},"lid_hard_trained_acc":${f3(d.lidHardTrainedAcc)},"lid_hard_heuristic_acc":${f3(d.lidHardHeuristicAcc)},"pipeline_e2e_sec":${f3(d.pipelineSec)},"pipeline_parity":${d.pipelineParity},$sf1Part}"""
+      fitted = line.length <= maxLen ||
+        (topQN <= 4 && sf1RatioTopN <= 0 && compactListCap <= 1)
+      if (!fitted) {
+        topQN = math.max(4, topQN - 4)
+        sf1RatioTopN = math.max(0, sf1RatioTopN - 2)
+        compactListCap = math.max(1, compactListCap - 3)
+      }
+    }
+    line
+  }
+
+  /** Mutable results of the sf1 step-up pass (one per bench run). */
+  final class Sf1Run {
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
+    var skippedBudget = 0 // wall-clock budget exhausted before the row
+    var skippedHeap = 0   // driver-heap harness guard (none since r10)
+    val timedOut = scala.collection.mutable.ArrayBuffer[String]()   // hit its per-row cap TWICE (incl. a clean re-measure) -> super-linear evidence
+    val truncated = scala.collection.mutable.ArrayBuffer[String]()  // hit the REMAINING-budget cap (below its own) or had no budget for the verifying re-measure -> no verdict
+    val remeasured = scala.collection.mutable.ArrayBuffer[String]() // first reading flagged; re-measured in a clean window
+    val zombies = scala.collection.mutable.ArrayBuffer[String]()    // cap kill left work running even after stream stops + future-job cancel; the pass aborts
+    var dir = ""
+  }
+
   def main(args: Array[String]): Unit = {
+    val wallStart = System.nanoTime()
+    def wallElapsed(): Double = (System.nanoTime() - wallStart) / 1e9
+    // 2200 s of Bench-main time + ~60-120 s sbt/JVM startup lands the
+    // worst case under ~40 min, well inside the driver's ~60-min kill
+    // wall (r11's builder run: 5170 s sbt wall -> rc=124 at the driver)
+    val wallBudget = sys.env.getOrElse("SPARK_GRAFT_WALL", "2200").toDouble
+    def wallLeft(): Double = wallBudget - wallElapsed()
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // optional shuffle-width override (scale probing): running the same
@@ -26,6 +132,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // StreamingQuery.stop() waits INDEFINITELY by default (stopTimeout
+      // 0): the sf1 cap-kill path stops live streams from the harness
+      // thread, and a wedged stream-execution thread must fail that stop
+      // after 30 s (caught + recorded as a zombie) instead of hanging
+      // the whole bench past the driver's kill wall
+      .config("spark.sql.streaming.stopTimeout", "30000")
     // optional state-store provider swap (profiling lever): the RocksDB
     // provider is the production choice once streaming state outgrows
     // the JVM heap (spill-to-disk, incremental checkpoints); the
@@ -53,6 +165,10 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    // sf1 modes: "on" (default — runs in a full bench), "skip", or
+    // "force" (runs even in SPARK_GRAFT_ONLY focused mode — the idle
+    // re-measure path for individually-flagged rows)
+    val sf1Mode = sys.env.getOrElse("SPARK_GRAFT_SF1", "on")
 
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     // min of two runs (queries AND throughput windows below): the
@@ -118,13 +234,19 @@ object Bench {
       c > math.max(1.5 * canaryMin, canaryMin + 0.05)
     val canarySeries = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     val contendedRows = scala.collection.mutable.LinkedHashSet[String]()
+    // clear-window waits are debited against ONE global sleep budget:
+    // on a persistently contended machine the old per-row 8 s wait
+    // compounds to ~35+ min across 270 main rows + 270 sf1 rows — a
+    // large share of r11's wall blow-up. When the budget is gone, rows
+    // just run (and self-flag `contended`, the honest fallback).
+    var sleepBudget = sys.env.getOrElse("SPARK_GRAFT_SLEEP_BUDGET", "180").toDouble
     // returns the last canary reading after waiting (bounded) for an
     // un-contended window; every reading can only LOWER canaryMin
     def awaitClearWindow(): Double = {
       var c = canaryReadTracked()
       var tries = 0
-      while (contendedAt(c) && tries < 8) {
-        Thread.sleep(1000L)
+      while (contendedAt(c) && tries < 8 && sleepBudget > 0) {
+        Thread.sleep(1000L); sleepBudget -= 1.0
         c = canaryReadTracked(); tries += 1
       }
       c
@@ -139,6 +261,9 @@ object Bench {
     // `remeasured`. Only a row that never saw a clean-bracketed window
     // in any attempt stays in `contended` (its recorded value is still
     // the min seen — the best available — but self-reported as suspect).
+    // Re-attempts (not the first attempt) also require wall headroom:
+    // a contended machine must not triple the suite into the driver's
+    // kill window chasing clean brackets.
     val MaxAttempts = 3
     val remeasuredRows = scala.collection.mutable.LinkedHashSet[String]()
     def measureGuarded(name: String, series: Boolean = true)
@@ -147,7 +272,8 @@ object Bench {
       var clean = false
       var attempts = 0
       var cPreFirst = -1.0
-      while (!clean && attempts < MaxAttempts) {
+      while (!clean && attempts < MaxAttempts &&
+             (attempts == 0 || wallLeft() > 600)) {
         val cPre = awaitClearWindow()
         if (attempts == 0) cPreFirst = cPre
         t = math.min(t, measureOnce())
@@ -195,9 +321,8 @@ object Bench {
     // ask): a row whose every bracket was contended mid-suite gets one
     // more guarded pass NOW, after the noisy neighbors have finished —
     // the end of the run is the quietest window the process will see.
-    // A clean bracket here clears the contended flag; the recorded
-    // value is still the min across all attempts.
-    contendedRows.toSeq.foreach { name =>
+    // Wall-gated: on a squeezed run the `contended` flags stand as-is.
+    if (wallLeft() > 900) contendedRows.toSeq.foreach { name =>
       selected.find(_._1 == name).foreach { case (_, fn) =>
         val t2 = measureGuarded(name, series = false)(
           () => bestOfAdaptive(() => runOnce(name, fn)))
@@ -205,6 +330,221 @@ object Bench {
         spark.catalog.clearCache()
         org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       }
+    }
+
+    // --- sf1 step-up (the r8 verdict's #1 ask): re-run the query
+    // suite at 10x the primary SF and record per-query sf1/sf0.1
+    // ratios — the replica-based ScaleProbes emulate scale, this
+    // measures it on materialized 10x data (deterministic, generated
+    // once by ScaleData from the primary dir; generation is untimed
+    // per-row but debited against the global wall). One timed run per
+    // query (ratio precision, not absolute benchmarking — the sf0.1
+    // value next to it is the calibrated one), bracketed by the same
+    // canary, under a wall-clock budget so the bench stays
+    // schedulable: rows are visited in DESCENDING sf0.1 cost order
+    // (super-linearity shows on the data-bound rows; the sub-100ms
+    // tail adds ratio noise, not signal) and anything past the budget
+    // is counted, not silently dropped.
+    //
+    // super-linear flag threshold — the kill cap's expected-cost shape
+    // one multiplier lower: a row flags only when its 10x-data time
+    // exceeds BOTH 15x its primary time AND the linear expectation plus
+    // fixed overhead (10x + 10 s). A flat ratio rule flags sub-second
+    // rows whose step-up cost is constant scan/shuffle startup (r11
+    // first cut: d60 "15.07x" = 0.41 s primary, 6.2 s at 10x — all
+    // fixed overhead, linear in data past it).
+    def sf1FlagThreshold(t01: Double): Double =
+      math.max(15.0 * t01, 10.0 * t01 + 10.0)
+    def runSf1(): Sf1Run = {
+      val run = new Sf1Run
+      try {
+        // the generated dir is keyed by the PRIMARY dir's name: a bench
+        // run at another SF must generate its own 10x step-up, not
+        // silently reuse a cached one derived from different data
+        val srcName = new java.io.File(sfDir).getName
+        run.dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", s"target/x10_$srcName")
+        if (!graft.tools.ScaleData.isComplete(run.dir))
+          graft.tools.ScaleData.generate(spark, sfDir, run.dir, 10)
+        // the section budget is the LESSER of the env knob and the
+        // remaining global wall (minus a teardown/print reserve): r11's
+        // flat 2700 s budget was blind to how much wall the main suite
+        // + generation had already burned, and the worst case no longer
+        // fit the driver's window
+        val budget = math.min(
+          sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "1800").toDouble,
+          math.max(0.0, wallLeft() - 60.0))
+        val order = results.toSeq.sortBy(-_._2).map(_._1)
+        val tStart = System.nanoTime()
+        def elapsed(): Double = (System.nanoTime() - tStart) / 1e9
+        // per-row cap (r9 verdict #1: q50 alone ate the whole 1200 s
+        // budget and starved 270 rows): a row gets at most 16x its
+        // sf0.1 time — hitting THAT cap twice (see below) is itself
+        // super-linear evidence (the FLAG fires at 15x, so 16x is
+        // already past it; running longer proves nothing more and the
+        // burn starves the remaining rows). The floor scales with the
+        // row's EXPECTED sf1 cost (10x linear + 10 s overhead), not a
+        // flat constant: r10's flat 15 s floor meant a 2 s row's
+        // ordinary sf1 cost plus end-of-run noise tripped the kill.
+        // When the remaining budget is tighter than the row's own cap
+        // the row runs under the remaining budget instead; aborting at
+        // that lower cap proves nothing, so it is recorded as
+        // truncated, not super-linear.
+        val rowCapMult = sys.env.getOrElse("SPARK_GRAFT_SF1_ROWCAP", "16").toDouble
+        val ec = scala.concurrent.ExecutionContext.global
+        // set when a cap kill could not actually stop the row's work
+        // (future never completed even after stream stops + future-job
+        // cancel): the leftover computation would poison every later
+        // measurement AND can outlive the harness into the driver's
+        // kill wall (the r11 failure mode), so the pass aborts.
+        var zombie = false
+        // one timed attempt at the step-up SF: Right(seconds) on
+        // completion, Left(true) on cap timeout, Left(false) on error
+        def sf1Once(name: String, cap: Double): Either[Boolean, Double] = {
+          val t0 = System.nanoTime()
+          val group = s"sf1-$name"
+          val fut = scala.concurrent.Future {
+            // job group is thread-local: set it on the thread that
+            // actually submits the jobs so cancelJobGroup reaches them
+            spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+            try SparkEntry.queries(name)(spark, run.dir)
+              .write.format("noop").mode("overwrite").save()
+            finally spark.sparkContext.clearJobGroup()
+          }(ec)
+          def awaitFut(sec: Long): Unit =
+            try scala.concurrent.Await.ready(fut,
+              scala.concurrent.duration.Duration(sec,
+                java.util.concurrent.TimeUnit.SECONDS))
+            catch { case _: Throwable => () }
+          def stopStreams(): Unit =
+            try spark.streams.active.foreach { q =>
+              try q.stop() catch { case _: Throwable => () }
+            } catch { case _: Throwable => () }
+          val r = try {
+            scala.concurrent.Await.result(fut,
+              scala.concurrent.duration.Duration(cap,
+                java.util.concurrent.TimeUnit.SECONDS))
+            Right((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case _: java.util.concurrent.TimeoutException =>
+              // streaming rows FIRST (the r11 zombie): cancelJobGroup
+              // never reaches MicroBatchExecution's jobs — they run
+              // under the query's runId job group on the stream's own
+              // thread, so the sf1 group owns none of them and the
+              // future stays blocked in processAllAvailable() while the
+              // abandoned stream burns the cores (r11 driver tail: 10
+              // minutes of post-"cancel" micro-batches until the
+              // rc=124 kill). StreamingQuery.stop() is the kill that
+              // works; AndFutureJobs covers the batch jobs the row
+              // submits after its stream drains (sink read-back, noop
+              // write).
+              stopStreams()
+              try spark.sparkContext.cancelJobGroupAndFutureJobs(group)
+              catch { case _: Throwable => spark.sparkContext.cancelJobGroup(group) }
+              awaitFut(20L)
+              if (!fut.isCompleted) { // a second stream may have started mid-teardown
+                stopStreams()
+                awaitFut(25L)
+              }
+              if (!fut.isCompleted) zombie = true
+              Left(true)
+            case _: Throwable => Left(false)
+          }
+          // session-wide teardown is only safe once the row's work has
+          // actually finished: r11 called StateStore.stop() while a
+          // zombie stream was live, forcing a state reload on every
+          // subsequent micro-batch — the driver of the progressive
+          // 4 s -> 2.5 min batch slowdown in the killed run
+          if (fut.isCompleted) {
+            spark.catalog.clearCache()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
+          r
+        }
+        order.foreach { name =>
+          val remaining = budget - elapsed()
+          if (zombie || remaining <= 0) { run.skippedBudget += 1 }
+          else {
+            val t01 = results.getOrElse(name, 0.0)
+            val fullCap = math.max(rowCapMult * t01, 10.0 * t01 + 10.0)
+            val cap = math.min(fullCap, remaining)
+            awaitClearWindow()
+            sf1Once(name, cap) match {
+              case Right(t) =>
+                // a reading that would FLAG the row super-linear must
+                // survive one re-measure in a clean canary window
+                // before it is recorded — the r10 lesson: 12 end-of-run
+                // flags, all of which re-measured at 3-6.5x on an idle
+                // machine. The min of the two readings is the recorded
+                // value (same discipline as the main suite's
+                // measureGuarded). The re-measure is debited against
+                // the section budget (r11 ADVICE): without the debit a
+                // noisy run burns up to 2x cap per flagged row and
+                // starves the tail — and a re-measure at a LOWER cap
+                // proves nothing, so a row whose re-measure no longer
+                // fits is recorded truncated (flag unverified) instead.
+                val flagged = t > sf1FlagThreshold(t01)
+                if (!flagged) run.times += name -> t
+                else if (budget - elapsed() >= fullCap) {
+                  run.remeasured += name
+                  awaitClearWindow()
+                  run.times += name -> (sf1Once(name, fullCap) match {
+                    case Right(t2) => math.min(t, t2)
+                    case Left(_) => t
+                  })
+                } else {
+                  run.times += name -> t
+                  run.truncated += name
+                }
+              case Left(true) if cap >= fullCap - 1e-9 =>
+                // a cap kill is a flag too: it must also survive one
+                // clean re-measure before being recorded as timed out —
+                // same budget debit as above
+                if (!zombie && budget - elapsed() >= fullCap) {
+                  run.remeasured += name
+                  awaitClearWindow()
+                  sf1Once(name, fullCap) match {
+                    case Right(t2) => run.times += name -> t2
+                    case Left(true) => run.timedOut += name
+                    case Left(false) => run.failed += name
+                  }
+                } else if (zombie) run.timedOut += name
+                else run.truncated += name
+              case Left(true) => run.truncated += name
+              case Left(false) => run.failed += name
+            }
+            if (zombie) run.zombies += name
+          }
+        }
+      } catch { case _: Throwable => run.failed += "__generate" }
+      run
+    }
+    def sf1Superlinear(run: Sf1Run): Seq[String] =
+      run.times.toSeq.collect {
+        case (n, v) if v > sf1FlagThreshold(results.getOrElse(n, 0.0)) => n
+      } ++ run.timedOut
+    def sf1FieldsOf(run: Sf1Run): Sf1Fields = Sf1Fields(
+      dir = run.dir, nRun = run.times.size, totalSec = run.times.values.sum,
+      skippedBudget = run.skippedBudget, skippedHeap = run.skippedHeap,
+      timedOut = run.timedOut.toSeq, truncated = run.truncated.toSeq,
+      failed = run.failed.distinct.toSeq,
+      superlinear = sf1Superlinear(run), remeasured = run.remeasured.toSeq,
+      zombies = run.zombies.toSeq,
+      ratios = run.times.collect {
+        case (k, v) if results.getOrElse(k, 0.0) > 0 => k -> v / results(k)
+      }.toSeq)
+    // full-precision sf1 JSON fragment for target/bench_detail.json
+    def sf1DetailJson(run: Sf1Run): String = {
+      val f = sf1FieldsOf(run)
+      def lst(xs: Seq[String]): String =
+        xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val qs = run.times.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val ratios = f.ratios.map { case (k, r) => "\"" + k + "\":" + r }
+        .mkString("{", ",", "}")
+      val sorted = f.ratios.map(_._2).sorted
+      val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
+      val maxR = if (sorted.isEmpty) 0.0 else sorted.last
+      s""""sf1_dir":"${f.dir}","sf1_n_run":${f.nRun},"sf1_total_sec":${f.totalSec},"sf1_skipped_budget":${f.skippedBudget},"sf1_skipped_heap":${f.skippedHeap},"sf1_timed_out":${lst(f.timedOut)},"sf1_truncated":${lst(f.truncated)},"sf1_failed":${lst(f.failed)},"sf1_superlinear":${lst(f.superlinear)},"sf1_remeasured":${lst(f.remeasured)},"sf1_zombie":${lst(f.zombies)},"sf1_ratio_median":$median,"sf1_ratio_max":$maxR,"sf1_ratio":$ratios,"sf1_queries":$qs"""
     }
 
     def contendedJson: String =
@@ -215,7 +555,12 @@ object Bench {
     if (only.isDefined) { // focused profiling: skip the throughput suites
       val qs0 = results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${results.values.sum},"unit":"sec","queries":$qs0,"sf":"$sfDir","failed":${failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")},"canary_min_sec":$canaryMin,"contended":$contendedJson,"remeasured":$remeasuredJson}""")
+      // SPARK_GRAFT_SF1=force: the idle re-measure path — run the
+      // step-up for JUST the selected rows and print the full-precision
+      // sf1 fields (this line is for a human/log, not the driver's
+      // capture window)
+      val sf1Part = if (sf1Mode == "force") "," + sf1DetailJson(runSf1()) else ""
+      println(s"""{"metric":"total","value":${results.values.sum},"unit":"sec","queries":$qs0,"sf":"$sfDir","failed":${failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")},"canary_min_sec":$canaryMin,"contended":$contendedJson,"remeasured":$remeasuredJson$sf1Part}""")
       spark.stop()
       return
     }
@@ -413,11 +758,13 @@ object Bench {
       // its whole window was bracketed by a contended canary, re-run
       // against a fresh output dir after the window clears, keep the
       // min, and record `remeasured` — a run that never sees a clean
-      // bracket stays flagged `contended`
+      // bracket stays flagged `contended`. Wall-gated like every other
+      // optional re-measure.
       var stats: Seq[graft.core.Pipeline.StepStats] = Seq.empty
       var pipeClean = false
       var pipeAttempts = 0
-      while (!pipeClean && pipeAttempts < 2) {
+      while (!pipeClean && pipeAttempts < 2 &&
+             (pipeAttempts == 0 || wallLeft() > 600)) {
         val cPipePre = awaitClearWindow()
         val runCfg = if (pipeAttempts == 0) cfg else cfg.copy(
           outputBase = java.nio.file.Files.createTempDirectory("bench_pipe").toString)
@@ -451,260 +798,45 @@ object Bench {
         "\"" + s.step + "\":" + s.elapsedSec).mkString("{", ",", "}")
     } catch { case _: Throwable => failed += "pipeline_e2e" }
 
-    // --- sf1 step-up (the r8 verdict's #1 ask): re-run the query
-    // suite at 10x the primary SF and record per-query sf1/sf0.1
-    // ratios — the replica-based ScaleProbes emulate scale, this
-    // measures it on materialized 10x data (deterministic, generated
-    // once by ScaleData from the primary dir; generation is untimed).
-    // One timed run per query (ratio precision, not absolute
-    // benchmarking — the sf0.1 value next to it is the calibrated
-    // one), bracketed by the same canary, under a wall-clock budget so
-    // the bench stays schedulable: rows are visited in DESCENDING
-    // sf0.1 cost order (super-linearity shows on the data-bound rows;
-    // the sub-100ms tail adds ratio noise, not signal) and anything
-    // past the budget is counted, not silently dropped.
-    val sf1Times = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val sf1Failed = scala.collection.mutable.ArrayBuffer[String]()
-    // super-linear flag threshold — the kill cap's expected-cost shape
-    // one multiplier lower: a row flags only when its 10x-data time
-    // exceeds BOTH 15x its primary time AND the linear expectation plus
-    // fixed overhead (10x + 10 s). A flat ratio rule flags sub-second
-    // rows whose step-up cost is constant scan/shuffle startup (r11
-    // first cut: d60 "15.07x" = 0.41 s primary, 6.2 s at 10x — all
-    // fixed overhead, linear in data past it).
-    def sf1FlagThreshold(t01: Double): Double =
-      math.max(15.0 * t01, 10.0 * t01 + 10.0)
-    // three skip/abort causes, reported separately (r9 verdict: the
-    // heap-based harness skip was misattributed as a budget skip):
-    var sf1SkippedBudget = 0    // wall-clock budget exhausted before the row
-    var sf1SkippedHeap = 0      // driver-heap harness guard (st07)
-    val sf1TimedOut = scala.collection.mutable.ArrayBuffer[String]()  // hit its per-row cap TWICE (incl. a clean re-measure) -> super-linear evidence
-    val sf1Truncated = scala.collection.mutable.ArrayBuffer[String]() // hit the REMAINING-budget cap (below its own) -> no verdict
-    val sf1Remeasured = scala.collection.mutable.ArrayBuffer[String]() // first reading flagged; re-measured in a clean window
-    var sf1Dir = ""
-    if (sys.env.getOrElse("SPARK_GRAFT_SF1", "on") != "skip") {
-      try {
-        // the generated dir is keyed by the PRIMARY dir's name: a bench
-        // run at another SF must generate its own 10x step-up, not
-        // silently reuse a cached one derived from different data
-        val srcName = new java.io.File(sfDir).getName
-        sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", s"target/x10_$srcName")
-        if (!graft.tools.ScaleData.isComplete(sf1Dir))
-          graft.tools.ScaleData.generate(spark, sfDir, sf1Dir, 10)
-        // 2700 s default (r10): 1200 s could never cover the suite —
-        // ~250 linear rows at 2-4 s each already exceed it before the
-        // super-linear rows' caps (BENCH r10 first cut: n_run 32,
-        // skipped 235). The budget is a ceiling, not a target: a clean
-        // run finishes in ~20-30 min.
-        val budget = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "2700").toDouble
-        // (r9's heap-based st07 skip is gone: the harness is now a
-        // file-fed stream with a parquet sink — nothing driver-side —
-        // so the row runs at the step-up SF on default heap;
-        // sf1_skipped_heap stays in the artifact and reports 0.)
-        val order = results.toSeq.sortBy(-_._2).map(_._1)
-        val tStart = System.nanoTime()
-        def elapsed(): Double = (System.nanoTime() - tStart) / 1e9
-        // per-row cap (r9 verdict #1: q50 alone ate the whole 1200 s
-        // budget and starved 270 rows): a row gets at most 16x its
-        // sf0.1 time — hitting THAT cap twice (see below) is itself
-        // super-linear evidence (the FLAG fires at 15x, so 16x is
-        // already past it; running longer proves nothing more and the
-        // burn starves the remaining rows). The floor scales with the
-        // row's EXPECTED sf1 cost (10x linear + 10 s overhead), not a
-        // flat constant: r10's flat 15 s floor meant a 2 s row's
-        // ordinary sf1 cost plus end-of-run noise tripped the kill.
-        // When the remaining budget is tighter than the row's own cap
-        // the row runs under the remaining budget instead; aborting at
-        // that lower cap proves nothing, so it is recorded as
-        // truncated, not super-linear.
-        val rowCapMult = sys.env.getOrElse("SPARK_GRAFT_SF1_ROWCAP", "16").toDouble
-        val ec = scala.concurrent.ExecutionContext.global
-        // one timed attempt at the step-up SF: Right(seconds) on
-        // completion, Left(true) on cap timeout, Left(false) on error
-        def sf1Once(name: String, cap: Double): Either[Boolean, Double] = {
-          val t0 = System.nanoTime()
-          val group = s"sf1-$name"
-          val fut = scala.concurrent.Future {
-            // job group is thread-local: set it on the thread that
-            // actually submits the jobs so cancelJobGroup reaches them
-            spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-            try SparkEntry.queries(name)(spark, sf1Dir)
-              .write.format("noop").mode("overwrite").save()
-            finally spark.sparkContext.clearJobGroup()
-          }(ec)
-          val r = try {
-            scala.concurrent.Await.result(fut,
-              scala.concurrent.duration.Duration(cap,
-                java.util.concurrent.TimeUnit.SECONDS))
-            Right((System.nanoTime() - t0) / 1e9)
-          } catch {
-            case _: java.util.concurrent.TimeoutException =>
-              spark.sparkContext.cancelJobGroup(group)
-              // let the cancelled stage actually die before the next row
-              try scala.concurrent.Await.ready(fut,
-                scala.concurrent.duration.Duration(15L,
-                  java.util.concurrent.TimeUnit.SECONDS))
-              catch { case _: Throwable => () }
-              Left(true)
-            case _: Throwable => Left(false)
-          }
-          spark.catalog.clearCache()
-          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-          r
-        }
-        order.foreach { name =>
-          val remaining = budget - elapsed()
-          if (remaining <= 0) { sf1SkippedBudget += 1 }
-          else {
-            val t01 = results.getOrElse(name, 0.0)
-            val fullCap = math.max(rowCapMult * t01, 10.0 * t01 + 10.0)
-            val cap = math.min(fullCap, remaining)
-            awaitClearWindow()
-            sf1Once(name, cap) match {
-              case Right(t) =>
-                // a reading that would FLAG the row super-linear must
-                // survive one re-measure in a clean canary window
-                // before it is recorded — the r10 lesson: 12 end-of-run
-                // flags, all of which re-measured at 3-6.5x on an idle
-                // machine. The min of the two readings is the recorded
-                // value (same discipline as the main suite's
-                // measureGuarded).
-                val flagged = t > sf1FlagThreshold(t01)
-                if (!flagged) sf1Times += name -> t
-                else {
-                  sf1Remeasured += name
-                  awaitClearWindow()
-                  sf1Times += name -> (sf1Once(name, cap) match {
-                    case Right(t2) => math.min(t, t2)
-                    case Left(_) => t
-                  })
-                }
-              case Left(true) if cap >= fullCap - 1e-9 =>
-                // a cap kill is a flag too: it must also survive one
-                // clean re-measure before being recorded as timed out
-                sf1Remeasured += name
-                awaitClearWindow()
-                sf1Once(name, cap) match {
-                  case Right(t2) => sf1Times += name -> t2
-                  case Left(true) => sf1TimedOut += name
-                  case Left(false) => sf1Failed += name
-                }
-              case Left(true) => sf1Truncated += name
-              case Left(false) => sf1Failed += name
-            }
-          }
-        }
-      } catch { case _: Throwable => sf1Failed += "__generate" }
-    }
-    val sf1Total = sf1Times.values.sum
-    // a row is super-linear when it clears the expected-cost threshold
-    // (sf1FlagThreshold: 15x primary AND linear+overhead); a row killed
-    // at its per-row cap on BOTH attempts is super-linear by
-    // construction. Every entry here survived a clean-window re-measure
-    // (sf1_remeasured lists which rows needed one).
-    val sf1Superlinear = sf1Times.toSeq.collect {
-      case (n, v) if v > sf1FlagThreshold(results.getOrElse(n, 0.0)) => n
-    } ++ sf1TimedOut
-    // how many per-query ratios / string-list members the COMPACT
-    // stdout line carries — shrunk by the fit loop at the print site
-    // until the line fits the driver's capture window
-    var sf1RatioTopN = 12
-    var compactListCap = 15
-    def sf1Json(full: Boolean): String = {
-      val qs = if (full)
-        sf1Times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      else "{}"
-      val allRatios = sf1Times.collect {
-        case (k, v) if results.getOrElse(k, 0.0) > 0 => k -> v / results(k)
-      }.toSeq
-      // the COMPACT line must fit the driver's ~2000-char stdout tail
-      // window (documented below; the r10 full 264-entry ratio map
-      // overflowed it and the round's official bench record parsed to
-      // null) — so stdout carries only the TOP ratios + distribution
-      // summary fields, mirroring the top-28 query-time pattern; the
-      // full per-query map lives in target/bench_detail.json
-      val shown = if (full) allRatios
-        else allRatios.sortBy(-_._2).take(sf1RatioTopN)
-      val ratios = shown.map { case (k, r) =>
-        "\"" + k + "\":" + (if (full) r.toString
-                            else "%.3f".formatLocal(java.util.Locale.ROOT, r))
-      }.mkString("{", ",", "}")
-      val sorted = allRatios.map(_._2).sorted
-      val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
-      val maxR = if (sorted.isEmpty) 0.0 else sorted.last
-      def f3l(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-      val ratioKey = if (full) "sf1_ratio" else "sf1_ratio_top"
-      // compact-line string lists are capped (the r11 first cut blew
-      // the stdout window on 12 contended + 9 remeasured names even
-      // with the top-N knobs at their floors; the detail file carries
-      // the full lists): past `compactListCap` entries collapse into
-      // one "+k_more" element, which still parses as a JSON string
-      // array
-      def lst(xs: Seq[String]): String = {
-        val capped = if (full || xs.size <= compactListCap) xs
-          else xs.take(compactListCap) :+ s"+${xs.size - compactListCap}_more"
-        capped.map("\"" + _ + "\"").mkString("[", ",", "]")
-      }
-      s""""sf1_dir":"$sf1Dir","sf1_n_run":${sf1Times.size},"sf1_total_sec":${f3l(sf1Total)},"sf1_skipped_budget":$sf1SkippedBudget,"sf1_skipped_heap":$sf1SkippedHeap,"sf1_timed_out":${lst(sf1TimedOut.toSeq)},"sf1_truncated":${lst(sf1Truncated.toSeq)},"sf1_failed":${lst(sf1Failed.distinct.toSeq)},"sf1_superlinear":${lst(sf1Superlinear)},"sf1_remeasured":${lst(sf1Remeasured.toSeq)},"sf1_ratio_median":${f3l(median)},"sf1_ratio_max":${f3l(maxR)},"$ratioKey":$ratios""" +
-        (if (full) s""","sf1_queries":$qs""" else "")
-    }
+    val sf1Run = if (sf1Mode != "skip") runSf1() else new Sf1Run
+    val sf1F = sf1FieldsOf(sf1Run)
 
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // Full-precision per-query detail goes to a file; stdout gets ONE
-    // compact line. The round driver captures only the trailing ~2000
-    // chars of stdout and json-parses the bench line from that window —
-    // a full 76-query map at float64 precision (~3 KB) overflows it and
-    // the line arrives truncated (BENCH_r01..r03 all recorded
-    // parsed:null for exactly this reason). Keep the stdout line well
-    // under the window: top slowest queries at ms precision, the rest
-    // summarized as other_sec.
+    // compact line (see renderCompactLine).
     val detailQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val canarySeriesJson = canarySeries.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val detailJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$detailQs,"sf":"$sfDir","failed":$failedJson,"canary_min_sec":$canaryMin,"contended":$contendedJson,"remeasured":$remeasuredJson,"canary_series":$canarySeriesJson,"tokenize_tokens":$totalTokens,"tokenize_sec":$tokSec,"tokens_per_sec":$tokensPerSec,"minhash_docs":$nSigs,"minhash_sec":$mhSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens":$bpeTokens,"bpe_sec":$bpeSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"compare_corpus_chars":$totalChars,"compare_bpe_per_word_ratio":$bpePerWordRatio,"compare_bpe_chars_per_token":$bpeCharsPerToken,"compare_word_chars_per_token":$wordCharsPerToken,"lid_eval_docs":$lidN,"lid_trained_acc":$lidTrainedAcc,"lid_heuristic_acc":$lidHeuristicAcc,"lid_hard_trained_acc":$lidHardTrainedAcc,"lid_hard_heuristic_acc":$lidHardHeuristicAcc,"pipeline_e2e_sec":$pipelineSec,"pipeline_docs":$pipelineDocs,"pipeline_parity":$pipelineParity,"pipeline_steps_sec":$pipelineStepsJson,${sf1Json(full = true)}}"""
+    // streaming harness attribution (r11 verdict #7): state-rows/s of
+    // each file-fed streaming row's LAST drive, so an sf1 ratio move on
+    // an st row can be split into feed/sink overhead vs keyed-state cost
+    val streamStatsJson = graft.streaming.Streaming.feedStats.toSeq.sortBy(_._1)
+      .map { case (k, (sec, rows)) =>
+        "\"" + k + "\":{\"stream_sec\":" + sec + ",\"state_rows\":" + rows +
+          ",\"state_rows_per_sec\":" + (rows / math.max(sec, 1e-9)) + "}"
+      }.mkString("{", ",", "}")
+    val detailJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$detailQs,"sf":"$sfDir","failed":$failedJson,"canary_min_sec":$canaryMin,"contended":$contendedJson,"remeasured":$remeasuredJson,"canary_series":$canarySeriesJson,"wall_budget_sec":$wallBudget,"wall_used_sec":${wallElapsed()},"tokenize_tokens":$totalTokens,"tokenize_sec":$tokSec,"tokens_per_sec":$tokensPerSec,"minhash_docs":$nSigs,"minhash_sec":$mhSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens":$bpeTokens,"bpe_sec":$bpeSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"compare_corpus_chars":$totalChars,"compare_bpe_per_word_ratio":$bpePerWordRatio,"compare_bpe_chars_per_token":$bpeCharsPerToken,"compare_word_chars_per_token":$wordCharsPerToken,"lid_eval_docs":$lidN,"lid_trained_acc":$lidTrainedAcc,"lid_heuristic_acc":$lidHeuristicAcc,"lid_hard_trained_acc":$lidHardTrainedAcc,"lid_hard_heuristic_acc":$lidHardHeuristicAcc,"pipeline_e2e_sec":$pipelineSec,"pipeline_docs":$pipelineDocs,"pipeline_parity":$pipelineParity,"pipeline_steps_sec":$pipelineStepsJson,"stream_feed_stats":$streamStatsJson,${sf1DetailJson(sf1Run)}}"""
     try {
       val out = java.nio.file.Paths.get("target", "bench_detail.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, (detailJson + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
 
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val bySlowest = results.toSeq.sortBy(-_._2)
-    // fit loop: the driver captures only the trailing ~2000 chars of
-    // stdout and json-parses the bench line from that window, and sbt
-    // appends its own "[success] ..." epilogue after the line — so the
-    // line must stay comfortably under the window (r10 recorded
-    // parsed:null because the full 264-entry ratio map overflowed it).
-    // Shrink the two top-N knobs until the RENDERED line fits; each
-    // step drops detail the detail file still carries in full.
-    var topQN = 28
-    var line = ""
-    var fitted = false
-    while (!fitted) {
-      val top = bySlowest.take(topQN)
-      val otherSec = bySlowest.drop(topQN).map(_._2).sum
-      val compactQs = top.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-        .mkString("{", ",", "}")
-      // the main-suite lists get the same compact cap (failed stays
-      // uncapped in spirit — it must be empty on a healthy run — but
-      // the cap still bounds a pathological one)
-      def capped(xs: Seq[String]): String = {
-        val c = if (xs.size <= compactListCap) xs
-          else xs.take(compactListCap) :+ s"+${xs.size - compactListCap}_more"
-        c.map("\"" + _ + "\"").mkString("[", ",", "]")
-      }
-      line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfDir","failed":${capped(failed.distinct.toSeq)},"n_queries":${results.size},"other_sec":${f3(otherSec)},"canary_min_sec":${f3(canaryMin)},"contended":${capped(contendedRows.toSeq)},"remeasured":${capped(remeasuredRows.toSeq)},"tokens_per_sec":$tokensPerSec,"minhash_docs_per_sec":$mhDocsPerSec,"bpe_tokens_per_sec":$bpeTokensPerSec,"bpe_chars_per_token":${f3(bpeCharsPerToken)},"lid_eval_docs":$lidN,"lid_trained_acc":${f3(lidTrainedAcc)},"lid_heuristic_acc":${f3(lidHeuristicAcc)},"lid_hard_trained_acc":${f3(lidHardTrainedAcc)},"lid_hard_heuristic_acc":${f3(lidHardHeuristicAcc)},"pipeline_e2e_sec":${f3(pipelineSec)},"pipeline_parity":$pipelineParity,${sf1Json(full = false)}}"""
-      fitted = line.length <= 1750 ||
-        (topQN <= 8 && sf1RatioTopN <= 2 && compactListCap <= 2)
-      if (!fitted) {
-        if (topQN > 8) topQN -= 4
-        if (sf1RatioTopN > 2) sf1RatioTopN -= 2
-        if (compactListCap > 2) compactListCap -= 3
-      }
-    }
+    val line = renderCompactLine(LineFields(
+      total = total, queries = results.toSeq, sfDir = sfDir,
+      failed = failed.distinct.toSeq, nQueries = results.size,
+      canaryMin = canaryMin, contended = contendedRows.toSeq,
+      remeasured = remeasuredRows.toSeq, tokensPerSec = tokensPerSec,
+      mhDocsPerSec = mhDocsPerSec, bpeTokensPerSec = bpeTokensPerSec,
+      bpeCharsPerToken = bpeCharsPerToken, lidN = lidN,
+      lidTrainedAcc = lidTrainedAcc, lidHeuristicAcc = lidHeuristicAcc,
+      lidHardTrainedAcc = lidHardTrainedAcc,
+      lidHardHeuristicAcc = lidHardHeuristicAcc,
+      pipelineSec = pipelineSec, pipelineParity = pipelineParity,
+      sf1 = sf1F))
     println(line)
     spark.stop()
   }

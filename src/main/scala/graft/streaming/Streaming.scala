@@ -523,6 +523,13 @@ object Streaming {
     *
     * Returns the sink contents (empty DataFrame with the transform's
     * schema when the stream emitted nothing). */
+  /** Last file-fed drive's (streamSec, stateRowsTotal) by harness name:
+    * the bench surfaces these as state-rows/s in bench_detail.json so a
+    * step-up ratio move on a streaming row is attributable to keyed
+    * state vs feed/sink overhead (r11 verdict #7). */
+  val feedStats: scala.collection.concurrent.TrieMap[String, (Double, Long)] =
+    scala.collection.concurrent.TrieMap.empty
+
   def runFileFedBatches(spark: SparkSession, rows: DataFrame, nBatches: Int,
                         name: String)(pipe: DataFrame => DataFrame): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory(s"filefeed_$name")
@@ -540,12 +547,29 @@ object Streaming {
     rows.withColumn("__pb", col("batch"))
       .repartition(nBatches, col("batch"))
       .write.mode("overwrite").partitionBy("__pb").parquet(stageDir.toString)
+    // a batch id with zero rows gets no __pb= directory from partitionBy
+    // (unlike the old per-batch where+coalesce(1) write, which produced
+    // an empty part file) — materialize ONE empty schema-carrying file
+    // lazily and reuse it, so sparse batch ids keep the contract that
+    // every id in 0..nBatches-1 is a (possibly empty) micro-batch
+    lazy val emptyPart: java.nio.file.Path = {
+      val dir = root.resolve("empty")
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rows.schema)
+        .coalesce(1).write.parquet(dir.toString)
+      Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error("empty-batch parquet write produced no part file"))
+        .toPath
+    }
     (0 until nBatches).foreach { b =>
       val part = Option(stageDir.resolve(s"__pb=$b").toFile.listFiles())
         .getOrElse(Array.empty).find(_.getName.startsWith("part-"))
-      require(part.isDefined, s"no parquet part file written for batch $b")
       val dst = feedDir.resolve(f"batch_$b%04d.parquet")
-      java.nio.file.Files.move(part.get.toPath, dst)
+      part match {
+        case Some(p) => java.nio.file.Files.move(p.toPath, dst)
+        case None => java.nio.file.Files.copy(emptyPart, dst)
+      }
       // distinct ascending mtimes: FileStreamSource orders new files
       // by modification time, and equal stamps would make micro-batch
       // composition non-deterministic
@@ -569,6 +593,7 @@ object Streaming {
       // operator's keyed state
       val sec = (System.nanoTime() - tStream) / 1e9
       val stateRows = stateRowsTotal(q)
+      feedStats(name) = (sec, stateRows)
       System.err.println(
         f"[graft] $name stream: $sec%.2f s, state rows $stateRows, " +
           f"${stateRows / math.max(sec, 1e-9)}%.0f state-rows/s")

@@ -35,8 +35,8 @@ object ScaleProbe {
     val suite = args.lift(2).getOrElse("dedup")
     // fail fast on a typo'd suite name: otherwise the expensive corpus
     // replication runs and the probe exits having measured nothing
-    require(Set("dedup", "ann", "stream", "lm", "hygiene", "graph", "mm", "all")(suite),
-      s"unknown suite '$suite' (expected dedup | ann | stream | lm | hygiene | graph | mm | all)")
+    require(Set("dedup", "ann", "stream", "lm", "hygiene", "graph", "mm", "clique", "all")(suite),
+      s"unknown suite '$suite' (expected dedup | ann | stream | lm | hygiene | graph | mm | clique | all)")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
@@ -79,6 +79,50 @@ object ScaleProbe {
     val (docsN, idShift) = replicate(docs1, "doc_id", salted = true)
     val nN = docsN.count()
     println(s"[scale] corpus 1x=$n1 docs, ${factor}x=$nN docs")
+
+    if (in("clique")) {
+      // The recorded sf1 flags on x03/d28/x12 (r11: double-cap kills at
+      // the 10x step-up) are attributed in tools/sf1_causes.json to the
+      // GENERATOR's salted-replica clique shape: every doc gains
+      // factor-1 near-duplicates, so each word-3gram fingerprint's
+      // posting list grows ~factor× and candidate work per doc grows
+      // with it — work is O(n·factor), super-linear in n when factor
+      // grows WITH n, which is exactly what replica-based step-up data
+      // does and real web growth does not (new content is mostly
+      // distinct). This suite makes that attribution a measurement:
+      // the same operators on a DISJOINT 10x corpus (replica k's words
+      // are per-replica mutated, so cross-replica fingerprints never
+      // collide — 10x more distinct content, the real-web shape) must
+      // track the data ratio, while the salted corpus shows the blow-up.
+      val docsDisjoint = (0 until factor).map { k =>
+        val textCol = if (k == 0) col("text")
+          else array_join(transform(split(col("text"), " "),
+            w => concat(w, lit(s"~$k"))), " ")
+        docs1.select((col("doc_id") + lit(k.toLong * idShift)).as("doc_id"),
+          textCol.as("text"))
+      }.reduce(_ unionByName _).repartition(64).localCheckpoint(true)
+      println(s"[scale] disjoint corpus: ${docsDisjoint.count()} docs")
+      val cliqueOps = Seq(
+        "x03 ngramJaccard t=.8" -> ((df: DataFrame) =>
+          Dedup.ngramJaccard(df, "doc_id", "text", n = 3, threshold = 0.8)
+            .count()),
+        "d28 dupPassageReport" -> ((df: DataFrame) =>
+          Dedup.dupPassageReport(df, "doc_id", "text").count()),
+        "x12 audit (pairs+CC)" -> ((df: DataFrame) => {
+          val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+            n = 3, threshold = 0.8)
+          graft.operators.ConnectedComponents.run(pairs)
+            .where(col("id") =!= col("component")).count()
+        })
+      )
+      cliqueOps.foreach { case (name, op) =>
+        val t1 = time(s"$name 1x")(op(docs1))
+        val tS = time(s"$name ${factor}x salt")(op(docsN))
+        val tD = time(s"$name ${factor}x disj")(op(docsDisjoint))
+        ratio(s"$name [salted]", t1, tS)
+        ratio(s"$name [disjoint]", t1, tD)
+      }
+    }
 
     if (in("dedup")) {
       // fixed-size new batch for the incremental (st05/x07 corpus-index)

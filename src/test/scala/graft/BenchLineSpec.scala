@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's compact stdout line is an ARTIFACT contract: the round
+  * driver captures only the trailing ~2000 chars of stdout and
+  * json-parses the line from that window. r10 and the first r11 cut
+  * both shipped lines that overflowed it (parsed:null in the official
+  * record), and the r11 fit loop itself shipped untested with a knob
+  * floor reachable at 0 (every capped list rendered as just the
+  * "+N_more" sentinel). This spec renders the line with worst-case
+  * synthetic inputs and pins: fits the window, parses as JSON, and
+  * keeps at least two real names on every capped list. */
+class BenchLineSpec extends AnyFunSuite {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def longNames(prefix: String, n: Int): Seq[String] =
+    (0 until n).map(i => f"${prefix}_very_long_query_name_$i%02d_suffix")
+
+  /** Worst case observed across rounds, then doubled: 273 queries with
+    * long names, 24 contended, 18 remeasured, 10 superlinear, 8 timed
+    * out, 6 truncated, 5 failed, 4 zombies, 273 sf1 ratios. */
+  private def worstCase: Bench.LineFields = {
+    val qs = (0 until 273).map(i =>
+      f"q${i}%03d_some_operator_family_long_name" -> (0.05 + i * 0.037))
+    Bench.LineFields(
+      total = qs.map(_._2).sum,
+      queries = qs,
+      sfDir = "/root/testdata/sf0.1",
+      failed = longNames("fail", 5),
+      nQueries = qs.size,
+      canaryMin = 0.0312345,
+      contended = longNames("cont", 24),
+      remeasured = longNames("rem", 18),
+      tokensPerSec = 69849210L,
+      mhDocsPerSec = 191736L,
+      bpeTokensPerSec = 77812345L,
+      bpeCharsPerToken = 3.871,
+      lidN = 1987L,
+      lidTrainedAcc = 0.9981, lidHeuristicAcc = 1.0,
+      lidHardTrainedAcc = 0.9612, lidHardHeuristicAcc = 0.1253,
+      pipelineSec = 13.217, pipelineParity = true,
+      sf1 = Bench.Sf1Fields(
+        dir = "target/x10_sf0.1", nRun = 269, totalSec = 1297.312,
+        skippedBudget = 3, skippedHeap = 0,
+        timedOut = longNames("sto", 8),
+        truncated = longNames("trunc", 6),
+        failed = longNames("sfail", 5),
+        superlinear = longNames("super", 10),
+        remeasured = longNames("srem", 14),
+        zombies = longNames("zomb", 4),
+        ratios = qs.map { case (k, _) => k -> (1.8 + k.length * 0.31) }))
+  }
+
+  test("worst-case line fits the 1750-char window and parses as JSON") {
+    val line = Bench.renderCompactLine(worstCase)
+    assert(line.length <= 1750, s"line is ${line.length} chars")
+    val node = mapper.readTree(line)
+    assert(node.get("metric").asText() == "total")
+    assert(node.get("n_queries").asInt() == 273)
+    assert(node.get("sf1_n_run").asInt() == 269)
+    // distribution summaries survive every shrink step
+    assert(node.has("sf1_ratio_median") && node.has("sf1_ratio_max"))
+  }
+
+  test("capped lists always keep at least 1 real name plus one sentinel") {
+    val line = Bench.renderCompactLine(worstCase)
+    val node = mapper.readTree(line)
+    Seq("contended", "remeasured", "sf1_timed_out", "sf1_superlinear",
+        "sf1_remeasured", "sf1_zombie").foreach { k =>
+      val arr = node.get(k)
+      assert(arr != null && arr.isArray, s"$k missing")
+      val items = (0 until arr.size).map(arr.get(_).asText())
+      val real = items.filterNot(_.matches("\\+\\d+_more"))
+      assert(real.size >= math.min(1, items.size), s"$k lost its names: $items")
+      // the sentinel, when present, is last and counts the hidden tail
+      items.zipWithIndex.foreach { case (s, i) =>
+        if (s.matches("\\+\\d+_more")) assert(i == items.size - 1)
+      }
+    }
+  }
+
+  test("a healthy run (short lists, empty flags) renders untruncated query top") {
+    val healthy = worstCase.copy(
+      failed = Nil, contended = Seq("st07_stream_online_dedup"),
+      remeasured = Seq("e13_ivfpq_topk"),
+      sf1 = worstCase.sf1.copy(timedOut = Nil, truncated = Nil, failed = Nil,
+        superlinear = Nil, remeasured = Nil, zombies = Nil))
+    val line = Bench.renderCompactLine(healthy)
+    assert(line.length <= 1750)
+    val node = mapper.readTree(line)
+    // with empty flag lists the fit loop should keep a useful top-N
+    assert(node.get("queries").size >= 12,
+      s"only ${node.get("queries").size} top queries on a healthy line")
+    assert(node.get("failed").size == 0)
+  }
+
+  test("full-precision detail fields are not on the compact line") {
+    val line = Bench.renderCompactLine(worstCase)
+    val node = mapper.readTree(line)
+    assert(!node.has("sf1_queries") && !node.has("canary_series"))
+  }
+}

@@ -468,4 +468,16 @@ class StreamingSpec extends SparkSpec {
       (3L, "update", "c"),   // partial update keeps base text
       (9L, "insert", "i")))
   }
+
+  test("runFileFedBatches tolerates sparse batch ids (empty micro-batches)") {
+    // batches 1 and 3 carry zero rows: the one-job partitionBy feed
+    // write creates no directory for them (unlike the r10 per-batch
+    // where+coalesce(1) write, which produced an empty part file) — the
+    // harness must substitute an empty schema-carrying file, not fail
+    val rows = Seq((1L, 0, "alpha"), (2L, 0, "beta"), (3L, 2, "gamma"))
+      .toDF("id", "batch", "text")
+    val out = Streaming.runFileFedBatches(spark, rows, nBatches = 4,
+      name = "sparse_test")(st => st.select($"id", $"batch"))
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
 }

@@ -31,12 +31,30 @@ if "tail" in doc and "sf1_superlinear" not in doc:
 flags = list(doc.get("sf1_superlinear", [])) + [
     f for f in doc.get("sf1_timed_out", [])
     if f not in doc.get("sf1_superlinear", [])]
-flags = [f for f in flags if not f.startswith("+")]  # capped-list sentinel
+# A "+N_more" sentinel means the source was a CAPPED compact line — the
+# flags past the cap are invisible here, so silently filtering it would
+# let unexplained flags through (the r11 ADVICE hole). The gate must see
+# full lists: point the caller at the uncapped detail artifact.
+capped = [f for f in flags if re.fullmatch(r"\+\d+_more", f)]
+if capped:
+    print(f"CAPPED LIST in {path}: {capped} — this input is a compact "
+          "stdout line whose flag lists were truncated by the fit loop; "
+          "re-run against target/bench_detail.json (full, uncapped lists)")
+    sys.exit(1)
 
 causes_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "sf1_causes.json")
 causes = {k: v for k, v in json.load(open(causes_path)).items()
           if not k.startswith("_")}
+
+# a zombie means a cap kill failed to actually stop the row's work and
+# the sf1 pass aborted — a harness failure that must never ship silently
+zombies = list(doc.get("sf1_zombie", []))
+if zombies:
+    print(f"ZOMBIE rows in {path}: {zombies} — a cap kill left work "
+          "running after stream stops + future-job cancel; fix the kill "
+          "path before trusting this artifact")
+    sys.exit(1)
 
 unexplained = [f for f in flags if f not in causes]
 for f in flags:
