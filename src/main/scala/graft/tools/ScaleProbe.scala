@@ -89,19 +89,37 @@ object ScaleProbe {
       // with it — work is O(n·factor), super-linear in n when factor
       // grows WITH n, which is exactly what replica-based step-up data
       // does and real web growth does not (new content is mostly
-      // distinct). This suite makes that attribution a measurement:
-      // the same operators on a DISJOINT 10x corpus (replica k's words
-      // are per-replica mutated, so cross-replica fingerprints never
-      // collide — 10x more distinct content, the real-web shape) must
-      // track the data ratio, while the salted corpus shows the blow-up.
-      val docsDisjoint = (0 until factor).map { k =>
-        val textCol = if (k == 0) col("text")
-          else array_join(transform(split(col("text"), " "),
-            w => concat(w, lit(s"~$k"))), " ")
-        docs1.select((col("doc_id") + lit(k.toLong * idShift)).as("doc_id"),
-          textCol.as("text"))
-      }.reduce(_ unionByName _).repartition(64).localCheckpoint(true)
-      println(s"[scale] disjoint corpus: ${docsDisjoint.count()} docs")
+      // distinct). This suite makes that attribution a measurement, on
+      // THREE step-up corpora:
+      //  - salted: ScaleData's shape (replica k = near-dup, ` repK`
+      //    suffix) — maximal clique; the per-bucket caps must hold.
+      //  - disjoint: replica k's text is alphabet-ROTATED (translate by
+      //    k), so char n-grams AND word n-grams are disjoint across
+      //    replicas — N× more distinct content, the real-web growth
+      //    shape; cost must track the data ratio.
+      //  - chameleon: replica k appends `~k` to every WORD — char
+      //    n-grams stay similar (LSH banding and the char-space
+      //    estimate gate both fire) while word n-grams are disjoint
+      //    (exact verify rejects every cross-replica pair). The
+      //    template-text adversary (boilerplate with distinct
+      //    serials/IDs): measures the verify-stage flood the estimate
+      //    gate cannot prune — the worst honest case for the
+      //    char-estimate/word-verify two-space design.
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      def rotAlpha(k: Int): String = alpha.drop(k % 26) + alpha.take(k % 26)
+      def variant(textFor: Int => org.apache.spark.sql.Column): DataFrame =
+        (0 until factor).map { k =>
+          docs1.select((col("doc_id") + lit(k.toLong * idShift)).as("doc_id"),
+            (if (k == 0) col("text") else textFor(k)).as("text"))
+        }.reduce(_ unionByName _).repartition(64).localCheckpoint(true)
+      val docsDisjoint = variant(k =>
+        translate(col("text"), alpha + alpha.toUpperCase,
+          rotAlpha(k) + rotAlpha(k).toUpperCase))
+      val docsChameleon = variant(k =>
+        array_join(transform(split(col("text"), " "),
+          w => concat(w, lit(s"~$k"))), " "))
+      println(s"[scale] disjoint corpus: ${docsDisjoint.count()} docs; " +
+        s"chameleon corpus: ${docsChameleon.count()} docs")
       val cliqueOps = Seq(
         "x03 ngramJaccard t=.8" -> ((df: DataFrame) =>
           Dedup.ngramJaccard(df, "doc_id", "text", n = 3, threshold = 0.8)
@@ -119,8 +137,10 @@ object ScaleProbe {
         val t1 = time(s"$name 1x")(op(docs1))
         val tS = time(s"$name ${factor}x salt")(op(docsN))
         val tD = time(s"$name ${factor}x disj")(op(docsDisjoint))
+        val tC = time(s"$name ${factor}x cham")(op(docsChameleon))
         ratio(s"$name [salted]", t1, tS)
         ratio(s"$name [disjoint]", t1, tD)
+        ratio(s"$name [chameleon]", t1, tC)
       }
     }
 
