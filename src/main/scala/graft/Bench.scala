@@ -112,11 +112,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val wallStart = System.nanoTime()
     def wallElapsed(): Double = (System.nanoTime() - wallStart) / 1e9
-    // 2200 s of Bench-main time + ~60-120 s sbt/JVM startup lands the
-    // worst case under ~40 min, well inside the driver's ~60-min kill
-    // wall (r11's builder run: 5170 s sbt wall -> rc=124 at the driver)
-    val wallBudget = sys.env.getOrElse("SPARK_GRAFT_WALL", "2200").toDouble
+    // 2700 s of Bench-main time + ~60-120 s sbt/JVM startup lands the
+    // worst case under ~47 min, inside the driver's ~60-min kill wall
+    // with margin (r11's builder run: 5170 s sbt wall -> rc=124 at the
+    // driver; the r12 rehearsal at 2200 s finished rc=0 in 36:08)
+    val wallBudget = sys.env.getOrElse("SPARK_GRAFT_WALL", "2700").toDouble
     def wallLeft(): Double = wallBudget - wallElapsed()
+    // sf1 floor: OPTIONAL main-phase spend (contended re-attempts, the
+    // end-of-suite quiet retry, the pipeline's second window) stops
+    // once the remaining wall drops to the reserve, so main-suite noise
+    // chasing cannot starve the step-up section — the r12 rehearsal
+    // lost sf1 to exactly that (35 self-noise contended flags ->
+    // 64 re-measured rows -> 252 of 273 sf1 rows budget-skipped).
+    // Mandatory first attempts are never gated.
+    val sf1Reserve = sys.env.getOrElse("SPARK_GRAFT_SF1_RESERVE", "1000").toDouble
+    def optionalSpendOk(): Boolean = wallLeft() > sf1Reserve + 60.0
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -229,9 +239,14 @@ object Bench {
     // machine — a pure 1.5x threshold flagged 84/240 rows and the
     // false-positive waits + re-measures tripled the suite's wall time.
     // Contention worth flagging (the r6 kind: rows inflated 5-12x)
-    // drives the canary hundreds of ms past the min, far beyond +50 ms.
+    // drives the canary hundreds of ms past the min, far beyond the
+    // floor. The floor is +150 ms (r12): at +50 ms the false-positive
+    // rate on a VERIFIED-idle 32-thread run was still 68/273 rows
+    // (GC + state-store maintenance spikes survive min-of-2), and under
+    // the global wall budget those phantom re-measures starve the sf1
+    // section — r6-class contention clears +150 ms by construction.
     def contendedAt(c: Double): Boolean =
-      c > math.max(1.5 * canaryMin, canaryMin + 0.05)
+      c > math.max(1.5 * canaryMin, canaryMin + 0.15)
     val canarySeries = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     val contendedRows = scala.collection.mutable.LinkedHashSet[String]()
     // clear-window waits are debited against ONE global sleep budget:
@@ -273,7 +288,7 @@ object Bench {
       var attempts = 0
       var cPreFirst = -1.0
       while (!clean && attempts < MaxAttempts &&
-             (attempts == 0 || wallLeft() > 600)) {
+             (attempts == 0 || optionalSpendOk())) {
         val cPre = awaitClearWindow()
         if (attempts == 0) cPreFirst = cPre
         t = math.min(t, measureOnce())
@@ -322,8 +337,8 @@ object Bench {
     // more guarded pass NOW, after the noisy neighbors have finished —
     // the end of the run is the quietest window the process will see.
     // Wall-gated: on a squeezed run the `contended` flags stand as-is.
-    if (wallLeft() > 900) contendedRows.toSeq.foreach { name =>
-      selected.find(_._1 == name).foreach { case (_, fn) =>
+    contendedRows.toSeq.foreach { name =>
+      if (optionalSpendOk()) selected.find(_._1 == name).foreach { case (_, fn) =>
         val t2 = measureGuarded(name, series = false)(
           () => bestOfAdaptive(() => runOnce(name, fn)))
         results(name) = math.min(results(name), t2)
@@ -399,9 +414,15 @@ object Bench {
         var zombie = false
         // one timed attempt at the step-up SF: Right(seconds) on
         // completion, Left(true) on cap timeout, Left(false) on error
+        var sf1Attempt = 0
         def sf1Once(name: String, cap: Double): Either[Boolean, Double] = {
           val t0 = System.nanoTime()
-          val group = s"sf1-$name"
+          // group id must be unique PER ATTEMPT: AndFutureJobs persists
+          // the cancellation for the id, so a re-measure reusing the
+          // first attempt's name would have its jobs killed on submit
+          // and record a phantom error instead of a second reading
+          sf1Attempt += 1
+          val group = s"sf1-$name-$sf1Attempt"
           val fut = scala.concurrent.Future {
             // job group is thread-local: set it on the thread that
             // actually submits the jobs so cancelJobGroup reaches them
@@ -764,7 +785,7 @@ object Bench {
       var pipeClean = false
       var pipeAttempts = 0
       while (!pipeClean && pipeAttempts < 2 &&
-             (pipeAttempts == 0 || wallLeft() > 600)) {
+             (pipeAttempts == 0 || optionalSpendOk())) {
         val cPipePre = awaitClearWindow()
         val runCfg = if (pipeAttempts == 0) cfg else cfg.copy(
           outputBase = java.nio.file.Files.createTempDirectory("bench_pipe").toString)
