@@ -766,22 +766,26 @@ object SparkEntry {
       // TPC-H Q8 shape: per order-year, the ASIA-supplier share of
       // total revenue. One wide fact join where every dimension side
       // (supplier/nation/region) is broadcast — the fact table shuffles
-      // once for the year group-by and never for the dims. The share is
-      // a ratio of the two ALREADY-ROUNDED sums (repo oracle-compare
-      // convention) so the division replays bit-exactly in DuckDB.
+      // once for the year group-by and never for the dims. Revenue is
+      // summed in exact integer CENTS (per-row round, then long sum —
+      // the q29/q39 convention): round(sum,2) of a double sum flipped
+      // the last cent at the 10x step-up under partial-agg reordering.
+      // cents/100.0 is the same IEEE double in both engines, so the
+      // share division replays bit-exactly in DuckDB.
       val l = li(s, d); val o = ord(s, d)
       val sp = supp(s, d); val n = nat(s, d); val r = reg(s, d)
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(sp), l("l_suppkey") === sp("s_suppkey"))
         .join(broadcast(n), sp("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .withColumn("rev_cents",
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
         .agg(
-          round(sum(when(col("r_name") === "ASIA",
-            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .otherwise(lit(0.0))), 2).as("asia_rev"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-            .as("total_rev"))
+          (sum(when(col("r_name") === "ASIA", col("rev_cents"))
+            .otherwise(lit(0L))) / 100.0).as("asia_rev"),
+          (sum(col("rev_cents")) / 100.0).as("total_rev"))
         .withColumn("mkt_share", round(col("asia_rev") / col("total_rev"), 6))
         .orderBy("o_year")
     }),
@@ -8395,16 +8399,19 @@ object SparkEntry {
            round(sim, 6) AS centroid_sim, sim < 0.18 AS is_outlier
          FROM s WHERE rn = 1 ORDER BY vec_id""",
 
+    // Exact integer cents (per-row round, then BIGINT sum) — the double
+    // round(sum,2) flipped a cent at the 10x step-up; see q39.
     "q38_market_share" ->
       """WITH j AS (SELECT year(o_orderdate) AS o_year,
-             l_extendedprice * (1.0 - l_discount) AS rev, r_name
+             CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS rev_cents,
+             r_name
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            JOIN supplier ON l_suppkey = s_suppkey
            JOIN nation ON s_nationkey = n_nationkey
            JOIN region ON n_regionkey = r_regionkey),
          a AS (SELECT o_year,
-             round(sum(CASE WHEN r_name = 'ASIA' THEN rev ELSE 0.0 END), 2) AS asia_rev,
-             round(sum(rev), 2) AS total_rev
+             sum(CASE WHEN r_name = 'ASIA' THEN rev_cents ELSE 0 END) / 100.0 AS asia_rev,
+             sum(rev_cents) / 100.0 AS total_rev
            FROM j GROUP BY o_year)
          SELECT CAST(o_year AS INTEGER) AS o_year, asia_rev, total_rev,
            round(asia_rev / total_rev, 6) AS mkt_share
