@@ -136,7 +136,7 @@ object Bench {
     // is partition-invariant by construction) and wall time should move
     // only by scheduler overhead. Default stays = cpus.
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val builder = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.ui.enabled", "false")
@@ -148,6 +148,23 @@ object Bench {
       // after 30 s (caught + recorded as a zombie) instead of hanging
       // the whole bench past the driver's kill wall
       .config("spark.sql.streaming.stopTimeout", "30000")
+    // AQE reduce-partition sizing (guide §2.2 / Spark tuning guide):
+    // "sized" sets coalescePartitions.parallelismFirst=false so
+    // post-shuffle partitions coalesce toward
+    // advisoryPartitionSizeInBytes — the setting Spark's own SQL
+    // performance guide recommends (partitions sized by bytes, not by
+    // the local core count; at 100 TB the advisory size governs either
+    // way, this just makes small-stage behavior match it). "parallel"
+    // restores Spark's parallelism-first default. Measured A/B on a
+    // 25-row shuffle-heavy subset at sf0.1 (idle, min-of-2): 22.8 s
+    // parallel vs 17.8 s sized (q43 3.2→0.46, d43 1.55→0.60) — the
+    // saving is reduce-task scheduling on byte-tiny stages, exactly
+    // what the advisory-size rule removes at every scale.
+    val builder = sys.env.getOrElse("SPARK_GRAFT_COALESCE", "sized") match {
+      case "parallel" => builder0
+      case _ => builder0
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    }
     // optional state-store provider swap (profiling lever): the RocksDB
     // provider is the production choice once streaming state outgrows
     // the JVM heap (spill-to-disk, incremental checkpoints); the

@@ -77,6 +77,25 @@ object SparkEntry {
     * (one definition: changing the boundary in one gate cannot
     * desynchronize the other). Hex sorts numerically, so the 80/10/10
     * cut is a two-char string compare against 'cd'/'e6'. */
+  /** Run independent driver-side actions concurrently (guide §2.6:
+    * actions are only sequential because driver code calls them
+    * sequentially; Spark's FIFO scheduler back-fills one job's task
+    * tail with the next job's tasks). Used by the multi-setting gates
+    * (parameter sweeps, paired independent counts) whose results are
+    * deterministic per setting and therefore order-independent. A
+    * bounded pool: 2-4 jobs in flight fills the tail without starving
+    * any one job of executor slots. */
+  private def inParallel[T](thunks: Seq[() => T]): Seq[T] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(4, thunks.size)))
+    implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(
+        thunks.map(t => scala.concurrent.Future(t())).toList),
+      scala.concurrent.duration.Duration.Inf).toSeq
+    finally pool.shutdown()
+  }
+
   private def splitBucket: Column =
     substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
 
@@ -1073,12 +1092,18 @@ object SparkEntry {
       // diff against the oracle's self-ratio instead of hiding inside
       // the classified global undershoot.
       val t = docs(s, d)
-      val found = Dedup.simhashVerifiedPairs(t, "doc_id", "text",
-          threshold = 0.8, maxHamming = 8, blocks = 10)
-        .localCheckpoint(true)
-      val exactN = Dedup.exactJaccardPairsDense(
-        t.filter(col("doc_id") < 500), "doc_id", "text",
-        threshold = 0.8, ngram = 4).count()
+      // the banded-verify pipeline and the exact dense tier are
+      // independent job chains over the same corpus — overlap them
+      // (guide §2.6; both deterministic, so order cannot matter)
+      val Seq(foundA, exactNA) = inParallel(Seq[() => Any](
+        () => Dedup.simhashVerifiedPairs(t, "doc_id", "text",
+            threshold = 0.8, maxHamming = 8, blocks = 10)
+          .localCheckpoint(true),
+        () => Dedup.exactJaccardPairsDense(
+          t.filter(col("doc_id") < 500), "doc_id", "text",
+          threshold = 0.8, ngram = 4).count()))
+      val found = foundA.asInstanceOf[DataFrame]
+      val exactN = exactNA.asInstanceOf[Long]
       val foundN = found.where(col("src") < 500 && col("dst") < 500).count()
       val recall = if (exactN == 0L) 1.0 else foundN.toDouble / exactN
       found
@@ -2444,7 +2469,7 @@ object SparkEntry {
         .select(col("window.start").cast("timestamp_ntz").as("day_start"),
           col("n"))
       s.catalog.dropTempView("st18_tbl")
-      graft.streaming.Streaming.withShufflePartitions(s, 8) {
+      graft.streaming.Streaming.withShufflePartitions(s, graft.streaming.Streaming.DrainParts) {
         val q = daily.writeStream.format("memory").queryName("st18_tbl")
           .outputMode("append").start()
         try {
@@ -2486,7 +2511,7 @@ object SparkEntry {
         purchases, clicks, "user_id", "p_ts", "c_ts",
         lookback = "30 minutes", watermark = "1 hour")
       s.catalog.dropTempView("st19_tbl")
-      graft.streaming.Streaming.withShufflePartitions(s, 8) {
+      graft.streaming.Streaming.withShufflePartitions(s, graft.streaming.Streaming.DrainParts) {
         val q = joined.writeStream.format("memory").queryName("st19_tbl")
           .outputMode("append").start()
         try {
@@ -2704,11 +2729,15 @@ object SparkEntry {
       // running sum (Ranking.exactQuantiles) — the cardinality-3 group
       // key never becomes a single-task window sort of 1/3 of lineitem.
       val base = li(s, d).select("l_returnflag", "l_extendedprice", "l_quantity")
-      Ranking.exactQuantiles(base, "l_returnflag", "l_extendedprice",
-          Seq(0.5 -> "p50", 0.95 -> "p95"))
-        .join(Ranking.exactQuantiles(base, "l_returnflag", "l_quantity",
-          Seq(0.5 -> "q50")), "l_returnflag")
-        .orderBy("l_returnflag")
+      // the two value columns need separate distinct-value count tables
+      // — but their eager rank passes (repartition + checkpoint +
+      // offset collect) are independent jobs; overlap them (guide §2.6)
+      val Seq(price, qty) = inParallel(Seq(
+        () => Ranking.exactQuantiles(base, "l_returnflag", "l_extendedprice",
+          Seq(0.5 -> "p50", 0.95 -> "p95")),
+        () => Ranking.exactQuantiles(base, "l_returnflag", "l_quantity",
+          Seq(0.5 -> "q50"))))
+      price.join(qty, "l_returnflag").orderBy("l_returnflag")
     }),
 
     "d14_tfidf_topterms" -> ((s, d) => {
@@ -2862,7 +2891,7 @@ object SparkEntry {
         mem.toDF().toDF("user_id", "event_type", "t", "batch"),
         windowUs = 21600000000L)
       s.catalog.dropTempView("st09_tbl")
-      graft.streaming.Streaming.withShufflePartitions(s, 8) {
+      graft.streaming.Streaming.withShufflePartitions(s, graft.streaming.Streaming.DrainParts) {
         val q = funnel.toDF().writeStream.format("memory")
           .queryName("st09_tbl").outputMode("append").start()
         try {
@@ -2911,7 +2940,7 @@ object SparkEntry {
       val fun2 = graft.streaming.Streaming.streamingFunnelUnordered(
         mem.toDF().toDF("user_id", "event_type", "t", "batch"),
         windowUs = 21600000000L, latenessUs = math.max(range / 2, 1L))
-      graft.streaming.Streaming.withShufflePartitions(s, 8) {
+      graft.streaming.Streaming.withShufflePartitions(s, graft.streaming.Streaming.DrainParts) {
         val q = fun2.toDF().writeStream.format("memory")
           .queryName("st25_tbl").outputMode("append").start()
         try {
@@ -2962,7 +2991,7 @@ object SparkEntry {
       // harness OOM'd an 8 GiB driver at 50k docs; the operator itself
       // was always distributed).
       val all = docs(s, d)
-      val evTbl = graft.streaming.Streaming.withShufflePartitions(s, 8) {
+      val evTbl = graft.streaming.Streaming.withShufflePartitions(s, graft.streaming.Streaming.DrainParts) {
         graft.streaming.Streaming.runFileFedBatches(
           s, all.select(col("doc_id").as("id"),
             pmod(col("doc_id"), lit(4)).cast("int").as("batch"), col("text")),
@@ -2993,7 +3022,7 @@ object SparkEntry {
       val evidence = graft.streaming.Streaming.onlineSpanDupEvidence(
         mem.toDF().toDF("id", "batch", "text"), window = 8)
       s.catalog.dropTempView("st26_tbl")
-      graft.streaming.Streaming.withShufflePartitions(s, 8) {
+      graft.streaming.Streaming.withShufflePartitions(s, graft.streaming.Streaming.DrainParts) {
         val q = evidence.toDF().writeStream.format("memory")
           .queryName("st26_tbl").outputMode("append").start()
         try {
@@ -3179,7 +3208,7 @@ object SparkEntry {
       // commits dominate the row at gate SFs — halving the partition
       // count halves them; the fixture's ~6k-row working set is far
       // below where state parallelism starts to matter
-      graft.streaming.Streaming.withShufflePartitions(s, 4) {
+      graft.streaming.Streaming.withShufflePartitions(s, math.max(2, graft.streaming.Streaming.DrainParts / 2)) {
         val q = evidence.toDF().writeStream.format("memory")
           .queryName("st27_tbl").outputMode("append").start()
         try {
@@ -3232,7 +3261,7 @@ object SparkEntry {
       val mem = MemoryStream[UpsertEvent]
       val emits = graft.streaming.Streaming.upsertCompaction(mem.toDS())
       s.catalog.dropTempView("st10_tbl")
-      graft.streaming.Streaming.withShufflePartitions(s, 8) {
+      graft.streaming.Streaming.withShufflePartitions(s, graft.streaming.Streaming.DrainParts) {
         val q = emits.toDF().writeStream.format("memory")
           .queryName("st10_tbl").outputMode("append").start()
         try {
@@ -3514,8 +3543,15 @@ object SparkEntry {
       // so a silent table drift fails the gate before any encode).
       import s.implicits._
       val t = docs(s, d)
-      val bpe = BpeTrainer.trainFromCorpus(t, "text", vocabSize = 2000)
-      val uni = UnigramTrainer.trainFromCorpus(t, "text", vocabSize = 1000)
+      // the two trainers are independent job sequences over the same
+      // corpus — overlap them so one's driver-side merge loop back-fills
+      // with the other's distributed passes (guide §2.6); each trainer
+      // is deterministic, so concurrency cannot move the result
+      val Seq(bpeA, uniA) = inParallel(Seq[() => Any](
+        () => BpeTrainer.trainFromCorpus(t, "text", vocabSize = 2000),
+        () => UnigramTrainer.trainFromCorpus(t, "text", vocabSize = 1000)))
+      val bpe = bpeA.asInstanceOf[BpeTrainer.BpeModel]
+      val uni = uniA.asInstanceOf[UnigramTrainer.UnigramModel]
       val dir = java.nio.file.Files.createTempDirectory("spproto")
       val bpePath = dir.resolve("bpe.model").toString
       val uniPath = dir.resolve("uni.model").toString
@@ -3994,7 +4030,7 @@ object SparkEntry {
         .select(col("user_id"),
           col("sw.start").cast("timestamp_ntz").as("session_start"), col("n"))
       s.catalog.dropTempView("st13_tbl")
-      graft.streaming.Streaming.withShufflePartitions(s, 8) {
+      graft.streaming.Streaming.withShufflePartitions(s, graft.streaming.Streaming.DrainParts) {
         val q = stream.writeStream.format("memory").queryName("st13_tbl")
           .outputMode("append").start()
         try {
@@ -4216,7 +4252,7 @@ object SparkEntry {
         .select(col("window.start").cast("timestamp_ntz").as("hr"),
           col("event_type"), col("n"))
       s.catalog.dropTempView("st11_tbl")
-      graft.streaming.Streaming.withShufflePartitions(s, 8) {
+      graft.streaming.Streaming.withShufflePartitions(s, graft.streaming.Streaming.DrainParts) {
         val q = stream.writeStream.format("memory").queryName("st11_tbl")
           .outputMode("update").start()
         try {
@@ -4442,18 +4478,24 @@ object SparkEntry {
           case st: QueryStageExec => render(st.plan)
           case _ => ""
         }) + p.children.map(render).mkString
-        // execute FIRST: before an action, AdaptiveSparkPlanExec
-        // .executedPlan is the initial plan — a runtime re-plan away
-        // from the hinted strategy would go unseen
-        df.foreach(_ => ())
         render(df.queryExecution.executedPlan)
       }
       val smj = agg("merge"); val shj = agg("shuffle_hash")
+      // ONE execution per hinted join: the eager localCheckpoint both
+      // drives the plan to completion (so .executedPlan below is the
+      // FINAL adaptive plan — before an action it would be the initial
+      // one and a runtime re-plan away from the hint would go unseen)
+      // and pins the result, so the output union reads the checkpointed
+      // rows instead of re-running each join (the old foreach-then-union
+      // shape executed every join twice). The two materializations are
+      // independent jobs — overlap them (guide §2.6).
+      val Seq(smjC, shjC) = inParallel(Seq(
+        () => smj.localCheckpoint(true), () => shj.localCheckpoint(true)))
       val smjUsed = planOf(smj).contains("SortMergeJoin")
       val shjUsed = planOf(shj).contains("ShuffledHashJoin")
-      smj.select(lit("merge").as("strategy"), col("o_orderpriority"),
+      smjC.select(lit("merge").as("strategy"), col("o_orderpriority"),
           col("revenue"), col("n_lines"), lit(smjUsed).as("hint_honored"))
-        .unionByName(shj.select(lit("shuffle_hash").as("strategy"),
+        .unionByName(shjC.select(lit("shuffle_hash").as("strategy"),
           col("o_orderpriority"), col("revenue"), col("n_lines"),
           lit(shjUsed).as("hint_honored")))
         .orderBy("strategy", "o_orderpriority")
@@ -4853,10 +4895,14 @@ object SparkEntry {
       val cents = e.filter(pmod(col("vec_id"), lit(31)) === 7 && col("vec_id") < 500)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
         .localCheckpoint(true)
-      Seq(0.35, 0.42, 0.48, 0.55).map { t =>
+      // the four tau settings are independent jobs over the SAME
+      // checkpointed corpus + centroids — run them concurrently so the
+      // tail of one count back-fills with the next (guide §2.6); each
+      // count is deterministic, so order cannot matter
+      inParallel(Seq(0.35, 0.42, 0.48, 0.55).map(t => () =>
         (t, Dedup.semanticDedup(e, "vec_id", "embedding", cents,
-          threshold = t).count())
-      }.toDF("tau", "survivors").orderBy("tau")
+          threshold = t).count())))
+        .toDF("tau", "survivors").orderBy("tau")
     }),
 
     "e15_ivf_probe_curve" -> ((s, d) => {
@@ -4877,13 +4923,21 @@ object SparkEntry {
           "embedding", 5)
         .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
       val total = exact.count().toDouble
-      Seq(1, 2, 4, 8, 16).map { p =>
+      // warm the memoized quantizer ONCE before fanning out, then run
+      // the five probe settings as concurrent jobs (guide §2.6): each
+      // is an independent deterministic count over the same
+      // checkpointed inputs, so the only effect is back-filling the
+      // job tails. (computeIfAbsent would serialize concurrent fits
+      // anyway; the pre-warm keeps the fit itself out of the fan-out.)
+      Similarity.ivfTopK(q, e, "vec_id", "vec_id", "embedding",
+        5, nCentroids = 16, nProbe = 1)
+      inParallel(Seq(1, 2, 4, 8, 16).map(p => () => {
         val approx = Similarity.ivfTopK(q, e, "vec_id", "vec_id", "embedding",
           5, nCentroids = 16, nProbe = p)
         val hit = exact.join(approx.select(col("query_id"), col("neighbor_id")),
           Seq("query_id", "neighbor_id"), "left_semi").count()
         (p, math.rint(hit / total * 10000) / 10000)
-      }.toDF("n_probe", "recall").orderBy("n_probe")
+      })).toDF("n_probe", "recall").orderBy("n_probe")
     }),
 
     "e13_ivfpq_knn" -> ((s, d) => {
@@ -5595,11 +5649,24 @@ object SparkEntry {
           col("l_orderkey") === col("o_orderkey"))
         .withColumn("late",
           datediff(col("l_shipdate"), col("o_orderdate")) > 60)
-      val perOrder = lo.groupBy("l_orderkey")
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
-      val lateLines = lo.where(col("late"))
-        .select("l_orderkey", "l_suppkey").distinct()
+      // ONE per-(order, supplier) aggregate replaces the old two
+      // independent passes over the lineitem⋈orders join (a
+      // countDistinct pair — an Expand doubling the agg input — plus a
+      // separate distinct of the late lines): late_any = max(late) per
+      // supplier, then suppliers-per-order / late-suppliers-per-order
+      // are plain counts and the late-line list is a filter of the SAME
+      // frame — the join is scanned once and the Expand is gone
+      // (guide §2.4: two operations keyed the same way share one
+      // exchange). countDistinct(suppkey) == count of (order, supp)
+      // groups; countDistinct(when(late, suppkey)) == count of groups
+      // with any late line — value-identical by definition.
+      val perSupp = lo.groupBy("l_orderkey", "l_suppkey")
+        .agg(max(col("late")).as("late_any"))
+      val perOrder = perSupp.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"),
+          count(when(col("late_any"), lit(1))).as("n_late_supp"))
+      val lateLines = perSupp.where(col("late_any"))
+        .select("l_orderkey", "l_suppkey")
       lateLines
         .join(perOrder.where(col("n_supp") > 1 && col("n_late_supp") === 1),
           "l_orderkey")

@@ -258,10 +258,15 @@ object Decontamination {
     val gC = gramsOf(corpus, "__c_id")
       .join(collide.select("__c_id").distinct(), Seq("__c_id"), "left_semi")
     val gE = gramsOf(evalDocs, "__ev_id")
+    // |A∪B| = |A|+|B|−|A∩B| on distinct-hash gram sets: bit-identical
+    // __j (same integer denominator) without building the union array
+    // per candidate pair (guide §2.3)
     val verified = collide.join(gC, "__c_id").join(gE, "__ev_id")
+      .withColumn("__i",
+        size(array_intersect(col("__c_id_g"), col("__ev_id_g"))).cast("double"))
       .withColumn("__j",
-        size(array_intersect(col("__c_id_g"), col("__ev_id_g"))).cast("double")
-          / size(array_union(col("__c_id_g"), col("__ev_id_g"))))
+        col("__i") / ((size(col("__c_id_g")) + size(col("__ev_id_g")))
+          .cast("double") - col("__i")))
       .where(col("__j") >= threshold)
     val per = verified.groupBy("__c_id")
       .agg(count(lit(1)).as("n_matches"),

@@ -185,13 +185,27 @@ object Dedup {
   def spanTrim(df: DataFrame, idCol: String, textCol: String,
                window: Int = 8): DataFrame = {
     require(window > 0, "window must be positive")
+    // persisted: the window rows feed the duplicate-fingerprint count
+    // AND the occurrence join — unpersisted, the stride-1 explode (+ an
+    // md5 per window, ~1 row per corpus token) ran twice per query
+    // (both Generates visible in the r12 before-plan). Session-scoped,
+    // LRU-evictable (the simhashVerifiedPairs convention).
     val wins = spanWindowRows(df, idCol, textCol, window)
-    val winners = wins.groupBy("__fp").agg(
-      count(lit(1)).as("__c"),
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // count first, struct-min second: min(struct) is a declarative agg
+    // over an immutable type, which Spark plans as a SortAggregate — a
+    // full sort of the ~1-row-per-token window table. The plain count
+    // hash-aggregates map-side; only fingerprints that actually repeat
+    // (tiny by comparison) reach the struct-min. Winner per fingerprint
+    // is unchanged: the min over a fingerprint's occurrences equals the
+    // min over that fingerprint's occurrences in the dup-only subset.
+    val dupFp = wins.groupBy("__fp").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= 2).select("__fp")
+    val dupWins = wins.join(dupFp, "__fp")
+    val winners = dupWins.groupBy("__fp").agg(
       min(struct(col(idCol).as("d"), col("__pos").as("p"))).as("__w"))
-    val dup = wins.join(winners, "__fp")
-      .where(col("__c") >= 2 &&
-        !(col(idCol) === col("__w.d") && col("__pos") === col("__w.p")))
+    val dup = dupWins.join(winners, "__fp")
+      .where(!(col(idCol) === col("__w.d") && col("__pos") === col("__w.p")))
       .select(col(idCol), col("__pos"))
     spanExcise(df, idCol, textCol, window, dup)
   }
@@ -499,9 +513,14 @@ object Dedup {
       .join(collide.select("__new_id").distinct(), Seq("__new_id"), "left_semi")
     val gIdx = gramsOf(corpus, "__idx_id")
       .join(collide.select("__idx_id").distinct(), Seq("__idx_id"), "left_semi")
+    // |A∪B| = |A|+|B|−|A∩B| on distinct-hash gram sets — same integer
+    // denominator as the union-array form, minus the per-pair union
+    // build (guide §2.3); __i staged so the intersect runs once per pair
     val dupIds = collide.join(gNew, "__new_id").join(gIdx, "__idx_id")
-      .where(size(array_intersect(col("__new_id_g"), col("__idx_id_g"))).cast("double")
-        / size(array_union(col("__new_id_g"), col("__idx_id_g"))) >= threshold)
+      .withColumn("__i",
+        size(array_intersect(col("__new_id_g"), col("__idx_id_g"))).cast("double"))
+      .where(col("__i") / ((size(col("__new_id_g")) + size(col("__idx_id_g")))
+        .cast("double") - col("__i")) >= threshold)
       .select(col("__new_id").as(idCol)).distinct()
     // collide stays persisted (referenced by three downstream joins);
     // session-scoped, LRU-evictable — same convention as
@@ -668,9 +687,12 @@ object Dedup {
     val g1 = grams.select(col("id").as("src"), col("g").as("g1"))
     val g2 = grams.select(col("id").as("dst"), col("g").as("g2"))
     pairs.join(g1, "src").join(g2, "dst")
+      // |A∪B| = |A|+|B|−|A∩B| on distinct-hash sets: identical integer
+      // denominator (and thus bit-identical jaccard double) without the
+      // per-pair union-array build — guide §2.3
+      .withColumn("__i", size(array_intersect(col("g1"), col("g2"))).cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("g1"), col("g2"))).cast("double")
-          / size(array_union(col("g1"), col("g2"))))
+        col("__i") / ((size(col("g1")) + size(col("g2"))).cast("double") - col("__i")))
       .where(col("jaccard") >= threshold)
       .select("src", "dst", "jaccard")
   }
@@ -828,7 +850,13 @@ object Dedup {
     val s2 = sh.select(col("id").as("dst"), col("sh").as("sh2"))
     val pairs = cand.join(s1, "src").join(s2, "dst")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      // |A∪B| = |A|+|B|−|A∩B| exactly (both sides are array_distinct
+      // sets): same integer denominator as size(array_union(...)), so
+      // the double compare is bit-identical — but the per-pair
+      // hash-union array build is gone (guide §2.3: the union walked
+      // and materialized n1+n2 elements per candidate pair; size() of
+      // an existing array is O(1))
+      .withColumn("uni", (size(col("sh1")) + size(col("sh2"))).cast("double") - col("inter"))
       .where(col("uni") > 0 && col("inter") / col("uni") >= threshold)
       .select("src", "dst")
     sh.unpersist()

@@ -39,15 +39,61 @@ import org.apache.spark.storage.StorageLevel
   */
 object Hits {
 
+  /** Edge-count bound for the driver fast path — the
+    * [[ConnectedComponents.SmallGraphEdges]] convention: below it the
+    * iterative loop would spend seconds of pure job scheduling (two
+    * eager checkpoints per iteration, each a multi-stage job) on a
+    * graph the driver folds in microseconds; above it the distributed
+    * loop runs unchanged. The integer max-normalized update rule is
+    * order-independent, so the two paths are bit-identical. */
+  val SmallGraphEdges: Long = 200000L
+
+  /** Driver replay of the exact integer update rule — same micro-unit
+    * multiply / sum / `(v * 1e6) div max` per half-iteration, summed
+    * over a sorted edge list (integer sums are order-independent
+    * anyway; the sort just makes that visible). */
+  private def runDriver(edges: Array[(String, String, Long)],
+                        iterations: Int, spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    var hub = nodes.map(_ -> 1000000L).toMap
+    var auth = Map.empty[String, Long]
+    def normalize(raw: Map[String, Long]): Map[String, Long] = {
+      val full = nodes.map(n => n -> raw.getOrElse(n, 0L)).toMap
+      val mx = full.values.max
+      if (mx <= 0L) full else full.map { case (n, v) => n -> (v * 1000000L) / mx }
+    }
+    for (_ <- 1 to iterations) {
+      val authRaw = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => hub(e._1) * e._3).sum }
+      auth = normalize(authRaw)
+      val hubRaw = edges.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(e => auth(e._2) * e._3).sum }
+      hub = normalize(hubRaw)
+    }
+    nodes.map(n => (n, auth.getOrElse(n, 0L), hub.getOrElse(n, 0L))).toSeq
+      .toDF("node", "auth_micro", "hub_micro")
+  }
+
   /** @param edges (src: string, dst: string, w: long) — self-loops and
     *              non-positive weights dropped defensively.
     * @return (node: string, auth_micro: long, hub_micro: long) */
-  def run(edges: DataFrame, iterations: Int = 2): DataFrame = {
+  def run(edges: DataFrame, iterations: Int = 2,
+          smallGraphEdges: Long = SmallGraphEdges): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val e = edges.select(col("src").cast("string").as("src"),
         col("dst").cast("string").as("dst"), col("w").cast("long").as("w"))
       .where(col("src") =!= col("dst") && col("w") > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // bounded probe (limit N+1, never a full count) for the driver fast
+    // path: a host-graph fixture is model-sized; the distributed loop
+    // only earns its scheduling cost past the bound
+    if (e.limit((smallGraphEdges + 1).toInt).count() <= smallGraphEdges) {
+      val collected = e.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val out = runDriver(collected, iterations, edges.sparkSession)
+      e.unpersist()
+      return out
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()

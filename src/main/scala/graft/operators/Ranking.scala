@@ -128,12 +128,17 @@ object Ranking {
     val totals = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
     val cum = withRunningSum(counts, Seq(groupCol), Seq(col("__v")), col("__c"), "__cum")
       .join(broadcast(totals), groupCol)
-    ps.map { case (p, name) =>
-      // rank target r = ceil(p*n); the ranked element is the smallest
-      // distinct value whose cumulative count reaches r
-      cum.where(col("__cum") >= ceil(lit(p) * col("__n")))
-        .groupBy(groupCol).agg(min("__v").as(name))
-    }.reduce(_.join(_, groupCol))
+    // rank target r = ceil(p*n); the ranked element is the smallest
+    // distinct value whose cumulative count reaches r. ONE aggregate
+    // computes every requested percentile — min(when(...)) over the
+    // same pass is value-identical to the old per-p filter+min chain
+    // (min ignores the nulls the when() emits) and replaces p shuffled
+    // aggregates + (p-1) joins with a single map-side-partial aggregate
+    // (guide §2.4: fewer shuffles outright).
+    val aggs = ps.map { case (p, name) =>
+      min(when(col("__cum") >= ceil(lit(p) * col("__n")), col("__v"))).as(name)
+    }
+    cum.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
 
   /** DPO/RLHF preference-pair construction (Rafailov et al. 2023 train

@@ -211,20 +211,29 @@ object TextAnalysis {
     }
     norm.foreach { case (t, p) =>
       require(p.nonEmpty, s"tag '$t' has an empty phrase") }
-    val byN = norm.groupBy(_._2.split(" ").length).toSeq.sortBy(_._1)
-    val matchedPerN = byN.map { case (n, ps) =>
-      val pairsLit = typedLit(ps)
-      // let-bind the shingle array as a lambda variable: referencing it
-      // from the filter lambda's body directly would re-shingle the doc
-      // once per phrase (the spanFingerprints lesson)
-      element_at(transform(array(TextFunctions.wordShingles(col(textCol), n)),
-        a => transform(
-          filter(pairsLit, pr => array_contains(a, pr.getField("_2"))),
-          pr => pr.getField("_1"))), 1)
-    }
-    val merged = matchedPerN.reduce(concat(_, _))
+    // an n-token phrase occurs as a word shingle of the normalized text
+    // iff " phrase " is a substring of " normalized-text " (tokens are
+    // single-space separated after normalizeForDedup, so padded
+    // substring containment == word-boundary sequence match — exactly
+    // the padded-LIKE formulation the oracle states). The old shape
+    // materialized the FULL n-gram string array per width per doc
+    // (O(tokens · widths) string allocations) only to array_contains
+    // against each phrase; one padded contains() per phrase does the
+    // same match with zero per-doc array builds. A shorter-than-n-token
+    // doc cannot contain an n-token padded phrase either way, so the
+    // wordShingles whole-text fallback branch needs no special case.
+    val pairsLit = typedLit(norm)
+    // let-bind the padded text as a lambda variable so normalization
+    // runs once per doc, not once per phrase (the spanFingerprints
+    // lesson)
+    val padded = concat(lit(" "), TextFunctions.normalizeForDedup(col(textCol)), lit(" "))
+    val matched = element_at(transform(array(padded),
+      p => transform(
+        filter(pairsLit, pr =>
+          p.contains(concat(lit(" "), pr.getField("_2"), lit(" ")))),
+        pr => pr.getField("_1"))), 1)
     df.withColumn(outCol,
-      coalesce(array_join(array_sort(array_distinct(merged)), ","), lit("")))
+      coalesce(array_join(array_sort(array_distinct(matched)), ","), lit("")))
   }
 
   /** Out-of-vocabulary token marker for the bigram LM — a control char

@@ -502,6 +502,18 @@ object Streaming {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Stream-drain shuffle/state width for the fixture-sized gate
+    * harnesses (env `SPARK_GRAFT_STREAM_PARTS`). Stateful operators
+    * open + commit one state-store instance PER shuffle partition PER
+    * micro-batch, a fixed cost that dwarfs the data on gate-sized
+    * streams — st27 measured 7.4 s -> 4.7 s going 8 -> 4 in r10.
+    * Sizing, not semantics: every gate is partition-invariant by
+    * construction (keyed state meets all its rows at any width); at
+    * production stream volumes the width follows key cardinality /
+    * throughput, which is why this is a knob and not a constant. */
+  val DrainParts: Int =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4").toInt
+
   /** Deterministic multi-micro-batch drive of a streaming transform
     * with NOTHING materialized on the driver — the de-drivered twin of
     * the MemoryStream fixture harness (which collects the whole corpus
@@ -638,7 +650,7 @@ object Streaming {
   /** Drain a stream to an in-memory table with AvailableNow (process
     * everything currently present, then stop). Returns the table name. */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Update()): String =
-    withShufflePartitions(df.sparkSession, 8) {
+    withShufflePartitions(df.sparkSession, DrainParts) {
       // default (HDFS-backed, on-heap) provider: measured FASTER than
       // RocksDB on fixture-sized state (native-lib + snapshot overhead
       // dominates when per-partition state is a few MB); flip to
@@ -660,7 +672,7 @@ object Streaming {
     * idempotent per batch id (overwrite its own batch's output,
     * never blind-append). */
   def runForeachBatch(df: DataFrame, handler: (DataFrame, Long) => Unit): Unit =
-    withShufflePartitions(df.sparkSession, 8) {
+    withShufflePartitions(df.sparkSession, DrainParts) {
       val q = df.writeStream
         .foreachBatch(handler)
         .trigger(Trigger.AvailableNow())

@@ -48,6 +48,18 @@ class HitsSpec extends SparkSpec {
     assert(r1 == r7)
   }
 
+  test("hits: driver fast path and distributed loop are bit-identical") {
+    // smallGraphEdges = 0 forces the distributed alternating loop; the
+    // default takes the driver fold on this model-sized graph — the
+    // r12 fast path must not move a single micro-unit
+    val df = graph.toDF("src", "dst", "w")
+    val fast = Hits.run(df, iterations = 2)
+      .orderBy("node").collect().toSeq
+    val dist = Hits.run(df, iterations = 2, smallGraphEdges = 0L)
+      .orderBy("node").collect().toSeq
+    assert(fast == dist)
+  }
+
   test("hits: authority mass follows in-links, hub mass follows out-links") {
     val got = Hits.run(graph.toDF("src", "dst", "w"), iterations = 2)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
