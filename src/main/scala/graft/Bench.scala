@@ -154,16 +154,18 @@ object Bench {
     // advisoryPartitionSizeInBytes — the setting Spark's own SQL
     // performance guide recommends (partitions sized by bytes, not by
     // the local core count; at 100 TB the advisory size governs either
-    // way, this just makes small-stage behavior match it). "parallel"
-    // restores Spark's parallelism-first default. Measured A/B on a
-    // 25-row shuffle-heavy subset at sf0.1 (idle, min-of-2): 22.8 s
-    // parallel vs 17.8 s sized (q43 3.2→0.46, d43 1.55→0.60) — the
-    // saving is reduce-task scheduling on byte-tiny stages, exactly
-    // what the advisory-size rule removes at every scale.
-    val builder = sys.env.getOrElse("SPARK_GRAFT_COALESCE", "sized") match {
-      case "parallel" => builder0
-      case _ => builder0
+    // way). Default stays "parallel": a FULL-suite A/B showed the sized
+    // mode is a net loss on this engine — post-shuffle stages here are
+    // CPU-dense per byte (per-pair array intersections, shingling,
+    // model scoring), so coalescing a KB-sized exchange to one task
+    // serializes seconds of compute (x-family +12 s, throughput suites
+    // −48%, pipeline e2e 12.7 → 24.4 s) and the wins on scan-shaped
+    // rows were inside run noise. The knob stays for byte-dense
+    // deployments, where sizing by bytes is the right rule.
+    val builder = sys.env.getOrElse("SPARK_GRAFT_COALESCE", "parallel") match {
+      case "sized" => builder0
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      case _ => builder0
     }
     // optional state-store provider swap (profiling lever): the RocksDB
     // provider is the production choice once streaming state outgrows

@@ -3202,13 +3202,12 @@ object SparkEntry {
         mem.toDF().toDF("id", "batch", "text", "ts"), window = 8,
         retention = Some("100 seconds"))
       s.catalog.dropTempView("st27_tbl")
-      // 4 state partitions (st26 uses 8): the TTL variant runs ~2x the
-      // micro-batches (every processAllAvailable appends a no-data
-      // watermark pass that fires the timeouts), so per-batch state
-      // commits dominate the row at gate SFs — halving the partition
-      // count halves them; the fixture's ~6k-row working set is far
-      // below where state parallelism starts to matter
-      graft.streaming.Streaming.withShufflePartitions(s, math.max(2, graft.streaming.Streaming.DrainParts / 2)) {
+      // drains at DrainParts like every other st row since r12 (the
+      // old tuned 4-vs-8 split collapsed once the global default became
+      // 4; a further halving to 2 measured WORSE in the r12 full run —
+      // 5.36 s vs 4.85 — the TTL variant's extra watermark batches are
+      // not state-commit-bound below width 4)
+      graft.streaming.Streaming.withShufflePartitions(s, graft.streaming.Streaming.DrainParts) {
         val q = evidence.toDF().writeStream.format("memory")
           .queryName("st27_tbl").outputMode("append").start()
         try {

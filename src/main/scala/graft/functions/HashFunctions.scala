@@ -341,6 +341,55 @@ case class CosineSim(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+/** Count of equal positions between two long arrays in ONE pass — the
+  * MinHash signature position-match kernel behind
+  * [[MinHashUnionAgg.estimatedJaccard]]. Mirrors the
+  * `aggregate(zip_with(a, b, (x,y) -> if(x=y,1,0)))` HOF chain it
+  * replaces exactly: unequal lengths count matches over the common
+  * prefix only (zip_with pads with null, null == v is null, the
+  * otherwise-0 branch fires); a null ELEMENT contributes 0; a null
+  * ARRAY on either side yields null. */
+case class SigMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sig_match_count requires array<bigint>, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(av: Any, bv: Any): Any = {
+    val a = av.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = bv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) m += 1
+      i += 1
+    }
+    m
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = ((Integer) $ref.nullSafeEval($a, $b)).intValue();")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigMatchCount =
+    copy(left = l, right = r)
+  override def prettyName: String = "sig_match_count"
+}
+
 /** Squared L2 distance of two numeric arrays (see
   * [[HashFunctions.l2Sq]]) — one pass, left-to-right `(x−y)²`
   * accumulation in a double. */

@@ -108,10 +108,17 @@ object MinHashUnionAgg {
     ExpressionUtils.column(
       MinHashUnionAgg(ExpressionUtils.expression(c), k).toAggregateExpression())
 
-  /** Estimated Jaccard between two aggregated signatures. */
+  /** Estimated Jaccard between two aggregated signatures: matching
+    * positions / k. The position-match count is a one-pass codegen
+    * expression ([[graft.functions.SigMatchCount]]) — the
+    * `aggregate(zip_with(...))` HOF chain it replaces evaluated two
+    * interpreted lambdas per signature position per pair, the dominant
+    * per-pair cost of the estimate-verify stage. Identical values: the
+    * count is the same integer, the division the same double. */
   def estimatedJaccard(a: Column, b: Column): Column = {
     import org.apache.spark.sql.functions._
-    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x).cast("double") / size(a)
+    ExpressionUtils.column(graft.functions.SigMatchCount(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+      .cast("double") / size(a)
   }
 }

@@ -70,8 +70,40 @@ object ConnectedComponents {
     * Two broadcast-friendly joins — no driver materialization, and no
     * hash-collision risk at 10^9+ vertices (unlike hashing ids to 64
     * bits directly). */
-  def runOnStrings(pairs: DataFrame): DataFrame = {
+  def runOnStrings(pairs: DataFrame,
+                   smallGraphEdges: Long = SmallGraphEdges): DataFrame = {
     import org.apache.spark.sql.functions.monotonically_increasing_id
+    // driver fast path (the run() convention, bounded probe first):
+    // below SmallGraphEdges the id-mapping machinery — distinct ids +
+    // eager checkpoint + four joins — costs more scheduling than the
+    // whole graph costs to fold on the driver. Union-by-min over the
+    // STRING order makes the labeling deterministic (the mapped path's
+    // labels were monotonic-id-arbitrary; callers only group on them).
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val probe = pairs.limit((math.min(smallGraphEdges, Int.MaxValue - 1L) + 1L).toInt).count()
+    if (probe <= smallGraphEdges) {
+      val es = pairs.select(col("src").cast("string"), col("dst").cast("string"))
+        .as[(String, String)].collect()
+      val parent = scala.collection.mutable.HashMap[String, String]()
+      def find(x: String): String = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      return parent.keys.toSeq.map(k => (k, find(k)))
+        .toDF("id", "component")
+    }
     // localCheckpoint (not persist+count): monotonically_increasing_id is
     // nondeterministic under recomputation, and this mapping feeds TWO
     // joins below — if an executor-loss/cache-eviction recompute reassigned

@@ -75,7 +75,7 @@ class ConnectedComponentsSpec extends SparkSpec {
     val pairs = Seq(
       ("aaa", "bbb"), ("bbb", "ccc"), ("xxx", "yyy"), ("yyy", "zzz"), ("ccc", "aaa"))
       .toDF("src", "dst")
-    def run() = ConnectedComponents.runOnStrings(pairs).collect()
+    def run() = ConnectedComponents.runOnStrings(pairs, smallGraphEdges = 0L).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     val first = run()
     // representative is the min *dense id* (assignment-order dependent),
@@ -85,6 +85,25 @@ class ConnectedComponentsSpec extends SparkSpec {
     first.foreach { case (id, comp) => assert(first(comp) == comp, s"$id -> $comp not a root") }
     // second full evaluation (fresh checkpoint) must agree exactly
     assert(run() == first)
+  }
+
+  test("runOnStrings driver fast path groups like the mapped distributed path") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("aaa", "bbb"), ("bbb", "ccc"), ("xxx", "yyy"), ("yyy", "zzz"),
+      ("ccc", "aaa"), ("solo1", "solo2")).toDF("src", "dst")
+    def groupsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(1))
+        .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    // default: driver union-find (graph under SmallGraphEdges). The
+    // label is now the lexicographic min; the grouping must equal the
+    // mapped path's, which the recompute-stability test above pins.
+    val fast = ConnectedComponents.runOnStrings(pairs)
+    assert(groupsOf(fast) ==
+      Set(Set("aaa", "bbb", "ccc"), Set("xxx", "yyy", "zzz"), Set("solo1", "solo2")))
+    // driver path labels by string-min root
+    val m = fast.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("bbb") == "aaa" && m("zzz") == "xxx" && m("solo2") == "solo1")
   }
 
   test("random graphs match union-find") {
