@@ -454,6 +454,14 @@ object SparkEntry {
     }),
 
     "q05_region_revenue" -> ((s, d) => {
+      // Revenue summed in exact integer CENTS (per-row round, BIGINT
+      // sum, /100.0 at the edge — the q29/q38/q39 convention): the r13
+      // SF1_COMPARE caught round(sum(double), 2) one cent off at the
+      // materialized 10x step-up (463797812.93 vs .94 — partial-agg
+      // reordering lands the accumulated error on a rounding boundary
+      // once the nation groups are large enough). cents/100.0 is the
+      // same IEEE double in both engines at every SF. Oracle SQL
+      // redefined in lockstep; verified exact at sf0.001/sf0.01/10x.
       val l = li(s, d); val o = ord(s, d); val c = cust(s, d)
       val sp = supp(s, d); val n = nat(s, d); val r = reg(s, d)
       l.join(o, l("l_orderkey") === o("o_orderkey"))
@@ -461,8 +469,11 @@ object SparkEntry {
         .join(broadcast(sp), l("l_suppkey") === sp("s_suppkey") && c("c_nationkey") === sp("s_nationkey"))
         .join(broadcast(n), sp("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .withColumn("rev_cents",
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long"))
         .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .agg((sum(col("rev_cents")) / 100.0).as("revenue"))
         .orderBy(desc("revenue"), asc("n_name"))
     }),
 
@@ -5659,8 +5670,16 @@ object SparkEntry {
       // exchange). countDistinct(suppkey) == count of (order, supp)
       // groups; countDistinct(when(late, suppkey)) == count of groups
       // with any late line — value-identical by definition.
+      // eager checkpoint: perSupp feeds BOTH perOrder and lateLines, and
+      // the r13 executed-plan dump (plans/r13/q46 before) shows AQE
+      // exchange reuse does NOT unify the two subtrees — column pruning
+      // diverges them (perOrder drops l_suppkey), so only the orders
+      // BROADCAST was reused and the lineitem⋈orders join + aggregate
+      // ran twice. Materializing the (order, supplier)-sized aggregate
+      // once makes "one lineitem scan" true by construction at any SF.
       val perSupp = lo.groupBy("l_orderkey", "l_suppkey")
         .agg(max(col("late")).as("late_any"))
+        .localCheckpoint(true)
       val perOrder = perSupp.groupBy("l_orderkey")
         .agg(count(lit(1)).as("n_supp"),
           count(when(col("late_any"), lit(1))).as("n_late_supp"))
@@ -6037,8 +6056,11 @@ object SparkEntry {
          WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
+    // Exact integer cents (per-row round, then BIGINT sum) — the double
+    // round(sum,2) flipped a cent at the r13 10x step-up; see q38/q39.
     "q05_region_revenue" ->
-      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      """SELECT n_name,
+           sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey

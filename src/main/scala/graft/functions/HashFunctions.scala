@@ -830,6 +830,77 @@ case class CharShingleHashes(child: Expression, ngram: Int)
   override def prettyName: String = "char_shingle_hashes"
 }
 
+/** Stride-1 `window`-token 16-byte md5 fingerprints of a token array in
+  * ONE pass — the span-dedup kernel behind [[graft.operators.Dedup]]'s
+  * spanTrim / spanWindowRows family (x15/d80/d81/st26/st31/st07 and the
+  * decontamination span path). Mirrors the
+  * `transform(sequence(0, n-window), i ->
+  *    unhex(md5(array_join(slice(a, i+1, window), " "))))` chain it
+  * replaces byte-for-byte: each window's digest is MD5 over the UTF-8
+  * bytes of its tokens joined with single spaces, null tokens omitted
+  * along with their delimiter (ArrayJoin's no-replacement rule) — but
+  * without the per-window slice copy, the joined-string allocation, or
+  * the hex-encode/unhex round trip (md5() emits a 32-char hex string
+  * the old chain immediately parsed back to 16 bytes). Sub-window
+  * arrays yield an EMPTY array (no windows => never trimmed), matching
+  * the `when(size(a) >= window, ...)` guard it replaces. */
+case class SpanWindowFps(child: Expression, window: Int)
+    extends UnaryExpression with RefEvalCodegen {
+  require(window > 0, "window must be positive")
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override protected def javaResultType: String =
+    "org.apache.spark.sql.catalyst.util.ArrayData"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"span_fingerprints requires array<string>, got ${other.sql}")
+    }
+
+  // the expression object is captured once per generated class and
+  // shared across tasks — digest state must be per-thread
+  @transient private lazy val md5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+  private val Space = Array[Byte](' ')
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = a.numElements()
+    if (n < window) return new GenericArrayData(Array.empty[Any])
+    // token bytes decoded once, reused by every covering window
+    val tok = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) tok(i) = a.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = md5.get()
+    val out = new Array[Any](n - window + 1)
+    var s = 0
+    while (s <= n - window) {
+      var k = s
+      var first = true
+      while (k < s + window) {
+        if (tok(k) != null) {
+          if (!first) md.update(Space)
+          md.update(tok(k))
+          first = false
+        }
+        k += 1
+      }
+      out(s) = md.digest() // returns the 16 bytes and resets
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): SpanWindowFps = copy(child = c)
+  override def prettyName: String = "span_fingerprints"
+}
+
 case class MinHashSignature(child: Expression, k: Int, ngram: Int, seed: Long)
     extends UnaryExpression with RefEvalCodegen {
   require(k > 0 && ngram > 0)

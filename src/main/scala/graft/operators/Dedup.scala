@@ -204,9 +204,17 @@ object Dedup {
     val dupWins = wins.join(dupFp, "__fp")
     val winners = dupWins.groupBy("__fp").agg(
       min(struct(col(idCol).as("d"), col("__pos").as("p"))).as("__w"))
+    // eager checkpoint of the dup-occurrence set (small: dup windows
+    // minus winners), then free the window cache DETERMINISTICALLY —
+    // session-LRU eviction of a ~1-row-per-corpus-token persist is a
+    // large spill surface inside one query at 100 TB (r12 verdict #5).
+    // Both window-cache consumers (dupFp count + occurrence join) are
+    // upstream of this checkpoint, so nothing re-derives wins after it.
     val dup = dupWins.join(winners, "__fp")
       .where(!(col(idCol) === col("__w.d") && col("__pos") === col("__w.p")))
       .select(col(idCol), col("__pos"))
+      .localCheckpoint(true)
+    wins.unpersist()
     spanExcise(df, idCol, textCol, window, dup)
   }
 
@@ -224,28 +232,25 @@ object Dedup {
   def spanFingerprints(text: Column, window: Int): Column = {
     require(window > 0, "window must be positive")
     val tk = split(regexp_replace(trim(coalesce(text, lit(""))), "\\s+", " "), " ")
-    // let-bind the token array as a lambda variable (transform over a
-    // 1-element array): a lambda BODY re-evaluates any outer
-    // sub-expression per element, so referencing the split directly
-    // inside the window transform would re-tokenize the doc once per
-    // window — quadratic per doc. A lambda VARIABLE is evaluated once.
-    // stride-1 fingerprints; sequence() would count DOWN for short
-    // docs, so guard to an empty array (no windows => never trimmed)
-    element_at(transform(array(tk), a => windowFpsOfTokens(a, window)), 1)
+    // the tokenize is a single CHILD of the one-pass kernel expression,
+    // evaluated once per row — no let-binding gymnastics needed (the
+    // r12 shape bound it as a lambda variable to avoid per-window
+    // re-tokenization under the HOF chain this expression replaced)
+    windowFpsOfTokens(tk, window)
   }
 
-  /** The window-fingerprint kernel over an ALREADY LET-BOUND token
-    * array (a lambda variable or other once-evaluated expression):
-    * stride-1 `window`-token 16-byte binary md5 fingerprints, empty
-    * for sub-window docs. Callers that also need the tokens
-    * themselves bind the array once and derive both from it —
-    * re-tokenizing per use is the quadratic-lambda trap
-    * [[spanFingerprints]] documents. */
+  /** The window-fingerprint kernel over a token array: stride-1
+    * `window`-token 16-byte binary md5 fingerprints, empty for
+    * sub-window docs — ONE custom codegen expression
+    * ([[graft.functions.SpanWindowFps]], byte-identical to the
+    * `unhex(md5(array_join(slice(...))))` HOF chain it replaced; the
+    * r13 change — SpanFpSpec pins the equivalence). Callers pass a
+    * non-null array (both do: split() of a coalesced string is never
+    * null, and the decontamination path binds array(tk) elements). */
   private[operators] def windowFpsOfTokens(a: Column, window: Int): Column =
-    when(size(a) >= window,
-      transform(sequence(lit(0), size(a) - window),
-        i => unhex(md5(array_join(slice(a, i + 1, lit(window)), " ")))))
-      .otherwise(array().cast("array<binary>"))
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.SpanWindowFps(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a), window))
 
   /** doc → stride-1 `window`-token fingerprint rows
     * (idCol, carryCols..., __pos, __fp) — [[spanTrim]]'s candidate

@@ -34,15 +34,64 @@ import org.apache.spark.storage.StorageLevel
   */
 object PageRank {
 
+  /** Edge-count bound for the driver fast path — the
+    * [[Hits.SmallGraphEdges]] / [[ConnectedComponents.SmallGraphEdges]]
+    * convention: below it the iterative loop spends seconds of pure job
+    * scheduling (an eager checkpoint per iteration, each a multi-stage
+    * job) on a graph the driver folds in microseconds; above it the
+    * distributed loop runs unchanged. Every step of the update rule is
+    * exact integer arithmetic (multiply / truncating div / sum), so the
+    * two paths are bit-identical — PageRankSpec pins it. */
+  val SmallGraphEdges: Long = 200000L
+
+  /** Driver replay of the exact integer update rule over the collected
+    * EDGE ROWS (multi-edges preserved: `(rank*w) div out_w` truncates
+    * PER EDGE, so parallel edges must contribute separately exactly as
+    * the distributed join does). Integer sums are order-independent,
+    * so grouping order cannot move a bit. */
+  private def runDriver(edges: Array[(String, String, Long)], iterations: Int,
+                        baseMicro: Long, dampPct: Long,
+                        spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val outW = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var rank = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iterations) {
+      val inSum = edges.groupBy(_._2).map { case (d, es) =>
+        // all operands non-negative, so Long./ (truncation toward zero)
+        // == SQL `div` == DuckDB floor `//`
+        d -> es.map(e => rank(e._1) * e._3 / outW(e._1)).sum
+      }
+      rank = nodes.map(n =>
+        n -> (baseMicro + dampPct * inSum.getOrElse(n, 0L) / 100L)).toMap
+    }
+    nodes.map(n => (n, rank(n))).toSeq.toDF("node", "rank_micro")
+  }
+
   /** @param edges (src: string, dst: string, w: long) — self-loops and
     *              non-positive weights are dropped defensively.
     * @return (node: string, rank_micro: long) */
   def run(edges: DataFrame, iterations: Int = 5,
-          baseMicro: Long = 150000L, dampPct: Long = 85L): DataFrame = {
+          baseMicro: Long = 150000L, dampPct: Long = 85L,
+          smallGraphEdges: Long = SmallGraphEdges): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val e = edges.select(col("src").cast("string").as("src"),
         col("dst").cast("string").as("dst"), col("w").cast("long").as("w"))
       .where(col("src") =!= col("dst") && col("w") > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // bounded probe (limit N+1, never a full count) for the driver fast
+    // path — the Hits.run convention: host-graph fixtures are
+    // model-sized; the distributed loop only earns its scheduling cost
+    // past the bound
+    if (e.limit((math.min(smallGraphEdges, Int.MaxValue - 1L) + 1L).toInt)
+          .count() <= smallGraphEdges) {
+      val collected = e.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2)))
+      val out = runDriver(collected, iterations, baseMicro, dampPct,
+        edges.sparkSession)
+      e.unpersist()
+      return out
+    }
     val outW = e.groupBy("src").agg(sum("w").as("out_w"))
     val withOut = e.join(outW, "src")
       .select("src", "dst", "w", "out_w")
@@ -70,6 +119,7 @@ object PageRank {
         .localCheckpoint(true)
     }
     val out = ranks
+    e.unpersist()
     withOut.unpersist()
     nodes.unpersist()
     out

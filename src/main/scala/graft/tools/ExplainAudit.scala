@@ -61,6 +61,9 @@ object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
     if (args.length > 1 && args(1) == "--sweep") { sweep(d); return }
+    if (args.length > 2 && args(1) == "--executed") {
+      executed(d, args(2), args.drop(3).toSeq); return
+    }
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q02_filter_project", "q03_segment_revenue", "q05_region_revenue",
         "q22_customers_without_orders", "d09_source_stats", "e01_cosine_knn")
@@ -78,6 +81,61 @@ object ExplainAudit {
       val hasPush = plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []")
       println(s"[audit] $n pushedFilters=${hasPush} broadcast=${plan.contains("BroadcastHashJoin")} " +
         s"wholestage=${plan.contains("WholeStageCodegen")}")
+    }
+    spark.stop()
+  }
+
+  /** EXECUTED-plan dump (the r12 verdict's evidence asks): run each
+    * query to completion and write (a) every SUB-execution's formatted
+    * plan — the stages a query materializes during CONSTRUCTION
+    * (eager localCheckpoints, persisted pair tables) whose expressions
+    * never appear in the final-stage plan (the r12 jaccard dumps were
+    * vacuous for exactly this reason), captured via a
+    * QueryExecutionListener — and (b) the final ADAPTIVE plan after
+    * execution (isFinalPlan=true), which shows runtime exchange reuse
+    * the static dump cannot (the q46 claim). One file per query under
+    * `outDir/<name>_executed.txt`. */
+  def executed(d: String, outDir: String, names: Seq[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    new java.io.File(outDir).mkdirs()
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[(String, String)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        captured.add(funcName -> qe.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    names.foreach { n =>
+      captured.clear()
+      val df = SparkEntry.queries(n)(spark, d)
+      // foreach: full-plan execution on the df's OWN QueryExecution (a
+      // noop write would wrap it in a separate command), no column
+      // pruning, so the final adaptive plan below is the real one
+      df.foreach(_ => ())
+      Thread.sleep(3000) // listener bus drains asynchronously
+      val finalPlan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val sb = new StringBuilder
+      sb.append(s"########## $n — FINAL ADAPTIVE PLAN (after execution) ##########\n")
+      sb.append(finalPlan).append("\n")
+      val subs = captured.toArray(Array.empty[(String, String)])
+      subs.zipWithIndex.foreach { case ((fn, p), i) =>
+        sb.append(s"\n########## $n — sub-execution ${i + 1}/${subs.length} ($fn) ##########\n")
+        sb.append(p).append("\n")
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outDir, s"${n}_executed.txt"),
+        sb.toString.getBytes("UTF-8"))
+      println(s"[executed] $n -> $outDir/${n}_executed.txt (${subs.length} sub-executions)")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

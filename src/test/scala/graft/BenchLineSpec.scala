@@ -50,7 +50,8 @@ class BenchLineSpec extends AnyFunSuite {
         superlinear = longNames("super", 10),
         remeasured = longNames("srem", 14),
         zombies = longNames("zomb", 4),
-        ratios = qs.map { case (k, _) => k -> (1.8 + k.length * 0.31) }))
+        ratios = qs.map { case (k, _) => k -> (1.8 + k.length * 0.31) },
+        excess = qs.map { case (k, _) => k -> (0.1 + k.length * 0.017) }))
   }
 
   test("worst-case line fits the 1750-char window and parses as JSON") {
@@ -79,6 +80,37 @@ class BenchLineSpec extends AnyFunSuite {
         if (s.matches("\\+\\d+_more")) assert(i == items.size - 1)
       }
     }
+  }
+
+  test("verdict flag lists render EVERY name on the r12 shape (+1_more hid a flag)") {
+    // the r12 official artifact rendered 12 top queries and 4 ratio
+    // rows while capping sf1_timed_out at 3 of its 4 names — the judge
+    // could not recover which row flagged. With realistic name lengths
+    // the flag lists must never cap: they only shrink after every
+    // lower-value knob (top-N, ratio map, soft lists) has bottomed out.
+    val r12Flags = Seq("d68_dedup_cascade", "x01_minhash_dedup",
+      "ev21_resample_ffill", "x03_ngram_jaccard_dedup")
+    val r12ish = worstCase.copy(
+      failed = Nil,
+      contended = longNames("cont", 24),
+      sf1 = worstCase.sf1.copy(
+        timedOut = r12Flags, superlinear = r12Flags,
+        truncated = Nil, failed = Nil,
+        remeasured = r12Flags ++ longNames("srem", 4), zombies = Nil))
+    val line = Bench.renderCompactLine(r12ish)
+    assert(line.length <= 1750, s"line is ${line.length} chars")
+    val node = mapper.readTree(line)
+    Seq("sf1_timed_out", "sf1_superlinear").foreach { k =>
+      val arr = node.get(k)
+      val items = (0 until arr.size).map(arr.get(_).asText())
+      assert(items == r12Flags,
+        s"$k lost names on the r12-shaped line: $items")
+    }
+  }
+
+  test("sf1_excess_top is on the line (calibrated scale column)") {
+    val node = mapper.readTree(Bench.renderCompactLine(worstCase))
+    assert(node.has("sf1_excess_top"), "sf1_excess_top missing")
   }
 
   test("a healthy run (short lists, empty flags) renders untruncated query top") {

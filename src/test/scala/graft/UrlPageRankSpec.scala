@@ -89,6 +89,22 @@ class UrlPageRankSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L))
   }
 
+  test("PageRank: driver fast path and distributed loop are bit-identical") {
+    // smallGraphEdges = 0 forces the distributed iterative loop; the
+    // default takes the driver fold on this model-sized graph — the
+    // r13 fast path must not move a single micro-unit. Multi-edges
+    // included: (rank*w) div out_w truncates PER EDGE ROW, so parallel
+    // edges are the case a naive weight-merge would get wrong.
+    val edges = (1L to 300L).map(i => (s"h${i % 13}", s"h${(i * 5) % 17}", i % 4 + 1)) ++
+      Seq(("h1", "h2", 3L), ("h1", "h2", 3L)) // parallel edges
+    val df = edges.toDF("src", "dst", "w")
+    val fast = PageRank.run(df, iterations = 3)
+      .orderBy("node").collect().toSeq
+    val dist = PageRank.run(df, iterations = 3, smallGraphEdges = 0L)
+      .orderBy("node").collect().toSeq
+    assert(fast == dist)
+  }
+
   test("PageRank drops self-loops and isolated targets get base rank only") {
     val df = Seq(("a", "a", 5L), ("a", "b", 1L)).toDF("src", "dst", "w")
     val got = PageRank.run(df, iterations = 1).as[(String, Long)].collect().toMap
