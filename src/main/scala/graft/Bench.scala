@@ -666,11 +666,15 @@ object Bench {
       totalTokens = corpus.mapPartitions { it =>
         val v = bc.value
         it.map { t =>
-          val ws = t.split("\\s+")
+          // same tokenizer kernel as the engine's encode paths
+          // (TextFunctions.splitWsRuns == split("\\s+") minus empties,
+          // property-pinned): same tokens, same vocab lookups, same
+          // count — just no per-row regex compile in the timed loop
+          val ws = graft.functions.TextFunctions.splitWsRuns(t)
           val ids = new Array[Int](ws.length)
           var i = 0; var n = 0
           while (i < ws.length) {
-            if (ws(i).nonEmpty) { ids(n) = v.getOrElse(ws(i), 0); n += 1 }
+            { ids(n) = v.getOrElse(ws(i), 0); n += 1 }
             i += 1
           }
           n.toLong

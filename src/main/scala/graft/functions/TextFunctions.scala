@@ -30,6 +30,35 @@ object TextFunctions {
   def normalizeForDedup(c: Column): Column =
     lower(flattenWhitespace(c))
 
+  /** Java regex `\s` is exactly [ \t\n\x0B\f\r] — NOT
+    * Character.isWhitespace, which also matches U+001C-1F and the
+    * unicode spaces and would change tokenization. */
+  @inline private def isWsRegexClass(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** JVM-side whitespace tokenizer, bit-equivalent to
+    * `s.split("\\s+")` with empty tokens dropped: the maximal runs of
+    * characters outside Java regex's \s class, in order. One pass, no
+    * Pattern machinery, no per-call regex compile — the tokenizer hot
+    * loops (BPE/unigram/fastText encode, the bench tokenize kernel)
+    * call this once per row. Equivalence is property-pinned in
+    * TextFunctionsSpec against the regex formulation. */
+  def splitWsRuns(text: String): Array[String] = {
+    val n = text.length
+    val out = scala.collection.mutable.ArrayBuilder.make[String]
+    var i = 0
+    while (i < n) {
+      if (isWsRegexClass(text.charAt(i))) i += 1
+      else {
+        val start = i
+        i += 1
+        while (i < n && !isWsRegexClass(text.charAt(i))) i += 1
+        out += text.substring(start, i)
+      }
+    }
+    out.result()
+  }
+
   /** Characters the mojibake repairer knows how to un-garble: common
     * Latin-1 accents plus smart punctuation. U+201D (”) is excluded —
     * its UTF-8 tail byte 0x9D is undefined in cp1252, so real-world

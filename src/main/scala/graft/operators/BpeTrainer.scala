@@ -100,22 +100,46 @@ object BpeTrainer {
     }
 
     @transient private lazy val wordCache =
-      new java.util.concurrent.ConcurrentHashMap[String, Seq[Int]]()
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
 
     /** Memoized per-word encode — real tokenizers cache word→ids since
-      * natural corpora repeat words heavily (Zipf). */
-    def encodeWordCached(word: String): Seq[Int] = {
+      * natural corpora repeat words heavily (Zipf). Unboxed ids: the
+      * cache-hit path is the hot loop of every tokenize job, so it must
+      * not re-box a Seq per occurrence. Callers never mutate the array. */
+    private def encodeWordIds(word: String): Array[Int] = {
       val hit = wordCache.get(word)
       if (hit != null) hit
       else {
-        val ids = encodeWord(word)
+        val ids = encodeWord(word).toArray
         if (wordCache.size < 1000000) wordCache.put(word, ids)
         ids
       }
     }
 
-    def encodeText(text: String): Array[Int] =
-      text.split("\\s+").iterator.filter(_.nonEmpty).flatMap(encodeWordCached).toArray
+    def encodeWordCached(word: String): Seq[Int] =
+      encodeWordIds(word).toIndexedSeq
+
+    /** Identical output to
+      * `text.split("\\s+").iterator.filter(_.nonEmpty).flatMap(encodeWord).toArray`
+      * (pinned in BpeTrainerSpec): splitWsRuns is the same token stream
+      * without the per-call regex, and the two-pass arraycopy fill is
+      * the same concatenation without boxing. */
+    def encodeText(text: String): Array[Int] = {
+      val words = TextFunctions.splitWsRuns(text)
+      val parts = new Array[Array[Int]](words.length)
+      var total = 0
+      var i = 0
+      while (i < words.length) {
+        val p = encodeWordIds(words(i)); parts(i) = p; total += p.length; i += 1
+      }
+      val out = new Array[Int](total)
+      var o = 0
+      i = 0
+      while (i < words.length) {
+        val p = parts(i); System.arraycopy(p, 0, out, o, p.length); o += p.length; i += 1
+      }
+      out
+    }
   }
 
   /** Apply one merge to a symbol sequence, greedy left-to-right. */

@@ -113,7 +113,9 @@ object FastTextBin {
     /** The supervised `getLine` + `addWordNgrams` input-id bag for one
       * normalized text. */
     def lineIds(text: String): Array[Int] = {
-      val tokens = text.split("\\s+").filter(_.nonEmpty) :+ Eos
+      // bit-equivalent to text.split("\\s+").filter(_.nonEmpty) — see
+      // TextFunctions.splitWsRuns (no per-row regex in the LID hot loop)
+      val tokens = graft.functions.TextFunctions.splitWsRuns(text) :+ Eos
       val ids = scala.collection.mutable.ArrayBuffer[Int]()
       val tokenHashes = scala.collection.mutable.ArrayBuffer[Int]()
       tokens.foreach { t =>

@@ -188,8 +188,44 @@ object UnigramTrainer {
       }
     }
 
-    def encodeText(text: String): Array[Int] =
-      text.split("\\s+").iterator.filter(_.nonEmpty).flatMap(encodeWord).toArray
+    @transient private lazy val wordCache =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+
+    /** Memoized per-word encode (the BpeModel convention): encodeWord
+      * is a pure deterministic Viterbi, so caching is bit-identical —
+      * and the DP is the expensive part, paid once per DISTINCT word
+      * instead of per occurrence (Zipf corpora repeat words heavily).
+      * Callers never mutate the returned array. */
+    private def encodeWordIds(word: String): Array[Int] = {
+      val hit = wordCache.get(word)
+      if (hit != null) hit
+      else {
+        val ids = encodeWord(word).toArray
+        if (wordCache.size < 1000000) wordCache.put(word, ids)
+        ids
+      }
+    }
+
+    /** Identical output to
+      * `text.split("\\s+").iterator.filter(_.nonEmpty).flatMap(encodeWord).toArray`
+      * (pinned in UnigramTrainerSpec) — same token stream without the
+      * per-call regex, same concatenation without boxing. */
+    def encodeText(text: String): Array[Int] = {
+      val words = graft.functions.TextFunctions.splitWsRuns(text)
+      val parts = new Array[Array[Int]](words.length)
+      var total = 0
+      var i = 0
+      while (i < words.length) {
+        val p = encodeWordIds(words(i)); parts(i) = p; total += p.length; i += 1
+      }
+      val out = new Array[Int](total)
+      var o = 0
+      i = 0
+      while (i < words.length) {
+        val p = parts(i); System.arraycopy(p, 0, out, o, p.length); o += p.length; i += 1
+      }
+      out
+    }
 
     /** Lossless inverse: pieces concatenate, byte runs UTF-8-decode,
       * boundary markers become spaces. */

@@ -215,4 +215,20 @@ class BpeTrainerSpec extends SparkSpec {
     val again = BpeTrainer.tokenize(df, "text", m).orderBy("doc_id").collect()
     assert(again(0).getSeq[Int](2) == ids1)
   }
+
+  test("encodeText matches the regex-split per-occurrence encodeWord formulation") {
+    val df = (1 to 30).map(i => (i.toLong, s"shared words number$i shared words"))
+      .toDF("doc_id", "text")
+    val m = BpeTrainer.trainFromCorpus(df, "text", vocabSize = 350)
+    val texts = Seq("shared words number7", "unseen zebra \u65b0\u8bcd \ud83d\ude42",
+      "tabs\tand\nnewlines mixed", " lead trail ", "", "   ",
+      "nbsp\u00A0is one token", "shared shared shared words")
+    texts.foreach { t =>
+      val ref = t.split("\\s+").iterator.filter(_.nonEmpty).flatMap(m.encodeWord).toSeq
+      assert(m.encodeText(t).toSeq == ref, s"encodeText drift on '$t'")
+      // second call exercises the word-cache hit path — must stay identical
+      assert(m.encodeText(t).toSeq == ref, s"cached encodeText drift on '$t'")
+    }
+  }
+
 }

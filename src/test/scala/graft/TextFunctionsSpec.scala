@@ -191,4 +191,27 @@ class TextFunctionsSpec extends SparkSpec {
       .select(HashFunctions.deflateRatio(col("t"))).head().getDouble(0)
     assert(again === rr)
   }
+
+  test("splitWsRuns is bit-equivalent to split(\"\\\\s+\") minus empties") {
+    // atoms keep surrogate pairs intact; the set mixes every member of
+    // Java regex's \s class with unicode whitespace that is NOT in it
+    // (NBSP, LINE SEP, ideographic space, FS/US) and must stay glued
+    val atoms = Seq(" ", "\t", "\n", "\u000B", "\f", "\r",
+      "\u00A0", "\u2028", "\u3000", "\u001C", "\u001F",
+      "a", "b", "z", "\u00e9", new String(Character.toChars(0x1F642)), "\u2581")
+    val fixed = Seq("", " ", "\t\n\u000B\f\r ", "one", " lead", "trail ",
+      "a  b\tc\nd\u000Be\ff\rg", "nbsp\u00A0stays one token",
+      "line\u2028sep and\u3000ideographic stay glued",
+      "  many   runs  \t\t mixed \r\n ends  ")
+    val rnd = new scala.util.Random(42)
+    val randoms = (1 to 300).map { _ =>
+      (0 until rnd.nextInt(30)).map(_ => atoms(rnd.nextInt(atoms.size))).mkString
+    }
+    (fixed ++ randoms).foreach { s =>
+      val ref = s.split("\\s+").toSeq.filter(_.nonEmpty)
+      assert(TextFunctions.splitWsRuns(s).toSeq == ref,
+        s"splitWsRuns drift on ${s.map(c => f"\\u${c.toInt}%04X").mkString}")
+    }
+  }
+
 }

@@ -219,4 +219,17 @@ class UnigramTrainerSpec extends SparkSpec {
     // fallback as its 2 UTF-8 bytes -> exactly 4 fallback ids
     assert(fallbackCount(0.85) === 4L)
   }
+
+  test("encodeText matches the regex-split per-occurrence encodeWord formulation") {
+    val m = UnigramTrainer.train(freqs, vocabSize = 300)
+    for (t <- Seq("low lower lowest", "tabs\tand\nnewlines", " lead trail ",
+        "", "   ", "h\u00e9llo w\u00f6rld \ud83d\ude42",
+        "nbsp\u00A0is one token", "repeat repeat repeat")) {
+      val ref = t.split("\\s+").iterator.filter(_.nonEmpty).flatMap(m.encodeWord).toSeq
+      assert(m.encodeText(t).toSeq == ref, s"encodeText drift on '$t'")
+      // second call exercises the memoized-word path — must stay identical
+      assert(m.encodeText(t).toSeq == ref, s"cached encodeText drift on '$t'")
+    }
+  }
+
 }
